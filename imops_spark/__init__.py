@@ -1,0 +1,37 @@
+"""imops_spark — a PySpark-native engine with the capabilities of neuro-ml/imops.
+
+Public surface mirrors the reference's ``imops/__init__.py`` (study target at
+/root/reference, read-only), re-expressed as Spark DataFrame algebra:
+every operator has an ndarray convenience wrapper (encode → plan → decode) and
+a DataFrame-level core (``*_df``) that scales horizontally.
+"""
+
+from .backend import Backend, imops_backend, set_backend  # noqa: F401
+from .box import (  # noqa: F401
+    add_margin,
+    box_to_shape,
+    make_box,
+    mask_to_box,
+    shape_to_box,
+)
+from .session import get_spark, stop_spark  # noqa: F401
+from .tensor_io import (  # noqa: F401
+    TensorFrame,
+    decode_volume,
+    encode_blobs,
+    encode_volume,
+    encode_volumes,
+    load_npy_gz,
+)
+from .utils import isin  # noqa: F401
+from .operators.crop import crop_to_box, crop_to_shape  # noqa: F401
+from .operators.measure import center_of_mass, label  # noqa: F401
+from .operators.numeric import copy, fill_, full, pointwise_add  # noqa: F401
+from .operators.pad import (  # noqa: F401
+    pad,
+    pad_to_divisible,
+    pad_to_shape,
+    restore_crop,
+)
+
+__version__ = "0.1.0"

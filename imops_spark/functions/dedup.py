@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a hash groupBy (md5 of normalized text) — one shuffle, AQE
+  handles skew on pathological duplicate clusters;
+- MinHash signatures are computed per document with only ``explode`` +
+  ``groupBy min`` (map-side partial agg), then LSH banding turns the O(n^2)
+  pair problem into an equi-join on band keys — the shuffle is keyed by band
+  hash, so candidate generation scales linearly with corpus size;
+- SimHash packs a 32-bit signature from token-hash bit votes — pure column
+  arithmetic;
+- verification (Jaccard on shingle sets) only runs on LSH candidates.
+
+Hash function: md5 (bit-identical across Spark and DuckDB, which is what lets
+the oracle validate signatures exactly) — ``hash_i(s) = int(md5(i||s)[:15])``.
+On a production cluster xxhash64 would be ~3x faster; md5 keeps the gate
+cross-engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "exact_dup_groups_df",
+    "drop_exact_duplicates",
+    "shingles_df",
+    "minhash_signatures_df",
+    "lsh_candidate_pairs_df",
+    "ngram_jaccard_df",
+    "simhash_df",
+    "embedding_near_dup_df",
+]
+
+
+def normalized_text(col: str = "text"):
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dup_groups_df(docs: DataFrame) -> DataFrame:
+    """Group documents by content hash: ``(content_hash, n_docs, min_doc_id)``."""
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per identical content (deterministic survivor)."""
+    h = docs.withColumn("__h", F.md5(normalized_text()))
+    keep = h.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    return h.join(keep, on=["__h", "doc_id"], how="inner").drop("__h")
+
+
+def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: ``(doc_id, shingle)``.
+
+    Tokens come from a whitespace split of normalized text; shingles are the
+    space-joined k-grams — ``transform`` over token indices keeps everything
+    JVM-side.
+    """
+    toks = docs.select("doc_id", F.split(normalized_text(), r"\s+").alias("t"))
+    n = F.size("t")
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def _md5_hash_col(col, salt: int):
+    # 60-bit positive int from md5(salt || value): cross-engine exact.
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """MinHash signatures: ``(doc_id, mh0..mh{H-1})``.
+
+    One explode + one groupBy: hash h_i of every shingle is a column
+    expression, the signature is ``min`` per hash — map-side combine makes
+    the shuffle tiny (H longs per doc).
+    """
+    sh = shingles_df(docs, k=k)
+    aggs = [
+        F.min(_md5_hash_col(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs_df(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs
+    ``(doc_a, doc_b)`` with doc_a < doc_b.
+
+    The band key is md5 over the band's minhash values; the self-join is an
+    equi-join on (band, key) — linear shuffle, no cross product.
+    """
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        band_frames.append(
+            signatures.select(
+                F.col("doc_id"), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionAll(bf)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_df(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Exact Jaccard similarity of word-k-shingle sets for given doc pairs.
+
+    ``|A∩B|`` via join of shingle sets on the pair, sizes via pre-aggregated
+    counts — runs only on (LSH-pruned) candidates, never all pairs.
+    """
+    sh = shingles_df(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="doc_a").join(sb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        .join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash signature per document: ``(doc_id, simhash)``.
+
+    Each distinct token hashes to ``bits`` bits; bit b of the signature is the
+    sign of the vote sum over tokens — implemented as ``bits`` aggregate
+    expressions (pure arithmetic, one groupBy).
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split(normalized_text(), r"\s+")).alias("tok"))
+        .distinct()
+        .withColumn("th", _md5_hash_col(F.col("tok"), 0))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_dup_df(
+    embeddings: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Brute-force O(n^2) pair generation here (correctness baseline; fine for
+    verification corpora).  The 100 TB path is ``similarity.lsh_buckets_df``:
+    sign-LSH bucket join first, cosine only within buckets.
+    """
+    emb = embeddings.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,149 @@
+"""Event-table analytics: windowed aggregates, sessionization, as-of
+interpolation, neighborhood smoothing.
+
+These are the batch twins of the Structured Streaming surface in
+``imops_spark.streaming`` and the relational isomorphs of several reference
+operators (SURVEY.md §2.3): the as-of join mirrors ``interp1d``'s
+searchsorted+lerp (`/root/reference/imops/src/_zoom.pyx:30-120`), the
+neighborhood bool_or/bool_and mirror binary dilation/erosion
+(`/root/reference/imops/src/_morphology.pyx:254-310`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "load_events",
+    "with_ts_sec",
+    "tumbling_window_df",
+    "sessionize_df",
+    "asof_interpolate_df",
+    "neighborhood_flag_df",
+]
+
+
+def load_events(spark, sf_dir: str) -> DataFrame:
+    """Read the events table, tolerating parquet TIMESTAMP(NANOS).
+
+    Spark has no nanosecond timestamp type; parquet NANOS columns fail the
+    schema conversion unless ``spark.sql.legacy.parquet.nanosAsLong`` is set,
+    in which case ``ts`` arrives as a long of epoch-nanoseconds.  Either way
+    we normalize to an epoch-seconds column ``ts_sec`` (bigint) — every
+    downstream operator keys on seconds, and the DuckDB oracle computes the
+    identical ``FLOOR(epoch(ts))``.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+    except Exception:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        df.schema
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return with_ts_sec(df)
+
+
+def with_ts_sec(events: DataFrame) -> DataFrame:
+    """Add ``ts_sec`` (bigint epoch seconds) from a timestamp or nano-long ts."""
+    dtype = dict(events.dtypes)["ts"]
+    if dtype.startswith("timestamp"):
+        ts_sec = F.unix_timestamp("ts")
+    else:  # long: epoch nanoseconds (nanosAsLong read path); exact int division
+        ts_sec = F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    return events.withColumn("ts_sec", ts_sec)
+
+
+def tumbling_window_df(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Tumbling-window aggregates per event type: count + rounded value sum."""
+    bucket = (F.floor(F.col("ts_sec") / (minutes * 60))).alias("win")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def sessionize_df(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: session id = cumulative count of
+    gaps > ``gap_minutes`` (classic lag+cumsum window pattern).
+
+    Ordering key is (ts_sec, event_id) — deterministic total order that both
+    engines reproduce regardless of sub-second timestamp precision.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    with_new = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    sess = with_new.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+def asof_interpolate_df(events: DataFrame, knot_mod: int = 50, query_mod: int = 7) -> DataFrame:
+    """Linear interpolation of ``value`` at query timestamps between knot
+    events — the interp1d as-of-join pattern.
+
+    Knots: events with ``event_id % knot_mod == 0`` ordered by ts; knot
+    intervals built with ``lead()``; queries join into their bracketing
+    interval (range join) and lerp on epoch seconds.  Out-of-range queries are
+    dropped (bounds_error=False, fill=NULL semantics -> filtered).
+    """
+    knots = (
+        events.filter(F.col("event_id") % knot_mod == 0)
+        .select(
+            F.col("ts_sec").alias("kx"),
+            F.col("value").alias("ky"),
+            F.col("event_id").alias("knot_id"),
+        )
+    )
+    w = Window.orderBy("kx", "knot_id")
+    intervals = knots.select(
+        "kx",
+        "ky",
+        F.lead("kx").over(w).alias("kx2"),
+        F.lead("ky").over(w).alias("ky2"),
+    ).filter(F.col("kx2").isNotNull())
+    queries = events.filter(F.col("event_id") % query_mod == 0).select(
+        "event_id", F.col("ts_sec").alias("qx")
+    )
+    lerp = F.col("ky") + (F.col("ky2") - F.col("ky")) * (F.col("qx") - F.col("kx")) / (
+        F.col("kx2") - F.col("kx")
+    )
+    return (
+        queries.join(
+            intervals,
+            on=[queries.qx >= F.col("kx"), queries.qx < F.col("kx2")],
+        )
+        .select("event_id", F.round(lerp, 6).alias("value_interp"))
+    )
+
+
+def neighborhood_flag_df(events: DataFrame, minutes: int = 10, threshold: float = 90.0) -> DataFrame:
+    """Per (user, time-bucket): did any event in the ±1-bucket neighborhood
+    exceed ``threshold``?  The 1-D binary-dilation pattern: bucket flags are
+    shifted by a broadcast offset table and OR-reduced."""
+    bucket = F.floor(F.col("ts_sec") / (minutes * 60))
+    flags = (
+        events.groupBy(F.col("user_id"), bucket.alias("b"))
+        .agg(F.max(F.when(F.col("value") > threshold, 1).otherwise(0)).alias("flag"))
+    )
+    spark = events.sparkSession
+    offsets = spark.createDataFrame([(-1,), (0,), (1,)], "o int")
+    shifted = flags.crossJoin(F.broadcast(offsets)).select(
+        "user_id", (F.col("b") + F.col("o")).alias("b"), "flag"
+    )
+    dilated = shifted.groupBy("user_id", "b").agg(F.max("flag").alias("any_near"))
+    # Keep only buckets that actually exist (no border growth), like erosion
+    # border handling: join back to the occupied bucket set.
+    return flags.select("user_id", "b").join(dilated, on=["user_id", "b"]).select(
+        "user_id", F.col("b").alias("bucket"), "any_near"
+    )

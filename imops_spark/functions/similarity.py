@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk_df`` — brute-force top-k: the correctness baseline.  The
+  query side is broadcast (small), the corpus streams — one pass, no shuffle
+  of the corpus, window top-k per query.  At 100 TB this is the right plan
+  whenever queries fit in a broadcast (<~100k vectors).
+- ``lsh_buckets_df`` / ``lsh_topk_df`` — sign-random-hyperplane LSH: corpus
+  vectors land in 2^P buckets keyed by the sign pattern of P deterministic
+  pseudo-random hyperplanes; candidate generation is an equi-join on bucket
+  id, so the cross product never materializes.  This is the scale path (an
+  IVF-style variant would swap the hash for k-means centroids).
+
+Hyperplanes are generated from md5 bits (deterministic, no RNG state), so
+results are reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_topk_df", "lsh_buckets_df", "lsh_topk_df", "plane_component"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: ``(query_id, neighbor_id, rank, cosine)``.
+
+    Excludes self-matches.  Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def plane_component(dim_index: int, plane: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = hashlib.md5(f"plane{plane}|dim{dim_index}".encode()).hexdigest()
+    return int(h[:8], 16) / float(2**31) - 1.0
+
+
+def lsh_buckets_df(
+    df: DataFrame,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a sign-LSH bucket id: ``(vec_id, bucket)``."""
+    bucket = None
+    for p in range(planes):
+        comps = [plane_component(d, p) for d in range(dim)]
+        proj = None
+        for d, w in enumerate(comps):
+            term = F.element_at(F.col(vec_col), d + 1) * F.lit(w)
+            proj = term if proj is None else proj + term
+        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, cosine ranks them.
+
+    The bucket equi-join replaces the cross product; recall is tunable via
+    ``planes`` (fewer planes -> bigger buckets -> higher recall, more work).
+    """
+    cb = lsh_buckets_df(corpus, planes, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qb = lsh_buckets_df(queries, planes, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb, on="neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb, on="query_id"
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

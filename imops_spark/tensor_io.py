@@ -1,0 +1,211 @@
+"""ndarray <-> DataFrame encoders: the engine's data model boundary.
+
+Two physical encodings (SURVEY.md §1.4), both used by operators:
+
+1. **Voxel table** — long format, one row per element:
+   ``(image_id: long, i0..i{ndim-1}: int, val)``.  The only encoding that
+   scales past one executor's RAM per image; all relational operators
+   (crop/pad/morphology/zoom/measure/...) run on this.
+
+2. **Tensor blob** — one row per image:
+   ``(image_id: long, shape: array<int>, dtype: string, data: binary)``,
+   C-order NumPy buffer in ``data``.  Arrow-batched pandas-UDF operators
+   (EDT, Delaunay interp2d, FFT filtering) run on this; it mirrors how the
+   reference hands whole C-contiguous buffers to its kernels
+   (``/root/reference/imops/src/_zoom.pyx:373``).
+
+fp16 note: Spark has no half type; logical fp16 is stored as float32 (voxel) or
+as raw bytes with ``dtype='float16'`` (blob) — the same "carry the logical type
+out-of-band" trick the reference uses for fp16 (`numeric.py:182-185`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, replace
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "TensorFrame",
+    "encode_volume",
+    "encode_volumes",
+    "decode_volume",
+    "encode_blobs",
+    "decode_blobs",
+    "map_blobs",
+    "blob_schema",
+    "load_npy_gz",
+    "coord_cols",
+]
+
+IMAGE_ID = "image_id"
+VAL = "val"
+
+
+def coord_cols(ndim: int) -> list[str]:
+    return [f"i{k}" for k in range(ndim)]
+
+
+def _spark_val_type(dtype: np.dtype):
+    dtype = np.dtype(dtype)
+    if dtype == np.bool_:
+        return T.BooleanType()
+    if dtype.kind in "iu":
+        return T.LongType()
+    return T.DoubleType()
+
+
+@dataclass(frozen=True)
+class TensorFrame:
+    """A distributed dense tensor: voxel-table DataFrame + logical metadata.
+
+    ``df`` holds one row per element with integer coordinate columns
+    ``i0..i{ndim-1}`` and a ``val`` column; ``shape``/``dtype`` carry the
+    logical array type (schema travels with the value in the reference —
+    here it is explicit engine metadata).
+    """
+
+    df: DataFrame
+    shape: tuple[int, ...]
+    dtype: np.dtype
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def coords(self) -> list[str]:
+        return coord_cols(self.ndim)
+
+    def with_df(self, df: DataFrame, shape: tuple[int, ...] | None = None) -> "TensorFrame":
+        return replace(self, df=df, shape=tuple(shape) if shape is not None else self.shape)
+
+
+def encode_volume(spark: SparkSession, arr: np.ndarray, image_id: int = 0) -> TensorFrame:
+    """Encode one ndarray as a voxel table (one row per element)."""
+    return encode_volumes(spark, {image_id: arr})
+
+
+def encode_volumes(spark: SparkSession, arrays: dict[int, np.ndarray]) -> TensorFrame:
+    """Encode a dict of same-shape/dtype ndarrays as one voxel table."""
+    shapes = {a.shape for a in arrays.values()}
+    dtypes = {np.dtype(a.dtype) for a in arrays.values()}
+    if len(shapes) != 1 or len(dtypes) != 1:
+        raise ValueError("encode_volumes requires uniform shape and dtype")
+    (shape,), (dtype,) = shapes, dtypes
+    ndim = len(shape)
+    frames = []
+    for image_id, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        idx = np.indices(shape).reshape(ndim, -1)
+        data = {IMAGE_ID: np.full(idx.shape[1], image_id, dtype=np.int64)}
+        for k in range(ndim):
+            data[f"i{k}"] = idx[k].astype(np.int32)
+        flat = arr.ravel()
+        if dtype == np.bool_:
+            data[VAL] = flat
+        elif dtype.kind in "iu":
+            data[VAL] = flat.astype(np.int64)
+        else:
+            data[VAL] = flat.astype(np.float64)
+        frames.append(pd.DataFrame(data))
+    pdf = pd.concat(frames, ignore_index=True)
+    fields = [T.StructField(IMAGE_ID, T.LongType(), False)]
+    fields += [T.StructField(c, T.IntegerType(), False) for c in coord_cols(ndim)]
+    fields += [T.StructField(VAL, _spark_val_type(dtype), False)]
+    df = spark.createDataFrame(pdf, schema=T.StructType(fields))
+    return TensorFrame(df=df, shape=tuple(shape), dtype=dtype)
+
+
+def decode_volume(
+    tf: TensorFrame, image_id: int = 0, default: float | int | bool = 0
+) -> np.ndarray:
+    """Materialize one image of a voxel table back to an ndarray.
+
+    Missing coordinates (sparse encodings, e.g. morphology keeps only True
+    voxels) are filled with ``default``.
+    """
+    pdf = tf.df.filter(F.col(IMAGE_ID) == image_id).select(*tf.coords, VAL).toPandas()
+    out = np.full(tf.shape, default, dtype=tf.dtype)
+    if len(pdf):
+        idx = tuple(pdf[c].to_numpy(dtype=np.int64) for c in tf.coords)
+        out[idx] = pdf[VAL].to_numpy().astype(tf.dtype, copy=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Blob encoding
+# ---------------------------------------------------------------------------
+
+def blob_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(IMAGE_ID, T.LongType(), False),
+            T.StructField("shape", T.ArrayType(T.IntegerType()), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+
+
+def encode_blobs(spark: SparkSession, arrays: dict[int, np.ndarray]) -> DataFrame:
+    """Encode ndarrays as one-row-per-image blobs (C-order buffers)."""
+    rows = []
+    for image_id, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        rows.append(
+            (int(image_id), [int(s) for s in arr.shape], str(arr.dtype), arr.tobytes())
+        )
+    return spark.createDataFrame(rows, schema=blob_schema())
+
+
+def decode_blobs(df: DataFrame) -> dict[int, np.ndarray]:
+    out = {}
+    for row in df.collect():
+        arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(row["shape"])
+        out[int(row[IMAGE_ID])] = arr
+    return out
+
+
+def map_blobs(
+    df: DataFrame,
+    fn: Callable[[np.ndarray], np.ndarray],
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Apply a per-image ndarray->ndarray kernel over a blob table.
+
+    Runs as ``mapInPandas`` (Arrow batches); one task per partition, each image
+    processed independently — the Spark analog of the reference's
+    one-OpenMP-team-per-call model, except parallelism is across images.
+    """
+    schema = blob_schema()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"image_id": [], "shape": [], "dtype": [], "data": []}
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    list(row["shape"])
+                )
+                res = np.ascontiguousarray(fn(arr))
+                out_rows["image_id"].append(row["image_id"])
+                out_rows["shape"].append([int(s) for s in res.shape])
+                out_rows["dtype"].append(str(res.dtype))
+                out_rows["data"].append(res.tobytes())
+            yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def load_npy_gz(path: str) -> np.ndarray:
+    """Load a gzipped .npy file (ingestion parity with the reference's
+    benchmark loader, ``/root/reference/benchmarks/common.py:29-31``)."""
+    with gzip.open(path, "rb") as f:
+        return np.load(io.BytesIO(f.read()), allow_pickle=False)

@@ -1,0 +1,145 @@
+"""Utility surface: isin (broadcast semi-join), thread/axis normalization.
+
+Reference: ``/root/reference/imops/utils.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
+
+__all__ = [
+    "isin",
+    "isin_df",
+    "normalize_num_threads",
+    "broadcast_axis",
+    "build_slices",
+]
+
+
+def normalize_num_threads(num_threads: int = -1) -> int:
+    """Fold the requested thread count with the environment cap.
+
+    Parity with ``utils.py:40-92``: negative means "all but (|n|-1)"; the
+    result is clamped by cpu count and OMP_NUM_THREADS if set.  In the Spark
+    engine this value is only a partitioning hint — actual parallelism is
+    executor cores — but we keep the semantics so ported call sites behave.
+    """
+    env_cap = os.environ.get("OMP_NUM_THREADS")
+    avail = os.cpu_count() or 1
+    if env_cap:
+        avail = min(avail, int(env_cap))
+    if num_threads >= 0:
+        if num_threads == 0:
+            raise ValueError("num_threads must be nonzero")
+        return min(num_threads, avail)
+    return max(avail + 1 + num_threads, 1)
+
+
+def axis_from_dim(axis, dim: int) -> tuple:
+    """None -> all axes; else normalized non-negative axis tuple
+    (parity ``utils.py:110-114``)."""
+    if axis is None:
+        return tuple(range(dim))
+    if np.isscalar(axis):
+        axis = (axis,)
+    out = []
+    for a in axis:
+        a = int(a)
+        if not -dim <= a < dim:
+            raise ValueError(f"axis {a} out of bounds for rank {dim}")
+        out.append(a % dim)
+    return tuple(out)
+
+
+def broadcast_axis(axis, dim: int, *values):
+    """Normalize ``axis`` and broadcast each value to ``len(axis)``
+    (parity ``utils.py:117-124``)."""
+    axes = axis_from_dim(axis, dim)
+    res = []
+    for v in values:
+        v = np.atleast_1d(v)
+        if len(v) == 1:
+            v = np.repeat(v, len(axes), 0)
+        if len(v) != len(axes):
+            raise ValueError(f"Params sizes don't match with the axes: {axes} vs {len(v)}.")
+        res.append(v)
+    return (axes, *res)
+
+
+def fill_by_indices(target, values, indices):
+    """Replace ``target[indices]`` with ``values`` (parity ``utils.py:135+``)."""
+    target = np.array(target)
+    target[list(indices)] = values
+    return target
+
+
+def build_slices(
+    starts: Sequence[int], stops: Sequence[int] | None = None, steps: Sequence[int] | None = None
+) -> tuple:
+    """start/stop/step vectors -> tuple of slices (parity ``utils.py:172-199``)."""
+    if stops is None and steps is None:
+        return tuple(map(slice, starts))
+    if steps is None:
+        return tuple(map(slice, starts, stops))
+    return tuple(map(slice, starts, stops, steps))
+
+
+# ---------------------------------------------------------------------------
+# isin — the broadcast hash semi-join
+# ---------------------------------------------------------------------------
+
+def isin_df(df: DataFrame, column: str, test_elements: Sequence[int] | DataFrame) -> DataFrame:
+    """Mark rows whose ``column`` is in ``test_elements``.
+
+    Small literal lists compile to an in-filter inside whole-stage codegen;
+    a DataFrame of test elements becomes a broadcast LEFT SEMI join — exactly
+    the hash-set build+probe of the reference kernel
+    (``src/_utils.pyx:33-46``), executed as Spark's BroadcastHashJoin.
+    Returns the input with an added boolean ``isin`` column.
+    """
+    if isinstance(test_elements, DataFrame):
+        probe = test_elements.select(F.col(test_elements.columns[0]).alias("__te")).distinct()
+        hit = (
+            df.join(F.broadcast(probe), on=df[column] == F.col("__te"), how="left")
+            .withColumn("isin", F.col("__te").isNotNull())
+            .drop("__te")
+        )
+        return hit
+    values = [int(v) for v in test_elements]
+    return df.withColumn("isin", F.col(column).isin(values))
+
+
+def isin(
+    element: np.ndarray,
+    test_elements: np.ndarray | Sequence[int],
+    num_threads: int = -1,
+) -> np.ndarray:
+    """Elementwise membership mask; ndarray wrapper (``utils.py:213-251``).
+
+    int16/int32/int64 inputs only, like the reference (``utils.py:240-241``).
+    """
+    normalize_num_threads(num_threads)
+    element = np.asarray(element)
+    if element.dtype not in (np.int16, np.int32, np.int64):
+        raise ValueError(
+            f"Input array dtype must be one of int16, int32, int64, got {element.dtype}"
+        )
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; call get_spark() first")
+    tf = encode_volume(spark, element.astype(np.int64))
+    test_list = [int(v) for v in np.asarray(test_elements).ravel()]
+    marked = isin_df(tf.df, VAL, test_list)
+    out_tf = TensorFrame(
+        df=marked.select(IMAGE_ID, *tf.coords, F.col("isin").alias(VAL)),
+        shape=tf.shape,
+        dtype=np.dtype(bool),
+    )
+    return decode_volume(out_tf, default=False)
