@@ -191,26 +191,73 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def embedding_near_dup_df(
-    embeddings: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
 
-    Brute-force O(n^2) pair generation here (correctness baseline; fine for
-    verification corpora).  The 100 TB path is ``similarity.lsh_buckets_df``:
-    sign-LSH bucket join first, cosine only within buckets.
+    Block-matrix similarity join: vectors are hashed into ``num_blocks``
+    blocks; every block pair (i <= j) is shipped to one Arrow task that
+    computes the cross-cosine matrix with a single numpy GEMM.  Exact O(n^2)
+    math, but the FLOPs run vectorized in C and the cross product never
+    exists as Spark rows — each vector is replicated ``num_blocks`` times
+    instead of ``n`` times.  At 100 TB the same plan holds with bigger
+    blocks; the sub-quadratic path is ``similarity.lsh_topk_df``.
     """
-    emb = embeddings.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).alias("vid").cast("long"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
+        "bi int, bj int",
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    left = emb.join(F.broadcast(block_pairs), emb.blk == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vid", "vec"
+    )
+    right = emb.join(F.broadcast(block_pairs), emb.blk == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("side"), "vid", "vec"
+    )
+    both = left.unionAll(right)
+
+    thr = float(threshold)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        lmask = pdf["side"] == 0
+        if lmask.sum() == 0 or (~lmask).sum() == 0:
+            return empty
+        lids = pdf.loc[lmask, "vid"].to_numpy()
+        rids = pdf.loc[~lmask, "vid"].to_numpy()
+        lm = np.stack(pdf.loc[lmask, "vec"].to_numpy())
+        rm = np.stack(pdf.loc[~lmask, "vec"].to_numpy())
+        ln = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rn = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        cos = np.round(ln @ rn.T, 6)
+        ii, jj = np.nonzero(cos >= thr)
+        if len(ii) == 0:
+            return empty
+        ia, ib = lids[ii], rids[jj]
+        c = cos[ii, jj]
+        if bi == bj:
+            keep = ia < ib  # dedupe the symmetric diagonal block
+            ia, ib, c = ia[keep], ib[keep], c[keep]
+        else:
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        compute, schema="id_a long, id_b long, cosine double"
     )
