@@ -25,7 +25,16 @@ from .tensor_io import (  # noqa: F401
 )
 from .utils import isin  # noqa: F401
 from .operators.crop import crop_to_box, crop_to_shape  # noqa: F401
+from .operators.interp1d import interp1d  # noqa: F401
 from .operators.measure import center_of_mass, label  # noqa: F401
+from .operators.morphology import (  # noqa: F401
+    binary_closing,
+    binary_dilation,
+    binary_erosion,
+    binary_opening,
+    distance_transform_edt,
+)
+from .operators.zoom import zoom, zoom_to_shape  # noqa: F401
 from .operators.numeric import copy, fill_, full, pointwise_add  # noqa: F401
 from .operators.pad import (  # noqa: F401
     pad,

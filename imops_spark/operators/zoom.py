@@ -1,0 +1,200 @@
+"""Zoom (rescale) via gather joins.
+
+Reference semantics (``/root/reference/imops/zoom.py:72-297``,
+``src/_zoom.pyx:146-199,251-399``):
+- output shape per axis = ``round(old * scale)`` (python banker's rounding);
+- source coordinate of output index i = ``i * adjusted_coef`` with
+  ``adjusted_coef = old if new == 1 else (old-1)/(new-1)`` (grid-corner
+  convention, `src/_zoom.pyx:146-149`);
+- order=1: trilinear gather of the floor/ceil corner cube, out-of-bounds
+  corners read ``fill_value``;
+- order=0: nearest in-bounds corner, ties towards the ceil corner
+  (`src/_zoom.pyx:314-358`).
+
+Spark mapping (SURVEY.md §2.1 #1-2): the target grid is generated
+distributively (``spark.range`` x ``sequence``/``explode``), corner offsets
+are a broadcast 2^ndim-row table, and the value gather is one equi-join on
+``(image_id, corner coords)`` followed by ``groupBy(target)`` summing
+``weight * val`` — i.e. resampling as a weighted foreign-key join, the
+classic relational formulation.  One shuffle for the join, one for the sum;
+both partition on coordinates so 100 TB of images stream through.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..backend import resolve_backend
+from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
+from ..utils import broadcast_axis, normalize_num_threads
+
+__all__ = ["zoom", "zoom_to_shape", "zoom_df"]
+
+
+def _adjusted_coef(old_n: int, new_n: int) -> float:
+    return float(old_n) if new_n == 1 else (old_n - 1) / (new_n - 1)
+
+
+def _target_grid(spark: SparkSession, image_ids_df, new_shape):
+    """Distributed dense target grid joined onto the image-id set."""
+    df = image_ids_df
+    n0 = new_shape[0]
+    base = spark.range(0, n0, 1, min(max(n0, 1), 32)).select(
+        F.col("id").cast("int").alias("j0")
+    )
+    df = df.crossJoin(base)
+    for k, s in enumerate(new_shape[1:], start=1):
+        df = df.withColumn(f"j{k}", F.explode(F.sequence(F.lit(0), F.lit(int(s) - 1))))
+    return df
+
+
+def zoom_df(
+    tf: TensorFrame,
+    scale_factor,
+    order: int = 1,
+    fill_value: float = 0.0,
+) -> TensorFrame:
+    """Rescale every image in a voxel table by per-axis factors."""
+    ndim = tf.ndim
+    scale = np.broadcast_to(np.asarray(scale_factor, dtype=float), (ndim,))
+    new_shape = tuple(int(round(s * z)) for s, z in zip(tf.shape, scale))
+    coefs = [_adjusted_coef(tf.shape[k], new_shape[k]) for k in range(ndim)]
+    spark = tf.df.sparkSession
+
+    images = tf.df.select(IMAGE_ID).distinct()
+    grid = _target_grid(spark, images, new_shape)
+    # Source coordinate and floor per axis.
+    for k in range(ndim):
+        grid = grid.withColumn(f"c{k}", F.col(f"j{k}") * F.lit(coefs[k]))
+        grid = grid.withColumn(f"f{k}", F.floor(F.col(f"c{k}")).cast("int"))
+
+    if order == 0:
+        # Nearest in-bounds corner; frac >= 0.5 prefers the ceil corner
+        # (the kernel's `distance <= min_distance` tie rule, separable).
+        sel = grid
+        for k in range(ndim):
+            frac = F.col(f"c{k}") - F.col(f"f{k}")
+            use_max = (frac >= 0.5) & (F.col(f"f{k}") + 1 < tf.shape[k])
+            sel = sel.withColumn(
+                f"i{k}", F.when(use_max, F.col(f"f{k}") + 1).otherwise(F.col(f"f{k}"))
+            )
+        src = tf.df
+        if tf.dtype == np.bool_:
+            fill_lit = F.lit(bool(fill_value))
+        elif np.dtype(tf.dtype).kind in "iu":
+            fill_lit = F.lit(int(fill_value)).cast("long")
+        else:
+            fill_lit = F.lit(float(fill_value)).cast("double")
+        out = (
+            sel.join(src, on=[IMAGE_ID, *tf.coords], how="left")
+            .select(
+                IMAGE_ID,
+                *[F.col(f"j{k}").alias(f"i{k}") for k in range(ndim)],
+                F.coalesce(F.col(VAL), fill_lit).alias(VAL),
+            )
+        )
+        return TensorFrame(df=out, shape=new_shape, dtype=tf.dtype)
+
+    if order != 1:
+        raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
+
+    # 2^ndim corner offset table with per-axis weight selector.
+    corners = [tuple((c >> k) & 1 for k in range(ndim)) for c in range(2**ndim)]
+    corner_df = F.broadcast(
+        spark.createDataFrame(corners, schema=", ".join(f"b{k} int" for k in range(ndim)))
+    )
+    g = grid.crossJoin(corner_df)
+    weight = F.lit(1.0)
+    for k in range(ndim):
+        frac = F.col(f"c{k}") - F.col(f"f{k}")
+        w_k = F.when(F.col(f"b{k}") == 1, frac).otherwise(1.0 - frac)
+        weight = weight * w_k
+        g = g.withColumn(f"i{k}", (F.col(f"f{k}") + F.col(f"b{k}")))
+    g = g.withColumn("w", weight)
+    src = tf.df
+    joined = g.join(src, on=[IMAGE_ID, *tf.coords], how="left")
+    # Out-of-bounds corners read fill_value (get_pixel* cval semantics).
+    contrib = F.col("w") * F.coalesce(F.col(VAL), F.lit(float(fill_value)))
+    out = (
+        joined.groupBy(IMAGE_ID, *[F.col(f"j{k}") for k in range(ndim)])
+        .agg(F.sum(contrib).alias(VAL))
+        .select(
+            IMAGE_ID,
+            *[F.col(f"j{k}").alias(f"i{k}") for k in range(ndim)],
+            VAL,
+        )
+    )
+    out_dtype = tf.dtype if np.dtype(tf.dtype).kind == "f" else np.dtype(np.float64)
+    return TensorFrame(df=out, shape=new_shape, dtype=out_dtype)
+
+
+def zoom(
+    x,
+    scale_factor,
+    axis=None,
+    order: int = 1,
+    fill_value=0.0,
+    num_threads: int = -1,
+    backend=None,
+):
+    """Rescale ``x`` by ``scale_factor`` along ``axis``
+    (parity ``zoom.py:72-126``)."""
+    resolve_backend(backend)
+    normalize_num_threads(num_threads)
+    if order not in (0, 1):
+        raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
+    arr_mode = not isinstance(x, TensorFrame)
+    ndim = np.asarray(x).ndim if arr_mode else x.ndim
+    axes, scale_ax = broadcast_axis(axis, ndim, scale_factor)
+    full_scale = np.ones(ndim)
+    for j, a in enumerate(axes):
+        full_scale[a] = float(scale_ax[j])
+    if callable(fill_value):
+        if not arr_mode:
+            raise ValueError("callable fill_value requires an ndarray input")
+        fill_value = fill_value(np.asarray(x))
+
+    if not arr_mode:
+        return zoom_df(x, full_scale, order=order, fill_value=float(fill_value))
+    arr = np.asarray(x)
+    if arr.ndim > 4:
+        raise ValueError(f"zoom supports ndim<=4, got {arr.ndim}")
+    if order == 1 and arr.dtype not in (np.float32, np.float64):
+        arr = arr.astype(np.float64)
+    spark = SparkSession.getActiveSession()
+    work = arr.astype(np.float64) if order == 1 else arr
+    tf = encode_volume(spark, work)
+    out = zoom_df(tf, full_scale, order=order, fill_value=float(fill_value))
+    res = decode_volume(out, default=fill_value)
+    if order == 0:
+        return res.astype(arr.dtype, copy=False)
+    return res.astype(arr.dtype if arr.dtype.kind == "f" else np.float64, copy=False)
+
+
+def zoom_to_shape(
+    x,
+    shape,
+    axis=None,
+    order: int = 1,
+    fill_value=0.0,
+    num_threads: int = -1,
+    backend=None,
+):
+    """Rescale to an exact target shape (parity ``zoom.py:129-188``) —
+    derives per-axis factors new/old, nudged so ``round(old*scale)`` lands
+    exactly on the requested shape."""
+    arr_mode = not isinstance(x, TensorFrame)
+    cur = np.asarray(x).shape if arr_mode else x.shape
+    ndim = len(cur)
+    axes, shape_ax = broadcast_axis(axis, ndim, shape)
+    target = list(cur)
+    for j, a in enumerate(axes):
+        target[a] = int(shape_ax[j])
+    scale = np.array([t / c for t, c in zip(target, cur)], dtype=float)
+    # Guard against round(old*scale) != target from FP representation.
+    for k in range(ndim):
+        if int(round(cur[k] * scale[k])) != target[k]:
+            scale[k] = (target[k] + 0.01) / cur[k]
+    return zoom(x, scale, axis=None, order=order, fill_value=fill_value)

@@ -1,0 +1,151 @@
+"""Differential tests for binary morphology + EDT vs pure-numpy oracles
+(exact match, like the reference's skimage comparisons)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from imops_spark.operators.morphology import (
+    binary_closing,
+    binary_dilation,
+    binary_erosion,
+    binary_opening,
+    distance_transform_edt,
+    edt_numpy,
+    footprint_offsets,
+    generate_binary_structure,
+)
+
+
+def np_dilation(x, fp):
+    """X ⊕ B: union of translates of X by B's offsets (OOB drops)."""
+    out = np.zeros_like(x, dtype=bool)
+    for o in footprint_offsets(fp):
+        src = [slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o)]
+        dst = [slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o)]
+        out[tuple(dst)] |= x[tuple(src)]
+    return out
+
+
+def np_erosion(x, fp):
+    """X ⊖ B: AND over offsets, out-of-bounds counts True."""
+    out = np.ones_like(x, dtype=bool)
+    for o in footprint_offsets(fp):
+        probe = np.ones_like(x, dtype=bool)
+        src = [slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o)]
+        dst = [slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o)]
+        probe[tuple(dst)] = x[tuple(src)]
+        out &= probe
+    return out
+
+
+@pytest.mark.parametrize("shape", [(12,), (9, 10), (6, 7, 8)])
+def test_dilation_default_footprint(spark, shape):
+    x = np.random.binomial(1, 0.3, shape).astype(bool)
+    x.flat[0] = True  # avoid all-false short-circuit
+    fp = generate_binary_structure(len(shape), 1)
+    assert_array_equal(binary_dilation(x), np_dilation(x, fp))
+
+
+@pytest.mark.parametrize("shape", [(10, 11)])
+def test_erosion_default_footprint(spark, shape):
+    x = np.random.binomial(1, 0.7, shape).astype(bool)
+    x.flat[0] = True
+    x.flat[-1] = False
+    fp = generate_binary_structure(len(shape), 1)
+    assert_array_equal(binary_erosion(x), np_erosion(x, fp))
+
+
+def test_asymmetric_footprint(spark):
+    x = np.random.binomial(1, 0.4, (9, 9)).astype(bool)
+    x[0, 0], x[-1, -1] = True, False
+    fp = np.array([[1, 1, 0], [0, 1, 0], [0, 0, 0]], dtype=bool)
+    assert_array_equal(binary_dilation(x, fp), np_dilation(x, fp))
+    assert_array_equal(binary_erosion(x, fp), np_erosion(x, fp))
+
+
+def test_even_footprint(spark):
+    x = np.random.binomial(1, 0.5, (8, 8)).astype(bool)
+    x[0, 0], x[-1, -1] = True, False
+    fp = np.ones((2, 2), dtype=bool)
+    assert_array_equal(binary_dilation(x, fp), np_dilation(x, fp))
+    assert_array_equal(binary_erosion(x, fp), np_erosion(x, fp))
+
+
+def test_closing_opening(spark):
+    x = np.random.binomial(1, 0.5, (10, 10)).astype(bool)
+    x[0, 0], x[-1, -1] = True, False
+    fp = generate_binary_structure(2, 1)
+    assert_array_equal(binary_closing(x), np_erosion(np_dilation(x, fp), fp))
+    assert_array_equal(binary_opening(x), np_dilation(np_erosion(x, fp), fp))
+
+
+def test_trivial_short_circuits(spark):
+    with pytest.warns(UserWarning, match="fully False"):
+        out = binary_dilation(np.zeros((4, 4), dtype=bool))
+    assert not out.any()
+    with pytest.warns(UserWarning, match="fully True"):
+        out = binary_erosion(np.ones((4, 4), dtype=bool))
+    assert out.all()
+
+
+def test_footprint_rank_mismatch(spark):
+    with pytest.raises(ValueError):
+        binary_dilation(np.zeros((4, 4), dtype=bool) | True, np.ones(3, dtype=bool))
+
+
+def test_empty_footprint(spark):
+    with pytest.raises(RuntimeError):
+        binary_dilation(np.eye(3, dtype=bool), np.zeros((0, 0), dtype=bool))
+
+
+# ---------------------------------------------------------------------------
+# EDT
+# ---------------------------------------------------------------------------
+
+def brute_edt(x, sampling=None):
+    x = x.astype(bool)
+    nd = x.ndim
+    w = np.ones(nd) if sampling is None else np.broadcast_to(np.asarray(sampling, float), (nd,))
+    bg = np.argwhere(~x)
+    out = np.zeros(x.shape)
+    for p in np.argwhere(x):
+        d = np.sqrt((((bg - p) * w) ** 2).sum(axis=1)).min() if len(bg) else np.inf
+        out[tuple(p)] = d
+    return out
+
+
+@pytest.mark.parametrize("shape", [(16,), (9, 11), (5, 6, 7)])
+def test_edt_matches_bruteforce(shape):
+    x = np.random.binomial(1, 0.7, shape).astype(bool)
+    x.flat[-1] = False
+    assert_allclose(edt_numpy(x), brute_edt(x), rtol=1e-6)
+
+
+def test_edt_anisotropic():
+    x = np.random.binomial(1, 0.6, (8, 9)).astype(bool)
+    x[0, 0] = False
+    assert_allclose(edt_numpy(x, sampling=(2.0, 0.5)), brute_edt(x, (2.0, 0.5)), rtol=1e-6)
+
+
+def test_edt_indices_consistent():
+    x = np.random.binomial(1, 0.6, (7, 8)).astype(bool)
+    x[3, 3] = False
+    d, idx = distance_transform_edt(x, return_indices=True)
+    # the feature position must be background and at exactly distance d
+    for p in np.argwhere(x):
+        q = idx[:, p[0], p[1]]
+        assert not x[q[0], q[1]]
+        assert_allclose(np.sqrt(((p - q) ** 2).sum()), d[tuple(p)], rtol=1e-9)
+
+
+def test_edt_blob_path(spark):
+    from imops_spark.tensor_io import decode_blobs, encode_blobs
+
+    arrays = {i: np.random.binomial(1, 0.6, (6, 7)).astype(bool) for i in range(3)}
+    for a in arrays.values():
+        a[0, 0] = False
+    blobs = encode_blobs(spark, arrays)
+    out = decode_blobs(distance_transform_edt(blobs))
+    for i, a in arrays.items():
+        assert_allclose(out[i], brute_edt(a).astype(np.float32), rtol=1e-5)

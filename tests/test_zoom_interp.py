@@ -1,0 +1,187 @@
+"""Differential tests for zoom / zoom_to_shape / interp1d vs numpy oracles
+that re-derive the reference kernel semantics exactly."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from imops_spark.operators.interp1d import interp1d
+from imops_spark.operators.zoom import zoom, zoom_to_shape
+
+
+def np_zoom(x, scale, order=1, fill_value=0.0):
+    """Oracle: direct re-derivation of src/_zoom.pyx semantics."""
+    scale = np.broadcast_to(np.asarray(scale, float), (x.ndim,))
+    new_shape = tuple(int(round(s * z)) for s, z in zip(x.shape, scale))
+    coefs = [
+        (x.shape[k] if new_shape[k] == 1 else (x.shape[k] - 1) / (new_shape[k] - 1))
+        for k in range(x.ndim)
+    ]
+    out = np.empty(new_shape, dtype=float if order == 1 else x.dtype)
+    for j in np.ndindex(*new_shape):
+        c = [j[k] * coefs[k] for k in range(x.ndim)]
+        f = [int(np.floor(v)) for v in c]
+        if order == 0:
+            idx = []
+            for k in range(x.ndim):
+                frac = c[k] - f[k]
+                use_max = frac >= 0.5 and f[k] + 1 < x.shape[k]
+                idx.append(f[k] + 1 if use_max else f[k])
+            out[j] = x[tuple(idx)]
+        else:
+            acc = 0.0
+            for corner in np.ndindex(*([2] * x.ndim)):
+                w = 1.0
+                idx = []
+                for k in range(x.ndim):
+                    frac = c[k] - f[k]
+                    w *= frac if corner[k] else 1 - frac
+                    idx.append(f[k] + corner[k])
+                inb = all(0 <= idx[k] < x.shape[k] for k in range(x.ndim))
+                acc += w * (x[tuple(idx)] if inb else fill_value)
+            out[j] = acc
+    return out
+
+
+@pytest.mark.parametrize("scale", [2.0, 0.5, 1.7, [1.5, 0.75]])
+def test_zoom_linear_2d(spark, scale):
+    x = np.random.randn(9, 11)
+    assert_allclose(zoom(x, scale), np_zoom(x, scale), rtol=1e-6, atol=1e-12)
+
+
+def test_zoom_linear_3d(spark):
+    x = np.random.randn(5, 6, 7)
+    assert_allclose(zoom(x, 1.4), np_zoom(x, 1.4), rtol=1e-6, atol=1e-12)
+
+
+def test_zoom_nearest(spark):
+    x = np.random.randint(0, 100, size=(8, 9)).astype(np.int64)
+    got = zoom(x, 1.6, order=0)
+    assert got.dtype == x.dtype
+    assert_array_equal(got, np_zoom(x, 1.6, order=0))
+
+
+def test_zoom_nearest_bool(spark):
+    x = np.random.binomial(1, 0.5, (7, 7)).astype(bool)
+    got = zoom(x, 0.6, order=0)
+    assert got.dtype == np.bool_
+    assert_array_equal(got, np_zoom(x, 0.6, order=0))
+
+
+def test_zoom_axis_param(spark):
+    x = np.random.randn(6, 8)
+    got = zoom(x, 2.0, axis=1)
+    assert_allclose(got, np_zoom(x, [1.0, 2.0]), rtol=1e-6, atol=1e-12)
+
+
+def test_zoom_identity(spark):
+    x = np.random.randn(6, 7)
+    assert_allclose(zoom(x, 1.0), x, rtol=1e-6)
+
+
+def test_zoom_bad_order(spark):
+    with pytest.raises(ValueError):
+        zoom(np.zeros((3, 3)), 2.0, order=3)
+
+
+def test_zoom_to_shape(spark):
+    x = np.random.randn(6, 7)
+    got = zoom_to_shape(x, (9, 5))
+    assert got.shape == (9, 5)
+    exp = np_zoom(x, (9 / 6, 5 / 7))
+    assert_allclose(got, exp, rtol=1e-6, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# interp1d
+# ---------------------------------------------------------------------------
+
+def np_interp_ref(x, y, x_new, fill_value=np.nan, extrapolate=False, axis=-1):
+    """Oracle replicating the reference kernel exactly (sorted x)."""
+    y = np.moveaxis(y, axis, -1)
+    n = len(x)
+    idx = np.searchsorted(x, x_new)
+    out = np.empty((*y.shape[:-1], len(x_new)))
+    for k, (i, v) in enumerate(zip(idx, x_new)):
+        extr = 0
+        if i == 0:
+            if v < x[0]:
+                extr = -1
+            else:
+                i = 1
+        if i >= n:
+            extr = 1
+        if extr == 0:
+            dd = (v - x[i - 1]) / (x[i] - x[i - 1])
+            out[..., k] = y[..., i - 1] * (1 - dd) + y[..., i] * dd
+        elif extrapolate:
+            lo, hi = (0, 1) if extr == -1 else (n - 2, n - 1)
+            t = (v - x[lo]) / (x[hi] - x[lo])
+            out[..., k] = y[..., lo] * (1 - t) + y[..., hi] * t
+        else:
+            out[..., k] = fill_value
+    return np.moveaxis(out, -1, axis)
+
+
+def test_interp1d_1d(spark):
+    x = np.sort(np.random.rand(12)) * 10
+    y = np.random.randn(12)
+    x_new = np.random.rand(20) * 9 + 0.5
+    f = interp1d(x, y, assume_sorted=True, bounds_error=False, fill_value=0.0)
+    assert_allclose(f(x_new), np_interp_ref(x, y, x_new, fill_value=0.0), rtol=1e-6)
+
+
+def test_interp1d_matches_numpy_interp(spark):
+    x = np.sort(np.random.rand(10)) * 5
+    y = np.random.randn(10)
+    x_new = np.linspace(x[0], x[-1], 17)
+    f = interp1d(x, y, assume_sorted=True)
+    assert_allclose(f(x_new), np.interp(x_new, x, y), rtol=1e-6)
+
+
+def test_interp1d_3d_axis(spark):
+    x = np.sort(np.random.rand(8)) * 4
+    y = np.random.randn(5, 8, 6)
+    x_new = np.linspace(x[0], x[-1], 11)
+    f = interp1d(x, y, axis=1, assume_sorted=True)
+    assert_allclose(f(x_new), np_interp_ref(x, y, x_new, axis=1), rtol=1e-6)
+
+
+def test_interp1d_extrapolate(spark):
+    x = np.array([0.0, 1.0, 2.0, 3.0])
+    y = np.array([0.0, 2.0, 4.0, 6.0])
+    f = interp1d(x, y, fill_value="extrapolate", assume_sorted=True)
+    got = f(np.array([-1.0, 4.0, 1.5]))
+    assert_allclose(got, [-2.0, 8.0, 3.0], rtol=1e-6)
+
+
+def test_interp1d_fill_value(spark):
+    x = np.array([0.0, 1.0, 2.0])
+    y = np.array([1.0, 3.0, 5.0])
+    f = interp1d(x, y, bounds_error=False, fill_value=-7.0, assume_sorted=True)
+    assert_allclose(f(np.array([-1.0, 0.5, 9.0])), [-7.0, 2.0, -7.0], rtol=1e-6)
+
+
+def test_interp1d_bounds_error(spark):
+    x = np.array([0.0, 1.0])
+    y = np.array([0.0, 1.0])
+    f = interp1d(x, y, bounds_error=True, assume_sorted=True, fill_value=0.0)
+    with pytest.raises(ValueError):
+        f(np.array([2.0]))
+
+
+def test_interp1d_unsorted_x(spark):
+    x = np.array([3.0, 0.0, 2.0, 1.0])
+    y = np.array([6.0, 0.0, 4.0, 2.0])
+    f = interp1d(x, y, assume_sorted=False)
+    assert_allclose(f(np.array([0.5, 2.5])), [1.0, 5.0], rtol=1e-6)
+
+
+def test_interp1d_len_mismatch(spark):
+    with pytest.raises(ValueError):
+        interp1d(np.arange(3.0), np.random.randn(4))
+
+
+def test_interp1d_extrapolate_and_raise(spark):
+    with pytest.raises(ValueError):
+        interp1d(np.arange(3.0), np.arange(3.0), bounds_error=True, fill_value="extrapolate")
