@@ -24,8 +24,11 @@ from .tensor_io import (  # noqa: F401
     load_npy_gz,
 )
 from .utils import isin  # noqa: F401
+from .operators.convex_hull import convex_hull_image  # noqa: F401
 from .operators.crop import crop_to_box, crop_to_shape  # noqa: F401
 from .operators.interp1d import interp1d  # noqa: F401
+from .operators.interp2d import Linear2DInterpolator  # noqa: F401
+from .operators.radon import inverse_radon, radon  # noqa: F401
 from .operators.measure import center_of_mass, label  # noqa: F401
 from .operators.morphology import (  # noqa: F401
     binary_closing,
