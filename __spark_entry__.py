@@ -108,6 +108,99 @@ def q_dilation(spark, sf_dir):
     return neighborhood_flag_df(load_events(spark, sf_dir))
 
 
+def q_erosion(spark, sf_dir):
+    """binary_erosion (#6): all-neighbor bool_and, missing neighbors count
+    True (the reference's erosion border rule, _morphology.pyx:222-227)."""
+    from imops_spark.functions.events import load_events
+
+    events = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("ts_sec") / 600)
+    flags = events.groupBy(F.col("user_id"), bucket.alias("b")).agg(
+        F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("flag")
+    )
+    offsets = spark.createDataFrame([(-1,), (0,), (1,)], "o int")
+    shifted = flags.crossJoin(F.broadcast(offsets)).select(
+        "user_id", (F.col("b") + F.col("o")).alias("b"), "flag"
+    )
+    eroded = shifted.groupBy("user_id", "b").agg(
+        F.min("flag").alias("minf"), F.count("*").alias("nn")
+    )
+    # missing neighbors (outside the occupied set) count True: all_near is
+    # min over PRESENT neighbors only.
+    return flags.select("user_id", "b").join(eroded, on=["user_id", "b"]).select(
+        "user_id", F.col("b").alias("bucket"), F.col("minf").alias("all_near")
+    )
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding windows (streaming §2.2): 10-min windows sliding by 5 — each
+    event lands in 2 windows via a broadcast offset explode."""
+    from imops_spark.functions.events import load_events
+
+    events = load_events(spark, sf_dir)
+    half = F.floor(F.col("ts_sec") / 300)  # 5-min half-windows
+    tagged = events.select(half.alias("h"), "value")
+    offsets = spark.createDataFrame([(0,), (1,)], "o int")
+    exploded = tagged.crossJoin(F.broadcast(offsets)).select(
+        ((F.col("h") - F.col("o")) * 300).alias("win_start"), "value"
+    )
+    # ROUND(SUM, 2): the data has exactly 2 decimals, so true sums are never
+    # at a .005 tie — unlike AVG at 4 decimals, where ties are common and the
+    # engines' half-rounding of doubles can disagree.
+    return exploded.groupBy("win_start").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_zoom_1d(spark, sf_dir):
+    """zoom order=1 (#1): linear resample of the daily-order-count series to
+    64 points — the gather-join + lerp pattern on a 1-D signal."""
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    w = Window.orderBy("day")
+    series = days.select(
+        (F.row_number().over(w) - 1).alias("p"), "v"
+    )
+    n_new = 64
+    n_old = series.count()
+    coef = float(n_old) if n_new == 1 else (n_old - 1) / (n_new - 1)
+    grid = spark.range(0, n_new).select(F.col("id").cast("int").alias("j"))
+    grid = grid.withColumn("c", F.col("j") * F.lit(coef)).withColumn(
+        "f", F.floor("c").cast("int")
+    )
+    lo = series.select(F.col("p").alias("f"), F.col("v").alias("v0"))
+    hi = series.select((F.col("p") - 1).alias("f"), F.col("v").alias("v1"))
+    out = (
+        grid.join(lo, on="f", how="left")
+        .join(hi, on="f", how="left")
+        .select(
+            "j",
+            F.round(
+                F.coalesce(F.col("v0"), F.lit(0.0))
+                * (1 - (F.col("c") - F.col("f")))
+                + F.coalesce(F.col("v1"), F.lit(0.0)) * (F.col("c") - F.col("f")),
+                6,
+            ).alias("val"),
+        )
+    )
+    return out
+
+
+def q_pad_1d(spark, sf_dir):
+    """pad (#15): shift a keyed series and union a generated fill region."""
+    n = _t(spark, sf_dir, "nation")
+    shifted = n.select(
+        (F.col("n_nationkey") + 3).alias("pos"), F.col("n_name").alias("name")
+    )
+    fill = spark.range(0, 3).select(
+        F.col("id").cast("int").alias("pos"), F.lit("PAD").alias("name")
+    )
+    return shifted.unionAll(fill)
+
+
 def q_radon_raysum(spark, sf_dir):
     """radon (#13): group-sum along a computed projection line bucket."""
     li = _t(spark, sf_dir, "lineitem")
@@ -336,6 +429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_sizes": q_label_sizes,
         "interp1d": q_interp1d,
         "dilation": q_dilation,
+        "erosion": q_erosion,
+        "sliding_window": q_sliding_window,
+        "zoom_1d": q_zoom_1d,
+        "pad_1d": q_pad_1d,
         "radon_raysum": q_radon_raysum,
         "top1_nn": q_top1_nn,
         "tpch_q1": q_tpch_q1,
@@ -483,6 +580,61 @@ def oracle_sql() -> dict[str, str]:
             dilated AS (SELECT user_id, b, MAX(flag) AS any_near FROM shifted GROUP BY 1, 2)
             SELECT f.user_id, f.b AS bucket, d.any_near
             FROM flags f JOIN dilated d ON f.user_id = d.user_id AND f.b = d.b
+        """,
+        "erosion": """
+            WITH flags AS (
+              SELECT user_id,
+                     CAST(FLOOR((epoch_ns(ts) // 1000000000) / 600.0) AS BIGINT) AS b,
+                     MAX(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS flag
+              FROM events GROUP BY 1, 2
+            ),
+            shifted AS (
+              SELECT user_id, b + o AS b, flag
+              FROM flags, (VALUES (-1), (0), (1)) offs(o)
+            ),
+            eroded AS (SELECT user_id, b, MIN(flag) AS minf FROM shifted GROUP BY 1, 2)
+            SELECT f.user_id, f.b AS bucket, e.minf AS all_near
+            FROM flags f JOIN eroded e ON f.user_id = e.user_id AND f.b = e.b
+        """,
+        "sliding_window": """
+            WITH tagged AS (
+              SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) AS h, value
+              FROM events
+            ),
+            exploded AS (
+              SELECT (h - o) * 300 AS win_start, value
+              FROM tagged, (VALUES (0), (1)) offs(o)
+            )
+            SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM exploded GROUP BY win_start
+        """,
+        "zoom_1d": """
+            WITH days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM orders GROUP BY 1
+            ),
+            series AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS p, v FROM days
+            ),
+            meta AS (SELECT COUNT(*) AS n_old FROM series),
+            grid AS (
+              SELECT CAST(j AS INT) AS j,
+                     j * (CAST(n_old - 1 AS DOUBLE) / 63) AS c,
+                     CAST(FLOOR(j * (CAST(n_old - 1 AS DOUBLE) / 63)) AS INT) AS f
+              FROM generate_series(0, 63) t(j), meta
+            )
+            SELECT g.j,
+                   ROUND(COALESCE(lo.v, 0) * (1 - (g.c - g.f))
+                         + COALESCE(hi.v, 0) * (g.c - g.f), 6) AS val
+            FROM grid g
+            LEFT JOIN series lo ON lo.p = g.f
+            LEFT JOIN series hi ON hi.p = g.f + 1
+        """,
+        "pad_1d": """
+            SELECT n_nationkey + 3 AS pos, n_name AS name FROM nation
+            UNION ALL
+            SELECT CAST(i AS INT) AS pos, 'PAD' AS name FROM generate_series(0, 2) t(i)
         """,
         "radon_raysum": """
             SELECT CAST(FLOOR(CAST(0.8 AS DOUBLE) * l_partkey + CAST(0.6 AS DOUBLE) * l_suppkey) AS BIGINT) AS ray,

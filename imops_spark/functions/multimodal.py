@@ -1,0 +1,169 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (per the engine's 100 TB training-data-pipeline charter):
+- one row per item: ``(item_id, modality, data: binary, meta: struct)`` —
+  the blob never leaves the executors; metadata is columnar and prunable;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` kernels, one batch of items per task;
+- the actual codec step is STUBBED (no image/audio libraries in this
+  container): ``decode=\"fake\"`` produces a deterministic array from the
+  bytes (so the plumbing — schemas, batching, partitioning — is fully
+  testable), ``decode=\"real\"`` raises NotImplementedError where a PIL/
+  ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = [
+    "multimodal_schema",
+    "make_items",
+    "image_features_df",
+    "resize_images_df",
+    "sample_frames_df",
+    "fake_decode_image",
+]
+
+
+def multimodal_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("item_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("data", T.BinaryType(), False),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                        T.StructField("channels", T.IntegerType(), True),
+                        T.StructField("sample_rate", T.IntegerType(), True),
+                        T.StructField("n_frames", T.IntegerType(), True),
+                        T.StructField("format", T.StringType(), True),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+
+
+def make_items(spark: SparkSession, items: list[dict]) -> DataFrame:
+    rows = [
+        (
+            int(it["item_id"]),
+            it["modality"],
+            it["data"],
+            (
+                it.get("width"),
+                it.get("height"),
+                it.get("channels"),
+                it.get("sample_rate"),
+                it.get("n_frames"),
+                it.get("format"),
+            ),
+        )
+        for it in items
+    ]
+    return spark.createDataFrame(rows, schema=multimodal_schema())
+
+
+def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Deterministic stand-in for an image codec: bytes -> (H, W, C) uint8.
+
+    STUB — a real deployment replaces this with PIL/turbojpeg.  The output is
+    a reproducible function of the payload so tests can assert end-to-end.
+    """
+    seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed))
+    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def _decode(row, decode: str) -> np.ndarray:
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decoding requires PIL/libjpeg, not available in this container"
+        )
+    m = row["meta"]
+    return fake_decode_image(row["data"], m["width"], m["height"], m["channels"])
+
+
+def image_features_df(items: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-image channel statistics: ``(item_id, mean..., std..., p_low)``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "mean_c0": [], "std_c0": [], "frac_dark": []}
+            for _, row in pdf.iterrows():
+                img = _decode(row, decode).astype(np.float64)
+                out["item_id"].append(row["item_id"])
+                out["mean_c0"].append(float(img[..., 0].mean()))
+                out["std_c0"].append(float(img[..., 0].std()))
+                out["frac_dark"].append(float((img.mean(axis=-1) < 32).mean()))
+            yield pd.DataFrame(out)
+
+    return items.filter(items.modality == "image").mapInPandas(
+        run, schema="item_id long, mean_c0 double, std_c0 double, frac_dark double"
+    )
+
+
+def resize_images_df(items: DataFrame, out_w: int, out_h: int, decode: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize; re-emits the multimodal schema with raw
+    (H, W, C) uint8 payloads and updated metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"item_id": [], "modality": [], "data": [], "meta": []}
+            for _, row in pdf.iterrows():
+                img = _decode(row, decode)
+                ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
+                res = img[ys][:, xs]
+                rows["item_id"].append(row["item_id"])
+                rows["modality"].append("image")
+                rows["data"].append(np.ascontiguousarray(res).tobytes())
+                rows["meta"].append(
+                    {
+                        "width": out_w,
+                        "height": out_h,
+                        "channels": int(img.shape[2]),
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": "raw_u8",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return items.filter(items.modality == "image").mapInPandas(run, schema=multimodal_schema())
+
+
+def sample_frames_df(items: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video items: treats the payload as a sequence of
+    ``n_frames`` equal-size chunks and keeps every ``every_n``-th.
+    ``(item_id, frame_index, frame_data)``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "frame_index": [], "frame_data": []}
+            for _, row in pdf.iterrows():
+                n = row["meta"]["n_frames"] or 0
+                if not n:
+                    continue
+                data = row["data"]
+                fsize = len(data) // n
+                for k in range(0, n, every_n):
+                    out["item_id"].append(row["item_id"])
+                    out["frame_index"].append(k)
+                    out["frame_data"].append(data[k * fsize : (k + 1) * fsize])
+            yield pd.DataFrame(out)
+
+    return items.filter(items.modality == "video").mapInPandas(
+        run, schema="item_id long, frame_index int, frame_data binary"
+    )
