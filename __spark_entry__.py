@@ -209,21 +209,68 @@ def q_radon_raysum(spark, sf_dir):
 
 
 def q_top1_nn(spark, sf_dir):
-    """1-NN (#4 KD-tree query): top-1-per-group window over a distance."""
-    c = _t(spark, sf_dir, "customer")
-    a = c.select("c_custkey", "c_nationkey", "c_acctbal")
-    b = c.select(
-        F.col("c_custkey").alias("n_custkey"),
-        F.col("c_nationkey").alias("n_nationkey"),
-        F.col("c_acctbal").alias("n_acctbal"),
+    """1-NN (#4 KD-tree query) in 1-D, sort-based: the nearest acctbal
+    neighbor is the same-value group, the predecessor group, or the successor
+    group in sorted order — O(n log n) windows instead of the O(n^2)
+    within-nation self-join (which the DuckDB oracle still uses, so the two
+    independent formulations cross-check each other).
+
+    Tie semantics match the quadratic original exactly: minimize
+    (round(dist, 6), neighbor_key); equal-distance pred/succ groups resolve
+    to the global min key because array_min on (dist, key) structs is
+    lexicographic.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    groups = c.groupBy("c_nationkey", "c_acctbal").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("c_custkey")).alias("keys"),
     )
-    joined = a.join(b, (a.c_nationkey == b.n_nationkey) & (a.c_custkey != b.n_custkey))
-    dist = F.round(F.abs(F.col("c_acctbal") - F.col("n_acctbal")), 6)
-    w = Window.partitionBy("c_custkey").orderBy(dist.asc(), F.col("n_custkey").asc())
+    gw = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    groups = groups.select(
+        "c_nationkey",
+        "c_acctbal",
+        "n",
+        F.element_at("keys", 1).alias("k1"),
+        F.when(F.size("keys") > 1, F.element_at("keys", 2)).alias("k2"),
+        F.lag("c_acctbal").over(gw).alias("pred_bal"),
+        F.lag(F.element_at("keys", 1)).over(gw).alias("pred_k"),
+        F.lead("c_acctbal").over(gw).alias("succ_bal"),
+        F.lead(F.element_at("keys", 1)).over(gw).alias("succ_k"),
+    )
+    j = c.join(groups, on=["c_nationkey", "c_acctbal"])
+    s0 = F.when(
+        F.col("n") > 1,
+        F.struct(
+            F.lit(0.0).alias("d"),
+            F.when(F.col("k1") != F.col("c_custkey"), F.col("k1"))
+            .otherwise(F.col("k2"))
+            .alias("k"),
+        ),
+    )
+    sp = F.when(
+        F.col("pred_bal").isNotNull(),
+        F.struct(
+            F.round(F.abs(F.col("c_acctbal") - F.col("pred_bal")), 6).alias("d"),
+            F.col("pred_k").alias("k"),
+        ),
+    )
+    ss = F.when(
+        F.col("succ_bal").isNotNull(),
+        F.struct(
+            F.round(F.abs(F.col("succ_bal") - F.col("c_acctbal")), 6).alias("d"),
+            F.col("succ_k").alias("k"),
+        ),
+    )
+    cands = F.filter(F.array(s0, sp, ss), lambda s: s.isNotNull())
+    best = F.array_min(cands)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", F.col("n_custkey").alias("nn_custkey"), dist.alias("dist"))
+        j.withColumn("best", best)
+        .filter(F.size(cands) > 0)
+        .select(
+            "c_custkey",
+            F.col("best.k").alias("nn_custkey"),
+            F.col("best.d").alias("dist"),
+        )
     )
 
 

@@ -18,9 +18,35 @@ __all__ = [
     "isin",
     "isin_df",
     "normalize_num_threads",
+    "set_num_threads",
+    "imops_num_threads",
     "broadcast_axis",
     "build_slices",
 ]
+
+_GLOBAL_NUM_THREADS: list[int | None] = [None]
+
+
+def set_num_threads(n: int) -> None:
+    """Global thread cap (parity ``utils.py:23-38``).  In the Spark engine
+    this caps the partitioning hint ``normalize_num_threads`` returns."""
+    _GLOBAL_NUM_THREADS[0] = int(n)
+
+
+class imops_num_threads:
+    """Context manager scoping the global thread cap (parity ``utils.py``)."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def __enter__(self):
+        self.prev = _GLOBAL_NUM_THREADS[0]
+        _GLOBAL_NUM_THREADS[0] = self.n
+        return self
+
+    def __exit__(self, *exc):
+        _GLOBAL_NUM_THREADS[0] = self.prev
+        return False
 
 
 def normalize_num_threads(num_threads: int = -1) -> int:
@@ -35,6 +61,8 @@ def normalize_num_threads(num_threads: int = -1) -> int:
     avail = os.cpu_count() or 1
     if env_cap:
         avail = min(avail, int(env_cap))
+    if _GLOBAL_NUM_THREADS[0] is not None:
+        avail = min(avail, _GLOBAL_NUM_THREADS[0])
     if num_threads >= 0:
         if num_threads == 0:
             raise ValueError("num_threads must be nonzero")
