@@ -125,6 +125,22 @@ def binary_erosion_df(tf: TensorFrame, footprint: np.ndarray | None = None) -> T
     return tf.with_df(out)
 
 
+def _np_op(op_name):
+    from ..kernels import dilation_numpy, erosion_numpy
+
+    def run(arr, footprint):
+        offsets = footprint_offsets(footprint)
+        if op_name == "binary_dilation":
+            return dilation_numpy(arr, offsets)
+        if op_name == "binary_erosion":
+            return erosion_numpy(arr, offsets)
+        if op_name == "binary_closing":
+            return erosion_numpy(dilation_numpy(arr, offsets), offsets)
+        return dilation_numpy(erosion_numpy(arr, offsets), offsets)
+
+    return run
+
+
 def _morph_wrapper(op_name, df_op):
     def wrapped(
         image,
@@ -134,7 +150,7 @@ def _morph_wrapper(op_name, df_op):
         num_threads: int = -1,
         backend=None,
     ):
-        resolve_backend(backend)
+        strategy = resolve_backend(backend)
         normalize_num_threads(num_threads)
         if output is not None:
             raise ValueError("output= (in-place) is not supported by the Spark engine")
@@ -159,6 +175,10 @@ def _morph_wrapper(op_name, df_op):
                 f"{op_name} is applied to the fully True mask (mask.all() == True)."
             )
             return np.ones_like(image)
+        if strategy.name == "udf":
+            # Per-image vectorized kernel — the reference's Scipy-backend
+            # analog; on blob tables this runs inside Arrow tasks.
+            return _np_op(op_name)(image, np.asarray(footprint))
         spark = SparkSession.getActiveSession()
         tf = encode_volume(spark, image)
         return decode_volume(df_op(tf, np.asarray(footprint)), default=False)
@@ -181,6 +201,18 @@ def _opening_df(tf, footprint):
 
 binary_closing = _morph_wrapper("binary_closing", _closing_df)
 binary_opening = _morph_wrapper("binary_opening", _opening_df)
+
+
+def morphology_blobs(blobs: DataFrame, op_name: str, footprint: np.ndarray | None = None) -> DataFrame:
+    """Apply a morphology op per image over a blob table (udf strategy):
+    one Arrow task per batch of images, vectorized numpy inside."""
+    from ..tensor_io import map_blobs
+
+    def run(arr):
+        fp = generate_binary_structure(arr.ndim, 1) if footprint is None else footprint
+        return _np_op(op_name)(arr.astype(bool), np.asarray(fp))
+
+    return map_blobs(blobs, run)
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,13 @@ def zoom(
         raise ValueError(f"zoom supports ndim<=4, got {arr.ndim}")
     if order == 1 and arr.dtype not in (np.float32, np.float64):
         arr = arr.astype(np.float64)
+    if resolve_backend(backend).name == "udf":
+        from ..kernels import zoom_numpy
+
+        res = zoom_numpy(arr, full_scale, order=order, fill_value=float(fill_value))
+        if order == 0:
+            return res.astype(arr.dtype, copy=False)
+        return res.astype(arr.dtype if arr.dtype.kind == "f" else np.float64, copy=False)
     spark = SparkSession.getActiveSession()
     work = arr.astype(np.float64) if order == 1 else arr
     tf = encode_volume(spark, work)

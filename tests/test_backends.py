@@ -1,0 +1,90 @@
+"""Backend-strategy tests: 'join' (relational) and 'udf' (numpy-kernel)
+strategies must agree exactly; blob-table execution round-trips; the
+reference's backend-name aliases resolve."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from imops_spark import (
+    binary_closing,
+    binary_dilation,
+    binary_erosion,
+    imops_backend,
+    set_backend,
+    zoom,
+)
+from imops_spark.backend import get_backend, resolve_backend
+from imops_spark.operators.morphology import generate_binary_structure, morphology_blobs
+from imops_spark.tensor_io import decode_blobs, encode_blobs, load_npy_gz
+
+
+def test_backend_aliases():
+    assert resolve_backend("Cython").name == "join"
+    assert resolve_backend("Numba").name == "join"
+    assert resolve_backend("Scipy").name == "udf"
+    with pytest.raises(ValueError):
+        resolve_backend("alien")
+
+
+def test_backend_context_manager():
+    assert get_backend() == "auto"
+    with imops_backend("udf"):
+        assert get_backend() == "udf"
+        with imops_backend("join"):
+            assert get_backend() == "join"
+        assert get_backend() == "udf"
+    assert get_backend() == "auto"
+    set_backend("join")
+    assert get_backend() == "join"
+    set_backend("auto")
+
+
+@pytest.mark.parametrize("op", [binary_dilation, binary_erosion, binary_closing])
+def test_join_udf_agree_morphology(spark, op):
+    x = np.random.binomial(1, 0.5, (9, 10)).astype(bool)
+    x[0, 0], x[-1, -1] = True, False
+    fp = np.array([[0, 1, 0], [1, 1, 1], [0, 0, 1]], dtype=bool)
+    a = op(x, fp, backend="join")
+    b = op(x, fp, backend="udf")
+    assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_join_udf_agree_zoom(spark, order):
+    x = np.random.randn(7, 8)
+    a = zoom(x, 1.6, order=order, backend="join")
+    b = zoom(x, 1.6, order=order, backend="udf")
+    assert_allclose(a, b, rtol=1e-12)
+
+
+def test_zoom_udf_4d():
+    x = np.random.randn(3, 4, 5, 6)
+    out = zoom(x, [1.5, 1.0, 0.8, 1.2], backend="udf")
+    assert out.shape == (round(3 * 1.5), 4, round(5 * 0.8), round(6 * 1.2))
+
+
+def test_morphology_blobs(spark):
+    arrays = {}
+    for i in range(3):
+        a = np.random.binomial(1, 0.5, (8, 9)).astype(bool)
+        a[0, 0], a[-1, -1] = True, False  # avoid trivial short-circuit shapes
+        arrays[i] = a
+    blobs = encode_blobs(spark, arrays)
+    out = decode_blobs(morphology_blobs(blobs, "binary_dilation"))
+    fp = generate_binary_structure(2, 1)
+    for i, a in arrays.items():
+        assert_array_equal(out[i].astype(bool), binary_dilation(a, fp, backend="udf"))
+
+
+def test_load_npy_gz(tmp_path):
+    import gzip
+    import io
+
+    arr = np.random.randn(4, 5)
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    p = tmp_path / "x.npy.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(buf.getvalue())
+    assert_array_equal(load_npy_gz(str(p)), arr)

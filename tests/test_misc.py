@@ -1,0 +1,62 @@
+"""Coverage for utils parity surface + extra dimensional cases."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from imops_spark.utils import (
+    build_slices,
+    imops_num_threads,
+    normalize_num_threads,
+    set_num_threads,
+)
+
+
+def test_build_slices():
+    assert build_slices([1, 2]) == (slice(1), slice(2))
+    assert build_slices([1, 2], [5, 6]) == (slice(1, 5), slice(2, 6))
+    assert build_slices([1], [5], [2]) == (slice(1, 5, 2),)
+
+
+def test_num_threads_controls():
+    base = normalize_num_threads(-1)
+    assert base >= 1
+    set_num_threads(2)
+    try:
+        assert normalize_num_threads(-1) <= 2
+        assert normalize_num_threads(8) <= 2
+    finally:
+        set_num_threads(10**6)
+    with imops_num_threads(1):
+        assert normalize_num_threads(-1) == 1
+    with pytest.raises(ValueError):
+        normalize_num_threads(0)
+
+
+def test_label_3d(spark):
+    from imops_spark import label
+    from tests.test_measure import np_label
+
+    a = np.random.binomial(1, 0.2, (6, 6, 6)).astype(bool)
+    a[0, 0, 0] = True
+    got, n = label(a, return_num=True, connectivity=1)
+    exp, n_exp = np_label(a.astype(int), connectivity=1)
+    assert n == n_exp
+    assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_sliding_avg_stream(spark):
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sliding_avg_stream,
+        stream_events,
+    )
+
+    stream = stream_events(spark, "/root/testdata/sf0.001")
+    out = run_stream_to_memory(
+        sliding_avg_stream(stream), "sliding_avg", spark, mode="complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every (win_start, user) window mean is within the raw value range
+    assert all(0 <= r["avg_value"] <= 1000 for r in rows)
