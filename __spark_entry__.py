@@ -201,6 +201,21 @@ def q_pad_1d(spark, sf_dir):
     return shifted.unionAll(fill)
 
 
+def q_graph_cc(spark, sf_dir):
+    """label (#11): distributed connected components (neighbor-min +
+    pointer-jumping fixpoint) on a sparse bipartite graph from lineitem;
+    the oracle recomputes components via a DuckDB recursive-CTE closure —
+    two completely different algorithms, one answer."""
+    from imops_spark.operators.graph import connected_components_df
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    edges = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (400 + F.col("l_partkey") % 400).alias("dst"),
+    ).distinct()
+    return connected_components_df(edges).select("node", "comp")
+
+
 def q_radon_raysum(spark, sf_dir):
     """radon (#13): group-sum along a computed projection line bucket."""
     li = _t(spark, sf_dir, "lineitem")
@@ -480,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "zoom_1d": q_zoom_1d,
         "pad_1d": q_pad_1d,
+        "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "top1_nn": q_top1_nn,
         "tpch_q1": q_tpch_q1,
@@ -682,6 +698,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey + 3 AS pos, n_name AS name FROM nation
             UNION ALL
             SELECT CAST(i AS INT) AS pos, 'PAD' AS name FROM generate_series(0, 2) t(i)
+        """,
+        "graph_cc": """
+            WITH RECURSIVE
+            edges0 AS (
+              SELECT DISTINCT l_orderkey % 400 AS a, 400 + (l_partkey % 400) AS b
+              FROM lineitem WHERE l_quantity > 49
+            ),
+            edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(src, node) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT src AS node, MIN(node) AS comp FROM reach GROUP BY src
         """,
         "radon_raysum": """
             SELECT CAST(FLOOR(CAST(0.8 AS DOUBLE) * l_partkey + CAST(0.6 AS DOUBLE) * l_suppkey) AS BIGINT) AS ray,

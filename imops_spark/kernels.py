@@ -15,7 +15,57 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["zoom_numpy", "dilation_numpy", "erosion_numpy"]
+__all__ = ["zoom_numpy", "dilation_numpy", "erosion_numpy", "label_numpy"]
+
+
+def label_numpy(arr: np.ndarray, background: int = 0, connectivity: int | None = None):
+    """Connected components by vectorized min-label propagation.
+
+    Per-image kernel for the 'udf' strategy: O(diameter) full-array sweeps,
+    each a handful of numpy shift/minimum ops — the in-memory counterpart of
+    the distributed pointer-jumping loop (operators/graph.py).  skimage
+    numbering (1..N in raster order of first occurrence).  Returns
+    (labels int64 array, n_components).
+    """
+    arr = np.asarray(arr)
+    ndim = arr.ndim
+    connectivity = ndim if connectivity is None else connectivity
+    fg = arr != background
+    lab = np.where(fg, np.arange(arr.size, dtype=np.int64).reshape(arr.shape), -1)
+
+    offsets = []
+    for raw in np.ndindex(*([3] * ndim)):
+        off = tuple(v - 1 for v in raw)
+        nz = [v for v in off if v != 0]
+        if nz and len(nz) <= connectivity and off > tuple([0] * ndim):
+            offsets.append(off)
+
+    def sweep(cur):
+        new = cur.copy()
+        for off in offsets:
+            src = tuple(slice(max(0, o), arr.shape[k] - max(0, -o)) for k, o in enumerate(off))
+            dst = tuple(slice(max(0, -o), arr.shape[k] - max(0, o)) for k, o in enumerate(off))
+            # neighbors connected only when foreground AND equal-valued
+            ok = fg[src] & fg[dst] & (arr[src] == arr[dst])
+            new[dst] = np.where(ok, np.minimum(new[dst], new[src]), new[dst])
+            new[src] = np.where(ok, np.minimum(new[src], new[dst]), new[src])
+        return new
+
+    while True:
+        new = sweep(lab)
+        if (new == lab).all():
+            break
+        lab = new
+
+    roots = np.unique(lab[fg])
+    remap = {int(r): i + 1 for i, r in enumerate(roots)}  # raster order == root order
+    out = np.zeros(arr.shape, dtype=np.int64)
+    if len(roots):
+        lut = np.zeros(int(roots.max()) + 1, dtype=np.int64)
+        for r, v in remap.items():
+            lut[r] = v
+        out[fg] = lut[lab[fg]]
+    return out, len(roots)
 
 
 def zoom_numpy(x: np.ndarray, scale, order: int = 1, fill_value: float = 0.0) -> np.ndarray:

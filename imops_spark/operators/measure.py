@@ -177,55 +177,14 @@ def label_df(
         shifted.join(fg, on=[IMAGE_ID, *tf.coords, VAL], how="inner")
         .select(IMAGE_ID, "src", F.col("node").alias("dst"))
     )
-    # Undirected: both directions for the propagation join.
-    edges = edges.unionAll(
-        edges.select(IMAGE_ID, F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    from .graph import connected_components_df
 
-    comp = fg.select(IMAGE_ID, "node", F.col("node").alias("comp"))
-    for _ in range(max_iterations):
-        # Neighbor-min: comp(v) <- min(comp(v), min_{u~v} comp(u)).
-        nbr = (
-            edges.join(
-                comp.select(IMAGE_ID, F.col("node").alias("src"), "comp"),
-                on=[IMAGE_ID, "src"],
-            )
-            .groupBy(IMAGE_ID, F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_comp = (
-            comp.join(nbr, on=[IMAGE_ID, "node"], how="left")
-            .select(
-                IMAGE_ID,
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-            )
-        )
-        # Pointer jumping (path halving): comp(v) <- comp(comp(v)).
-        for _ in range(2):
-            parents = new_comp.select(
-                IMAGE_ID, F.col("node").alias("comp"), F.col("comp").alias("grand")
-            )
-            new_comp = (
-                new_comp.join(parents, on=[IMAGE_ID, "comp"], how="left")
-                .select(
-                    IMAGE_ID,
-                    "node",
-                    F.coalesce(F.col("grand"), F.col("comp")).alias("comp"),
-                )
-            )
-        new_comp = new_comp.localCheckpoint()
-        # Component ids only ever decrease, so the global sum is a strictly
-        # decreasing progress measure: one cheap aggregate per round instead
-        # of a join-based diff.
-        new_sum = new_comp.agg(F.sum("comp")).collect()[0][0]
-        prev_sum = getattr(comp, "_imops_comp_sum", None)
-        if prev_sum is None:
-            prev_sum = comp.agg(F.sum("comp")).collect()[0][0]
-        comp = new_comp
-        comp._imops_comp_sum = new_sum
-        if new_sum == prev_sum:
-            break
+    comp = connected_components_df(
+        edges,
+        nodes=fg.select(IMAGE_ID, "node"),
+        partition_cols=[IMAGE_ID],
+        max_iterations=max_iterations,
+    )
 
     # Renumber 1..N in raster order: root == min linear id of the component,
     # so dense_rank over root ascending reproduces first-encounter numbering.
@@ -236,6 +195,19 @@ def label_df(
         .select(IMAGE_ID, *tf.coords, F.col("label").cast("long").alias("label"))
     )
     return out
+
+
+def label_blobs(blobs: DataFrame, background: int = 0, connectivity: int | None = None) -> DataFrame:
+    """Connected-component labeling per image over a blob table (udf
+    strategy): one vectorized pass per image inside Arrow tasks."""
+    from ..kernels import label_numpy
+    from ..tensor_io import map_blobs
+
+    def run(arr):
+        labels, _ = label_numpy(arr, background=background, connectivity=connectivity)
+        return labels
+
+    return map_blobs(blobs, run)
 
 
 def _min_label_dtype(n: int) -> np.dtype:
@@ -254,11 +226,15 @@ def label(
     return_labels: bool = False,
     return_sizes: bool = False,
     dtype: type | None = None,
+    backend=None,
 ):
-    """Connected-component labeling; ndarray wrapper (`measure.py:33-137`)."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError("No active SparkSession; call get_spark() first")
+    """Connected-component labeling; ndarray wrapper (`measure.py:33-137`).
+
+    ``backend`` (engine extension): 'join' runs the distributed fixpoint,
+    'udf' the per-image vectorized kernel (kernels.label_numpy) — the hybrid
+    used at scale: in-memory images take one Arrow pass, oversized ones the
+    iterative join path.
+    """
     arr = np.asarray(label_image)
     ndim = arr.ndim
     connectivity = connectivity or ndim
@@ -272,11 +248,31 @@ def label(
         squeeze_1d = True
         connectivity = min(connectivity + 1, 2)
 
-    if arr.dtype == bool:
-        enc = arr.astype(np.int64)
-    else:
-        enc = arr.astype(np.int64)
-    tf = encode_volume(spark, enc)
+    strategy = resolve_backend(backend)
+    if strategy.name == "udf":
+        from ..kernels import label_numpy
+
+        labeled64, n = label_numpy(
+            arr.astype(np.int64), background=background, connectivity=connectivity
+        )
+        sizes_arr = np.bincount(labeled64[labeled64 > 0]) if n else np.zeros(1, np.int64)
+        out_dtype = np.dtype(dtype) if dtype is not None else _min_label_dtype(max(n, 1))
+        labeled = labeled64.astype(out_dtype)
+        if squeeze_1d:
+            labeled = labeled[0]
+        res = [labeled]
+        if return_num:
+            res.append(int(n))
+        if return_labels:
+            res.append(np.arange(1, int(n) + 1, dtype=out_dtype))
+        if return_sizes:
+            res.append(sizes_arr[1:].astype(np.int64))
+        return res[0] if len(res) == 1 else tuple(res)
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; call get_spark() first")
+    tf = encode_volume(spark, arr.astype(np.int64))
     out_df = label_df(tf, background=background, connectivity=connectivity)
 
     n = out_df.agg(F.max("label")).collect()[0][0] or 0

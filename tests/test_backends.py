@@ -88,3 +88,41 @@ def test_load_npy_gz(tmp_path):
     with gzip.open(p, "wb") as f:
         f.write(buf.getvalue())
     assert_array_equal(load_npy_gz(str(p)), arr)
+
+
+def test_label_udf_backend(spark):
+    from imops_spark import label
+    from tests.test_measure import np_label
+
+    for shape, conn in [((14, 15), 1), ((14, 15), 2), ((6, 7, 8), 3)]:
+        a = np.random.binomial(1, 0.4, shape).astype(bool)
+        a.flat[0] = True
+        got, n = label(a, return_num=True, connectivity=conn, backend="udf")
+        exp, n_exp = np_label(a.astype(int), connectivity=conn)
+        assert n == n_exp
+        assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_label_udf_multivalue_sizes(spark):
+    from imops_spark import label
+    from tests.test_measure import np_label
+
+    a = np.random.randint(0, 3, size=(12, 12))
+    got, n, labels_arr, sizes = label(
+        a, return_num=True, return_labels=True, return_sizes=True, backend="udf"
+    )
+    exp, n_exp = np_label(a)
+    assert n == n_exp
+    assert_array_equal(got.astype(np.int64), exp)
+    assert_array_equal(sizes, np.array([(exp == i).sum() for i in range(1, n + 1)]))
+
+
+def test_label_join_udf_agree(spark):
+    from imops_spark import label
+
+    a = np.random.binomial(1, 0.45, (10, 10)).astype(bool)
+    a[0, 0] = True
+    assert_array_equal(
+        label(a, backend="join").astype(np.int64),
+        label(a, backend="udf").astype(np.int64),
+    )
