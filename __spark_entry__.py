@@ -201,6 +201,66 @@ def q_pad_1d(spark, sf_dir):
     return shifted.unionAll(fill)
 
 
+def q_edt_1d(spark, sf_dir):
+    """distance_transform_edt (#9), 1-D: distance to the nearest background
+    position via forward/backward IGNORE NULLS window scans — the separable
+    per-axis pass of the EDT expressed relationally."""
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    series = days.select((F.row_number().over(w) - 1).alias("i"), (F.col("cnt") > 8).alias("m"))
+    wf = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    bg = F.when(~F.col("m"), F.col("i"))
+    prev_bg = F.last(bg, ignorenulls=True).over(wf)
+    next_bg = F.first(bg, ignorenulls=True).over(wb)
+    dist = F.least(
+        F.coalesce(F.col("i") - prev_bg, F.lit(1 << 30)),
+        F.coalesce(next_bg - F.col("i"), F.lit(1 << 30)),
+    )
+    return series.select("i", F.when(F.col("m"), dist).otherwise(0).cast("long").alias("edt"))
+
+
+def q_interp2d(spark, sf_dir):
+    """Linear2DInterpolator (#4): Delaunay + barycentric per point set via
+    applyInPandas — not SQL-expressible (rows-only check by design)."""
+    from imops_spark.operators.interp2d import interp2d_batch_df
+
+    p = _t(spark, sf_dir, "part")
+    pts = p.select(
+        (F.col("p_partkey") % 5).alias("set_id"),
+        (F.col("p_partkey") % 61).cast("long").alias("x"),
+        (F.floor(F.col("p_partkey") / 61) % 61).cast("long").alias("y"),
+        F.when(F.col("p_partkey") % 3 != 0, F.col("p_retailprice")).alias("v"),
+    ).dropDuplicates(["set_id", "x", "y"])
+    return interp2d_batch_df(pts, fill_value=-1.0)
+
+
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary payloads + metadata structs through an
+    Arrow feature-extraction kernel (deterministic fake decode; rows-only)."""
+    from imops_spark.functions.multimodal import image_features_df, multimodal_schema
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(12).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    return image_features_df(items)
+
+
 def q_graph_cc(spark, sf_dir):
     """label (#11): distributed connected components (neighbor-min +
     pointer-jumping fixpoint) on a sparse bipartite graph from lineitem;
@@ -495,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "zoom_1d": q_zoom_1d,
         "pad_1d": q_pad_1d,
+        "edt_1d": q_edt_1d,
+        "interp2d": q_interp2d,
+        "multimodal": q_multimodal,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "top1_nn": q_top1_nn,
@@ -698,6 +761,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey + 3 AS pos, n_name AS name FROM nation
             UNION ALL
             SELECT CAST(i AS INT) AS pos, 'PAD' AS name FROM generate_series(0, 2) t(i)
+        """,
+        "edt_1d": """
+            WITH days AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+              FROM orders GROUP BY 1
+            ),
+            series AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, cnt > 8 AS m FROM days
+            ),
+            scans AS (
+              SELECT i, m,
+                LAST_VALUE(CASE WHEN NOT m THEN i END IGNORE NULLS)
+                  OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_bg,
+                FIRST_VALUE(CASE WHEN NOT m THEN i END IGNORE NULLS)
+                  OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_bg
+              FROM series
+            )
+            SELECT i,
+                   CAST(CASE WHEN m THEN LEAST(
+                     COALESCE(i - prev_bg, 1073741824),
+                     COALESCE(next_bg - i, 1073741824)) ELSE 0 END AS BIGINT) AS edt
+            FROM scans
         """,
         "graph_cc": """
             WITH RECURSIVE

@@ -29,6 +29,11 @@ BENCH_QUERIES = [
     "top1_nn",
     "interp1d",
     "dilation",
+    "erosion",
+    "sliding_window",
+    "zoom_1d",
+    "edt_1d",
+    "graph_cc",
     "evt_window",
     "evt_sessions",
     "dd_exact",

@@ -1,0 +1,46 @@
+"""Tests for parquet voxel/blob sources and layout-driven pruning."""
+
+import numpy as np
+from numpy.testing import assert_array_equal
+
+from imops_spark.sources.parquet import (
+    read_blobs,
+    read_voxels,
+    write_blobs,
+    write_voxels,
+)
+from imops_spark.tensor_io import decode_blobs, decode_volume, encode_blobs, encode_volume
+
+
+def test_voxel_roundtrip(spark, tmp_path):
+    a = np.random.randn(6, 7)
+    tf = encode_volume(spark, a)
+    path = str(tmp_path / "vox")
+    write_voxels(tf, path)
+    back = read_voxels(spark, path, shape=a.shape, dtype=a.dtype)
+    assert_array_equal(decode_volume(back), a)
+
+
+def test_voxel_pruned_scan(spark, tmp_path):
+    from imops_spark.operators.crop import crop_to_box_df
+    from imops_spark.box import make_box
+
+    a = np.random.randn(32, 8)
+    tf = encode_volume(spark, a)
+    path = str(tmp_path / "vox2")
+    write_voxels(tf, path)
+    back = read_voxels(spark, path, shape=a.shape, dtype=a.dtype)
+    cropped = crop_to_box_df(back, make_box([[4, 2], [10, 6]]))
+    # the coordinate predicate must reach the parquet scan
+    plan = cropped.df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(i0,4)" in plan or "PushedFilters" in plan
+    assert_array_equal(decode_volume(cropped), a[4:10, 2:6])
+
+
+def test_blob_roundtrip(spark, tmp_path):
+    arrays = {i: np.random.randn(4, 5).astype(np.float32) for i in range(3)}
+    path = str(tmp_path / "blobs")
+    write_blobs(encode_blobs(spark, arrays), path, files=2)
+    back = decode_blobs(read_blobs(spark, path))
+    for i, a in arrays.items():
+        assert_array_equal(back[i], a)
