@@ -89,65 +89,56 @@ def zoom_numpy(x: np.ndarray, scale, order: int = 1, fill_value: float = 0.0) ->
         for k in range(ndim):
             use_max = (fracs[k] >= 0.5) & (fs[k] + 1 < x.shape[k])
             idxs.append(np.where(use_max, fs[k] + 1, fs[k]))
-        grid = np.meshgrid(*idxs, indexing="ij")
-        return x[tuple(grid)]
+        # open-grid fancy index: no dense meshgrid materialization
+        return x[np.ix_(*idxs)] if ndim > 1 else x[idxs[0]]
 
     if order != 1:
         raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
 
+    # Multilinear interpolation is separable: one take+lerp pass per axis, in
+    # axis order — the same nesting the reference kernel uses
+    # (`src/_zoom.pyx:162-199`), so results agree to the last ulp.  Source
+    # coordinates lie in [0, n_k-1] by construction, so the f+1 read at the
+    # exact upper edge has weight 0 (clipped index never contributes).
+    # Process axes last-to-first: the strided (expensive) last-axis gather
+    # then runs on the smallest intermediate, and the final first-axis take
+    # on the biggest array is plane-contiguous memcpy.
     work = x.astype(np.float64, copy=False)
-    out = np.zeros(new_shape, dtype=np.float64)
-    for corner in np.ndindex(*([2] * ndim)):
-        w = np.ones(new_shape)
-        idx = []
-        oob = np.zeros(new_shape, dtype=bool)
-        for k in range(ndim):
-            fk = fs[k] + corner[k]
-            wk = fracs[k] if corner[k] else 1 - fracs[k]
-            shape_k = [1] * ndim
-            shape_k[k] = new_shape[k]
-            w = w * wk.reshape(shape_k)
-            oob |= ((fk < 0) | (fk >= x.shape[k])).reshape(shape_k)
-            idx.append(np.clip(fk, 0, x.shape[k] - 1))
-        grid = np.meshgrid(*idx, indexing="ij")
-        vals = np.where(oob, float(fill_value), work[tuple(grid)])
-        out += w * vals
-    return out
-
-
-def _shift_or(out, x, o, op):
-    src = tuple(
-        slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o)
-    )
-    dst = tuple(
-        slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o)
-    )
-    if op == "or":
-        out[dst] |= x[src]
-    else:
-        probe = np.ones_like(x)
-        # erosion probe: x[p + o] with OOB=True
-        psrc = tuple(
-            slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o)
-        )
-        pdst = tuple(
-            slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o)
-        )
-        probe[pdst] = x[psrc]
-        out &= probe
+    for k in reversed(range(ndim)):
+        f, fr = fs[k], fracs[k]
+        hi = np.minimum(f + 1, x.shape[k] - 1)
+        a = np.take(work, f, axis=k)
+        b = np.take(work, hi, axis=k)
+        shape_k = [1] * ndim
+        shape_k[k] = new_shape[k]
+        frv = fr.reshape(shape_k)
+        # in-place lerp a + fr*(b-a): 3 passes over the output instead of 5
+        b -= a
+        b *= frv
+        a += b
+        work = a
+    return work
 
 
 def dilation_numpy(x: np.ndarray, offsets) -> np.ndarray:
     """X ⊕ B as a union of shifts (OOB=False, `_morphology.pyx:329`)."""
+    x = x.astype(bool, copy=False)
     out = np.zeros_like(x, dtype=bool)
     for o in offsets:
-        _shift_or(out, x.astype(bool), o, "or")
+        src = tuple(slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o))
+        dst = tuple(slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o))
+        out[dst] |= x[src]
     return out
 
 
 def erosion_numpy(x: np.ndarray, offsets) -> np.ndarray:
-    """X ⊖ B as an intersection of probes (OOB=True, `_morphology.pyx:319`)."""
+    """X ⊖ B as an intersection of probes.  Out-of-bounds probes count True
+    (`_morphology.pyx:319`), so the border region an offset cannot reach is
+    simply left untouched — no probe temporaries."""
+    x = x.astype(bool, copy=False)
     out = np.ones_like(x, dtype=bool)
     for o in offsets:
-        _shift_or(out, x.astype(bool), o, "and")
+        src = tuple(slice(max(0, d), x.shape[k] - max(0, -d)) for k, d in enumerate(o))
+        dst = tuple(slice(max(0, -d), x.shape[k] - max(0, d)) for k, d in enumerate(o))
+        out[dst] &= x[src]
     return out
