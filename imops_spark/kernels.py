@@ -15,7 +15,59 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["zoom_numpy", "dilation_numpy", "erosion_numpy", "label_numpy"]
+__all__ = ["zoom_numpy", "dilation_numpy", "erosion_numpy", "label_numpy", "interp1d_numpy"]
+
+
+def interp1d_numpy(
+    y: np.ndarray,
+    x: np.ndarray,
+    x_new: np.ndarray,
+    bounds_error: bool = False,
+    fill_value: float = 0.0,
+    extrapolate: bool = False,
+    assume_sorted: bool = False,
+) -> np.ndarray:
+    """Linear interpolation along the last axis (reference kernel semantics,
+    `src/_zoom.pyx:30-120`), vectorized: one gather+lerp over the whole array.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x_new = np.asarray(x_new, dtype=np.float64)
+    n = len(x)
+    perm = np.arange(n) if assume_sorted else np.argsort(x, kind="stable")
+    xs = x[perm]
+    idx = np.searchsorted(xs, x_new)
+    extr = np.zeros(len(x_new), dtype=np.int8)
+    extr[(idx == 0) & (x_new < xs[0])] = -1
+    idx = np.where((idx == 0) & (extr == 0), 1, idx)
+    extr[idx >= n] = 1
+    if bounds_error and extr.any():
+        raise ValueError("A value in x_new is out of the interpolation range.")
+    # zeros (not empty): fill-path rows keep a valid dummy index, their
+    # gathered values are overwritten with fill_value below
+    lo = np.zeros(len(x_new), dtype=np.int64)
+    hi = np.zeros(len(x_new), dtype=np.int64)
+    t = np.zeros(len(x_new))
+    interior = extr == 0
+    ii = np.clip(idx, 1, n - 1)
+    lo[interior] = ii[interior] - 1
+    hi[interior] = ii[interior]
+    t[interior] = (x_new[interior] - xs[ii[interior] - 1]) / (
+        xs[ii[interior]] - xs[ii[interior] - 1]
+    )
+    if extrapolate:
+        left = extr == -1
+        right = extr == 1
+        lo[left], hi[left] = 0, 1
+        t[left] = (x_new[left] - xs[0]) / (xs[1] - xs[0])
+        lo[right], hi[right] = n - 2, n - 1
+        t[right] = (x_new[right] - xs[n - 2]) / (xs[n - 1] - xs[n - 2])
+        interior = interior | left | right
+    a = np.take(y, perm[lo], axis=-1).astype(np.float64, copy=False)
+    b = np.take(y, perm[hi], axis=-1).astype(np.float64, copy=False)
+    out = a * (1 - t) + b * t
+    if not extrapolate and (~interior).any():
+        out[..., ~interior] = fill_value
+    return out
 
 
 def label_numpy(arr: np.ndarray, background: int = 0, connectivity: int | None = None):

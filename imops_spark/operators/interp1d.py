@@ -93,7 +93,7 @@ class interp1d:
     ) -> None:
         if fill_value == "extrapolate-default-nan":
             fill_value = np.nan
-        resolve_backend(backend)
+        self._strategy = resolve_backend(backend).name
         self.num_threads = num_threads
         x = np.asarray(x)
         y = np.asarray(y)
@@ -131,6 +131,12 @@ class interp1d:
             y = np.swapaxes(y, -1, axis)
         self.x = x.copy() if copy else x
         self._y_shape = y.shape
+        if self._strategy == "udf":
+            # per-volume vectorized kernel path: keep y locally
+            self._y = y.copy() if copy else y
+            self._ytf = None
+            self._spark = None
+            return
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError("No active SparkSession; call get_spark() first")
@@ -144,6 +150,19 @@ class interp1d:
         normalize_num_threads(self.num_threads)
         x_new = np.atleast_1d(np.asarray(x_new))
         extrapolate = self.fill_value == "extrapolate"
+        if self._strategy == "udf":
+            from ..kernels import interp1d_numpy
+
+            out = interp1d_numpy(
+                self._y,
+                self.x.astype(np.float64, copy=False),
+                x_new.astype(np.float64, copy=False),
+                bounds_error=self.bounds_error,
+                fill_value=0.0 if extrapolate else self.fill_value,
+                extrapolate=extrapolate,
+                assume_sorted=self.assume_sorted,
+            )
+            return self._postprocess(out, x_new)
         rows, fill_mask = _build_weight_map(
             self.x.astype(np.float64, copy=False),
             x_new.astype(np.float64, copy=False),
@@ -180,7 +199,9 @@ class interp1d:
             out = np.full(out_shape, np.nan)
         if fill_mask.any() and not extrapolate:
             out[..., fill_mask] = self.fill_value
+        return self._postprocess(out, x_new)
 
+    def _postprocess(self, out: np.ndarray, x_new: np.ndarray) -> np.ndarray:
         out_dtype = max(
             self.dtype, self.x_dtype, x_new.dtype, key=lambda d: np.dtype(d).itemsize
         )

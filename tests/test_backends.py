@@ -126,3 +126,17 @@ def test_label_join_udf_agree(spark):
         label(a, backend="join").astype(np.int64),
         label(a, backend="udf").astype(np.int64),
     )
+
+
+def test_interp1d_join_udf_agree(spark):
+    from imops_spark.operators.interp1d import interp1d
+
+    x = np.sort(np.random.rand(12)) * 10
+    y = np.random.randn(4, 5, 12)
+    x_new = np.concatenate([np.random.rand(15) * 9 + 0.5, [-1.0, 11.0]])
+    fj = interp1d(x, y, assume_sorted=True, bounds_error=False, fill_value=-3.0, backend="join")
+    fu = interp1d(x, y, assume_sorted=True, bounds_error=False, fill_value=-3.0, backend="udf")
+    assert_allclose(fj(x_new), fu(x_new), rtol=1e-12)
+    fj2 = interp1d(x, y, assume_sorted=True, fill_value="extrapolate", backend="join")
+    fu2 = interp1d(x, y, assume_sorted=True, fill_value="extrapolate", backend="udf")
+    assert_allclose(fj2(x_new), fu2(x_new), rtol=1e-12)

@@ -71,6 +71,21 @@ def main():
 
     rows.append((f"center_of_mass {n_c}^3 f64 (udf)", t(com_np, com_vol), 64, 2237))
 
+    from imops_spark.kernels import interp1d_numpy
+
+    n_i = 128 if QUICK else 256
+    y_i = np.random.randn(n_i, n_i, n_i)
+    x_i = np.sort(np.random.rand(n_i)) * 100
+    x_new_i = np.random.rand(n_i) * 110 - 5  # includes out-of-range -> extrapolate
+    rows.append(
+        (
+            f"interp1d {n_i}^3 f64 extrapolate (udf)",
+            t(interp1d_numpy, y_i, x_i, x_new_i, extrapolate=True, assume_sorted=True),
+            149,
+            780,
+        )
+    )
+
     # --- blob path: parallel per-image throughput ------------------------
     from imops_spark.session import get_spark as _gs
     from imops_spark.tensor_io import encode_blobs, map_blobs
