@@ -118,17 +118,12 @@ def q_erosion(spark, sf_dir):
     flags = events.groupBy(F.col("user_id"), bucket.alias("b")).agg(
         F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("flag")
     )
-    offsets = spark.createDataFrame([(-1,), (0,), (1,)], "o int")
-    shifted = flags.crossJoin(F.broadcast(offsets)).select(
-        "user_id", (F.col("b") + F.col("o")).alias("b"), "flag"
-    )
-    eroded = shifted.groupBy("user_id", "b").agg(
-        F.min("flag").alias("minf"), F.count("*").alias("nn")
-    )
     # missing neighbors (outside the occupied set) count True: all_near is
-    # min over PRESENT neighbors only.
-    return flags.select("user_id", "b").join(eroded, on=["user_id", "b"]).select(
-        "user_id", F.col("b").alias("bucket"), F.col("minf").alias("all_near")
+    # min over PRESENT neighbors only — a RANGE window over existing buckets,
+    # one shuffle, no shift-union self-join.
+    w = Window.partitionBy("user_id").orderBy("b").rangeBetween(-1, 1)
+    return flags.select(
+        "user_id", F.col("b").alias("bucket"), F.min("flag").over(w).alias("all_near")
     )
 
 

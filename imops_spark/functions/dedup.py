@@ -108,18 +108,17 @@ def lsh_candidate_pairs_df(
     The band key is md5 over the band's minhash values; the self-join is an
     equi-join on (band, key) — linear shuffle, no cross product.
     """
-    band_frames = []
+    # One explode over an inline (band, key) array: the signature subtree is
+    # scanned once, not ``bands`` times (a unionAll of per-band selects would
+    # re-evaluate the minhash aggregation per branch).
+    entries = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        band_frames.append(
-            signatures.select(
-                F.col("doc_id"), F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionAll(bf)
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

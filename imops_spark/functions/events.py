@@ -136,14 +136,10 @@ def neighborhood_flag_df(events: DataFrame, minutes: int = 10, threshold: float 
         events.groupBy(F.col("user_id"), bucket.alias("b"))
         .agg(F.max(F.when(F.col("value") > threshold, 1).otherwise(0)).alias("flag"))
     )
-    spark = events.sparkSession
-    offsets = spark.createDataFrame([(-1,), (0,), (1,)], "o int")
-    shifted = flags.crossJoin(F.broadcast(offsets)).select(
-        "user_id", (F.col("b") + F.col("o")).alias("b"), "flag"
-    )
-    dilated = shifted.groupBy("user_id", "b").agg(F.max("flag").alias("any_near"))
-    # Keep only buckets that actually exist (no border growth), like erosion
-    # border handling: join back to the occupied bucket set.
-    return flags.select("user_id", "b").join(dilated, on=["user_id", "b"]).select(
-        "user_id", F.col("b").alias("bucket"), "any_near"
+    # Output rows are exactly the occupied buckets (no border growth), so the
+    # shift-union-reduce is equivalent to a RANGE window over present
+    # neighbors — one shuffle on user_id, no self-join, flags computed once.
+    w = Window.partitionBy("user_id").orderBy("b").rangeBetween(-1, 1)
+    return flags.select(
+        "user_id", F.col("b").alias("bucket"), F.max("flag").over(w).alias("any_near")
     )

@@ -15,7 +15,53 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["zoom_numpy", "dilation_numpy", "erosion_numpy", "label_numpy", "interp1d_numpy"]
+__all__ = [
+    "zoom_numpy",
+    "dilation_numpy",
+    "erosion_numpy",
+    "label_numpy",
+    "interp1d_numpy",
+    "center_of_mass_numpy",
+]
+
+
+def center_of_mass_numpy(a: np.ndarray, labels: np.ndarray | None = None, index=None):
+    """Mass-weighted mean coordinates (`measure.py:140-229` semantics).
+
+    Global case reads the array exactly once: a 2xN BLAS GEMM against
+    [ones; arange] yields the axis-0 plane-sum and axis-0 first moment
+    simultaneously; the remaining axes' moments come from the (tiny) plane.
+    Labeled case is one weighted ``bincount`` per axis.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    if labels is None:
+        n0 = a.shape[0]
+        m = np.empty((2, n0))
+        m[0] = 1.0
+        m[1] = np.arange(n0, dtype=np.float64)
+        p = m @ a.reshape(n0, -1)
+        plane = p[0].reshape(a.shape[1:] or (1,))
+        s = float(plane.sum())
+        out = [float(p[1].sum()) / s]
+        for k in range(1, a.ndim):
+            axes = tuple(j for j in range(plane.ndim) if j != k - 1)
+            marg = plane.sum(axis=axes) if axes else plane
+            out.append(float(marg @ np.arange(a.shape[k], dtype=np.float64)) / s)
+        return tuple(out)
+
+    lab = np.asarray(labels, dtype=np.int64).ravel()
+    idx = [int(index)] if np.isscalar(index) else [int(v) for v in index]
+    nbins = int(max(lab.max(initial=0), max(idx, default=0))) + 1
+    s = np.bincount(lab, weights=a.ravel(), minlength=nbins)
+    moments = []
+    for k in range(a.ndim):
+        shape_k = [1] * a.ndim
+        shape_k[k] = a.shape[k]
+        wk = a * np.arange(a.shape[k], dtype=np.float64).reshape(shape_k)
+        moments.append(np.bincount(lab, weights=wk.ravel(), minlength=nbins))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coms = [mk / s for mk in moments]
+    return [tuple(float(c[i]) if s[i] != 0 else float("nan") for c in coms) for i in idx]
 
 
 def interp1d_numpy(
@@ -120,9 +166,43 @@ def label_numpy(arr: np.ndarray, background: int = 0, connectivity: int | None =
     return out, len(roots)
 
 
-def zoom_numpy(x: np.ndarray, scale, order: int = 1, fill_value: float = 0.0) -> np.ndarray:
+def _zoom1_separable(work: np.ndarray, fs, fracs, axes) -> np.ndarray:
+    """One take+lerp pass per axis (given last-to-first), the same nesting the
+    reference kernel uses (`src/_zoom.pyx:162-199`), so results agree to the
+    last ulp.  Source coordinates lie in [0, n_k-1] by construction, so the
+    f+1 read at the exact upper edge has weight 0."""
+    ndim = work.ndim
+    for k in axes:
+        f, fr = fs[k], fracs[k]
+        hi = np.minimum(f + 1, work.shape[k] - 1)
+        a = np.take(work, f, axis=k)
+        b = np.take(work, hi, axis=k)
+        shape_k = [1] * ndim
+        shape_k[k] = len(f)
+        frv = fr.reshape(shape_k)
+        # in-place lerp a + fr*(b-a): 3 passes over the output instead of 5
+        b -= a
+        b *= frv
+        a += b
+        work = a
+    return work
+
+
+def zoom_numpy(
+    x: np.ndarray, scale, order: int = 1, fill_value: float = 0.0, num_threads: int = 1
+) -> np.ndarray:
     """Rescale with the reference's round()/grid-corner conventions
-    (`src/_zoom.pyx:146-149,372-399`), vectorized over all output voxels."""
+    (`src/_zoom.pyx:146-149,372-399`), vectorized over all output voxels.
+
+    order=1 executes in output-slab chunks along axis 0: each chunk reads only
+    the source rows it maps to and runs the full separable lerp on that slab,
+    so the intermediates stay cache-sized instead of 3 volume-sized passes.
+    Chunks are independent → ``num_threads`` fans them out on a thread pool
+    (numpy's take/ufuncs release the GIL), matching the reference's OpenMP
+    parallelism (`src/_zoom.pyx` prange).  Chunked or not, threaded or not,
+    every output element sees the identical operation sequence — results are
+    bit-identical across strategies (tests/test_backends.py relies on this).
+    """
     x = np.asarray(x)
     ndim = x.ndim
     scale = np.broadcast_to(np.asarray(scale, dtype=float), (ndim,))
@@ -142,34 +222,62 @@ def zoom_numpy(x: np.ndarray, scale, order: int = 1, fill_value: float = 0.0) ->
             use_max = (fracs[k] >= 0.5) & (fs[k] + 1 < x.shape[k])
             idxs.append(np.where(use_max, fs[k] + 1, fs[k]))
         # open-grid fancy index: no dense meshgrid materialization
-        return x[np.ix_(*idxs)] if ndim > 1 else x[idxs[0]]
+        if ndim == 1:
+            return x[idxs[0]]
+        if num_threads > 1 and int(np.prod(new_shape)) >= (1 << 20):
+            from concurrent.futures import ThreadPoolExecutor
+
+            out0 = np.empty(new_shape, dtype=x.dtype)
+            rows0 = max(1, new_shape[0] // (num_threads * 4))
+
+            def gather(j0: int) -> None:
+                j1 = min(j0 + rows0, new_shape[0])
+                out0[j0:j1] = x[np.ix_(idxs[0][j0:j1], *idxs[1:])]
+
+            with ThreadPoolExecutor(max_workers=num_threads) as ex:
+                list(ex.map(gather, range(0, new_shape[0], rows0)))
+            return out0
+        return x[np.ix_(*idxs)]
 
     if order != 1:
         raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
 
-    # Multilinear interpolation is separable: one take+lerp pass per axis, in
-    # axis order — the same nesting the reference kernel uses
-    # (`src/_zoom.pyx:162-199`), so results agree to the last ulp.  Source
-    # coordinates lie in [0, n_k-1] by construction, so the f+1 read at the
-    # exact upper edge has weight 0 (clipped index never contributes).
-    # Process axes last-to-first: the strided (expensive) last-axis gather
-    # then runs on the smallest intermediate, and the final first-axis take
-    # on the biggest array is plane-contiguous memcpy.
     work = x.astype(np.float64, copy=False)
-    for k in reversed(range(ndim)):
-        f, fr = fs[k], fracs[k]
-        hi = np.minimum(f + 1, x.shape[k] - 1)
-        a = np.take(work, f, axis=k)
-        b = np.take(work, hi, axis=k)
-        shape_k = [1] * ndim
-        shape_k[k] = new_shape[k]
-        frv = fr.reshape(shape_k)
-        # in-place lerp a + fr*(b-a): 3 passes over the output instead of 5
+    n_out = int(np.prod(new_shape))
+    if ndim == 1 or n_out < (1 << 20):
+        return _zoom1_separable(work, fs, fracs, list(reversed(range(ndim))))
+
+    # Chunked path: slabs of output rows (axis 0).  Rows per chunk sized so a
+    # slab's intermediates (~2 a/b copies of the widest pass) stay ~L2-sized.
+    row_out_bytes = 8 * n_out // new_shape[0]
+    rows = max(1, int(4 << 20) // max(row_out_bytes, 1))
+    n_chunks = (new_shape[0] + rows - 1) // rows
+    out = np.empty(new_shape, dtype=np.float64)
+
+    def run_chunk(ci: int) -> None:
+        j0, j1 = ci * rows, min((ci + 1) * rows, new_shape[0])
+        f0 = fs[0][j0:j1]
+        lo = int(f0[0])
+        hi = int(min(f0[-1] + 1, x.shape[0] - 1))
+        slab = work[lo : hi + 1]
+        mid = _zoom1_separable(slab, fs, fracs, list(range(ndim - 1, 0, -1)))
+        a = mid[f0 - lo]
+        b = mid[np.minimum(f0 + 1, x.shape[0] - 1) - lo]
+        frv = fracs[0][j0:j1].reshape([-1] + [1] * (ndim - 1))
         b -= a
         b *= frv
         a += b
-        work = a
-    return work
+        out[j0:j1] = a
+
+    if num_threads > 1 and n_chunks > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(num_threads, n_chunks)) as ex:
+            list(ex.map(run_chunk, range(n_chunks)))
+    else:
+        for ci in range(n_chunks):
+            run_chunk(ci)
+    return out
 
 
 def dilation_numpy(x: np.ndarray, offsets) -> np.ndarray:

@@ -73,14 +73,31 @@ def center_of_mass(
     API parity with the reference (`measure.py:140-229`): returns a tuple for
     the global case, a list of tuples for the labeled/indexed case.
     """
-    resolve_backend(backend)
+    strategy = resolve_backend(backend)
     normalize_num_threads(num_threads)
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError("No active SparkSession; call get_spark() first")
     array = np.asarray(array)
     if array.dtype == bool:
         array = array.astype(np.float64)
+
+    # Single-volume ndarray input: the per-image kernel is the right strategy
+    # unless the caller forces 'join' (the distributed voxel-table plan).
+    if strategy.name != "join":
+        from ..kernels import center_of_mass_numpy
+
+        if labels is None:
+            return center_of_mass_numpy(array)
+        labels = np.asarray(labels)
+        if labels.shape != array.shape:
+            raise ValueError("labels must have the same shape as the input array")
+        if index is None:
+            index = [int(v) for v in np.unique(labels) if v != 0]
+        if np.isscalar(index):
+            return center_of_mass_numpy(array, labels, [int(index)])[0]
+        return center_of_mass_numpy(array, labels, index)
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; call get_spark() first")
     tf = encode_volume(spark, array.astype(np.float64, copy=False))
 
     if labels is None:

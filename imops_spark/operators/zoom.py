@@ -142,7 +142,7 @@ def zoom(
     """Rescale ``x`` by ``scale_factor`` along ``axis``
     (parity ``zoom.py:72-126``)."""
     resolve_backend(backend)
-    normalize_num_threads(num_threads)
+    n_threads = normalize_num_threads(num_threads)
     if order not in (0, 1):
         raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
     arr_mode = not isinstance(x, TensorFrame)
@@ -166,7 +166,9 @@ def zoom(
     if resolve_backend(backend).name == "udf":
         from ..kernels import zoom_numpy
 
-        res = zoom_numpy(arr, full_scale, order=order, fill_value=float(fill_value))
+        res = zoom_numpy(
+            arr, full_scale, order=order, fill_value=float(fill_value), num_threads=n_threads
+        )
         if order == 0:
             return res.astype(arr.dtype, copy=False)
         return res.astype(arr.dtype if arr.dtype.kind == "f" else np.float64, copy=False)

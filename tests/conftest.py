@@ -10,7 +10,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 def spark():
     from imops_spark.session import get_spark
 
-    s = get_spark(shuffle_partitions=8)
+    s = get_spark(shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
