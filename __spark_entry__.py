@@ -524,6 +524,22 @@ def q_sim_lsh(spark, sf_dir):
     return lsh_topk_df(emb, queries, k=3, planes=6)
 
 
+def q_evt_sessions_stream(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): gap
+    sessionization with per-user open-session state.  Drained one-shot with
+    an effectively-infinite watermark, the emitted (closed) sessions are
+    exactly every session except each user's last — the oracle recomputes
+    that set relationally."""
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stateful_stream,
+        stream_events,
+    )
+
+    out = sessionize_stateful_stream(stream_events(spark, sf_dir), watermark="87600 hours")
+    return run_stream_to_memory(out, "evt_sessions_stream_gate", spark)
+
+
 def q_evt_window(spark, sf_dir):
     from imops_spark.functions.events import load_events, tumbling_window_df
 
@@ -573,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh": q_sim_lsh,
         "evt_window": q_evt_window,
         "evt_sessions": q_evt_sessions,
+        "evt_sessions_stream": q_evt_sessions_stream,
     }
 
 
@@ -931,6 +948,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) AS win,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "evt_sessions_stream": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, event_id, ts_sec,
+                     CASE WHEN ts_sec - LAG(ts_sec)
+                               OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+                               > 1800
+                          OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_seq
+              FROM g
+            ),
+            sess AS (
+              SELECT user_id, session_seq, COUNT(*) AS n_events,
+                     MIN(event_id) AS first_event_id
+              FROM s GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_seq, n_events, first_event_id
+            FROM sess
+            QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
         """,
         "evt_sessions": """
             WITH e AS (

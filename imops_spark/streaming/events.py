@@ -25,6 +25,7 @@ __all__ = [
     "windowed_counts_stream",
     "sliding_avg_stream",
     "dedup_stream",
+    "sessionize_stateful_stream",
     "run_stream_to_memory",
 ]
 
@@ -86,6 +87,104 @@ def sliding_avg_stream(events: DataFrame, length_min: int = 10, slide_min: int =
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exact dedup on (user_id, event_type) within the watermark."""
     return events.withWatermark("ts_t", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def sessionize_stateful_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` — per-user open-session state carried across
+    micro-batches, closed sessions emitted incrementally.
+
+    Semantics match the batch ``functions.events.sessionize_df`` exactly
+    (ordering key (ts_sec, event_id), gap > ``gap_minutes``): a session is
+    emitted once a later event proves it closed, or when event time passes
+    its gap deadline (EventTimeTimeout).  In a single availableNow batch the
+    emitted rows are therefore every session except each user's last — which
+    is what the SQL oracle cross-checks.
+
+    State is one fixed-width row per open session (last_ts, seq, n, min
+    event id); the shuffle is keyed by user_id — the same partitioning the
+    batch twin uses, so the operator scales horizontally with users.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+    out_schema = "user_id long, session_seq long, n_events long, first_event_id long"
+    state_schema = "last long, seq long, n long, first_event long"
+
+    def fn(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        if state.hasTimedOut:
+            last, seq, n, first = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_seq": [seq],
+                    "n_events": [n],
+                    "first_event_id": [first],
+                }
+            )
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts_sec", "event_id"], kind="mergesort")
+        ts = pdf["ts_sec"].to_numpy(np.int64)
+        eid = pdf["event_id"].to_numpy(np.int64)
+
+        carried = state.get if state.exists else None
+        prev_last = carried[0] if carried else ts[0] - gap - 1
+        prev = np.concatenate(([prev_last], ts[:-1]))
+        # sid 0 = continuation of the carried open session; 1..K new sessions
+        sid = np.cumsum((ts - prev) > gap)
+        starts = np.unique(sid, return_index=True)[1]
+        seg_n = np.diff(np.append(starts, len(sid)))
+        seg_min = np.minimum.reduceat(eid, starts)
+        seg_sid = sid[starts]
+
+        base_seq = carried[1] if carried else 0
+        sessions = []  # (seq, n, first_event_id)
+        if carried:
+            c_last, c_seq, c_n, c_first = carried
+            if seg_sid[0] == 0:  # batch head continues the open session
+                c_n += int(seg_n[0])
+                c_first = min(c_first, int(seg_min[0]))
+                seg_sid, seg_n, seg_min = seg_sid[1:], seg_n[1:], seg_min[1:]
+            sessions.append((c_seq, c_n, c_first))
+        sessions += [
+            (base_seq + int(s), int(n), int(m)) for s, n, m in zip(seg_sid, seg_n, seg_min)
+        ]
+
+        *closed, last_open = sessions
+        state.update((int(ts[-1]), last_open[0], last_open[1], last_open[2]))
+        # event-time deadline: the open session closes when the watermark
+        # passes last_ts + gap (clamped ahead of the current watermark —
+        # setting a timeout at or behind it is an error).
+        state.setTimeoutTimestamp(
+            max((int(ts[-1]) + gap) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_seq": [s[0] for s in closed],
+                    "n_events": [s[1] for s in closed],
+                    "first_event_id": [s[2] for s in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts_t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
 
 
 def run_stream_to_memory(

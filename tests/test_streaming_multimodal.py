@@ -91,3 +91,79 @@ def test_frame_sampling(spark):
     assert [r["frame_index"] for r in sorted(frames, key=lambda r: r["frame_index"])] == [0, 2, 4]
     for r in frames:
         assert len(r["frame_data"]) == 100
+
+
+def _python_sessions(spark, gap: int = 1800):
+    """Independent pure-python sessionizer over the raw events table."""
+    from imops_spark.functions.events import load_events
+
+    pdf = load_events(spark, SF).select("user_id", "event_id", "ts_sec").toPandas()
+    sessions = {}  # user -> list of (seq, n, min_eid, last_ts)
+    for uid, grp in pdf.groupby("user_id"):
+        rows = sorted(zip(grp["ts_sec"], grp["event_id"]))
+        out, cur = [], None
+        for ts, eid in rows:
+            if cur is None or ts - cur["last"] > gap:
+                if cur is not None:
+                    out.append(cur)
+                cur = {"n": 0, "min_eid": eid, "last": ts}
+            cur["n"] += 1
+            cur["min_eid"] = min(cur["min_eid"], eid)
+            cur["last"] = ts
+        out.append(cur)
+        sessions[int(uid)] = [
+            (i + 1, s["n"], int(s["min_eid"]), int(s["last"])) for i, s in enumerate(out)
+        ]
+    return sessions
+
+
+def test_stateful_sessionize_stream_matches_batch(spark):
+    """No-timeout drain: emitted == every session except each user's last."""
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stateful_stream,
+        stream_events,
+    )
+
+    out = sessionize_stateful_stream(stream_events(spark, SF), watermark="87600 hours")
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["first_event_id"])
+        for r in run_stream_to_memory(out, "sess_state_nt", spark).collect()
+    }
+    exp = {
+        (uid, seq, n, eid)
+        for uid, ss in _python_sessions(spark).items()
+        for seq, n, eid, _last in ss[:-1]  # all but the open (last) session
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_stateful_sessionize_stream_event_time_timeout(spark):
+    """Default watermark: open sessions whose gap deadline fell behind the
+    final watermark are additionally emitted via EventTimeTimeout."""
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stateful_stream,
+        stream_events,
+    )
+
+    out = sessionize_stateful_stream(stream_events(spark, SF), watermark="2 hours")
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["first_event_id"])
+        for r in run_stream_to_memory(out, "sess_state_to", spark).collect()
+    }
+    sessions = _python_sessions(spark)
+    closed = {
+        (uid, seq, n, eid)
+        for uid, ss in sessions.items()
+        for seq, n, eid, _last in ss[:-1]
+    }
+    max_ts = max(last for ss in sessions.values() for _s, _n, _e, last in ss)
+    wm = max_ts - 7200
+    timed_out = {
+        (uid, *ss[-1][:3])
+        for uid, ss in sessions.items()
+        if (ss[-1][3] + 1800) * 1000 < wm * 1000
+    }
+    assert got == closed | timed_out
