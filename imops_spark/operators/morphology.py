@@ -219,63 +219,279 @@ def morphology_blobs(blobs: DataFrame, op_name: str, footprint: np.ndarray | Non
 # Euclidean distance transform
 # ---------------------------------------------------------------------------
 
-def _edt_1d_sq(f: np.ndarray, w: float) -> tuple[np.ndarray, np.ndarray]:
-    """Felzenszwalb-Huttenlocher 1-D squared distance transform with argmin.
+# Sentinel standing in for +inf in the envelope arithmetic: far above any
+# reachable squared distance (<= sum_k (w_k * n_k)^2) yet finite, so every
+# intersection s stays finite and the stack never needs inf special-casing.
+# All envelope math runs in float32: squared distances on these grids are
+# small integers (exact in fp32); the couple-of-ulp error on boundary ties
+# only swaps equidistant argmins.
+_EDT_BIG = np.float32(1e30)
 
-    ``f`` is the row of squared distances so far; ``w`` the axis sampling.
-    Returns (d, arg) where arg[i] is the parabola index achieving d[i].
+
+def _plane_accumulate(a: np.ndarray, ax: int, ufunc) -> None:
+    """In-place ``ufunc.accumulate(a, axis=ax)``, but as an explicit loop
+    over hyperplanes when they are wide: each step is one contiguous
+    vectorized op, instead of ufunc.accumulate's per-line inner loop whose
+    stride along a leading axis thrashes the cache."""
+    n = a.shape[ax]
+    if a.size // max(n, 1) < 4096:
+        ufunc.accumulate(a, axis=ax, out=a)
+        return
+    ix = [slice(None)] * a.ndim
+    for i in range(1, n):
+        cur = list(ix)
+        cur[ax] = i
+        prev = list(ix)
+        prev[ax] = i - 1
+        ufunc(a[tuple(cur)], a[tuple(prev)], out=a[tuple(cur)])
+
+
+def _edt_pass_binary(sq: np.ndarray, w: float, ax: int, need_arg: bool):
+    """First-axis fast path, in place along ``ax``: cells are {0, inf}, so
+    the 1-D squared EDT is just distance-to-nearest-zero — two accumulate
+    scans, fully vectorized, no column loop, no transposes.  Ties pick the
+    lower index (any true argmin is a valid feature).  Returns the argmin
+    index array when ``need_arg`` else None."""
+    n = sq.shape[ax]
+    far = np.int32(2 * n)
+    shp1 = [1] * sq.ndim
+    shp1[ax] = n
+    pos = np.arange(n, dtype=np.int32).reshape(shp1)
+    is0 = sq == 0.0
+    last = np.where(is0, pos, np.int32(-1))
+    _plane_accumulate(last, ax, np.maximum)
+    nxt = np.where(is0, pos, far)
+    _plane_accumulate(np.flip(nxt, axis=ax), ax, np.minimum)  # through the view
+    fwd = np.where(last >= 0, pos - last, far)
+    bwd = nxt - pos
+    dist = np.minimum(fwd, bwd)
+    arg = None
+    if need_arg:
+        arg = np.where(fwd <= bwd, last, nxt)
+        np.clip(arg, 0, n - 1, out=arg)
+    d = (np.float32(w) * dist.astype(np.float32)) ** 2
+    d[dist >= far] = np.inf  # line had no zero at all
+    np.copyto(sq, d)
+    return arg
+
+
+def _edt_sq_batch(f: np.ndarray, w: float) -> tuple[np.ndarray, np.ndarray]:
+    """Felzenszwalb-Huttenlocher squared EDT along the last axis, batched.
+
+    ``f`` is ``(R, n)`` rows of squared distances so far (``inf`` allowed);
+    the column loop is Python-level (n iterations) but every step inside is
+    vectorized across all R rows — no per-element Python (the round-1
+    scale bug).  The stack top (parabola index / height / boundary) is
+    cached in dense per-row arrays so the steady-state column step does no
+    gathers at all: gathers touch only the popped/advanced row subset,
+    whose total size is amortized by the push count.  Returns ``(d, arg)``;
+    ``arg[r, i]`` is a true argmin parabola index for every
+    finitely-reachable cell.
     """
-    n = len(f)
-    d = np.empty(n)
-    arg = np.empty(n, dtype=np.int64)
-    v = np.zeros(n, dtype=np.int64)  # parabola locations
-    z = np.empty(n + 1)
-    z[0], z[1] = -np.inf, np.inf
-    k = 0
-    w2 = w * w
+    R, n = f.shape
+    if n == 1:
+        return f.astype(np.float32, copy=True), np.zeros((R, 1), dtype=np.int32)
+    ff = np.where(np.isinf(f), _EDT_BIG, f).astype(np.float32, copy=False)
+    w2 = np.float32(w * w)
+    q2 = w2 * np.arange(n, dtype=np.float32) ** 2
+    g = np.ascontiguousarray((ff + q2).T)  # (n, R) parabola heights f[p] + w²p²
+    v = np.zeros((n, R), dtype=np.int32)  # per-row parabola stacks
+    z = np.empty((n, R), dtype=np.float32)  # z[k] = left boundary of level k>=1
+    k = np.zeros(R, dtype=np.int32)
+    p_top = np.zeros(R, dtype=np.float32)  # = v[k], kept in fp32 for the s math
+    g_top = g[0].copy()  # = g[v[k]]
+    z_top = np.full(R, -np.inf, dtype=np.float32)  # = z[k] (z[0] == -inf)
+    cols = np.arange(R)
+    inv2w2 = np.float32(1.0 / (2.0 * w * w))
     for q in range(1, n):
-        if np.isinf(f[q]):
-            continue
-        while True:
-            p = v[k]
-            if np.isinf(f[p]):
-                v[k] = q
-                if k == 0:
-                    z[0], z[k + 1] = -np.inf, np.inf
-                    break
-                k -= 1
-                continue
-            s = ((f[q] + w2 * q * q) - (f[p] + w2 * p * p)) / (2.0 * w2 * (q - p))
-            if s <= z[k]:
-                k -= 1
-                if k < 0:
-                    k = 0
-                    v[0] = q
-                    z[0], z[1] = -np.inf, np.inf
-                    break
-                continue
-            k += 1
-            v[k] = q
-            z[k], z[k + 1] = s, np.inf
-            break
-    k = 0
+        gq = g[q]
+        fq = np.float32(q)
+        s = (gq - g_top) * (inv2w2 / (fq - p_top))
+        pop = s <= z_top
+        while pop.any():
+            idx = np.nonzero(pop)[0]
+            knew = k[idx] - 1
+            k[idx] = knew
+            pi = v[knew, idx]
+            pt = pi.astype(np.float32)
+            p_top[idx] = pt
+            gt = g[pi, idx]
+            g_top[idx] = gt
+            zt = np.where(knew > 0, z[knew, idx], np.float32(-np.inf))
+            z_top[idx] = zt
+            ss = (gq[idx] - gt) * (inv2w2 / (fq - pt))
+            s[idx] = ss
+            pop = np.zeros(R, dtype=bool)
+            pop[idx[ss <= zt]] = True
+        k += 1
+        v[k, cols] = q
+        z[k, cols] = s
+        p_top[:] = fq
+        np.copyto(g_top, gq)
+        np.copyto(z_top, s)
+    # evaluate the lower envelope left-to-right with the same caching trick
+    kf = k  # final stack depth per row; z entries above kf are stale
+    kk = np.zeros(R, dtype=np.int32)
+    p_cur = np.zeros(R, dtype=np.float32)  # v[0] is all zeros
+    i_cur = np.zeros(R, dtype=np.int32)
+    f_cur = ff[:, 0].copy()
+    z_next = np.where(kf > 0, z[1], np.float32(np.inf))
+    dt = np.empty((n, R), dtype=np.float32)
+    argt = np.empty((n, R), dtype=np.int32)
     for q in range(n):
-        while z[k + 1] < q:
-            k += 1
-        p = v[k]
-        d[q] = w2 * (q - p) * (q - p) + f[p]
-        arg[q] = p
+        adv = z_next < q
+        while adv.any():
+            idx = np.nonzero(adv)[0]
+            kn = kk[idx] + 1
+            kk[idx] = kn
+            pc = v[kn, idx]
+            i_cur[idx] = pc
+            p_cur[idx] = pc.astype(np.float32)
+            f_cur[idx] = ff[idx, pc]
+            zn = np.where(kn + 1 <= kf[idx], z[np.minimum(kn + 1, n - 1), idx], np.float32(np.inf))
+            z_next[idx] = zn
+            adv = np.zeros(R, dtype=bool)
+            adv[idx[zn < q]] = True
+        dq = np.float32(q) - p_cur
+        dt[q] = w2 * dq * dq + f_cur
+        argt[q] = i_cur
+    d = np.ascontiguousarray(dt.T)
+    arg = np.ascontiguousarray(argt.T)
+    d[d >= _EDT_BIG / 2] = np.inf
     return d, arg
 
 
-def edt_numpy(
-    image: np.ndarray, sampling=None, return_distances=True, return_indices=False
+# Iterated-erosion pass budget before a slab falls back to the stack
+# envelope: covers winning offsets up to this size (dense masks need ~5).
+_EDT_ITER_CAP = 24
+
+
+def _edt_iter_inplace(view: np.ndarray, w: float, ax: int, cap: int, need_arg: bool):
+    """Iterated parabolic erosion (van den Boomgaard's decomposition of the
+    quadratic structuring function), in place along ``ax``: pass k
+    min-relaxes each cell against its axis neighbors plus the odd increment
+    (2k-1)·w².  Consecutive odd increments sum to m²·w² along an m-step
+    path, so once a pass changes nothing the array IS the exact lower
+    envelope (chamfer induction: cells within the converged horizon are
+    exact, and the (2k-1) constraint is tighter than any farther parabola
+    needs; mixed-direction Gauss-Seidel steps within a pass only produce
+    valid path costs ≥ the envelope, so they never corrupt it).  Every step
+    is a sliced contiguous ufunc — SIMD, GIL-releasing, no gathers, no
+    transposes — and the pass count adapts to the data (≈ the largest
+    winning |q-p|; a few passes on dense masks).
+
+    Returns ``(True, arg|None)`` on convergence (result written back into
+    ``view``), or ``(False, None)`` leaving ``view`` untouched so the caller
+    can run the exact stack envelope on pristine input.
+    """
+    nd = view.ndim
+    d = np.where(np.isinf(view), _EDT_BIG, view).astype(np.float32, copy=False)
+    arg = None
+    if need_arg:
+        shp1 = [1] * nd
+        shp1[ax] = view.shape[ax]
+        arg = np.empty(view.shape, dtype=np.int32)
+        arg[:] = np.arange(view.shape[ax], dtype=np.int32).reshape(shp1)
+    head = [slice(None)] * nd
+    head[ax] = slice(None, -1)
+    head = tuple(head)
+    tail = [slice(None)] * nd
+    tail[ax] = slice(1, None)
+    tail = tuple(tail)
+    w2 = np.float32(w * w)
+    for k in range(1, cap + 1):
+        c = np.float32(2 * k - 1) * w2
+        changed = False
+        cand = d[head] + c
+        mask = cand < d[tail]
+        if mask.any():
+            np.copyto(d[tail], cand, where=mask)
+            if need_arg:
+                np.copyto(arg[tail], arg[head], where=mask)
+            changed = True
+        cand = d[tail] + c
+        mask = cand < d[head]
+        if mask.any():
+            np.copyto(d[head], cand, where=mask)
+            if need_arg:
+                np.copyto(arg[head], arg[tail], where=mask)
+            changed = True
+        if not changed:
+            d[d >= _EDT_BIG / 2] = np.inf
+            np.copyto(view, d)
+            return True, arg
+    return False, None
+
+
+def _edt_pass(
+    sq: np.ndarray, w: float, ax: int, num_threads: int, need_arg: bool, binary: bool
 ):
-    """Exact EDT in pure numpy (separable lower-envelope passes).
+    """One separable squared-EDT pass along ``ax``, in place on ``sq``.
+
+    Lines along ``ax`` are independent, so the volume is split into slabs
+    along an orthogonal axis and fanned out on a thread pool — all kernel
+    steps are big contiguous ufuncs that release the GIL.  Slabs whose
+    winning offsets exceed the iterated-erosion budget individually fall
+    back to the exact stack envelope (transposed to rows just for that
+    slab).  Returns the argmin index array when ``need_arg`` else None.
+    """
+    nd = sq.ndim
+    n = sq.shape[ax]
+    if n == 1:
+        return np.zeros(sq.shape, dtype=np.int32) if need_arg else None
+    arg_out = np.empty(sq.shape, dtype=np.int32) if need_arg else None
+
+    def run(slab):
+        view = sq[slab]
+        if binary:
+            arg = _edt_pass_binary(view, w, ax, need_arg)
+            if need_arg:
+                arg_out[slab] = arg
+            return
+        ok, arg = _edt_iter_inplace(view, w, ax, _EDT_ITER_CAP, need_arg)
+        if ok:
+            if need_arg:
+                arg_out[slab] = arg
+            return
+        moved = np.moveaxis(view, ax, -1)
+        shp = moved.shape
+        flat = np.ascontiguousarray(moved).reshape(-1, n)
+        d2, a2 = _edt_sq_batch(flat, w)
+        np.copyto(moved, d2.reshape(shp))
+        if need_arg:
+            arg_out[slab] = np.moveaxis(a2.reshape(shp), -1, ax)
+
+    s_ax = 0 if ax != 0 else (1 if nd > 1 else None)
+    if s_ax is None or num_threads <= 1 or sq.shape[s_ax] < 2 * num_threads:
+        run((slice(None),) * nd)
+        return arg_out
+    m = sq.shape[s_ax]
+    bounds = np.linspace(0, m, 2 * num_threads + 1).astype(int)
+    slabs = []
+    for i in range(len(bounds) - 1):
+        if bounds[i] == bounds[i + 1]:
+            continue
+        sl = [slice(None)] * nd
+        sl[s_ax] = slice(int(bounds[i]), int(bounds[i + 1]))
+        slabs.append(tuple(sl))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(num_threads, len(slabs))) as ex:
+        list(ex.map(run, slabs))
+    return arg_out
+
+
+def edt_numpy(
+    image: np.ndarray, sampling=None, return_distances=True, return_indices=False,
+    num_threads: int = 1,
+):
+    """Exact EDT in pure numpy (separable lower-envelope passes, row-batched).
 
     The per-image kernel executed inside ``map_blobs`` by the distributed
     path; also the test oracle (the reference delegates to the external
-    ``edt``/scipy C++ kernels, ``morphology.py:499-507``).
+    ``edt``/scipy C++ kernels, ``morphology.py:499-507``).  Each axis pass
+    runs the batched envelope over all rows at once (``_edt_sq_batch``),
+    optionally fanned out over row blocks on ``num_threads`` threads.
     """
     image = np.asarray(image).astype(bool)
     ndim = image.ndim
@@ -283,31 +499,41 @@ def edt_numpy(
         sampling = (1.0,) * ndim
     elif np.isscalar(sampling):
         sampling = (float(sampling),) * ndim
-    sq = np.where(image, np.inf, 0.0)
+    sq = np.where(image, np.float32(np.inf), np.float32(0.0))
     feat = None
     if return_indices:
-        feat = np.stack(np.indices(image.shape))
+        feat = [np.ascontiguousarray(ix) for ix in np.indices(image.shape, dtype=np.int32)]
     for ax in range(ndim):
-        w = float(sampling[ax])
-        moved = np.moveaxis(sq, ax, -1)
-        shp = moved.shape
-        flat = moved.reshape(-1, shp[-1])
+        arg = _edt_pass(
+            sq, float(sampling[ax]), ax, num_threads,
+            need_arg=return_indices, binary=(ax == 0),
+        )
         if return_indices:
-            fmoved = [np.moveaxis(feat[a], ax, -1).reshape(-1, shp[-1]) for a in range(ndim)]
-        for r in range(flat.shape[0]):
-            d, arg = _edt_1d_sq(flat[r], w)
-            if return_indices:
-                for a in range(ndim):
-                    fmoved[a][r] = fmoved[a][r][arg]
-            flat[r] = d
-        sq = np.moveaxis(flat.reshape(shp), -1, ax)
-        if return_indices:
-            feat = np.stack(
-                [np.moveaxis(fa.reshape(shp), -1, ax) for fa in fmoved]
-            )
+            for a in range(ndim):
+                feat[a] = np.take_along_axis(feat[a], arg, axis=ax)
+    if return_indices:
+        feat = np.stack(feat)
     res = []
     if return_distances:
-        res.append(np.sqrt(sq))
+        # sqrt in float64: the fp32 squared distances are exact small
+        # integers (unit sampling), so the widened sqrt is full-precision.
+        # Upcast-copy into the output, then sqrt in place (forces the f64
+        # loop); threaded because this numpy's sqrt is a scalar loop.
+        dist = np.empty(sq.shape, dtype=np.float64)
+
+        def _sq(sl):
+            np.copyto(dist[sl], sq[sl])
+            np.sqrt(dist[sl], out=dist[sl])
+
+        if num_threads > 1 and sq.ndim > 1 and sq.shape[0] >= num_threads:
+            from concurrent.futures import ThreadPoolExecutor
+
+            bounds = np.linspace(0, sq.shape[0], 2 * num_threads + 1).astype(int)
+            with ThreadPoolExecutor(max_workers=num_threads) as ex:
+                list(ex.map(_sq, [slice(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]))
+        else:
+            _sq(slice(None))
+        res.append(dist)
     if return_indices:
         res.append(feat.astype(np.int32))
     return res[0] if len(res) == 1 else tuple(res)
@@ -329,7 +555,7 @@ def distance_transform_edt(
     backend of this engine (SURVEY.md §2.1 #9).
     """
     resolve_backend(backend)
-    normalize_num_threads(num_threads)
+    n_threads = normalize_num_threads(num_threads)
     if not (return_distances or return_indices):
         raise RuntimeError("At least one of `return_distances`/`return_indices` must be True")
     if isinstance(image, DataFrame):  # blob table
@@ -337,8 +563,9 @@ def distance_transform_edt(
 
         if return_indices:
             raise ValueError("return_indices is only supported on the ndarray path")
+        # one thread per image: the Arrow tasks already run concurrently
         return map_blobs(image, lambda a: edt_numpy(a, sampling).astype(np.float32))
     return edt_numpy(
         np.asarray(image), sampling, return_distances=return_distances,
-        return_indices=return_indices,
+        return_indices=return_indices, num_threads=n_threads,
     )

@@ -51,6 +51,33 @@ def main():
     offs = footprint_offsets(fp)
     rows.append((f"binary_dilation {n_m}^3 bool (udf)", t(dilation_numpy, mask, offs), 310, 2207))
     rows.append((f"binary_erosion {n_m}^3 bool (udf)", t(erosion_numpy, mask, offs), 326, 2296))
+    rows.append(
+        (
+            f"binary_closing {n_m}^3 bool (udf)",
+            t(lambda: erosion_numpy(dilation_numpy(mask, offs), offs)),
+            544,
+            4158,
+        )
+    )
+    rows.append(
+        (
+            f"binary_opening {n_m}^3 bool (udf)",
+            t(lambda: dilation_numpy(erosion_numpy(mask, offs), offs)),
+            567,
+            4410,
+        )
+    )
+
+    from imops_spark.operators.morphology import edt_numpy
+
+    rows.append(
+        (
+            f"distance_transform_edt {n_m}^3 bool (udf, 16 threads)",
+            t(edt_numpy, mask, num_threads=16, repeat=2),
+            None,
+            None,
+        )
+    )
 
     n_z = 2**22 if QUICK else 2**24
     side = round(n_z ** (1 / 3))
