@@ -22,6 +22,8 @@ __all__ = [
     "label_numpy",
     "interp1d_numpy",
     "center_of_mass_numpy",
+    "radon_numpy",
+    "iradon_backproject_numpy",
 ]
 
 
@@ -277,6 +279,202 @@ def zoom_numpy(
     else:
         for ci in range(n_chunks):
             run_chunk(ci)
+    return out
+
+
+# Table caches: radon/backprojection geometry tables depend only on
+# (size, theta) — batch pipelines reuse them across every volume.
+_RADON_TABLE_CACHE: dict = {}
+_IRADON_TABLE_CACHE: dict = {}
+
+
+def _radon_tables(size: int, theta: np.ndarray):
+    """Per-angle bilinear sample tables for the radon kernel, shared by every
+    slice: flat gather index into a zero-framed (size+3)² slice plus the
+    four corner weights.  Sample positions replicate `src/_radon.pyx:52-78`
+    in float64, so floor/cell decisions agree with the reference/oracle
+    bit-for-bit; out-of-frame samples are redirected to all-zero pad cells
+    (the OOB=0 rule of `_radon.pyx:21-25`).  Rays are clipped to the
+    reference's per-offset ``limits`` (`radon.py:90`) — samples past the
+    circle+2 band are identically zero — so the tables are ragged; returns
+    (corner index tuple, weight tuple, reduceat segment starts, empty-seg
+    mask)."""
+    key = (size, theta.tobytes())
+    hit = _RADON_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rad = np.deg2rad(np.asarray(theta, dtype=np.float64))
+    sins, coss = np.sin(rad), np.cos(rad)
+    center = size // 2
+    r_shift = center * (coss + sins - 1)
+    c_shift = center * (coss - sins - 1)
+    radius = size // 2
+    xs = np.arange(-radius, size - radius)
+    squared = xs**2
+    limits = (((squared[:, None] + squared[None, :]) > (radius + 2) ** 2).sum(0) // 2).astype(int)
+    i_idx = np.arange(size)
+    keep = (i_idx[None, :] >= limits[:, None]) & (i_idx[None, :] < size - limits[:, None])
+    keep_flat = keep.ravel()
+    cnt = keep.sum(1)  # samples per offset j (same for every angle)
+    j = np.arange(size, dtype=np.float64)[:, None]
+    i = np.arange(size, dtype=np.float64)[None, :]
+    W = size + 3
+    flats, ws = [], [[], [], [], []]
+    for a in range(len(theta)):
+        r = j * (-sins[a]) + i * coss[a] - c_shift[a]
+        c = j * coss[a] + i * sins[a] - r_shift[a]
+        fr = np.floor(r)
+        fc = np.floor(c)
+        dr = (r - fr).astype(np.float32).ravel()[keep_flat]
+        dc = (c - fc).astype(np.float32).ravel()[keep_flat]
+        # bilinear corner weights, precomputed once for every slice
+        ws[0].append((1 - dr) * (1 - dc))
+        ws[1].append((1 - dr) * dc)
+        ws[2].append(dr * (1 - dc))
+        ws[3].append(dr * dc)
+        fri = fr.astype(np.int64)
+        fci = fc.astype(np.int64)
+        # redirect far-out samples to the zero border rows/cols (size+1, size+2)
+        fri = np.where((fri < -1) | (fri > size), size, fri)
+        fci = np.where((fci < -1) | (fci > size), size, fci)
+        flats.append(((fri + 1) * W + (fci + 1)).ravel()[keep_flat])  # int64 gathers
+    flat = np.concatenate(flats)
+    cnt_all = np.tile(cnt, len(theta))
+    starts = np.concatenate(([0], np.cumsum(cnt_all)[:-1]))
+    empty = cnt_all == 0
+    np.clip(starts, 0, max(len(flat) - 1, 0), out=starts)
+    tables = (
+        # per-corner index tables (int32 indices take numpy's slow buffered path)
+        (flat, flat + 1, flat + W, flat + (W + 1)),
+        tuple(np.concatenate(w) for w in ws),
+        starts,
+        empty,
+    )
+    if len(_RADON_TABLE_CACHE) >= 4:
+        _RADON_TABLE_CACHE.clear()
+    _RADON_TABLE_CACHE[key] = tables
+    return tables
+
+
+def radon_numpy(image: np.ndarray, theta, num_threads: int = 1) -> np.ndarray:
+    """Radon transform of a stack of square slices, vectorized.
+
+    ``image`` is ``(S, size, size)`` and must already be zeroed outside the
+    inscribed circle (the wrapper validates and zeroes, parity
+    ``radon.py:73-88``).  One bilinear 4-gather + lerp over all
+    angles×offsets×ray-samples per slice, ray sums accumulated in float64;
+    slices fan out on a thread pool (gathers and ufuncs release the GIL).
+    Returns ``(S, size, len(theta))``.
+    """
+    image = np.asarray(image)
+    S, size, _ = image.shape
+    theta = np.asarray(theta, dtype=np.float64)
+    n_ang = len(theta)
+    idxs, ws, starts, empty = _radon_tables(size, theta)
+    W = size + 3
+    out = np.empty((S, size, n_ang), dtype=np.float64)
+
+    def run(s: int) -> None:
+        pad = np.zeros((W, W), dtype=np.float32)
+        pad[1 : size + 1, 1 : size + 1] = image[s]
+        P = pad.ravel()
+        acc = P[idxs[0]]
+        acc *= ws[0]
+        for k in (1, 2, 3):
+            v = P[idxs[k]]
+            v *= ws[k]
+            acc += v
+        rows = np.add.reduceat(acc.astype(np.float64), starts)
+        if empty.any():
+            rows[empty] = 0.0
+        out[s] = rows.reshape(n_ang, size).T
+
+    if num_threads > 1 and S > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(num_threads, S)) as ex:
+            list(ex.map(run, range(S)))
+    else:
+        for s in range(S):
+            run(s)
+    return out
+
+
+def _iradon_tables(output_size: int, img_shape: int, theta: np.ndarray):
+    """Per-angle 1-D lerp tables for back-projection (`_backprojection.pyx:
+    22-38` semantics): flat index into the zero-tail-padded (n_ang,
+    img_shape+2) filtered sinogram plus the lerp fraction; out-of-range t
+    redirects to the zero tail with fraction 0."""
+    key = (output_size, img_shape, theta.tobytes())
+    hit = _IRADON_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rad = np.deg2rad(np.asarray(theta, dtype=np.float64))
+    sins, coss = np.sin(rad), np.cos(rad)
+    radius = output_size // 2
+    xs = np.arange(-radius, output_size - radius, dtype=np.float64)
+    right = img_shape - 1
+    min_val = float(img_shape // 2)
+    Wr = img_shape + 2
+    flats, fracs = [], []
+    for k in range(len(theta)):
+        t = xs[None, :] * coss[k] - xs[:, None] * sins[k] + min_val
+        valid = (t >= 0) & (t <= right)
+        ft = np.floor(t)
+        frac = np.where(valid, t - ft, 0.0).astype(np.float32)
+        idx = np.where(valid, ft.astype(np.int64), img_shape)
+        flats.append((k * Wr + idx).ravel())  # int64: fast gather path
+        fracs.append(frac.ravel())
+    tables = (np.concatenate(flats), np.concatenate(fracs))
+    if len(_IRADON_TABLE_CACHE) >= 4:
+        _IRADON_TABLE_CACHE.clear()
+    _IRADON_TABLE_CACHE[key] = tables
+    return tables
+
+
+def iradon_backproject_numpy(
+    filtered: np.ndarray, theta, output_size: int, fill_value: float = 0.0,
+    num_threads: int = 1,
+) -> np.ndarray:
+    """Back-projection of a filtered sinogram stack, vectorized.
+
+    ``filtered`` is ``(S, img_shape, n_ang)`` (the FFT-filtered, circle-to-
+    square-padded sinogram, parity ``radon.py:164-187``).  Per slice: one
+    2-gather 1-D lerp over all pixels×angles, angle sums in float64, π/(2n)
+    scaling, ``fill_value`` outside the inscribed circle.  Slices fan out on
+    a thread pool.  Returns ``(S, output_size, output_size)``.
+    """
+    filtered = np.asarray(filtered)
+    S, img_shape, n_ang = filtered.shape
+    theta = np.asarray(theta, dtype=np.float64)
+    flat, frac = _iradon_tables(output_size, img_shape, theta)
+    radius = output_size // 2
+    xs = np.arange(-radius, output_size - radius)
+    inside = (xs[:, None] ** 2 + xs[None, :] ** 2) <= radius**2
+    mult = np.pi / (2 * n_ang)
+    Wr = img_shape + 2
+    out = np.full((S, output_size, output_size), float(fill_value), dtype=np.float64)
+
+    def run(s: int) -> None:
+        rows = np.zeros((n_ang, Wr), dtype=np.float32)
+        rows[:, :img_shape] = filtered[s].T
+        Fr = rows.ravel()
+        v0 = Fr[flat]
+        v1 = Fr[flat + 1]
+        v1 -= v0
+        v1 *= frac
+        v1 += v0
+        acc = v1.reshape(n_ang, output_size, output_size).sum(0, dtype=np.float64)
+        out[s][inside] = (acc * mult)[inside]
+
+    if num_threads > 1 and S > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(num_threads, S)) as ex:
+            list(ex.map(run, range(S)))
+    else:
+        for s in range(S):
+            run(s)
     return out
 
 

@@ -21,7 +21,7 @@ Spark design (SURVEY.md §2.1 #13-14):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..backend import resolve_backend
@@ -29,6 +29,28 @@ from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import normalize_num_threads
 
 __all__ = ["radon", "inverse_radon"]
+
+
+def _validate_and_zero(image: np.ndarray):
+    """Circle-constancy validation + zeroing (parity ``radon.py:73-88``).
+    ``image`` is (S, size, size); returns (image, fill) with the outside
+    zeroed."""
+    size = image.shape[1]
+    radius = size // 2
+    xs = np.arange(-radius, size - radius)
+    squared = xs**2
+    outside_circle = (squared[:, None] + squared[None, :]) > radius**2
+    values = image[:, outside_circle]
+    min_, max_ = values.min(), values.max()
+    if max_ - min_ > 0.1:
+        raise ValueError(
+            f"The image must be constant outside the circle. "
+            f"Got values ranging from {min_} to {max_}."
+        )
+    if min_ != 0 or max_ != 0:
+        image = image.copy()
+        image[:, outside_circle] = 0
+    return image, min_
 
 
 def _normalize_axes(x: np.ndarray, axes):
@@ -60,34 +82,62 @@ def radon(
     num_threads: int = -1,
     backend=None,
 ):
-    """Radon transform of square 2-D slices (parity ``radon.py:16-102``)."""
-    resolve_backend(backend)
-    normalize_num_threads(num_threads)
+    """Radon transform of square 2-D slices (parity ``radon.py:16-102``).
+
+    Strategies: ``'join'`` (default) runs the distributed gather-join plan;
+    ``'udf'`` runs the vectorized per-slice kernel (``kernels.radon_numpy``)
+    — the analog of the reference's compiled kernel.  A blob-table
+    ``DataFrame`` input always uses the kernel, one Arrow task per image.
+    """
+    strategy = resolve_backend(backend)
+    n_threads = normalize_num_threads(num_threads)
+    if isinstance(theta, int):
+        theta = np.linspace(0, 180, theta, endpoint=False)
+    theta = np.asarray(theta, dtype=np.float64)
+
+    if isinstance(image, DataFrame):  # blob table -> per-image kernel
+        from ..kernels import radon_numpy
+        from ..tensor_io import map_blobs
+
+        if return_fill:
+            raise ValueError("return_fill is only supported on the ndarray path")
+
+        def _k(arr: np.ndarray) -> np.ndarray:
+            a3 = arr[None] if arr.ndim == 2 else arr.reshape(-1, *arr.shape[-2:])
+            if a3.shape[1] != a3.shape[2]:
+                raise ValueError("blob images must be square along the last two axes")
+            a3, _ = _validate_and_zero(a3.astype(np.float64, copy=False))
+            res = radon_numpy(a3, theta)
+            out_shape = arr.shape[:-2] + res.shape[1:]
+            res = res.reshape(out_shape)
+            return res.astype(np.float32) if arr.dtype == np.float32 else res
+
+        return map_blobs(image, _k)
+
+    in_dtype = np.asarray(image).dtype
     image, axes, extra = _normalize_axes(np.asarray(image, dtype=np.float64), axes)
     if image.shape[1] != image.shape[2]:
         raise ValueError(
             f"The image must be square along the provided axes ({axes}), "
             f"but has shape: {image.shape[1:]}."
         )
-    if isinstance(theta, int):
-        theta = np.linspace(0, 180, theta, endpoint=False)
-    theta = np.asarray(theta, dtype=np.float64)
-
     size = image.shape[1]
     radius = size // 2
     xs = np.arange(-radius, size - radius)
     squared = xs**2
-    outside_circle = (squared[:, None] + squared[None, :]) > radius**2
-    values = image[:, outside_circle]
-    min_, max_ = values.min(), values.max()
-    if max_ - min_ > 0.1:
-        raise ValueError(
-            f"The image must be constant outside the circle. "
-            f"Got values ranging from {min_} to {max_}."
-        )
-    if min_ != 0 or max_ != 0:
-        image = image.copy()
-        image[:, outside_circle] = 0
+    image, min_ = _validate_and_zero(image)
+
+    if strategy.name == "udf":
+        from ..kernels import radon_numpy
+
+        result = radon_numpy(image, theta, num_threads=n_threads)
+        result = _restore_axes(result, axes, extra)
+        if in_dtype == np.float32:  # compute dtype follows the input float dtype
+            result = result.astype(np.float32)
+        if return_fill:
+            return result, min_
+        return result
+
     limits = (((squared[:, None] + squared[None, :]) > (radius + 2) ** 2).sum(0) // 2).astype(int)
 
     spark = SparkSession.getActiveSession()
@@ -160,6 +210,8 @@ def radon(
     out_tf = TensorFrame(df=sino, shape=(image.shape[0], size, len(theta)), dtype=np.dtype(np.float64))
     result = decode_volume(out_tf, default=0.0)
     result = _restore_axes(result, axes, extra)
+    if in_dtype == np.float32:  # compute dtype follows the input float dtype
+        result = result.astype(np.float32)
     if return_fill:
         return result, min_
     return result
@@ -189,6 +241,33 @@ def _sinogram_circle_to_square(sinogram: np.ndarray) -> np.ndarray:
     return np.pad(sinogram, ((0, 0), (pad_before, pad - pad_before), (0, 0)))
 
 
+def _filter_sinogram(sinogram: np.ndarray, a: float, b: float, num_threads: int = 1):
+    """Circle→square pad + pow-2 pad + FFT ramp/sharpen filter (parity
+    ``radon.py:164-187``).  ``sinogram`` is (S, pos, n_ang); returns the
+    filtered (S, img_shape, n_ang) array.  Slices are independent, so the
+    FFTs fan out over slice chunks (pocketfft releases the GIL)."""
+    sinogram = _sinogram_circle_to_square(sinogram)
+    S, img_shape, _ = sinogram.shape
+    projection_size_padded = max(64, int(2 ** np.ceil(np.log2(2 * img_shape))))
+    fourier_filter = _smooth_sharpen_filter(projection_size_padded, a, b)
+    pad_spec = ((0, 0), (0, projection_size_padded - img_shape), (0, 0))
+
+    def _chunk(sl):
+        padded = np.pad(sinogram[sl], pad_spec)
+        return np.real(
+            np.fft.ifft(np.fft.fft(padded, axis=1) * fourier_filter, axis=1)
+        )[:, :img_shape, :]
+
+    if num_threads > 1 and S >= num_threads:
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.linspace(0, S, num_threads + 1).astype(int)
+        slices = [slice(bounds[i], bounds[i + 1]) for i in range(num_threads)]
+        with ThreadPoolExecutor(max_workers=num_threads) as ex:
+            return np.concatenate(list(ex.map(_chunk, slices)))
+    return _chunk(slice(None))
+
+
 def inverse_radon(
     sinogram: np.ndarray,
     axes=None,
@@ -199,9 +278,34 @@ def inverse_radon(
     num_threads: int = -1,
     backend=None,
 ):
-    """Filtered back-projection (parity ``radon.py:105-201``)."""
-    resolve_backend(backend)
-    normalize_num_threads(num_threads)
+    """Filtered back-projection (parity ``radon.py:105-201``).
+
+    Strategies as in :func:`radon`: ``'join'`` (default) distributed
+    gather-join back-projection; ``'udf'`` the vectorized kernel
+    (``kernels.iradon_backproject_numpy``); blob-table DataFrames run the
+    full filter+backproject pipeline per image in Arrow tasks.
+    """
+    strategy = resolve_backend(backend)
+    n_threads = normalize_num_threads(num_threads)
+
+    if isinstance(sinogram, DataFrame):  # blob table -> per-image kernel
+        from ..kernels import iradon_backproject_numpy
+        from ..tensor_io import map_blobs
+
+        def _k(arr: np.ndarray) -> np.ndarray:
+            s3 = arr[None] if arr.ndim == 2 else arr.reshape(-1, *arr.shape[-2:])
+            th = s3.shape[-1] if theta is None else theta
+            th = np.linspace(0, 180, th, endpoint=False) if isinstance(th, int) else np.asarray(th)
+            if len(th) != s3.shape[-1]:
+                raise ValueError("`theta` does not match the number of projections")
+            filt = _filter_sinogram(s3.astype(np.float64, copy=False), a, b)
+            res = iradon_backproject_numpy(filt, th, s3.shape[1], fill_value)
+            res = res.reshape(arr.shape[:-2] + res.shape[1:])
+            return res.astype(np.float32) if arr.dtype == np.float32 else res
+
+        return map_blobs(sinogram, _k)
+
+    in_dtype = np.asarray(sinogram).dtype
     sinogram, axes, extra = _normalize_axes(np.asarray(sinogram, dtype=np.float64), axes)
     if theta is None:
         theta = sinogram.shape[-1]
@@ -214,14 +318,19 @@ def inverse_radon(
             f"projections in `sinogram` ({sinogram.shape[-1]})."
         )
     output_size = sinogram.shape[1]
-    sinogram = _sinogram_circle_to_square(sinogram)
-    img_shape = sinogram.shape[1]
-    projection_size_padded = max(64, int(2 ** np.ceil(np.log2(2 * img_shape))))
-    padded = np.pad(sinogram, ((0, 0), (0, projection_size_padded - img_shape), (0, 0)))
-    fourier_filter = _smooth_sharpen_filter(projection_size_padded, a, b)
-    filtered = np.real(np.fft.ifft(np.fft.fft(padded, axis=1) * fourier_filter, axis=1))[
-        :, :img_shape, :
-    ]
+    filtered = _filter_sinogram(sinogram, a, b, num_threads=n_threads)
+    img_shape = filtered.shape[1]
+
+    if strategy.name == "udf":
+        from ..kernels import iradon_backproject_numpy
+
+        result = iradon_backproject_numpy(
+            filtered, theta, output_size, fill_value, num_threads=n_threads
+        )
+        result = _restore_axes(result, axes, extra)
+        if in_dtype == np.float32:
+            result = result.astype(np.float32)
+        return result
 
     radius = output_size // 2
     xs = np.arange(-radius, output_size - radius)
@@ -288,4 +397,7 @@ def inverse_radon(
     )
     result = decode_volume(out_tf, default=0.0)
     result[:, ~inside] = fill_value
-    return _restore_axes(result, axes, extra)
+    result = _restore_axes(result, axes, extra)
+    if in_dtype == np.float32:  # compute dtype follows the input float dtype
+        result = result.astype(np.float32)
+    return result

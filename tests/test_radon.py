@@ -136,6 +136,47 @@ def test_iradon_theta_mismatch(spark):
         inverse_radon(np.zeros((1, 8, 5)), axes=(1, 2), theta=np.arange(4.0))
 
 
+def test_radon_udf_matches_oracle():
+    ct = sample_ct(2, 24)
+    theta = np.linspace(0, 180, 12, endpoint=False)
+    got = radon(ct, axes=(1, 2), theta=theta, backend="udf")
+    assert_allclose(got, np_radon(ct, theta), rtol=1e-5, atol=1e-5)
+
+
+def test_iradon_udf_matches_oracle():
+    ct = sample_ct(1, 20)
+    theta = np.linspace(0, 180, 10, endpoint=False)
+    sino = np_radon(ct, theta)
+    got = inverse_radon(sino, axes=(1, 2), theta=theta, fill_value=-7.0, backend="udf")
+    assert_allclose(got, np_iradon(sino, theta, fill_value=-7.0), rtol=1e-5, atol=1e-5)
+
+
+def test_radon_float32_preserved():
+    ct = sample_ct(1, 16).astype(np.float32)
+    out = radon(ct, axes=(1, 2), theta=8, backend="udf")
+    assert out.dtype == np.float32
+    sino = np_radon(ct.astype(np.float64), np.linspace(0, 180, 8, endpoint=False))
+    rec = inverse_radon(sino.astype(np.float32), axes=(1, 2), backend="udf")
+    assert rec.dtype == np.float32
+
+
+def test_radon_blob_path(spark):
+    from imops_spark.tensor_io import decode_blobs, encode_blobs
+
+    theta = np.linspace(0, 180, 9, endpoint=False)
+    arrays = {i: sample_ct(1, 18)[0] for i in range(3)}
+    blobs = encode_blobs(spark, arrays)
+    out = decode_blobs(radon(blobs, theta=theta))
+    # kernel gathers in float32: a couple of ulp relative to the f64 oracle
+    for i, a in arrays.items():
+        assert_allclose(out[i], np_radon(a[None], theta)[0], rtol=1e-4, atol=1e-2)
+    # and back through the blob iradon
+    sinos = {i: np_radon(a[None], theta)[0] for i, a in arrays.items()}
+    rec = decode_blobs(inverse_radon(encode_blobs(spark, sinos), theta=theta, fill_value=0.0))
+    for i, s in sinos.items():
+        assert_allclose(rec[i], np_iradon(s[None], theta)[0], rtol=1e-4, atol=1e-2)
+
+
 def test_radon_iradon_roundtrip(spark):
     # FBP of the radon transform should reconstruct the phantom (loose check,
     # the reference tests use 3-decimal agreement vs skimage on CT phantoms).

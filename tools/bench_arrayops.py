@@ -123,6 +123,31 @@ def main():
         )
     )
 
+    from imops_spark.operators.radon import inverse_radon as _iradon
+    from imops_spark.operators.radon import radon as _radon
+    from imops_spark.testing import sample_ct
+
+    n_r = 128 if QUICK else 256
+    ct = sample_ct(n_r, n_r)
+    theta_b = np.linspace(0, 180, 180, endpoint=False)
+    rows.append(
+        (
+            f"radon {n_r}^3 f64 x 180 angles (udf, 16 threads)",
+            t(_radon, ct, axes=(1, 2), theta=theta_b, backend="udf", num_threads=16, repeat=2),
+            5982,
+            59711,
+        )
+    )
+    sino_b = _radon(ct, axes=(1, 2), theta=theta_b, backend="udf", num_threads=16)
+    rows.append(
+        (
+            f"inverse_radon {n_r}^3 f64 x 180 (udf, 16 threads)",
+            t(_iradon, sino_b, axes=(1, 2), theta=theta_b, backend="udf", num_threads=16, repeat=2),
+            8254,
+            52928,
+        )
+    )
+
     # --- blob path: parallel per-image throughput ------------------------
     from imops_spark.session import get_spark as _gs
     from imops_spark.tensor_io import encode_blobs, map_blobs
