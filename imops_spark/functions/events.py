@@ -36,14 +36,16 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     identical ``FLOOR(epoch(ts))``.
     """
     path = f"{sf_dir}/events.parquet"
+    # Set nanosAsLong unconditionally (the streaming twin does the same):
+    # NANOS columns then read as nano-longs, MICROS/MILLIS still read as
+    # timestamps, and ``with_ts_sec`` normalizes either.  Probing with a
+    # try/except would burn an intentionally-failing Spark job per session.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
-        df.schema  # force schema resolution
-    except Exception:
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        df.schema
+        df.schema  # force schema resolution while the conf is set
+    finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return with_ts_sec(df)
 

@@ -93,40 +93,46 @@ def convex_hull_image(image, offset_coordinates: bool = True):
         out = np.zeros((M, N), dtype=bool)
         return out if arr_mode else encode_volume(spark, out)
 
-    bounds = []
+    by_image: dict = {}
     for rrow in rows:
-        bounds.append((rrow["r"], rrow["left"]))
-        bounds.append((rrow["r"], rrow["right"]))
-    bounds = np.array(sorted(set(bounds)), dtype=np.float64)
+        pts = by_image.setdefault(rrow[IMAGE_ID], set())
+        pts.add((rrow["r"], rrow["left"]))
+        pts.add((rrow["r"], rrow["right"]))
 
-    # 2. Hull of the candidate set (tiny -> driver-side monotone chain).
-    coords = _offset_candidates(bounds) if offset_coordinates else bounds
-    verts = monotone_chain(coords)
-    if len(verts) < 3:
-        warnings.warn("Failed to get convex hull image. Returning empty image.")
-        out = np.zeros((M, N), dtype=bool)
-        return out if arr_mode else encode_volume(spark, out)
-
+    # 2. Hull of each image's candidate set (tiny -> driver-side monotone
+    #    chain, one per image — multi-image tables get per-image hulls).
     # 3. Scanline rasterization as a relational query: hull edges -> per-row
     #    y-bounds -> exploded runs.  Replicates _grid_points_in_poly exactly,
     #    including the float32 vertex quantization and +-0.2 intify fudge.
-    verts = verts.astype(np.float32)
-    nv = len(verts)
     edge_rows = []
-    for i in range(nv):
-        px, py = float(verts[(i - 1) % nv][0]), float(verts[(i - 1) % nv][1])
-        cx, cy = float(verts[i][0]), float(verts[i][1])
-        if px == cx:
-            x_set = int(np.floor(px) if py < cy else np.ceil(px))
-            edge_rows.append((x_set, x_set, px, py, cx, cy, 1))
-        else:
-            fx, fy, tx, ty = (px, py, cx, cy) if px < cx else (cx, cy, px, py)
-            x_start = int(np.ceil(np.float32(fx)))
-            x_stop = int(np.floor(np.float32(tx) + 1)) - 1
-            edge_rows.append((x_start, x_stop, fx, fy, tx, ty, 0))
+    for img_id in sorted(by_image):
+        bounds = np.array(sorted(by_image[img_id]), dtype=np.float64)
+        coords = _offset_candidates(bounds) if offset_coordinates else bounds
+        verts = monotone_chain(coords)
+        if len(verts) < 3:
+            warnings.warn("Failed to get convex hull image. Returning empty image.")
+            continue
+        verts = verts.astype(np.float32)
+        nv = len(verts)
+        for i in range(nv):
+            px, py = float(verts[(i - 1) % nv][0]), float(verts[(i - 1) % nv][1])
+            cx, cy = float(verts[i][0]), float(verts[i][1])
+            if px == cx:
+                x_set = int(np.floor(px) if py < cy else np.ceil(px))
+                edge_rows.append((img_id, x_set, x_set, px, py, cx, cy, 1))
+            else:
+                fx, fy, tx, ty = (px, py, cx, cy) if px < cx else (cx, cy, px, py)
+                x_start = int(np.ceil(np.float32(fx)))
+                x_stop = int(np.floor(np.float32(tx) + 1)) - 1
+                edge_rows.append((img_id, x_start, x_stop, fx, fy, tx, ty, 0))
+    if not edge_rows:
+        out = np.zeros((M, N), dtype=bool)
+        return out if arr_mode else encode_volume(spark, out)
     edges = F.broadcast(
         spark.createDataFrame(
-            edge_rows, "x_start int, x_stop int, fx float, fy float, tx float, ty float, vert int"
+            edge_rows,
+            f"{IMAGE_ID} long, x_start int, x_stop int, "
+            "fx float, fy float, tx float, ty float, vert int",
         )
     )
     scan = spark.range(0, M).select(F.col("id").cast("int").alias("m"))
@@ -138,14 +144,17 @@ def convex_hull_image(image, offset_coordinates: bool = True):
     )
     bound_lo = F.when(F.col("vert") == 1, F.least("fy", "ty")).otherwise(lerp_y)
     bound_hi = F.when(F.col("vert") == 1, F.greatest("fy", "ty")).otherwise(lerp_y)
-    per_row = hit.groupBy("m").agg(F.min(bound_lo).alias("lb"), F.max(bound_hi).alias("rb"))
+    per_row = hit.groupBy(IMAGE_ID, "m").agg(
+        F.min(bound_lo).alias("lb"), F.max(bound_hi).alias("rb")
+    )
     runs = per_row.select(
+        IMAGE_ID,
         "m",
         F.greatest(F.lit(0), F.ceil(F.col("lb") - F.lit(np.float32(0.2))).cast("int")).alias("lb"),
         F.least(F.lit(N - 1), F.floor(F.col("rb") + F.lit(np.float32(0.2))).cast("int")).alias("rb"),
     ).filter(F.col("lb") <= F.col("rb"))
     mask = runs.select(
-        F.lit(0).cast("long").alias(IMAGE_ID),
+        F.col(IMAGE_ID),
         F.col("m").alias("i0"),
         F.explode(F.sequence("lb", "rb")).alias("i1"),
         F.lit(True).alias(VAL),

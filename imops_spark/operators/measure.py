@@ -254,7 +254,7 @@ def label(
     """
     arr = np.asarray(label_image)
     ndim = arr.ndim
-    connectivity = connectivity or ndim
+    connectivity = ndim if connectivity is None else connectivity
     if not 1 <= connectivity <= ndim:
         raise ValueError(
             f"Connectivity for {ndim}D image should be in [1, ..., {ndim}], got {connectivity}"

@@ -105,7 +105,10 @@ def full_df(
         F.lit(image_id).cast("long").alias(IMAGE_ID), F.col("id").cast("int").alias("i0")
     )
     for k, s in enumerate(shape[1:], start=1):
-        df = df.withColumn(f"i{k}", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        # sequence(0, s-1) descends for s == 0 — a zero axis must yield an
+        # empty grid, not coordinates 0 and -1.
+        seq = F.sequence(F.lit(0), F.lit(s - 1)) if s > 0 else F.array().cast("array<int>")
+        df = df.withColumn(f"i{k}", F.explode(seq))
     if dtype == np.bool_:
         lit = F.lit(bool(fill_value))
     elif dtype.kind in "iu":

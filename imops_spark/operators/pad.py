@@ -66,7 +66,9 @@ def _fill_slabs(new_shape, padding):
             s = list(lo)
             s[k] = (int(new_shape[k] - after), int(new_shape[k]))
             slabs.append(s)
-    return slabs
+    # Drop empty slabs (a zero-size axis makes some range [start, start)):
+    # sequence(a, a-1) DESCENDS in Spark and would emit bogus coordinates.
+    return [s for s in slabs if all(stop > start for start, stop in s)]
 
 
 def pad_df(tf: TensorFrame, padding: np.ndarray, fill_value) -> TensorFrame:

@@ -41,12 +41,19 @@ def _target_grid(spark: SparkSession, image_ids_df, new_shape):
     """Distributed dense target grid joined onto the image-id set."""
     df = image_ids_df
     n0 = new_shape[0]
-    base = spark.range(0, n0, 1, min(max(n0, 1), 32)).select(
+    base = spark.range(0, max(n0, 0), 1, min(max(n0, 1), 32)).select(
         F.col("id").cast("int").alias("j0")
     )
     df = df.crossJoin(base)
     for k, s in enumerate(new_shape[1:], start=1):
-        df = df.withColumn(f"j{k}", F.explode(F.sequence(F.lit(0), F.lit(int(s) - 1))))
+        # sequence(0, s-1) descends for s == 0 — degenerate axes must yield
+        # an empty grid, not bogus coordinates 0 and -1.
+        seq = (
+            F.sequence(F.lit(0), F.lit(int(s) - 1))
+            if int(s) > 0
+            else F.array().cast("array<int>")
+        )
+        df = df.withColumn(f"j{k}", F.explode(seq))
     return df
 
 
@@ -161,7 +168,22 @@ def zoom(
     arr = np.asarray(x)
     if arr.ndim > 4:
         raise ValueError(f"zoom supports ndim<=4, got {arr.ndim}")
+    cast_back = None
     if order == 1 and arr.dtype not in (np.float32, np.float64):
+        # Reference parity (zoom.py:243): non-float order-1 input warns and
+        # falls back to scipy, which computes in float and writes into an
+        # output array of the INPUT dtype (C-cast truncation).  scipy's
+        # grid_mode=False mapping is the same (old-1)/(new-1) convention we
+        # use, so only the final cast differs — replicate warning + cast.
+        import warnings
+
+        warnings.warn(
+            "Fast zoom is only supported for ndim<=4, dtype=fp32-fp64 and "
+            "bool-int16-32-64-uint8-16-32 if order == 0, output=None, order=0 or 1 , "
+            "mode='constant', grid_mode=False. Falling back to scipy's implementation.",
+            stacklevel=2,
+        )
+        cast_back = arr.dtype
         arr = arr.astype(np.float64)
     if resolve_backend(backend).name == "udf":
         from ..kernels import zoom_numpy
@@ -171,7 +193,7 @@ def zoom(
         )
         if order == 0:
             return res.astype(arr.dtype, copy=False)
-        return res.astype(arr.dtype if arr.dtype.kind == "f" else np.float64, copy=False)
+        return res.astype(cast_back or arr.dtype, copy=False)
     spark = SparkSession.getActiveSession()
     work = arr.astype(np.float64) if order == 1 else arr
     tf = encode_volume(spark, work)
@@ -179,7 +201,7 @@ def zoom(
     res = decode_volume(out, default=fill_value)
     if order == 0:
         return res.astype(arr.dtype, copy=False)
-    return res.astype(arr.dtype if arr.dtype.kind == "f" else np.float64, copy=False)
+    return res.astype(cast_back or arr.dtype, copy=False)
 
 
 def zoom_to_shape(

@@ -94,6 +94,24 @@ def test_hull_no_offset(spark):
     assert_array_equal(got, oracle_hull_image(img, offset_coordinates=False))
 
 
+def test_hull_multi_image(spark):
+    """Multi-image voxel tables must yield one hull per image_id."""
+    from imops_spark.operators.convex_hull import convex_hull_image as chi
+    from imops_spark.tensor_io import decode_volume, encode_volumes
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for k in range(3):
+        im = rng.binomial(1, 0.15 + 0.1 * k, (16, 18)).astype(bool)
+        im[k + 2, k + 3] = True
+        imgs[k] = im
+    tf = encode_volumes(spark, imgs)
+    out = chi(tf)
+    for k, im in imgs.items():
+        got = decode_volume(out, image_id=k, default=False)
+        assert_array_equal(got, oracle_hull_image(im)), f"image {k}"
+
+
 def test_hull_empty(spark):
     assert not convex_hull_image(np.zeros((5, 5), dtype=bool)).any()
 

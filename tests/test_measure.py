@@ -117,3 +117,5 @@ def test_label_connectivity_validation(spark):
     a = np.zeros((4, 4), dtype=bool)
     with pytest.raises(ValueError):
         label(a, connectivity=3)
+    with pytest.raises(ValueError):  # 0 must not be coerced to full connectivity
+        label(a, connectivity=0)

@@ -84,6 +84,29 @@ def test_zoom_bad_order(spark):
         zoom(np.zeros((3, 3)), 2.0, order=3)
 
 
+def test_zoom_linear_int_warns_and_preserves_dtype(spark):
+    """Reference parity: order=1 on int warns (scipy fallback) and the result
+    comes back in the INPUT dtype (float computed, C-cast truncated)."""
+    x = np.random.randint(0, 100, size=(8, 9)).astype(np.int32)
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        got = zoom(x, 1.5)
+    assert got.dtype == np.int32
+    exp = np_zoom(x.astype(np.float64), 1.5).astype(np.int32)
+    assert_array_equal(got, exp)
+
+
+def test_zoom_degenerate_axis_empty(spark):
+    """round(old*scale)==0 must yield an empty axis, not bogus coords 0/-1."""
+    from imops_spark.operators.zoom import zoom_df
+    from imops_spark.tensor_io import encode_volume
+
+    x = np.random.randn(6, 4)
+    tf = encode_volume(spark, x)
+    out = zoom_df(tf, [1.0, 0.1], order=1)  # round(4*0.1) == 0
+    assert out.shape == (6, 0)
+    assert out.df.count() == 0
+
+
 def test_zoom_to_shape(spark):
     x = np.random.randn(6, 7)
     got = zoom_to_shape(x, (9, 5))
