@@ -41,46 +41,69 @@ def delaunay_bw(points: np.ndarray) -> np.ndarray:
     d = max(float((cmax - cmin).max()), 1.0) * 64
     sup = np.array([[c[0] - 2 * d, c[1] - d], [c[0] + 2 * d, c[1] - d], [c[0], c[1] + 2 * d]])
     allp = np.vstack([pts, sup])
-    tris = [(n, n + 1, n + 2)]
 
-    def circum_ok(tri):
-        a, b, cc = allp[tri[0]], allp[tri[1]], allp[tri[2]]
-        ax, ay = a
-        bx, by = b
-        cx, cy = cc
+    def circum(tri_arr):
+        """Circumcenters + squared radii for [T,3] index rows (vectorized).
+        Degenerate triangles get r2 = -1 so they never test as 'bad'."""
+        a, b, cc = allp[tri_arr[:, 0]], allp[tri_arr[:, 1]], allp[tri_arr[:, 2]]
+        ax, ay = a[:, 0], a[:, 1]
+        bx, by = b[:, 0], b[:, 1]
+        cx, cy = cc[:, 0], cc[:, 1]
         dd = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-        if dd == 0:
-            return None, None
-        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / dd
-        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / dd
-        center = np.array([ux, uy])
-        r2 = ((a - center) ** 2).sum()
-        return center, r2
+        ok = dd != 0
+        safe = np.where(ok, dd, 1.0)
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / safe
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / safe
+        centers = np.stack([ux, uy], axis=1)
+        r2 = ((a - centers) ** 2).sum(1)
+        r2[~ok] = -1.0
+        return centers, r2
 
-    circums = {t: circum_ok(t) for t in tris}
+    # Growable parallel arrays of live triangles; the bad-triangle search per
+    # insertion is one vectorized distance test over all live triangles
+    # (numpy row-batched — no per-triangle Python loop).
+    cap = max(16, 4 * n)
+    tri_buf = np.empty((cap, 3), dtype=np.int64)
+    cen_buf = np.empty((cap, 2), dtype=np.float64)
+    r2_buf = np.empty(cap, dtype=np.float64)
+    tri_buf[0] = (n, n + 1, n + 2)
+    cen_buf[:1], r2_buf[:1] = circum(tri_buf[:1])
+    size = 1
     for i in range(n):
         p = allp[i]
-        bad = []
-        for t in tris:
-            center, r2 = circums[t]
-            if center is not None and ((p - center) ** 2).sum() <= r2 * (1 + 1e-12):
-                bad.append(t)
+        d2 = ((cen_buf[:size] - p) ** 2).sum(1)
+        bad = np.nonzero(d2 <= r2_buf[:size] * (1 + 1e-12))[0]
         # Boundary polygon of the bad-triangle cavity.
         edge_count: dict = {}
-        for t in bad:
+        for bi in bad:
+            t = tri_buf[bi]
             for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                key = (min(e), max(e))
+                key = (min(e), max(e)) if e[0] > e[1] else (e[0], e[1])
                 edge_count[key] = edge_count.get(key, 0) + 1
-        for t in bad:
-            tris.remove(t)
-            del circums[t]
-        for (u, v), cnt in edge_count.items():
-            if cnt == 1:
-                t = (u, v, i)
-                tris.append(t)
-                circums[t] = circum_ok(t)
-    out = [t for t in tris if max(t) < n]
-    return np.array(sorted(tuple(sorted(t)) for t in out), dtype=np.int64)
+        new_tris = [(u, v, i) for (u, v), cnt in edge_count.items() if cnt == 1]
+        # Compact out the bad rows, then append the cavity re-triangulation.
+        if len(bad):
+            keep = np.ones(size, dtype=bool)
+            keep[bad] = False
+            ksize = int(keep.sum())
+            tri_buf[:ksize] = tri_buf[:size][keep]
+            cen_buf[:ksize] = cen_buf[:size][keep]
+            r2_buf[:ksize] = r2_buf[:size][keep]
+            size = ksize
+        if new_tris:
+            need = size + len(new_tris)
+            if need > len(tri_buf):
+                cap = max(need, 2 * len(tri_buf))
+                tri_buf = np.resize(tri_buf, (cap, 3))
+                cen_buf = np.resize(cen_buf, (cap, 2))
+                r2_buf = np.resize(r2_buf, cap)
+            newt = np.asarray(new_tris, dtype=np.int64)
+            tri_buf[size:need] = newt
+            cen_buf[size:need], r2_buf[size:need] = circum(newt)
+            size = need
+    live = tri_buf[:size]
+    out = live[live.max(axis=1) < n]
+    return np.array(sorted(tuple(sorted(t)) for t in out.tolist()), dtype=np.int64)
 
 
 def _barycentric_eval(

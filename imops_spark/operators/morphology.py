@@ -175,13 +175,40 @@ def _morph_wrapper(op_name, df_op):
                 f"{op_name} is applied to the fully True mask (mask.all() == True)."
             )
             return np.ones_like(image)
-        if strategy.name == "udf":
-            # Per-image vectorized kernel — the reference's Scipy-backend
-            # analog; on blob tables this runs inside Arrow tasks.
-            return _np_op(op_name)(image, np.asarray(footprint))
-        spark = SparkSession.getActiveSession()
-        tf = encode_volume(spark, image)
-        return decode_volume(df_op(tf, np.asarray(footprint)), default=False)
+
+        def run_full(sub):
+            if strategy.name == "udf":
+                # Per-image vectorized kernel — the reference's Scipy-backend
+                # analog; on blob tables this runs inside Arrow tasks.
+                return _np_op(op_name)(sub, np.asarray(footprint))
+            spark = SparkSession.getActiveSession()
+            tf = encode_volume(spark, sub)
+            return decode_volume(df_op(tf, np.asarray(footprint)), default=False)
+
+        if boxed:
+            # Bbox work-skipping, parity with the reference's boxed_morphology
+            # (morphology.py:118-151): run the op only on the mask's bounding
+            # box + 2*footprint//2 margin; everything outside stays False.
+            # Falls back to the full op when the support box would leave the
+            # image (border effects then matter).
+            from ..box import add_margin, mask_to_box, shape_to_box
+            from ..utils import build_slices
+
+            box_delta = np.asarray(np.asarray(footprint).shape) // 2
+            image_box = shape_to_box(image.shape)
+            tight_box = mask_to_box(image)
+            supp_box = add_margin(tight_box, 2 * box_delta)
+            if not ((supp_box[0] < image_box[0]).any() or (image_box[1] < supp_box[1]).any()):
+                final_box = add_margin(tight_box, box_delta)
+                sub = image[build_slices(supp_box[0], supp_box[1])]
+                res_sub = run_full(sub)
+                inner = res_sub[
+                    build_slices(box_delta, np.asarray(res_sub.shape) - box_delta)
+                ]
+                out = np.zeros_like(image)
+                out[build_slices(final_box[0], final_box[1])] = inner
+                return out
+        return run_full(image)
 
     wrapped.__name__ = op_name
     return wrapped

@@ -149,3 +149,32 @@ def test_edt_blob_path(spark):
     out = decode_blobs(distance_transform_edt(blobs))
     for i, a in arrays.items():
         assert_allclose(out[i], brute_edt(a).astype(np.float32), rtol=1e-5)
+
+
+@pytest.mark.parametrize("op", [binary_dilation, binary_erosion, binary_closing, binary_opening])
+def test_boxed_matches_unboxed_interior(spark, op):
+    """boxed=True is pure work-skipping: identical output for a mask whose
+    support box (tight bbox + 2*footprint//2) stays inside the image."""
+    rng = np.random.default_rng(21)
+    x = np.zeros((24, 26), dtype=bool)
+    x[8:14, 9:16] = rng.random((6, 7)) > 0.4
+    x[10, 11] = True  # non-empty
+    assert_array_equal(op(x, boxed=True), op(x, boxed=False))
+
+
+@pytest.mark.parametrize("op", [binary_dilation, binary_erosion])
+def test_boxed_matches_unboxed_border(spark, op):
+    """A mask touching the border must fall back to the full op — still the
+    same answer as unboxed."""
+    x = np.zeros((12, 12), dtype=bool)
+    x[0:4, 3:8] = True
+    assert_array_equal(op(x, boxed=True), op(x, boxed=False))
+
+
+def test_boxed_3d(spark):
+    rng = np.random.default_rng(22)
+    x = np.zeros((14, 15, 16), dtype=bool)
+    x[5:9, 6:10, 4:9] = rng.random((4, 4, 5)) > 0.5
+    x[6, 7, 5] = True
+    assert_array_equal(binary_dilation(x, boxed=True), binary_dilation(x, boxed=False))
+    assert_array_equal(binary_erosion(x, boxed=True), binary_erosion(x, boxed=False))
