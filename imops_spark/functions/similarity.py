@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -81,17 +83,33 @@ def lsh_buckets_df(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector a sign-LSH bucket id: ``(vec_id, bucket)``."""
-    bucket = None
-    for p in range(planes):
-        comps = [plane_component(d, p) for d in range(dim)]
-        proj = None
-        for d, w in enumerate(comps):
-            term = F.element_at(F.col(vec_col), d + 1) * F.lit(w)
-            proj = term if proj is None else proj + term
-        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    """Assign each vector a sign-LSH bucket id: ``(vec_id, bucket)``.
+
+    One Arrow-batched GEMM against the [planes, dim] hyperplane matrix
+    shipped in the UDF closure — plan size stays constant in the embedding
+    dim (a planes*dim expression tree would explode Catalyst codegen at
+    dim >= 1024).  The projection is an explicit sequential-order
+    accumulation so sign decisions are bit-identical to the former
+    per-dimension column arithmetic.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    w = np.array(
+        [[plane_component(d, p) for d in range(dim)] for p in range(planes)],
+        dtype=np.float64,
+    )
+    weights = np.asarray([2**p for p in range(planes)], dtype=np.int64)
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])[:, :dim]
+        # accumulate in dimension order (matches left-to-right column sums)
+        proj = np.zeros((len(m), len(w)))
+        for d in range(dim):
+            proj += m[:, d, None] * w[None, :, d]
+        return pd.Series(((proj >= 0) @ weights).astype("int32"))
+
+    return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
 
 
 def ivf_centroids(

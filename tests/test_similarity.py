@@ -1,0 +1,108 @@
+"""Tests for similarity search: exact top-k vs a numpy brute-force oracle,
+LSH bucket determinism + GEMM parity, IVF exactness at full probe."""
+
+import numpy as np
+import pytest
+
+from imops_spark.functions.similarity import (
+    cosine_topk_df,
+    ivf_topk_df,
+    lsh_buckets_df,
+    lsh_topk_df,
+    plane_component,
+)
+
+DIM = 16
+
+
+def _vectors(spark, n, seed):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, DIM))
+    rows = [(i, [float(v) for v in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), m
+
+
+def _np_topk(m, qm, qids, k):
+    """Brute-force oracle replicating the engine's round(.,6) + id tie-break."""
+    out = {}
+    norms = np.linalg.norm(m, axis=1)
+    for qi, qv in zip(qids, qm):
+        cos = np.round(m @ qv / (norms * np.linalg.norm(qv)), 6)
+        cand = [(float(c), int(i)) for i, c in enumerate(cos) if i != qi]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[qi] = cand[:k]
+    return out
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    df, m = _vectors(spark, 40, 31)
+    queries = df.filter("vec_id < 5")
+    got = cosine_topk_df(df, queries, k=4).collect()
+    exp = _np_topk(m, m[:5], range(5), 4)
+    assert len(got) == 5 * 4
+    for r in got:
+        c, i = exp[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == i and abs(r["cosine"] - c) < 1e-9
+
+
+def test_lsh_buckets_deterministic_and_match_numpy(spark):
+    df, m = _vectors(spark, 30, 32)
+    got = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=5, dim=DIM).collect()}
+    w = np.array([[plane_component(d, p) for d in range(DIM)] for p in range(5)])
+    # sequential-order accumulation, as the kernel does
+    proj = np.zeros((30, 5))
+    for d in range(DIM):
+        proj += m[:, d, None] * w[None, :, d]
+    exp = ((proj >= 0) @ (2 ** np.arange(5))).astype(int)
+    assert got == {i: int(exp[i]) for i in range(30)}
+    # stable across invocations (hyperplanes are hash-derived, no RNG state)
+    again = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=5, dim=DIM).collect()}
+    assert got == again
+
+
+def test_lsh_topk_subset_of_bucketmates_ranked_exactly(spark):
+    df, m = _vectors(spark, 50, 33)
+    queries = df.filter("vec_id < 4")
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=3, dim=DIM).collect()}
+    got = lsh_topk_df(df, queries, k=3, planes=3, dim=DIM).collect()
+    norms = np.linalg.norm(m, axis=1)
+    for qi in range(4):
+        mates = [i for i in range(50) if i != qi and buckets[i] == buckets[qi]]
+        cand = sorted(
+            ((-(np.round(m[i] @ m[qi] / (norms[i] * norms[qi]), 6)), i) for i in mates)
+        )[:3]
+        rows = sorted((r for r in got if r["query_id"] == qi), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == [i for _, i in cand]
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """n_probe == n_centroids degenerates IVF to exact brute force."""
+    df, m = _vectors(spark, 40, 34)
+    queries = df.filter("vec_id < 5")
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_df(df, queries, k=3).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk_df(df, queries, k=3, n_centroids=4, n_probe=4).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_probe_recall_reasonable(spark):
+    """At n_probe=2 of 4 lists, top-1 recall on random gaussian data should
+    be well above chance (the top-1 neighbor's list is probed unless the
+    query sits right on a centroid boundary)."""
+    df, _ = _vectors(spark, 120, 35)
+    queries = df.filter("vec_id < 20")
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_df(df, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk_df(df, queries, k=1, n_centroids=4, n_probe=2).collect()
+    }
+    hits = sum(1 for q in exact if approx.get(q) == exact[q])
+    assert hits >= 10, f"top-1 recall {hits}/20 too low"
