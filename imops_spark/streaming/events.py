@@ -33,9 +33,18 @@ __all__ = [
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file directory glob).
 
-    Timestamps arrive as TIMESTAMP(NANOS) which Spark cannot represent; we
-    read them as nano-longs and materialize a true timestamp column ``ts_t``
-    (second precision) plus ``ts_sec`` — matching the batch loader.
+    ``ts`` precision is testdata-dependent and must be dispatched on the
+    *resolved* Spark type, exactly like the batch ``with_ts_sec``:
+
+    - TIMESTAMP(NANOS) parquet has no Spark type; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` set during schema resolution
+      it arrives as a long of epoch-nanoseconds -> integer-divide to seconds.
+    - TIMESTAMP(MICROS/MILLIS) arrives as TIMESTAMP_NTZ (Spark 4 reads naive
+      parquet timestamps as wall-clock) -> ``unix_timestamp``.
+
+    Either way we materialize ``ts_sec`` (bigint epoch seconds) and ``ts_t``
+    (second-precision timestamp for watermarks/windows) so every downstream
+    streaming operator sees one schema, identical to the batch loader's.
     """
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,7 +58,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    ts_sec = F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    if dict(stream.dtypes)["ts"].startswith("timestamp"):
+        ts_sec = F.unix_timestamp("ts")
+    else:  # long: epoch nanoseconds (nanosAsLong read path); exact int division
+        ts_sec = F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
     return stream.withColumn("ts_sec", ts_sec).withColumn(
         "ts_t", F.timestamp_seconds(ts_sec)
     )

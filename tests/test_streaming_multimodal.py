@@ -167,3 +167,53 @@ def test_stateful_sessionize_stream_event_time_timeout(spark):
         if (ss[-1][3] + 1800) * 1000 < wm * 1000
     }
     assert got == closed | timed_out
+
+
+def test_events_loaders_dual_timestamp_precision(spark, tmp_path):
+    """Both events loaders must survive TIMESTAMP(NANOS) (nanosAsLong long
+    read path) AND TIMESTAMP(MICROS) (TIMESTAMP_NTZ read path) parquet with
+    identical ``ts_sec`` — the testdata has flipped precision between harness
+    rounds and only a dtype-dispatching loader copes with both."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.events import load_events
+    from imops_spark.streaming.events import run_stream_to_memory, stream_events
+
+    base = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00.123456", "2024-01-01 00:00:59.999999",
+                 "2024-01-01 00:01:00.000001", "2024-01-01 12:34:56.5",
+                 "2024-02-29 23:59:59.999", "2024-03-01 00:00:00.000000"]
+            ),
+            "user_id": np.int64([1, 1, 2, 2, 3, 3]),
+            "event_type": ["a", "b", "a", "b", "a", "b"],
+            "value": np.float64([1.5, 2.5, 3.5, 4.5, 5.5, 6.5]),
+            "props": ["{}"] * 6,
+        }
+    )
+    expected = (base["ts"].astype("int64") // 1_000_000_000).tolist()
+
+    got = {}
+    for name, unit in [("nanos", "ns"), ("micros", "us")]:
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(idx, "ts", tbl.column("ts").cast(pa.timestamp(unit)))
+        pq.write_table(tbl, d / "events.parquet", coerce_timestamps=None)
+        # confirm the fixture really carries the intended physical precision
+        assert pq.read_schema(d / "events.parquet").field("ts").type == pa.timestamp(unit)
+
+        batch = load_events(spark, str(d))
+        b = {r["event_id"]: r["ts_sec"] for r in batch.select("event_id", "ts_sec").collect()}
+        streamed = run_stream_to_memory(
+            stream_events(spark, str(d)), f"dual_ts_{name}", spark, mode="append"
+        )
+        s = {r["event_id"]: r["ts_sec"] for r in streamed.select("event_id", "ts_sec").collect()}
+        assert b == s == dict(enumerate(expected)), name
+        got[name] = b
+    assert got["nanos"] == got["micros"]
