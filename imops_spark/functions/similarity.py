@@ -53,15 +53,67 @@ def cosine_topk_df(
     """Exact top-k cosine neighbors per query: ``(query_id, neighbor_id, rank, cosine)``.
 
     Excludes self-matches.  Deterministic tie-break on neighbor id.
+
+    Plan: the query side is materialized once on the driver (broadcast
+    contract — exact top-k is only the right tool when queries fit in memory,
+    <~100k vectors; past that use the LSH/IVF paths) and shipped in the
+    kernel closure.  The corpus then streams through ``mapInPandas``: each
+    Arrow batch is scored with one float64 GEMM ``[batch, dim] @ [dim, m]``
+    and reduced to its local top-k candidates per query, so the surviving
+    row count is ~``num_batches * m * k`` instead of ``n * m``; one final
+    window over that sliver picks the global winners.  No per-pair lambda
+    evaluation anywhere, no shuffle of the corpus, and per-vector norms are
+    computed exactly once.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qrows = sorted(
+        queries.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0]
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
-    )
+    qid = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    kk = int(k)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            cn = np.linalg.norm(cm, axis=1)
+            sim = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+            sim[nid[:, None] == qid[None, :]] = np.nan  # self-matches out
+            # Local selection uses the final ranking's rounded grain; keeping
+            # every row within one rounding step of the k-th value makes the
+            # batch winners a superset of the global winners under any
+            # tie-break, so the downstream window reproduces the exact result.
+            r = np.round(sim, 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qid)):
+                idx = np.flatnonzero(~np.isnan(r[:, j]))
+                if idx.size == 0:
+                    continue
+                col = r[idx, j]
+                if idx.size > kk:
+                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 1e-6
+                    idx = idx[col >= thr]
+                out_q.append(np.full(idx.size, qid[j]))
+                out_n.append(nid[idx])
+                out_c.append(sim[idx, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).mapInPandas(scan, "query_id long, neighbor_id long, cosine_raw double")
+    # round in Spark so the value semantics are identical to the former
+    # column-expression scoring (HALF_UP, like the SQL oracle)
+    scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -88,9 +140,8 @@ def lsh_buckets_df(
     One Arrow-batched GEMM against the [planes, dim] hyperplane matrix
     shipped in the UDF closure — plan size stays constant in the embedding
     dim (a planes*dim expression tree would explode Catalyst codegen at
-    dim >= 1024).  The projection is an explicit sequential-order
-    accumulation so sign decisions are bit-identical to the former
-    per-dimension column arithmetic.
+    dim >= 1024), and the projection is a single ``m @ w.T`` so the kernel
+    cost is BLAS-bound, not interpreter-bound, at any dim.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -103,10 +154,7 @@ def lsh_buckets_df(
     @pandas_udf("int")
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])[:, :dim]
-        # accumulate in dimension order (matches left-to-right column sums)
-        proj = np.zeros((len(m), len(w)))
-        for d in range(dim):
-            proj += m[:, d, None] * w[None, :, d]
+        proj = m @ w.T
         return pd.Series(((proj >= 0) @ weights).astype("int32"))
 
     return df.select(F.col(id_col), bucket(F.col(vec_col)).alias("bucket"))
@@ -207,11 +255,17 @@ def ivf_topk_df(
     cents = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     inv = ivf_assign_df(corpus, cents, 1, id_col, vec_col, out_id="neighbor_id")
     qp = ivf_assign_df(queries, cents, n_probe, id_col, vec_col, out_id="query_id")
+    # norms are per-vector constants: compute them once per side before the
+    # join, so per-pair work inside the join is exactly one dot product
     scored = (
         inv.withColumnRenamed("vec", "cv")
-        .join(qp.withColumnRenamed("vec", "qv"), on="centroid_id")
+        .withColumn("cn", _norm("cv"))
+        .join(
+            qp.withColumnRenamed("vec", "qv").withColumn("qn", _norm("qv")),
+            on="centroid_id",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -241,16 +295,22 @@ def lsh_topk_df(
     qb = lsh_buckets_df(queries, planes, dim, id_col, vec_col).withColumnRenamed(
         id_col, "query_id"
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        cb, on="neighbor_id"
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .join(cb, on="neighbor_id")
+        .withColumn("cn", _norm("cv"))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb, on="query_id"
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .join(qb, on="query_id")
+        .withColumn("qn", _norm("qv"))
     )
+    # norms precomputed per side: the per-candidate-pair expression is one
+    # dot product, not three O(dim) reductions
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

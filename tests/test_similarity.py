@@ -49,11 +49,8 @@ def test_lsh_buckets_deterministic_and_match_numpy(spark):
     df, m = _vectors(spark, 30, 32)
     got = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=5, dim=DIM).collect()}
     w = np.array([[plane_component(d, p) for d in range(DIM)] for p in range(5)])
-    # sequential-order accumulation, as the kernel does
-    proj = np.zeros((30, 5))
-    for d in range(DIM):
-        proj += m[:, d, None] * w[None, :, d]
-    exp = ((proj >= 0) @ (2 ** np.arange(5))).astype(int)
+    # single GEMM, as the kernel does
+    exp = (((m @ w.T) >= 0) @ (2 ** np.arange(5))).astype(int)
     assert got == {i: int(exp[i]) for i in range(30)}
     # stable across invocations (hyperplanes are hash-derived, no RNG state)
     again = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=5, dim=DIM).collect()}
@@ -106,3 +103,37 @@ def test_ivf_probe_recall_reasonable(spark):
     }
     hits = sum(1 for q in exact if approx.get(q) == exact[q])
     assert hits >= 10, f"top-1 recall {hits}/20 too low"
+
+
+def test_lsh_buckets_high_dim_smoke(spark):
+    """dim >= 1024: the plan stays constant-size and the GEMM kernel keeps
+    parity with a numpy re-derivation (the scale case the per-dimension
+    column arithmetic could never survive)."""
+    dim, planes, n = 2048, 8, 12
+    rng = np.random.default_rng(77)
+    m = rng.standard_normal((n, dim))
+    rows = [(i, [float(v) for v in m[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["bucket"] for r in lsh_buckets_df(df, planes=planes, dim=dim).collect()}
+    w = np.array([[plane_component(d, p) for d in range(dim)] for p in range(planes)])
+    exp = (((m @ w.T) >= 0) @ (2 ** np.arange(planes))).astype(int)
+    assert got == {i: int(exp[i]) for i in range(n)}
+
+
+def test_cosine_topk_ties_and_small_batches(spark):
+    """Duplicate/antipodal vectors force rounded-cosine ties across arrow
+    batches; the per-batch candidate expansion must keep every tied row so
+    the global (cosine desc, id asc) ranking is exact."""
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = []
+    for i in range(12):
+        v = base if i % 3 != 2 else np.array([0.0, 1.0, 0.0, 0.0])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(5)
+    queries = df.filter("vec_id = 0")
+    got = sorted(
+        (r["rank"], r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_df(df, queries, k=5).collect()
+    )
+    # neighbors: ids 1,3,4,6,7 all cosine 1.0 (ties -> id asc); 2,5,... are 0.0
+    assert got == [(1, 1, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 6, 1.0), (5, 7, 1.0)]
