@@ -5,11 +5,13 @@ Design (per the engine's 100 TB training-data-pipeline charter):
   the blob never leaves the executors; metadata is columnar and prunable;
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` kernels, one batch of items per task;
-- the actual codec step is STUBBED (no image/audio libraries in this
-  container): ``decode=\"fake\"`` produces a deterministic array from the
-  bytes (so the plumbing — schemas, batching, partitioning — is fully
-  testable), ``decode=\"real\"`` raises NotImplementedError where a PIL/
-  ffmpeg call would go.
+- the codec step is pluggable: ``decode="fake"`` produces a deterministic
+  array from the bytes (so the plumbing — schemas, batching, partitioning —
+  is fully testable with no image libraries installed); ``decode="real"``
+  decodes ``raw_u8`` payloads natively (buffer reinterpret, no dependency)
+  and encoded formats (jpeg/png/...) via PIL, imported lazily at call time —
+  on a cluster with Pillow present the same code is a real codec, in this
+  container it raises NotImplementedError only for encoded payloads.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ __all__ = [
     "resize_images_df",
     "sample_frames_df",
     "fake_decode_image",
+    "real_decode_image",
 ]
 
 
@@ -86,12 +89,38 @@ def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 
 
-def _decode(row, decode: str) -> np.ndarray:
-    if decode == "real":
+def real_decode_image(data: bytes, meta) -> np.ndarray:
+    """Actual codec: bytes -> (H, W, C) uint8.
+
+    ``raw_u8`` payloads (e.g. ``resize_images_df`` output) are a plain buffer
+    reinterpret — no dependency.  Encoded formats go through PIL, imported
+    lazily so environments without Pillow still run every other path.
+    """
+    fmt = (meta["format"] or "").lower()
+    if fmt == "raw_u8":
+        h, w, c = meta["height"], meta["width"], meta["channels"]
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised only sans Pillow
         raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg, not available in this container"
-        )
+            f"decoding {fmt or 'encoded'} images requires Pillow; "
+            "install it or use decode='fake' for plumbing tests"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    if meta["channels"] == 1:
+        img = img.convert("L")
+        return np.asarray(img, dtype=np.uint8)[..., None]
+    img = img.convert("RGB" if meta["channels"] == 3 else "RGBA")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _decode(row, decode: str) -> np.ndarray:
     m = row["meta"]
+    if decode == "real":
+        return real_decode_image(row["data"], m)
     return fake_decode_image(row["data"], m["width"], m["height"], m["channels"])
 
 

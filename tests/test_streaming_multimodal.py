@@ -67,16 +67,61 @@ def test_multimodal_features_and_resize(spark):
         assert len(r["data"]) == 8 * 6 * 3
 
 
-def test_multimodal_real_decode_stubbed(spark):
+def test_multimodal_real_decode_raw_u8(spark):
+    """decode='real' on raw_u8 payloads is a dependency-free buffer
+    reinterpret — features must match a numpy re-derivation exactly."""
     from imops_spark.functions.multimodal import image_features_df, make_items
 
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
     df = make_items(
         spark,
-        [{"item_id": 0, "modality": "image", "data": b"x" * 16,
-          "width": 4, "height": 4, "channels": 1, "format": "png"}],
+        [{"item_id": 7, "modality": "image", "data": img.tobytes(),
+          "width": 8, "height": 6, "channels": 3, "format": "raw_u8"}],
     )
-    with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
-        image_features_df(df, decode="real").collect()
+    (row,) = image_features_df(df, decode="real").collect()
+    f = img.astype(np.float64)
+    assert row["item_id"] == 7
+    assert abs(row["mean_c0"] - f[..., 0].mean()) < 1e-9
+    assert abs(row["std_c0"] - f[..., 0].std()) < 1e-9
+    assert abs(row["frac_dark"] - (f.mean(axis=-1) < 32).mean()) < 1e-9
+
+
+def test_multimodal_real_decode_encoded(spark):
+    """Encoded payloads decode via lazily-imported PIL when present; without
+    Pillow the kernel raises NotImplementedError (documented contract)."""
+    from imops_spark.functions.multimodal import image_features_df, make_items
+
+    try:
+        import io
+
+        from PIL import Image
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        df = make_items(
+            spark,
+            [{"item_id": 0, "modality": "image", "data": b"x" * 16,
+              "width": 4, "height": 4, "channels": 1, "format": "png"}],
+        )
+        with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+            image_features_df(df, decode="real").collect()
+        pytest.skip("Pillow not installed; raise-path verified")
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    df = make_items(
+        spark,
+        [{"item_id": 1, "modality": "image", "data": buf.getvalue(),
+          "width": 7, "height": 5, "channels": 3, "format": "png"}],
+    )
+    (row,) = image_features_df(df, decode="real").collect()
+    assert abs(row["mean_c0"] - img[..., 0].astype(np.float64).mean()) < 1e-9
 
 
 def test_frame_sampling(spark):
