@@ -449,13 +449,33 @@ def q_dd_exact(spark, sf_dir):
 _SIG_CACHE: dict = {}
 
 
+def clear_signature_cache():
+    """Unpersist and drop every cached MinHash signature table.
+
+    Lifecycle hook for long-lived sessions: the cache otherwise pins one
+    tiny (H longs/doc) storage block per (session, sf_dir) for the session
+    lifetime.  Driver/bench runs are one-shot, but an interactive user can
+    call this to release storage explicitly."""
+    for df in _SIG_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _SIG_CACHE.clear()
+
+
 def _minhash_sigs(spark, sf_dir):
     """Shared, persisted MinHash signature table: dd_minhash materializes it
     once and dd_lsh_pairs reuses it instead of recomputing shingles +
     signatures from scratch (the signature table is tiny — H longs/doc)."""
     from imops_spark.functions.dedup import minhash_signatures_df
 
-    key = (spark.sparkContext.applicationId, sf_dir, MINHASHES)
+    app = spark.sparkContext.applicationId
+    # entries from previous sessions are unreachable — drop them so the
+    # cache stays bounded at the live session's sf_dirs
+    for k in [k for k in _SIG_CACHE if k[0] != app]:
+        del _SIG_CACHE[k]
+    key = (app, sf_dir, MINHASHES)
     df = _SIG_CACHE.get(key)
     if df is None:
         df = minhash_signatures_df(
