@@ -436,6 +436,45 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Pure filter + global aggregate: the predicate-pushdown showcase —
+    every filter reaches the parquet scan, no shuffle at all (partial +
+    final agg only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Q4-style correlated EXISTS: orders with a late-shipping lineitem
+    (l_shipdate > o_orderdate + 60 days), counted per priority.  A LEFT SEMI
+    join with a non-equi residual — the testdata lacks l_commitdate /
+    l_receiptdate, so late shipment stands in for the late-commit predicate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings / events)
 # ---------------------------------------------------------------------------
@@ -566,6 +605,22 @@ def q_sim_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN at full probe (n_probe == n_centroids): scans every inverted
+    list, so the result is exactly brute force — which gives the IVF path an
+    oracle-backed hash gate (the recall-vs-probe trade-off is exercised in
+    tests; sim_lsh stays the documented rows-only approximate gate)."""
+    from imops_spark.functions.similarity import ivf_topk_df
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk_df(emb, queries, k=3, n_centroids=8, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_sim_lsh(spark, sf_dir):
     # Approximate ANN — intentionally no SQL oracle (approximation contract);
     # driver records the weaker rows-only check.
@@ -600,6 +655,20 @@ def q_evt_window(spark, sf_dir):
     return tumbling_window_df(load_events(spark, sf_dir))
 
 
+def q_evt_window_stream(spark, sf_dir):
+    """Streaming twin of evt_window: tumbling-window counts over the event
+    stream, drained with availableNow in complete mode — one-shot it must
+    equal the batch aggregation, which the oracle recomputes relationally."""
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+        windowed_counts_stream,
+    )
+
+    out = windowed_counts_stream(stream_events(spark, sf_dir))
+    return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
+
+
 def q_evt_sessions(spark, sf_dir):
     from imops_spark.functions.events import load_events, sessionize_df
 
@@ -628,7 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_nn": q_top1_nn,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -640,8 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
         "sim_topk": q_sim_topk,
+        "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
         "evt_window": q_evt_window,
+        "evt_window_stream": q_evt_window_stream,
         "evt_sessions": q_evt_sessions,
         "evt_sessions_stream": q_evt_sessions_stream,
     }
@@ -922,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24
+        """,
         "dd_exact": f"""
             SELECT md5({_NORM}) AS content_hash, COUNT(*) AS n_docs,
                    MIN(doc_id) AS keep_doc_id
@@ -1000,8 +1095,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 20
             ) WHERE rank <= 3
         """,
+        "sim_ivf": """
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id ASC
+                     ) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
         "evt_window": """
             SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) AS win,
+                   event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "evt_window_stream": """
+            SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) * 300 AS win_start,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
