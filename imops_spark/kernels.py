@@ -110,12 +110,17 @@ def interp1d_numpy(
         lo[right], hi[right] = n - 2, n - 1
         t[right] = (x_new[right] - xs[n - 2]) / (xs[n - 1] - xs[n - 2])
         interior = interior | left | right
+    # fused in-place lerp: the takes allocate the only two full-size buffers
+    # and the multiply-adds run in them — ~3 fewer array-sized temporaries
+    # than `a*(1-t) + b*t`, which dominates wall time at 256^3
     a = np.take(y, perm[lo], axis=-1).astype(np.float64, copy=False)
     b = np.take(y, perm[hi], axis=-1).astype(np.float64, copy=False)
-    out = a * (1 - t) + b * t
+    np.multiply(b, t, out=b)
+    np.multiply(a, 1.0 - t, out=a)
+    np.add(a, b, out=a)
     if not extrapolate and (~interior).any():
-        out[..., ~interior] = fill_value
-    return out
+        a[..., ~interior] = fill_value
+    return a
 
 
 def label_numpy(arr: np.ndarray, background: int = 0, connectivity: int | None = None):

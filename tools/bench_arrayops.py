@@ -25,7 +25,9 @@ sys.path.insert(0, "/root/repo")
 QUICK = "--quick" in sys.argv
 
 
-def t(fn, *args, repeat=1, **kw):
+def t(fn, *args, repeat=3, **kw):
+    # repeat-and-take-best (the reference's asv protocol): robust to
+    # background contention on a shared box
     best = float("inf")
     for _ in range(repeat):
         t0 = time.perf_counter()
@@ -159,11 +161,13 @@ def main():
     vols_f = {i: np.random.randn(side_b, side_b, side_b) for i in range(n_par)}
     blobs = encode_blobs(spark, vols_f).repartition(n_par).cache()
     blobs.count()
-    t0 = time.perf_counter()
-    map_blobs(blobs, lambda a: zoom_numpy(a, 2.0, order=1)).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    per_vol = (time.perf_counter() - t0) * 1000 / n_par
+    per_vol = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        map_blobs(blobs, lambda a: zoom_numpy(a, 2.0, order=1)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_vol = min(per_vol, (time.perf_counter() - t0) * 1000 / n_par)
     rows.append(
         (f"zoom x2 order=1 blob-path, {n_par} x {side_b}^3 in parallel (ms/volume)", per_vol, 596, 6527)
     )
@@ -171,11 +175,13 @@ def main():
     mblobs = encode_blobs(spark, masks).repartition(n_par).cache()
     mblobs.count()
     offs3 = footprint_offsets(_gbs(3, 1))
-    t0 = time.perf_counter()
-    map_blobs(mblobs, lambda a: dilation_numpy(a, offs3)).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    per_vol_m = (time.perf_counter() - t0) * 1000 / n_par
+    per_vol_m = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        map_blobs(mblobs, lambda a: dilation_numpy(a, offs3)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_vol_m = min(per_vol_m, (time.perf_counter() - t0) * 1000 / n_par)
     rows.append(
         (f"binary_dilation blob-path, {n_par} x {side_b}^3 in parallel (ms/volume)", per_vol_m, None, None)
     )
@@ -187,9 +193,11 @@ def main():
     vols = {i: np.abs(np.random.randn(side_j, side_j, side_j)) for i in range(n_imgs)}
     tf = encode_volumes(spark, vols)
     tf.df.cache().count()
-    t0 = time.perf_counter()
-    center_of_mass_df(tf).collect()
-    join_ms = (time.perf_counter() - t0) * 1000
+    join_ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        center_of_mass_df(tf).collect()
+        join_ms = min(join_ms, (time.perf_counter() - t0) * 1000)
     rows.append(
         (
             f"center_of_mass join-path, {n_imgs} x {side_j}^3 batch "
