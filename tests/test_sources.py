@@ -44,3 +44,34 @@ def test_blob_roundtrip(spark, tmp_path):
     back = decode_blobs(read_blobs(spark, path))
     for i, a in arrays.items():
         assert_array_equal(back[i], a)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the same key join with NO Exchange: the shuffle
+    was pre-paid at write time — the co-located-join strategy for repeated
+    big joins at cluster scale."""
+    from imops_spark.sources.parquet import write_bucketed
+
+    left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS lv")
+    right = spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS rv")
+    write_bucketed(left, "bk_left", ["k"], num_buckets=4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_left"))
+    write_bucketed(right, "bk_right", ["k"], num_buckets=4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_right"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = j.selectExpr("sum(lv + rv) AS s").collect()[0]["s"]
+        assert got == sum(2 * i + 3 * i for i in range(2000))
+        # sanity: the same join on plain (non-bucketed) scans does shuffle
+        plain = left.join(right, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
