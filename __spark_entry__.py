@@ -593,6 +593,12 @@ def q_txt_fingerprint(spark, sf_dir):
     return fingerprint_df(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_tfidf(spark, sf_dir):
+    from imops_spark.functions.text import tfidf_df
+
+    return tfidf_df(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_topk(spark, sf_dir):
     from imops_spark.functions.similarity import cosine_topk_df
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_tfidf": q_txt_tfidf,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
@@ -1081,6 +1088,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM}) AS fp_full,
                    md5(substr({_NORM}, 1, 64)) AS fp_prefix
             FROM documents
+        """,
+        "txt_tfidf": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM tok WHERE token <> '' GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT doc_id, token, tf, df,
+                   ROUND(tf * LN(n_docs::DOUBLE / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
         """,
         "sim_topk": """
             SELECT query_id, neighbor_id, rank, cosine FROM (

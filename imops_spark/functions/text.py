@@ -19,6 +19,7 @@ __all__ = [
     "quality_df",
     "langid_df",
     "fingerprint_df",
+    "tfidf_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -73,6 +74,40 @@ def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
     return docs.select(
         "doc_id",
         F.element_at(lang_arr, (bucket + 1).cast("int")).alias("lang_pred"),
+    )
+
+
+def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-(doc, token) tf-idf over the corpus: ``tf`` = in-document term
+    count, ``df`` = number of documents containing the term,
+    ``tfidf = tf * ln(n_docs / df)`` (SURVEY.md §2.4 "tf-idf via
+    groupBy+join").
+
+    Plan shape at 100 TB: one explode, two map-side-combined groupBys (tf
+    keyed by (doc, token); df keyed by token — strictly smaller), one
+    equi-join of tf against the token-df table (AQE broadcasts it when it
+    fits), and the 1-row corpus count cross-joined in by broadcast.  No
+    driver collection, no Python in the hot path.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_to
+            ).alias("tfidf"),
+        )
     )
 
 

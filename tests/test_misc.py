@@ -60,3 +60,21 @@ def test_sliding_avg_stream(spark):
     assert len(rows) > 0
     # every (win_start, user) window mean is within the raw value range
     assert all(0 <= r["avg_value"] <= 1000 for r in rows)
+
+
+def test_tfidf_matches_hand_computation(spark):
+    import math
+
+    from imops_spark.functions.text import tfidf_df
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b  b c ")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["token"]): r for r in tfidf_df(docs).collect()}
+    # df: a->2 docs, b->2, c->2; n_docs=3
+    exp_tf = {(0, "a"): 2, (0, "b"): 1, (1, "a"): 1, (1, "c"): 1, (2, "b"): 2, (2, "c"): 1}
+    assert set(got) == set(exp_tf)
+    for k, tf in exp_tf.items():
+        assert got[k]["tf"] == tf and got[k]["df"] == 2
+        assert abs(got[k]["tfidf"] - round(tf * math.log(3 / 2), 6)) < 1e-9
