@@ -1,0 +1,95 @@
+"""Hypothesis property tests over the numpy kernels (the udf-path hot code).
+
+The reference's test strategy is seeded-random differential testing
+(SURVEY.md §5); these properties go one step further — shrinkable random
+shapes/contents checking algebraic invariants the operators must satisfy at
+any size, without paying a Spark job per example.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from imops_spark.kernels import (
+    center_of_mass_numpy,
+    dilation_numpy,
+    erosion_numpy,
+    interp1d_numpy,
+    zoom_numpy,
+)
+from imops_spark.operators.morphology import footprint_offsets, generate_binary_structure
+
+OFFS3 = footprint_offsets(generate_binary_structure(3, 1))
+
+masks = arrays(
+    dtype=np.bool_,
+    shape=st.tuples(*(st.integers(1, 7) for _ in range(3))),
+    elements=st.booleans(),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(masks)
+def test_morphology_duality(mask):
+    """dilation(m) == ~erosion(~m) for a symmetric footprint — the identity
+    the reference exploits to run both ops through one kernel
+    (/root/reference/imops/src/_morphology.pyx:322-329).  Border semantics
+    (erosion OOB=True, dilation OOB=False) are duals too."""
+    np.testing.assert_array_equal(
+        dilation_numpy(mask, OFFS3), ~erosion_numpy(~mask, OFFS3)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(masks)
+def test_morphology_extensive_antiextensive(mask):
+    """Dilation only adds voxels; erosion only removes them."""
+    assert bool(np.all(dilation_numpy(mask, OFFS3) >= mask))
+    assert bool(np.all(erosion_numpy(mask, OFFS3) <= mask))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(
+        dtype=np.float64,
+        shape=st.tuples(*(st.integers(1, 6) for _ in range(3))),
+        elements=st.floats(-100, 100, allow_nan=False),
+    )
+)
+def test_zoom_identity_and_com_invariance(vol):
+    """zoom by 1.0 (either order) is the identity; center of mass of a
+    constant-shifted positive array stays inside the index hull."""
+    np.testing.assert_array_equal(zoom_numpy(vol, 1.0, order=0), vol)
+    np.testing.assert_allclose(zoom_numpy(vol, 1.0, order=1), vol, rtol=1e-12)
+    pos = np.abs(vol) + 1.0
+    com = center_of_mass_numpy(pos)
+    for c, n in zip(com, vol.shape):
+        assert -1e-9 <= c <= n - 1 + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 40).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            arrays(np.float64, (n,), elements=st.floats(-50, 50, allow_nan=False)),
+            st.integers(0, 1000),
+        )
+    )
+)
+def test_interp1d_reproduces_knots_and_is_monotone_bounded(args):
+    """Evaluating interp1d at the knots returns the knot values exactly;
+    evaluating inside an interval stays within the interval's value range."""
+    n, y, seed = args
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-100, 100, n))
+    # distinct knots required (degenerate dx would divide by zero)
+    x = x + np.arange(n) * 1e-6
+    got = interp1d_numpy(y, x, x, assume_sorted=True)
+    np.testing.assert_allclose(got, y, rtol=1e-9, atol=1e-9)
+    mid = (x[:-1] + x[1:]) / 2
+    gmid = interp1d_numpy(y, x, mid, assume_sorted=True)
+    lo = np.minimum(y[:-1], y[1:]) - 1e-9
+    hi = np.maximum(y[:-1], y[1:]) + 1e-9
+    assert bool(np.all(gmid >= lo) and np.all(gmid <= hi))
