@@ -628,15 +628,19 @@ def q_sim_ivf(spark, sf_dir):
 
 
 def q_sim_lsh(spark, sf_dir):
-    # Approximate ANN — intentionally no SQL oracle (approximation contract);
-    # driver records the weaker rows-only check.
+    """Sign-LSH ANN.  The hyperplanes are md5-derived (deterministic), so the
+    whole pipeline — bucket assignment, candidate equi-join, cosine ranking —
+    is SQL-expressible and the gate is a full hash match, not rows-only: the
+    oracle recomputes the planes from the same md5 recipe."""
     from imops_spark.functions.similarity import lsh_topk_df
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk_df(emb, queries, k=3, planes=6)
+    return lsh_topk_df(emb, queries, k=3, planes=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
 
 
 def q_evt_sessions_stream(spark, sf_dir):
@@ -1127,6 +1131,34 @@ def oracle_sql() -> dict[str, str]:
                                 c.vec_id ASC
                      ) AS rank
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
+        "sim_lsh": """
+            WITH planes AS (
+              SELECT p, list(('0x'||substr(md5('plane'||p||'|dim'||d),1,8))::BIGINT
+                             / 2147483648.0 - 1.0 ORDER BY d) AS w
+              FROM generate_series(0,5) t(p), generate_series(0,63) s(d)
+              GROUP BY p
+            ),
+            buckets AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN list_inner_product(embedding::DOUBLE[], w) >= 0
+                                   THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+              FROM embeddings, planes GROUP BY vec_id
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id ASC
+                     ) AS rank
+              FROM embeddings q
+              JOIN buckets bq ON bq.vec_id = q.vec_id
+              JOIN buckets bc ON bc.bucket = bq.bucket
+              JOIN embeddings c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id
               WHERE q.vec_id < 20
             ) WHERE rank <= 3
         """,
