@@ -685,6 +685,15 @@ def q_evt_sessions(spark, sf_dir):
     return sessionize_df(load_events(spark, sf_dir))
 
 
+def q_evt_neighbor(spark, sf_dir):
+    """1-D binary-dilation pattern on the events table: per (user, 10-min
+    bucket), did any event in the ±1-bucket neighborhood exceed the
+    threshold — a RANGE window over present neighbors, one shuffle."""
+    from imops_spark.functions.events import load_events, neighborhood_flag_df
+
+    return neighborhood_flag_df(load_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "center_of_mass": q_center_of_mass,
@@ -727,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_window": q_evt_window,
         "evt_window_stream": q_evt_window_stream,
         "evt_sessions": q_evt_sessions,
+        "evt_neighbor": q_evt_neighbor,
         "evt_sessions_stream": q_evt_sessions_stream,
     }
 
@@ -1171,6 +1181,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) * 300 AS win_start,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "evt_neighbor": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(FLOOR((epoch_ns(ts) // 1000000000) / 600.0) AS BIGINT) AS b,
+                     MAX(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS flag
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, b AS bucket,
+                   MAX(flag) OVER (PARTITION BY user_id ORDER BY b
+                                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
+            FROM f
         """,
         "evt_sessions_stream": """
             WITH e AS (
