@@ -29,7 +29,14 @@ def _tune_allocator() -> None:
 
 _tune_allocator()
 
-from .backend import Backend, imops_backend, set_backend  # noqa: F401,E402
+from .backend import (  # noqa: F401,E402
+    Backend,
+    Cython,
+    Numba,
+    Scipy,
+    imops_backend,
+    set_backend,
+)
 from .box import (  # noqa: F401
     add_margin,
     box_to_shape,

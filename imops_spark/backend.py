@@ -30,6 +30,9 @@ from dataclasses import dataclass, field
 __all__ = [
     "Backend",
     "BACKENDS",
+    "Cython",
+    "Numba",
+    "Scipy",
     "set_backend",
     "get_backend",
     "imops_backend",
@@ -48,10 +51,42 @@ class Backend:
     def __init_subclass__(cls, **kwargs):  # registry, mirrors backend.py:7-26
         super().__init_subclass__(**kwargs)
         BACKENDS[cls.__name__.lower()] = cls
+        if not hasattr(Backend, cls.__name__):  # Backend.Cython etc., backend.py:13-14
+            setattr(Backend, cls.__name__, cls)
 
 
 BACKENDS: dict[str, type] = {}
 _VALID = ("join", "udf", "auto")
+
+
+@dataclass(frozen=True)
+class Cython(Backend):
+    """Reference drop-in (`/root/reference/imops/backend.py:86-88`): the
+    compiled in-process path maps to our relational 'join' strategy.
+    ``fast`` is accepted for signature parity and warns like the reference."""
+
+    name: str = field(default="join", init=False)
+    fast: bool = False
+
+
+@dataclass(frozen=True)
+class Numba(Backend):
+    """Reference drop-in (`backend.py:70-80`): also the compiled path ->
+    'join'.  The numba flags are accepted as inert hints (no numba needed —
+    parallelism comes from partitioning, not JIT threads)."""
+
+    name: str = field(default="join", init=False)
+    parallel: bool = True
+    nogil: bool = True
+    cache: bool = True
+
+
+@dataclass(frozen=True)
+class Scipy(Backend):
+    """Reference drop-in (`backend.py:91-93`): the fallback kernel path maps
+    to our per-image Arrow 'udf' strategy."""
+
+    name: str = field(default="udf", init=False)
 
 _state = threading.local()
 
@@ -60,12 +95,21 @@ def _current() -> str:
     return getattr(_state, "backend", "auto")
 
 
+def _checked(b: Backend) -> Backend:
+    if isinstance(b, Cython) and b.fast:
+        # parity with reference resolve_backend (backend.py:44-45)
+        import warnings
+
+        warnings.warn("`fast=True` has no effect for `Cython` backend for now.", stacklevel=3)
+    return b
+
+
 def resolve_backend(backend: str | Backend | None) -> Backend:
     """Normalize str/Backend/None to a Backend, raising on unknown names."""
     if backend is None:
         return Backend(_current())
     if isinstance(backend, Backend):
-        return backend
+        return _checked(backend)
     if isinstance(backend, type) and issubclass(backend, Backend):
         return backend()  # type: ignore[call-arg]
     if isinstance(backend, str):
@@ -73,8 +117,8 @@ def resolve_backend(backend: str | Backend | None) -> Backend:
         # Accept the reference's backend names for drop-in compatibility:
         # Cython/Numba were its fast in-process kernels -> our relational path;
         # Scipy was its fallback kernel -> our per-image UDF path.
-        alias = {"cython": "join", "numba": "join", "scipy": "udf"}
-        name = alias.get(name, name)
+        if name in BACKENDS:
+            return BACKENDS[name]()
         if name not in _VALID:
             raise ValueError(
                 f"Unknown backend {backend!r}; expected one of {_VALID} "

@@ -140,3 +140,30 @@ def test_interp1d_join_udf_agree(spark):
     fj2 = interp1d(x, y, assume_sorted=True, fill_value="extrapolate", backend="join")
     fu2 = interp1d(x, y, assume_sorted=True, fill_value="extrapolate", backend="udf")
     assert_allclose(fj2(x_new), fu2(x_new), rtol=1e-12)
+
+
+def test_reference_backend_classes_are_drop_in(spark):
+    """`from imops import Cython` ports verbatim: class, instance, string and
+    Backend.Cython attribute forms all resolve; Cython(fast=True) warns like
+    the reference (/root/reference/imops/backend.py:44-45)."""
+    import warnings
+
+    from imops_spark import Backend, Cython, Numba, Scipy, binary_dilation
+    from imops_spark.backend import resolve_backend
+
+    assert resolve_backend(Cython).name == "join"
+    assert resolve_backend(Cython()).name == "join"
+    assert resolve_backend("Cython").name == "join"
+    assert resolve_backend(Numba()).name == "join"
+    assert resolve_backend(Scipy()).name == "udf"
+    assert Backend.Cython is Cython and Backend.Scipy is Scipy
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        resolve_backend(Cython(fast=True))
+    assert any("fast=True" in str(x.message) for x in w)
+
+    mask = np.zeros((4, 4, 4), dtype=bool)
+    mask[1:3, 1:3, 1:3] = True
+    out_c = binary_dilation(mask, backend=Cython())
+    out_s = binary_dilation(mask, backend=Scipy())
+    np.testing.assert_array_equal(out_c, out_s)
