@@ -75,3 +75,48 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One hot key holding 90% of the left side: AQE's skew-join rewrite must
+    split the oversized partition (SortMergeJoin(skew=true) in the final
+    adaptive plan) and still produce the exact join result — the engine's
+    answer to skewed keys at 100 TB (salting not required)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 180_000, 0).otherwise(F.col("id") % 32 + 1).alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(330).select(
+            (F.col("id") % 33).alias("k"), (F.col("id") * 7).alias("rv")
+        )
+        agg = left.join(right, "k").selectExpr("sum(lv + rv) AS s")
+        got = agg.collect()[0]["s"]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        # exact value oracle: every left row joins its 10 right rows
+        import numpy as np
+
+        lk = np.where(np.arange(200_000) < 180_000, 0, np.arange(200_000) % 32 + 1)
+        lv = np.arange(200_000)
+        rk = np.arange(330) % 33
+        rv = np.arange(330) * 7
+        exp = 0
+        for key in range(33):
+            nl, nr = (lk == key).sum(), (rk == key).sum()
+            exp += int(lv[lk == key].sum()) * nr + int(rv[rk == key].sum()) * nl
+        assert got == exp
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
