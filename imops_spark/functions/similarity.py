@@ -32,6 +32,8 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign_df",
     "ivf_topk_df",
+    "ivf_write_index",
+    "ivf_query_index",
 ]
 
 
@@ -309,6 +311,70 @@ def lsh_topk_df(
     # dot product, not three O(dim) reductions
     scored = (
         c.join(q, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    table: str,
+    n_centroids: int = 16,
+    path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build a persisted IVF index: inverted lists bucketed by ``centroid_id``
+    (``sources.parquet.write_bucketed``), per-vector norms precomputed and
+    stored.  Returns the centroid codebook (tiny [k, dim] numpy array — the
+    caller keeps it alongside the table name).
+
+    The build pays the corpus shuffle ONCE at write time; every subsequent
+    query batch joins its probes against the bucketed lists with no exchange
+    on the corpus side — the build-once/probe-many shape a production ANN
+    service needs at 100 TB.
+    """
+    from ..sources.parquet import write_bucketed
+
+    cents = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    inv = (
+        ivf_assign_df(corpus, cents, 1, id_col, vec_col, out_id="neighbor_id")
+        .withColumnRenamed("vec", "cv")
+        .withColumn("cn", _norm("cv"))
+    )
+    write_bucketed(
+        inv, table, ["centroid_id"], num_buckets=int(n_centroids), path=path
+    )
+    return cents
+
+
+def ivf_query_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index built by ``ivf_write_index``: only the
+    (small) query side shuffles to the lists' bucketing; scoring reuses the
+    stored norms so a candidate pair costs one dot product."""
+    inv = spark.table(table)
+    qp = (
+        ivf_assign_df(queries, centroids, n_probe, id_col, vec_col, out_id="query_id")
+        .withColumnRenamed("vec", "qv")
+        .withColumn("qn", _norm("qv"))
+    )
+    scored = (
+        inv.join(qp, on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     )

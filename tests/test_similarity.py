@@ -137,3 +137,63 @@ def test_cosine_topk_ties_and_small_batches(spark):
     )
     # neighbors: ids 1,3,4,6,7 all cosine 1.0 (ties -> id asc); 2,5,... are 0.0
     assert got == [(1, 1, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 6, 1.0), (5, 7, 1.0)]
+
+
+def test_ivf_persisted_index_matches_inline_and_skips_corpus_shuffle(spark, tmp_path):
+    """ivf_write_index / ivf_query_index: results equal the inline ivf_topk_df
+    with the same codebook, and the probe join's executed plan shuffles only
+    the query side (the corpus lists are pre-bucketed by centroid_id)."""
+    from imops_spark.functions.similarity import (
+        ivf_assign_df,
+        ivf_centroids,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    df, m = _vectors(spark, 200, 36)
+    queries = df.filter("vec_id < 5")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents = ivf_write_index(
+            df, "ivf_idx_test", n_centroids=4, path=str(tmp_path / "ivf")
+        )
+        got = ivf_query_index(spark, "ivf_idx_test", queries, cents, k=3, n_probe=4)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # corpus side: bucketed scan, no exchange; query side + window: yes
+        scan_part = plan[plan.index("Scan parquet") :] if "Scan parquet" in plan else plan
+        assert "SelectedBucketsCount" in plan, plan
+        rows = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in got.collect()
+        )
+        # inline twin with the same codebook
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from imops_spark.functions.similarity import _dot, _norm
+
+        inv = (
+            ivf_assign_df(df, cents, 1, out_id="neighbor_id")
+            .withColumnRenamed("vec", "cv").withColumn("cn", _norm("cv"))
+        )
+        qp = (
+            ivf_assign_df(queries, cents, 4, out_id="query_id")
+            .withColumnRenamed("vec", "qv").withColumn("qn", _norm("qv"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        exp = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in (
+                inv.join(qp, on="centroid_id")
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .collect()
+            )
+        )
+        assert rows == exp and len(rows) == 15
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
