@@ -70,6 +70,10 @@ def cosine_topk_df(
     qrows = sorted(
         queries.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0]
     )
+    if not qrows:  # empty query side: empty result, correct schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     qid = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)

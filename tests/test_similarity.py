@@ -197,3 +197,10 @@ def test_ivf_persisted_index_matches_inline_and_skips_corpus_shuffle(spark, tmp_
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_cosine_topk_empty_query_side(spark):
+    df, _ = _vectors(spark, 10, 37)
+    out = cosine_topk_df(df, df.filter("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank", "cosine"]
