@@ -29,6 +29,7 @@ __all__ = [
     "image_features_df",
     "resize_images_df",
     "sample_frames_df",
+    "audio_features_df",
     "fake_decode_image",
     "real_decode_image",
 ]
@@ -171,6 +172,39 @@ def resize_images_df(items: DataFrame, out_w: int, out_h: int, decode: str = "fa
             yield pd.DataFrame(rows)
 
     return items.filter(items.modality == "image").mapInPandas(run, schema=multimodal_schema())
+
+
+def audio_features_df(items: DataFrame) -> DataFrame:
+    """Per-clip audio features for PCM16 payloads — a REAL codec path with no
+    dependency (int16 buffer reinterpret): duration, RMS level, peak, and
+    zero-crossing rate.  ``(item_id, duration_s, rms, peak, zcr)``.
+
+    Non-PCM formats (mp3/ogg) would slot in behind a lazy import exactly like
+    ``real_decode_image`` does for encoded images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "duration_s": [], "rms": [], "peak": [], "zcr": []}
+            for _, row in pdf.iterrows():
+                fmt = (row["meta"]["format"] or "").lower()
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"audio format {fmt or 'unknown'}: only pcm16 decodes natively"
+                    )
+                sr = int(row["meta"]["sample_rate"])
+                x = np.frombuffer(row["data"], dtype=np.int16).astype(np.float64) / 32768.0
+                out["item_id"].append(row["item_id"])
+                out["duration_s"].append(len(x) / sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                out["zcr"].append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return items.filter(items.modality == "audio").mapInPandas(
+        run, schema="item_id long, duration_s double, rms double, peak double, zcr double"
+    )
 
 
 def sample_frames_df(items: DataFrame, every_n: int = 2) -> DataFrame:

@@ -262,3 +262,27 @@ def test_events_loaders_dual_timestamp_precision(spark, tmp_path):
         assert b == s == dict(enumerate(expected)), name
         got[name] = b
     assert got["nanos"] == got["micros"]
+
+
+def test_audio_features_pcm16(spark):
+    """PCM16 decodes natively (no codec library): features must match a numpy
+    re-derivation exactly."""
+    from imops_spark.functions.multimodal import audio_features_df, make_items
+
+    rng = np.random.default_rng(9)
+    sr = 8000
+    pcm = (rng.standard_normal(sr * 2) * 8000).clip(-32768, 32767).astype(np.int16)
+    items = [
+        {"item_id": 3, "modality": "audio", "data": pcm.tobytes(),
+         "sample_rate": sr, "format": "pcm16"},
+        # an image row must be filtered out, not crash the audio kernel
+        {"item_id": 4, "modality": "image", "data": b"\0" * 12,
+         "width": 2, "height": 2, "channels": 3, "format": "fake"},
+    ]
+    (row,) = audio_features_df(make_items(spark, items)).collect()
+    x = pcm.astype(np.float64) / 32768.0
+    assert row["item_id"] == 3
+    assert abs(row["duration_s"] - 2.0) < 1e-12
+    assert abs(row["rms"] - np.sqrt(np.mean(x * x))) < 1e-12
+    assert abs(row["peak"] - np.abs(x).max()) < 1e-12
+    assert abs(row["zcr"] - np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) < 1e-12
