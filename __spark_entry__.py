@@ -679,6 +679,20 @@ def q_evt_window_stream(spark, sf_dir):
     return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
 
 
+def q_evt_sliding_stream(spark, sf_dir):
+    """Streaming sliding windows (10-min length, 5-min slide): every event
+    lands in two overlapping windows; drained complete it must equal the
+    relational two-offset recomputation."""
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sliding_avg_stream,
+        stream_events,
+    )
+
+    out = sliding_avg_stream(stream_events(spark, sf_dir))
+    return run_stream_to_memory(out, "evt_sliding_stream_gate", spark, mode="complete")
+
+
 def q_evt_sessions(spark, sf_dir):
     from imops_spark.functions.events import load_events, sessionize_df
 
@@ -735,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh": q_sim_lsh,
         "evt_window": q_evt_window,
         "evt_window_stream": q_evt_window_stream,
+        "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_neighbor": q_evt_neighbor,
         "evt_sessions_stream": q_evt_sessions_stream,
@@ -1181,6 +1196,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 300.0) AS BIGINT) * 300 AS win_start,
                    event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "evt_sliding_stream": """
+            WITH e AS (
+              SELECT user_id, value,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+              FROM events
+            ),
+            x AS (
+              SELECT user_id, value,
+                     CAST(FLOOR(s / 300.0) AS BIGINT) * 300 - o * 300 AS win_start
+              FROM e, (VALUES (0), (1)) t(o)
+            )
+            SELECT win_start, user_id, ROUND(AVG(value), 4) AS avg_value
+            FROM x GROUP BY 1, 2
         """,
         "evt_neighbor": """
             WITH f AS (
