@@ -62,9 +62,13 @@ def crop_to_shape(x, shape, axis=None, ratio: float = 0.5):
     return decode_volume(crop_to_box_df(tf, box))
 
 
-def crop_to_box(x, box, axis=None, padding_values=None):
+def crop_to_box(x, box, axis=None, padding_values=None, num_threads: int = -1, backend=None):
     """Crop to a box; out-of-bounds parts padded if ``padding_values`` given
-    (parity ``crop.py:61-124``)."""
+    (parity ``crop.py:61-124``; ``num_threads``/``backend`` accepted as
+    strategy hints like every other wrapper)."""
+    from ..backend import resolve_backend
+
+    resolve_backend(backend)  # validate name (reference raises on unknowns)
     from .pad import pad  # local import to avoid cycle
 
     arr_mode = not isinstance(x, TensorFrame)
