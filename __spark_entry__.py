@@ -593,6 +593,12 @@ def q_txt_fingerprint(spark, sf_dir):
     return fingerprint_df(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_winnow(spark, sf_dir):
+    from imops_spark.functions.text import winnow_fingerprints_df
+
+    return winnow_fingerprints_df(_t(spark, sf_dir, "documents"))
+
+
 def q_txt_tfidf(spark, sf_dir):
     from imops_spark.functions.text import tfidf_df
 
@@ -743,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_winnow": q_txt_winnow,
         "txt_tfidf": q_txt_tfidf,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
@@ -1117,6 +1124,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM}) AS fp_full,
                    md5(substr({_NORM}, 1, 64)) AS fp_prefix
             FROM documents
+        """,
+        "txt_winnow": f"""
+            WITH d AS (
+              SELECT doc_id, {_NORM} AS nt FROM documents
+              WHERE length({_NORM}) >= 8
+            ),
+            g AS (
+              SELECT doc_id, pos,
+                     ('0x'||substr(md5(substr(nt, pos, 8)),1,15))::BIGINT AS h
+              FROM d, unnest(generate_series(1, length(nt) - 7)) u(pos)
+            ),
+            ng AS (SELECT doc_id, MAX(pos) AS ng FROM g GROUP BY 1),
+            s AS (
+              SELECT doc_id, pos, h, pos - o AS t
+              FROM g, unnest(generate_series(0, 3)) v(o)
+              WHERE pos - o >= 1
+            ),
+            w AS (
+              SELECT doc_id, t, pos, h,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY h, pos) AS rn
+              FROM s
+            )
+            SELECT DISTINCT doc_id, pos, h AS fp
+            FROM w JOIN ng USING (doc_id)
+            WHERE rn = 1 AND t <= ng - 3
         """,
         "txt_tfidf": f"""
             WITH tok AS (

@@ -19,6 +19,7 @@ __all__ = [
     "quality_df",
     "langid_df",
     "fingerprint_df",
+    "winnow_fingerprints_df",
     "tfidf_df",
 ]
 
@@ -74,6 +75,59 @@ def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
     return docs.select(
         "doc_id",
         F.element_at(lang_arr, (bucket + 1).cast("int")).alias("lang_pred"),
+    )
+
+
+def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every character ``k``-gram of the normalized text, then keep the
+    minimum hash of each ``window`` consecutive k-grams (leftmost tie-break)
+    — ``(doc_id, pos, fp)``, one row per selected fingerprint.
+
+    Guarantees any shared substring of length >= ``k + window - 1`` yields a
+    shared fingerprint, the plagiarism/near-dup detection primitive.  Plan
+    shape: positions explode (xwindow) -> one map-side-combined min-struct
+    groupBy per window start -> distinct selected positions.  Everything is
+    column arithmetic on md5 (cross-engine deterministic), no Python.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # docs shorter than k have no k-grams; filter BEFORE sequence() — Spark's
+    # sequence(1, 0) generates a DESCENDING [1, 0], not an empty array
+    d = docs.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= k)
+    # k-gram positions 1..len-k+1 (1-based like substring)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
+        F.col("nt"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # each k-gram participates in `window` windows; window start t = pos - o
+    spread = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("o"),
+    ).withColumn("t", F.col("pos") - F.col("o"))
+    winners = (
+        spread.filter(F.col("t") >= 1)
+        .groupBy("doc_id", "t")
+        .agg(F.min(F.struct("h", "pos")).alias("w"))
+        # drop partial windows at the tail (start t has no full window iff
+        # t > n_grams - window + 1); equivalently keep only t whose window
+        # is complete: the winner row count per t is `window` — enforce by
+        # joining gram counts
+    )
+    n_grams = grams.groupBy("doc_id").agg(F.max("pos").alias("ng"))
+    return (
+        winners.join(n_grams, "doc_id")
+        .filter(F.col("t") <= F.col("ng") - (window - 1))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("fp"))
+        .distinct()
     )
 
 

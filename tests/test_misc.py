@@ -78,3 +78,28 @@ def test_tfidf_matches_hand_computation(spark):
     for k, tf in exp_tf.items():
         assert got[k]["tf"] == tf and got[k]["df"] == 2
         assert abs(got[k]["tfidf"] - round(tf * math.log(3 / 2), 6)) < 1e-9
+
+
+def test_winnow_guarantee_and_determinism(spark):
+    """Winnowing guarantee: any shared substring of length >= k + window - 1
+    (= 11 here) yields at least one shared (hash) fingerprint; selection is
+    deterministic and short docs produce nothing."""
+    from imops_spark.functions.text import winnow_fingerprints_df
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (0, f"aaa {shared} bbb ccc ddd"),
+            (1, f"xxxxx yyy {shared} zzz"),
+            (2, "short"),  # < k chars -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints_df(docs, k=8, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 2 not in by_doc
+    assert by_doc[0] & by_doc[1], "no shared fingerprint for a shared 25-char substring"
+    again = winnow_fingerprints_df(docs, k=8, window=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
