@@ -6,13 +6,14 @@ pointer-jumping (path halving), the large-star/small-star family that
 converges in O(log diameter) rounds — a single-node union-find (what the
 reference delegates to cc3d, ``measure.py:114-119``) cannot distribute, this
 can.  Convergence is detected with a monotone ``sum(comp)`` probe: component
-ids only ever decrease, so an unchanged global sum is a fixpoint — one cheap
-aggregate per round instead of a join-based diff.
+ids only ever decrease, so an unchanged global sum is a fixpoint.  The probe
+is an ``observe()`` metric collected DURING the round's checkpoint job — no
+separate aggregate job per round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components_df"]
@@ -44,8 +45,13 @@ def connected_components_df(
             .unionAll(e.select(*parts, F.col("dst").alias("node")))
             .distinct()
         )
-    comp = nodes.select(*parts, "node", F.col("node").alias("comp")).localCheckpoint()
-    prev_sum = comp.agg(F.sum("comp")).collect()[0][0]
+    obs0 = Observation()
+    comp = (
+        nodes.select(*parts, "node", F.col("node").alias("comp"))
+        .observe(obs0, F.sum("comp").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
 
     for _ in range(max_iterations):
         nbr = (
@@ -71,8 +77,9 @@ def connected_components_df(
                 "node",
                 F.coalesce(F.col("grand"), F.col("comp")).alias("comp"),
             )
-        new_comp = new_comp.localCheckpoint()
-        new_sum = new_comp.agg(F.sum("comp")).collect()[0][0]
+        obs = Observation()
+        new_comp = new_comp.observe(obs, F.sum("comp").alias("s")).localCheckpoint()
+        new_sum = obs.get["s"]
         comp = new_comp
         if new_sum == prev_sum:
             break
