@@ -685,6 +685,32 @@ def q_evt_window_stream(spark, sf_dir):
     return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
 
 
+def q_evt_closing(spark, sf_dir):
+    """binary_closing (#7) as its 1-D relational composition: dilate then
+    erode the per-user occupied-bucket flags over a DENSIFIED bucket domain
+    (generated with sequence+explode — absent buckets are explicit 0s, as the
+    dense-voxel contract requires), each pass one RANGE window."""
+    from pyspark.sql.window import Window
+
+    from imops_spark.functions.events import load_events
+
+    events = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("ts_sec") / 600)
+    flags = events.groupBy("user_id", bucket.alias("b")).agg(
+        F.max(F.when(F.col("value") > 90.0, 1).otherwise(0)).alias("flag")
+    )
+    bounds = flags.groupBy("user_id").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    dense = bounds.select("user_id", F.explode(F.sequence("lo", "hi")).alias("b"))
+    dns = dense.join(flags, ["user_id", "b"], "left").select(
+        "user_id", "b", F.coalesce("flag", F.lit(0)).alias("flag")
+    )
+    w = Window.partitionBy("user_id").orderBy("b").rangeBetween(-1, 1)
+    dil = dns.select("user_id", "b", F.max("flag").over(w).alias("d"))
+    return dil.select(
+        "user_id", F.col("b").alias("bucket"), F.min("d").over(w).alias("closed")
+    )
+
+
 def q_evt_sliding_stream(spark, sf_dir):
     """Streaming sliding windows (10-min length, 5-min slide): every event
     lands in two overlapping windows; drained complete it must equal the
@@ -759,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_neighbor": q_evt_neighbor,
+        "evt_closing": q_evt_closing,
         "evt_sessions_stream": q_evt_sessions_stream,
     }
 
@@ -1254,6 +1281,33 @@ def oracle_sql() -> dict[str, str]:
                    MAX(flag) OVER (PARTITION BY user_id ORDER BY b
                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
             FROM f
+        """,
+        "evt_closing": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(FLOOR((epoch_ns(ts) // 1000000000) / 600.0) AS BIGINT) AS b,
+                     MAX(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS flag
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM f GROUP BY 1),
+            dense AS (
+              SELECT user_id, CAST(u.b AS BIGINT) AS b
+              FROM bounds, unnest(generate_series(lo, hi)) u(b)
+            ),
+            dns AS (
+              SELECT d.user_id, d.b, COALESCE(f.flag, 0) AS flag
+              FROM dense d LEFT JOIN f ON f.user_id = d.user_id AND f.b = d.b
+            ),
+            dil AS (
+              SELECT user_id, b,
+                     MAX(flag) OVER (PARTITION BY user_id ORDER BY b
+                                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS d
+              FROM dns
+            )
+            SELECT user_id, b AS bucket,
+                   MIN(d) OVER (PARTITION BY user_id ORDER BY b
+                                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS closed
+            FROM dil
         """,
         "evt_sessions_stream": """
             WITH e AS (
