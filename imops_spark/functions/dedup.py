@@ -181,13 +181,15 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     Each distinct token hashes to ``bits`` bits; bit b of the signature is the
     sign of the vote sum over tokens — implemented as ``bits`` aggregate
-    expressions (pure arithmetic, one groupBy).
+    expressions (pure arithmetic).  Per-document token dedup happens
+    row-locally with ``array_distinct`` BEFORE the explode, so the whole
+    operator is ONE map-side-combined shuffle (the former ``.distinct()``
+    on exploded (doc, token) rows was a second, data-sized shuffle).
     """
-    toks = (
-        docs.select("doc_id", F.explode(F.split(normalized_text(), r"\s+")).alias("tok"))
-        .distinct()
-        .withColumn("th", _md5_hash_col(F.col("tok"), 0))
-    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(), r"\s+"))).alias("tok"),
+    ).withColumn("th", _md5_hash_col(F.col("tok"), 0))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
