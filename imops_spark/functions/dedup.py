@@ -61,21 +61,20 @@ def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame
 
     Tokens come from a whitespace split of normalized text; shingles are the
     space-joined k-grams — ``transform`` over token indices keeps everything
-    JVM-side.  ``distinct=False`` skips the dedup shuffle for consumers whose
+    JVM-side.  ``distinct=True`` dedups ROW-LOCALLY with ``array_distinct``
+    before the explode (shingle sets are per-document, so no shuffle is ever
+    needed); ``distinct=False`` keeps duplicates for consumers whose
     aggregate is multiset-invariant (MIN for minhash).
     """
     toks = docs.select("doc_id", F.split(normalized_text(), r"\s+").alias("t"))
     n = F.size("t")
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-            )
-        ).alias("shingle"),
+    arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
     )
-    return sh.distinct() if distinct else sh
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def _md5_hash_col(col, salt: int, part: int = 0):
