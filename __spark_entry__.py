@@ -685,6 +685,25 @@ def q_evt_window_stream(spark, sf_dir):
     return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
 
 
+def q_evt_asof(spark, sf_dir):
+    """General backward-inclusive as-of join via the union + running
+    last(ignorenulls) window trick (no range join, no interval explosion);
+    the oracle is DuckDB's NATIVE ASOF JOIN — two different algorithms,
+    one answer."""
+    from imops_spark.functions.events import asof_join_df, load_events
+
+    ev = load_events(spark, sf_dir)
+    knots = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy("ts_sec")
+        .agg(F.max_by("value", "event_id").alias("kval"))
+    )
+    queries = ev.filter(F.col("event_id") % 7 == 0).select("event_id", "ts_sec")
+    return asof_join_df(queries, knots, on="ts_sec", value_cols=["kval"]).select(
+        "event_id", "asof_kval"
+    )
+
+
 def q_evt_closing(spark, sf_dir):
     """binary_closing (#7) as its 1-D relational composition: dilate then
     erode the per-user occupied-bucket flags over a DENSIFIED bucket domain
@@ -785,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_neighbor": q_evt_neighbor,
+        "evt_asof": q_evt_asof,
         "evt_closing": q_evt_closing,
         "evt_sessions_stream": q_evt_sessions_stream,
     }
@@ -1281,6 +1301,19 @@ def oracle_sql() -> dict[str, str]:
                    MAX(flag) OVER (PARTITION BY user_id ORDER BY b
                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
             FROM f
+        """,
+        "evt_asof": """
+            WITH e AS (
+              SELECT event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec, value
+              FROM events
+            ),
+            k AS (
+              SELECT ts_sec, arg_max(value, event_id) AS kval
+              FROM e WHERE event_id % 50 = 0 GROUP BY 1
+            ),
+            q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0)
+            SELECT q.event_id, k.kval AS asof_kval
+            FROM q ASOF JOIN k ON q.ts_sec >= k.ts_sec
         """,
         "evt_closing": """
             WITH f AS (

@@ -20,6 +20,7 @@ __all__ = [
     "with_ts_sec",
     "tumbling_window_df",
     "sessionize_df",
+    "asof_join_df",
     "asof_interpolate_df",
     "neighborhood_flag_df",
 ]
@@ -88,6 +89,62 @@ def sessionize_df(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+def asof_join_df(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts_sec",
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row picks the right row with
+    the greatest ``on`` <= its own (per ``by`` group).  Left rows with no
+    prior right row are dropped (inner asof, DuckDB's default).
+
+    Implemented with the UNION + running ``last(ignorenulls)`` window trick —
+    the scale-correct plan: one shuffle on (``by``, sort ``on``), no range
+    join and no per-interval row explosion, so it survives arbitrarily dense
+    right sides.  Right rows must be unique per (``by``, ``on``) — enforce
+    upstream with an aggregate — otherwise "the" prior row is ambiguous.
+    """
+    by = list(by or [])
+    value_cols = list(value_cols or [c for c in right.columns if c not in by + [on]])
+    l_cols = [c for c in left.columns if c not in by + [on]]
+    # tag=0 sorts right rows before left at equal timestamps -> inclusive
+    r_u = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).alias(c) for c in l_cols],
+    )
+    l_u = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        *l_cols,
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(on, "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r_u.unionByName(l_u).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *by,
+        F.col(on),
+        *l_cols,
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out.filter(F.col(f"asof_{value_cols[0]}").isNotNull())
 
 
 def asof_interpolate_df(events: DataFrame, knot_mod: int = 50, query_mod: int = 7) -> DataFrame:

@@ -103,3 +103,25 @@ def test_winnow_guarantee_and_determinism(spark):
     assert by_doc[0] & by_doc[1], "no shared fingerprint for a shared 25-char substring"
     again = winnow_fingerprints_df(docs, k=8, window=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_asof_join_inclusive_ties_and_groups(spark):
+    from imops_spark.functions.events import asof_join_df
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0)],
+        "user_id long, ts_sec long, value double",
+    )
+    left = spark.createDataFrame(
+        [(1, 9, 0), (1, 10, 1), (1, 19, 2), (1, 25, 3), (2, 14, 4), (2, 15, 5)],
+        "user_id long, ts_sec long, event_id long",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join_df(
+            left, right, on="ts_sec", by=["user_id"], value_cols=["value"]
+        ).collect()
+    }
+    # event 0: no prior knot -> dropped; 1: tie is inclusive -> 100;
+    # 2: last knot <=19 is 100; 3: 200; 4: dropped; 5: tie -> 150
+    assert got == {1: 100.0, 2: 100.0, 3: 200.0, 5: 150.0}
