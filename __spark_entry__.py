@@ -544,6 +544,27 @@ def q_dd_jaccard(spark, sf_dir):
     return ngram_jaccard_df(docs, pairs)
 
 
+def q_dd_clusters(spark, sf_dir):
+    """End-to-end near-dup pipeline closure: shared MinHash signatures ->
+    banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
+    connected components over the verified edges -> (doc_id, cluster_id)
+    with cluster_id = min doc of the cluster (the canonical keeper).  The
+    oracle recomputes the whole chain relationally, closing the graph with a
+    recursive CTE — every stage cross-checked in one gate."""
+    from imops_spark.functions.dedup import lsh_candidate_pairs_df, ngram_jaccard_df
+    from imops_spark.operators.graph import connected_components_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs_df(_minhash_sigs(spark, sf_dir), bands=4, rows_per_band=2)
+    edges = (
+        ngram_jaccard_df(docs, pairs)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components_df(edges)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def q_dd_simhash(spark, sf_dir):
     from imops_spark.functions.dedup import simhash_df
 
@@ -788,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "dd_jaccard": q_dd_jaccard,
+        "dd_clusters": q_dd_clusters,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -870,6 +892,54 @@ def _lsh_pairs_sql(bands: int = 4, rows_per_band: int = 2) -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def _dd_clusters_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.6) -> str:
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+      WITH RECURSIVE {_SHINGLES},
+      sigs AS (SELECT doc_id, {", ".join(f"MIN({_mh_hash(i)}) AS mh{i}" for i in range(MINHASHES))}
+               FROM sh GROUP BY doc_id),
+      buckets AS ({buckets}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        WHERE ROUND(COALESCE(i.n_inter, 0)::DOUBLE /
+                    (na.n + nb.n - COALESCE(i.n_inter, 0)), 6) >= {thresh}
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION SELECT doc_b AS a, doc_a AS b FROM verified
+      ),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach(src, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
+      )
+      SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
     """
 
 
@@ -1135,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = p.doc_a
             JOIN sizes nb ON nb.doc_id = p.doc_b
         """,
+        "dd_clusters": _dd_clusters_sql(),
         "dd_simhash": _simhash_sql(),
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
