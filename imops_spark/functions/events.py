@@ -97,10 +97,12 @@ def asof_join_df(
     on: str = "ts_sec",
     by: list[str] | None = None,
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join: each left row picks the right row with
-    the greatest ``on`` <= its own (per ``by`` group).  Left rows with no
-    prior right row are dropped (inner asof, DuckDB's default).
+    """As-of join: each left row picks the right row with the greatest
+    ``on`` <= its own (``direction='backward'``, inclusive) or the smallest
+    ``on`` >= its own (``'forward'``), per ``by`` group.  Left rows with no
+    matching right row are dropped (inner asof, DuckDB's default).
 
     Implemented with the UNION + running ``last(ignorenulls)`` window trick —
     the scale-correct plan: one shuffle on (``by``, sort ``on``), no range
@@ -108,10 +110,13 @@ def asof_join_df(
     right sides.  Right rows must be unique per (``by``, ``on``) — enforce
     upstream with an aggregate — otherwise "the" prior row is ambiguous.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = list(by or [])
     value_cols = list(value_cols or [c for c in right.columns if c not in by + [on]])
     l_cols = [c for c in left.columns if c not in by + [on]]
-    # tag=0 sorts right rows before left at equal timestamps -> inclusive
+    # tag=0 sorts right rows toward the window edge at equal timestamps ->
+    # inclusive in either direction
     r_u = right.select(
         *by,
         F.col(on),
@@ -126,9 +131,14 @@ def asof_join_df(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
         *l_cols,
     )
+    order = (
+        [F.col(on).asc(), F.col("_tag").asc()]
+        if direction == "backward"
+        else [F.col(on).desc(), F.col("_tag").asc()]
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(on, "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_u.unionByName(l_u).select(

@@ -125,3 +125,24 @@ def test_asof_join_inclusive_ties_and_groups(spark):
     # event 0: no prior knot -> dropped; 1: tie is inclusive -> 100;
     # 2: last knot <=19 is 100; 3: 200; 4: dropped; 5: tie -> 150
     assert got == {1: 100.0, 2: 100.0, 3: 200.0, 5: 150.0}
+
+
+def test_asof_join_forward_direction(spark):
+    from imops_spark.functions.events import asof_join_df
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0)], "user_id long, ts_sec long, value double"
+    )
+    left = spark.createDataFrame(
+        [(1, 9, 0), (1, 10, 1), (1, 15, 2), (1, 21, 3)],
+        "user_id long, ts_sec long, event_id long",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join_df(
+            left, right, on="ts_sec", by=["user_id"], value_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    # 0 -> next knot at 10; 1 -> tie inclusive 10; 2 -> 20; 3 -> none, dropped
+    assert got == {0: 100.0, 1: 100.0, 2: 200.0}
