@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signatures_df",
     "lsh_candidate_pairs_df",
     "ngram_jaccard_df",
+    "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
 ]
@@ -274,3 +275,36 @@ def embedding_near_dup_df(
     return both.groupBy("bi", "bj").applyInPandas(
         compute, schema="id_a long, id_b long, cosine double"
     )
+
+
+def drop_near_duplicates_df(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """The actionable end of the near-dup pipeline: keep one canonical
+    document (the min doc_id) per duplicate cluster and every unclustered
+    document — MinHash signatures -> banded LSH candidates -> n-gram Jaccard
+    verification -> connected components -> anti-join of the losers.
+
+    Every stage is the individually-gated operator (dd_minhash,
+    dd_lsh_pairs, dd_jaccard, dd_clusters); this composes them into the one
+    call a training-data pipeline makes.
+    """
+    from ..operators.graph import connected_components_df
+
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    pairs = lsh_candidate_pairs_df(sigs, bands=bands, rows_per_band=rows_per_band)
+    edges = (
+        ngram_jaccard_df(docs, pairs)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components_df(edges)
+    losers = cc.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")

@@ -146,3 +146,22 @@ def test_asof_join_forward_direction(spark):
     }
     # 0 -> next knot at 10; 1 -> tie inclusive 10; 2 -> 20; 3 -> none, dropped
     assert got == {0: 100.0, 1: 100.0, 2: 200.0}
+
+
+def test_drop_near_duplicates_keeps_canonical(spark):
+    from imops_spark.functions.dedup import drop_near_duplicates_df
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),          # near-dup of 0 -> dropped (0 kept)
+            (5, base.replace("fox", "cat")),  # near-dup of 0 too -> dropped
+            (9, "completely different text about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates_df(docs).collect())
+    assert 9 in kept and 0 in kept
+    assert 1 not in kept or 5 not in kept  # cluster collapsed to its canonical
+    assert kept[0] == 0
