@@ -286,3 +286,54 @@ def test_audio_features_pcm16(spark):
     assert abs(row["rms"] - np.sqrt(np.mean(x * x))) < 1e-12
     assert abs(row["peak"] - np.abs(x).max()) < 1e-12
     assert abs(row["zcr"] - np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) < 1e-12
+
+
+def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
+    """Split the events into three time-ordered files and process them one
+    file per micro-batch: open sessions must carry through state across
+    batch boundaries (the continuation path), and the final emitted set must
+    still be every session except each user's last."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.events import load_events
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stateful_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF)
+    pdf = ev.select("event_id", "ts_sec", "user_id").toPandas().sort_values("ts_sec")
+    cuts = [pdf["ts_sec"].quantile(q) for q in (1 / 3, 2 / 3)]
+    d = tmp_path / "mb"
+    d.mkdir()
+    for i, part in enumerate(
+        [
+            pdf[pdf["ts_sec"] <= cuts[0]],
+            pdf[(pdf["ts_sec"] > cuts[0]) & (pdf["ts_sec"] <= cuts[1])],
+            pdf[pdf["ts_sec"] > cuts[1]],
+        ]
+    ):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)  # file-source orders batches by modification time
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_sec long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts_t", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    out = sessionize_stateful_stream(stream, watermark="87600 hours")
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["first_event_id"])
+        for r in run_stream_to_memory(out, "sess_mb", spark).collect()
+    }
+    exp = {
+        (uid, seq, n, eid)
+        for uid, ss in _python_sessions(spark).items()
+        for seq, n, eid, _last in ss[:-1]
+    }
+    assert got == exp and len(got) > 0
