@@ -34,6 +34,9 @@ __all__ = [
     "ivf_topk_df",
     "ivf_write_index",
     "ivf_query_index",
+    "pq_train",
+    "pq_encode_df",
+    "pq_topk_df",
 ]
 
 
@@ -382,6 +385,155 @@ def ivf_query_index(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train a product quantizer: the embedding dim is split into ``m``
+    contiguous subspaces, each with its own ``ksub``-centroid L2 k-means
+    codebook — a vector compresses to ``m`` small codes (~32x smaller than
+    float32 at m=8), the standard way 100 TB of embeddings fits an ANN index.
+
+    Same deterministic recipe as ``ivf_centroids``: driver-side sample of the
+    lowest ids, first-k init, empty clusters keep their centroid.  Returns
+    a [m, ksub, dsub] numpy array.
+    """
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).toPandas()[vec_col]
+    )
+    v = np.stack([np.asarray(x, dtype=np.float64) for x in sample])
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        vs = v[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(vs))
+        c = vs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((vs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = vs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[s, :k] = c
+        if k < ksub:
+            books[s, k:] = c[0]
+    return books
+
+
+def pq_encode_df(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(vec_id, codes array<int>)``.
+
+    The [m, ksub, dsub] codebook ships in the kernel closure; each Arrow
+    batch runs one argmin-over-centroids per subspace — no shuffle, the
+    corpus streams."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk_df(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over PQ codes by asymmetric distance computation:
+    per query, an [m, ksub] lookup table of subspace dot products (plus the
+    exact reconstruction norms — subspaces are orthogonal, so
+    ``|recon|^2 = sum_s |c_s|^2``); scoring a candidate is ``m`` table
+    lookups, never a decode.  Queries ship in the kernel closure (broadcast
+    contract, as in ``cosine_topk_df``); codes stream through mapInPandas
+    with per-batch top-k and a window merge."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    sq_lut = (books**2).sum(axis=2)  # [m, ksub]
+
+    qrows = sorted(queries.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0])
+    if not qrows:
+        return corpus_codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    qid = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    # dot LUT per query: [nq, m, ksub]
+    dot_lut = np.einsum("qsd,skd->qsk", qm.reshape(len(qm), m, dsub), books)
+    kk = int(k)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            subs = np.arange(m)
+            cn = np.sqrt(sq_lut[subs, codes].sum(axis=1))  # [b] exact recon norms
+            dots = dot_lut[:, subs, codes].sum(axis=2)  # [q, b]
+            sim = (dots / (cn[None, :] * qn[:, None])).T  # [b, q]
+            sim[nid[:, None] == qid[None, :]] = np.nan
+            r = np.round(sim, 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qid)):
+                idx = np.flatnonzero(~np.isnan(r[:, j]))
+                if idx.size == 0:
+                    continue
+                col = r[idx, j]
+                if idx.size > kk:
+                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 1e-6
+                    idx = idx[col >= thr]
+                out_q.append(np.full(idx.size, qid[j]))
+                out_n.append(nid[idx])
+                out_c.append(sim[idx, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
+
+    cand = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).mapInPandas(scan, "query_id long, neighbor_id long, cosine_raw double")
+    scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

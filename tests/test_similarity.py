@@ -204,3 +204,53 @@ def test_cosine_topk_empty_query_side(spark):
     out = cosine_topk_df(df, df.filter("vec_id < 0"), k=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_pq_exact_when_codebook_covers_corpus(spark):
+    """ksub >= distinct subvectors: every vector reconstructs exactly, so
+    PQ ADC top-k equals exact brute-force top-k."""
+    from imops_spark.functions.similarity import pq_encode_df, pq_topk_df, pq_train
+
+    rng = np.random.default_rng(41)
+    protos = rng.standard_normal((8, 16))
+    rows = [(i, [float(v) for v in protos[i % 8]]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, ksub=16)
+    codes = pq_encode_df(df, books)
+    queries = df.filter("vec_id < 4")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk_df(codes, queries, books, k=3).collect()
+    )
+    exp = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk_df(df, queries, k=3).collect()
+    )
+    assert got == exp
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """Clustered vectors (prototypes + small noise): ADC top-1 recall vs
+    exact must be high — the regime PQ is built for."""
+    from imops_spark.functions.similarity import pq_encode_df, pq_topk_df, pq_train
+
+    rng = np.random.default_rng(42)
+    protos = rng.standard_normal((10, 32)) * 3
+    vecs = np.array([protos[i % 10] + rng.standard_normal(32) * 0.15 for i in range(120)])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=8, ksub=16)
+    codes = pq_encode_df(df, books)
+    queries = df.filter("vec_id < 20")
+    exact = {
+        r["query_id"]: r["neighbor_id"] for r in cosine_topk_df(df, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in pq_topk_df(codes, queries, books, k=1).collect()
+    }
+    # Quantization collapses intra-cluster detail (same-cluster members often
+    # share a code and tie), so the honest PQ guarantee is CLUSTER recall:
+    # the approx top-1 lives in the same prototype cluster as the true top-1.
+    hits = sum(1 for q in exact if approx.get(q, -1) % 10 == exact[q] % 10)
+    assert hits >= 18, f"PQ cluster recall {hits}/20 too low"
