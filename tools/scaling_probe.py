@@ -74,7 +74,14 @@ def main() -> None:
         minhash_signatures_df,
         simhash_df,
     )
-    from imops_spark.functions.similarity import cosine_topk_df, ivf_topk_df, lsh_topk_df
+    from imops_spark.functions.events import asof_join_df
+    from imops_spark.functions.similarity import (
+        cosine_topk_df,
+        ivf_topk_df,
+        lsh_topk_df,
+        pq_encode_df,
+        pq_train,
+    )
     from imops_spark.functions.text import tfidf_df
     from imops_spark.session import get_spark
 
@@ -99,6 +106,10 @@ def main() -> None:
         record("dd_minhash", timed(lambda: minhash_signatures_df(docs, num_hashes=8)))
         sigs = minhash_signatures_df(docs, num_hashes=8).persist()
         sigs.count()
+        books = pq_train(emb, m=8, ksub=16)
+        right = emb.select((F.col("vec_id") * 7919 % 100_000).alias("ts_sec"), F.col("vec_id").alias("rv"))
+        right = right.groupBy("ts_sec").agg(F.max("rv").alias("rv"))
+        left = emb.select((F.col("vec_id") * 104_729 % 100_000).alias("ts_sec"), F.col("vec_id").alias("lid"))
         rows = {
             "dd_exact": lambda: exact_dup_groups_df(docs),
             "dd_lsh_pairs": lambda: lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=2),
@@ -107,6 +118,8 @@ def main() -> None:
             "sim_lsh_topk": lambda: lsh_topk_df(emb, queries, k=3, planes=6),
             "sim_ivf_topk": lambda: ivf_topk_df(emb, queries, k=3, n_centroids=16, n_probe=2),
             "sim_exact_topk": lambda: cosine_topk_df(emb, queries, k=3),
+            "pq_encode": lambda: pq_encode_df(emb, books),
+            "asof_join": lambda: asof_join_df(left, right, on="ts_sec", value_cols=["rv"]),
         }
         for name, b in rows.items():
             record(name, timed(b))
