@@ -15,7 +15,10 @@ image count).  We keep the reference's API shape so callers can port unchanged:
 Strategies:
 - ``'join'`` — voxel-table relational plans (default for correctness tests).
 - ``'udf'``  — per-image Arrow/pandas kernels over blob tables.
-- ``'auto'`` — operator picks by input size (the reference's dispatch analog).
+- ``'auto'`` — operator picks by input size (the reference's dispatch analog):
+  ndarray wrappers run the vectorized kernel when the input fits comfortably
+  in one task (``<= AUTO_UDF_MAX_BYTES``) and the distributed voxel-table
+  plan above that (``dispatch_strategy``).
 
 Unknown names raise ``ValueError`` like the reference's ``resolve_backend``
 (`backend.py:29-48`).
@@ -33,11 +36,19 @@ __all__ = [
     "Cython",
     "Numba",
     "Scipy",
+    "AUTO_UDF_MAX_BYTES",
     "set_backend",
     "get_backend",
     "imops_backend",
     "resolve_backend",
+    "dispatch_strategy",
 ]
+
+# 'auto' threshold: inputs at or under this take the per-image NumPy kernel
+# (one Arrow task's worth of data); larger ones take the distributed plan.
+# 64 MiB ~= a 256^3 float32 volume — far below executor memory, far above
+# the per-task fixed overhead that dominates small inputs.
+AUTO_UDF_MAX_BYTES = 64 << 20
 
 
 @dataclass(frozen=True)
@@ -126,6 +137,22 @@ def resolve_backend(backend: str | Backend | None) -> Backend:
             )
         return Backend(name)
     raise ValueError(f"Cannot resolve backend from {backend!r}")
+
+
+def dispatch_strategy(strategy: Backend, nbytes: int) -> str:
+    """Concrete strategy name for an ndarray input of ``nbytes`` bytes.
+
+    Resolves ``'auto'`` by size: the per-image vectorized kernel for inputs
+    that fit one task (``nbytes <= AUTO_UDF_MAX_BYTES``), the distributed
+    voxel-table plan above that.  Explicit ``'join'``/``'udf'`` pass through
+    unchanged.  This is the Spark analog of the reference's backend dispatch
+    (`/root/reference/imops/backend.py:29-48`): small inputs must not pay
+    multi-job fixpoint latency, oversized volumes must not be forced through
+    a single in-memory kernel.
+    """
+    if strategy.name != "auto":
+        return strategy.name
+    return "udf" if nbytes <= AUTO_UDF_MAX_BYTES else "join"
 
 
 def set_backend(backend: str | Backend) -> None:

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..backend import resolve_backend
+from ..backend import dispatch_strategy, resolve_backend
 from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import normalize_num_threads
 
@@ -93,7 +93,7 @@ class interp1d:
     ) -> None:
         if fill_value == "extrapolate-default-nan":
             fill_value = np.nan
-        self._strategy = resolve_backend(backend).name
+        strategy = resolve_backend(backend)  # validate early; dispatch on y size below
         self.num_threads = num_threads
         x = np.asarray(x)
         y = np.asarray(y)
@@ -131,6 +131,8 @@ class interp1d:
             y = np.swapaxes(y, -1, axis)
         self.x = x.copy() if copy else x
         self._y_shape = y.shape
+        # 'auto' size-dispatch: one-task volumes use the vectorized kernel.
+        self._strategy = dispatch_strategy(strategy, y.nbytes)
         if self._strategy == "udf":
             # per-volume vectorized kernel path: keep y locally
             self._y = y.copy() if copy else y

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..backend import resolve_backend
+from ..backend import dispatch_strategy, resolve_backend
 from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import normalize_num_threads
 
@@ -79,9 +79,10 @@ def center_of_mass(
     if array.dtype == bool:
         array = array.astype(np.float64)
 
-    # Single-volume ndarray input: the per-image kernel is the right strategy
-    # unless the caller forces 'join' (the distributed voxel-table plan).
-    if strategy.name != "join":
+    # Single-volume ndarray input: 'auto' size-dispatches — the per-image
+    # kernel below the task-size threshold, the distributed voxel-table plan
+    # above it (or when the caller forces 'join').
+    if dispatch_strategy(strategy, array.nbytes) == "udf":
         from ..kernels import center_of_mass_numpy
 
         if labels is None:
@@ -248,9 +249,10 @@ def label(
     """Connected-component labeling; ndarray wrapper (`measure.py:33-137`).
 
     ``backend`` (engine extension): 'join' runs the distributed fixpoint,
-    'udf' the per-image vectorized kernel (kernels.label_numpy) — the hybrid
-    used at scale: in-memory images take one Arrow pass, oversized ones the
-    iterative join path.
+    'udf' the per-image vectorized kernel (kernels.label_numpy), and 'auto'
+    (default) size-dispatches between them — the hybrid used at scale:
+    in-memory images take one Arrow pass, oversized ones the iterative
+    join path.
     """
     arr = np.asarray(label_image)
     ndim = arr.ndim
@@ -266,7 +268,9 @@ def label(
         connectivity = min(connectivity + 1, 2)
 
     strategy = resolve_backend(backend)
-    if strategy.name == "udf":
+    # 'auto' size-dispatch: a volume that fits one task must not pay the
+    # multi-round distributed CC fixpoint; oversized volumes still take it.
+    if dispatch_strategy(strategy, arr.nbytes) == "udf":
         from ..kernels import label_numpy
 
         labeled64, n = label_numpy(

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..backend import resolve_backend
+from ..backend import dispatch_strategy, resolve_backend
 from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import normalize_num_threads
 
@@ -176,8 +176,12 @@ def _morph_wrapper(op_name, df_op):
             )
             return np.ones_like(image)
 
+        # 'auto' size-dispatch on the full image: one-task inputs take the
+        # vectorized kernel, oversized volumes the distributed plan.
+        strategy_name = dispatch_strategy(strategy, image.nbytes)
+
         def run_full(sub):
-            if strategy.name == "udf":
+            if strategy_name == "udf":
                 # Per-image vectorized kernel — the reference's Scipy-backend
                 # analog; on blob tables this runs inside Arrow tasks.
                 return _np_op(op_name)(sub, np.asarray(footprint))

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..backend import resolve_backend
+from ..backend import dispatch_strategy, resolve_backend
 from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import normalize_num_threads
 
@@ -127,7 +127,7 @@ def radon(
     squared = xs**2
     image, min_ = _validate_and_zero(image)
 
-    if strategy.name == "udf":
+    if dispatch_strategy(strategy, image.nbytes) == "udf":
         from ..kernels import radon_numpy
 
         result = radon_numpy(image, theta, num_threads=n_threads)
@@ -321,7 +321,7 @@ def inverse_radon(
     filtered = _filter_sinogram(sinogram, a, b, num_threads=n_threads)
     img_shape = filtered.shape[1]
 
-    if strategy.name == "udf":
+    if dispatch_strategy(strategy, filtered.nbytes) == "udf":
         from ..kernels import iradon_backproject_numpy
 
         result = iradon_backproject_numpy(

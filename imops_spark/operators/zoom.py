@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..backend import resolve_backend
+from ..backend import dispatch_strategy, resolve_backend
 from ..tensor_io import IMAGE_ID, VAL, TensorFrame, decode_volume, encode_volume
 from ..utils import broadcast_axis, normalize_num_threads
 
@@ -185,7 +185,7 @@ def zoom(
         )
         cast_back = arr.dtype
         arr = arr.astype(np.float64)
-    if resolve_backend(backend).name == "udf":
+    if dispatch_strategy(resolve_backend(backend), arr.nbytes) == "udf":
         from ..kernels import zoom_numpy
 
         res = zoom_numpy(

@@ -27,6 +27,38 @@ def test_backend_aliases():
         resolve_backend("alien")
 
 
+def test_auto_dispatch_by_size():
+    """'auto' resolves to the udf kernel under the one-task threshold and the
+    distributed join plan above it; explicit names pass through."""
+    from imops_spark.backend import AUTO_UDF_MAX_BYTES, dispatch_strategy
+
+    auto = resolve_backend(None)
+    assert auto.name == "auto"
+    assert dispatch_strategy(auto, 1024) == "udf"
+    assert dispatch_strategy(auto, AUTO_UDF_MAX_BYTES) == "udf"
+    assert dispatch_strategy(auto, AUTO_UDF_MAX_BYTES + 1) == "join"
+    assert dispatch_strategy(resolve_backend("join"), 1024) == "join"
+    assert dispatch_strategy(resolve_backend("udf"), 10**12) == "udf"
+
+
+def test_auto_dispatch_label_runs_kernel(spark):
+    """Default (auto) label on a small array must take the in-process kernel:
+    no Spark job may run.  Regression for the 'auto is a misnomer' defect —
+    a 9x9 label used to spend minutes in the distributed CC fixpoint."""
+    from imops_spark import label
+    from tests.test_measure import np_label
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    a = np.random.binomial(1, 0.4, (9, 9)).astype(bool)
+    a[0, 0] = True
+    got, n = label(a, return_num=True)
+    exp, n_exp = np_label(a.astype(int))
+    assert n == n_exp
+    assert_array_equal(got.astype(np.int64), exp)
+    assert tracker.getJobIdsForGroup(None) == before  # zero Spark jobs
+
+
 def test_backend_context_manager():
     assert get_backend() == "auto"
     with imops_backend("udf"):

@@ -93,9 +93,11 @@ def np_iradon(sinogram, theta, fill_value=0.0, a=0, b=1):
 
 
 def test_radon_matches_oracle(spark):
+    # join backend: the distributed gather-join plan (auto would pick the
+    # udf kernel for an input this small; that path is tested separately).
     ct = sample_ct(2, 24)
     theta = np.linspace(0, 180, 12, endpoint=False)
-    got = radon(ct, axes=(1, 2), theta=theta)
+    got = radon(ct, axes=(1, 2), theta=theta, backend="join")
     exp = np_radon(ct, theta)
     assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
 
@@ -126,7 +128,7 @@ def test_iradon_matches_oracle(spark):
     ct = sample_ct(1, 20)
     theta = np.linspace(0, 180, 10, endpoint=False)
     sino = np_radon(ct, theta)
-    got = inverse_radon(sino, axes=(1, 2), theta=theta, fill_value=-7.0)
+    got = inverse_radon(sino, axes=(1, 2), theta=theta, fill_value=-7.0, backend="join")
     exp = np_iradon(sino, theta, fill_value=-7.0)
     assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
 
