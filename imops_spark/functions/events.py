@@ -114,23 +114,36 @@ def asof_join_df(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = list(by or [])
     value_cols = list(value_cols or [c for c in right.columns if c not in by + [on]])
+    if not value_cols:
+        raise ValueError(
+            "asof_join_df: no value columns — `right` has only key/on columns; "
+            "pass value_cols explicitly"
+        )
     l_cols = [c for c in left.columns if c not in by + [on]]
-    # tag=0 sorts right rows toward the window edge at equal timestamps ->
-    # inclusive in either direction
+    # All value columns ride in ONE struct per right row.  The struct itself
+    # is never NULL for a right row (even if every field is NULL), so it
+    # doubles as the match marker: last(ignorenulls) carries the single
+    # nearest right row atomically — matched-but-NULL values stay NULL (no
+    # silent carry of an older row, no per-column row tearing), and 'no
+    # match' is exactly `struct IS NULL`.
+    payload = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
     r_u = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        payload.alias("_r_payload"),
         *[F.lit(None).alias(c) for c in l_cols],
     )
     l_u = left.select(
         *by,
         F.col(on),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("_r_payload"),
         *l_cols,
     )
+    # tag=0 sorts right rows toward the window edge at equal timestamps ->
+    # inclusive in either direction
     order = (
         [F.col(on).asc(), F.col("_tag").asc()]
         if direction == "backward"
@@ -142,19 +155,15 @@ def asof_join_df(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_u.unionByName(l_u).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r_payload", ignorenulls=True).over(w).alias("_asof_payload")
     )
-    out = carried.filter(F.col("_tag") == 1).select(
+    out = carried.filter((F.col("_tag") == 1) & F.col("_asof_payload").isNotNull())
+    return out.select(
         *by,
         F.col(on),
         *l_cols,
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("_asof_payload").getField(c).alias(f"asof_{c}") for c in value_cols],
     )
-    return out.filter(F.col(f"asof_{value_cols[0]}").isNotNull())
 
 
 def asof_interpolate_df(events: DataFrame, knot_mod: int = 50, query_mod: int = 7) -> DataFrame:

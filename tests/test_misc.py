@@ -148,6 +148,42 @@ def test_asof_join_forward_direction(spark):
     assert got == {0: 100.0, 1: 100.0, 2: 200.0}
 
 
+def test_asof_join_null_values_from_matched_row(spark):
+    """A matched right row whose value is NULL must yield NULL (and keep the
+    left row) — not silently carry an older row's value or drop the match.
+    With multiple value_cols, all values must come from the SAME matched row
+    (no per-column tearing)."""
+    from imops_spark.functions.events import asof_join_df
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "a"), (1, 20, None, "b"), (1, 30, 300.0, None)],
+        "user_id long, ts_sec long, value double, tag string",
+    )
+    left = spark.createDataFrame(
+        [(1, 5, 0), (1, 15, 1), (1, 25, 2), (1, 35, 3)],
+        "user_id long, ts_sec long, event_id long",
+    )
+    rows = {
+        r["event_id"]: (r["asof_value"], r["asof_tag"])
+        for r in asof_join_df(
+            left, right, on="ts_sec", by=["user_id"], value_cols=["value", "tag"]
+        ).collect()
+    }
+    # event 0: no prior row -> dropped (inner asof);
+    # 1: matched row (10, 100.0, 'a'); 2: matched row (20, NULL, 'b') — value
+    # stays NULL, tag comes from the SAME row; 3: (30, 300.0, NULL).
+    assert rows == {1: (100.0, "a"), 2: (None, "b"), 3: (300.0, None)}
+
+
+def test_asof_join_empty_value_cols_raises(spark):
+    from imops_spark.functions.events import asof_join_df
+
+    right = spark.createDataFrame([(1, 10)], "user_id long, ts_sec long")
+    left = spark.createDataFrame([(1, 15, 0)], "user_id long, ts_sec long, event_id long")
+    with pytest.raises(ValueError, match="no value columns"):
+        asof_join_df(left, right, on="ts_sec", by=["user_id"])
+
+
 def test_drop_near_duplicates_keeps_canonical(spark):
     from imops_spark.functions.dedup import drop_near_duplicates_df
 
