@@ -237,19 +237,137 @@ def q_edt_1d(spark, sf_dir):
     return series.select("i", F.when(F.col("m"), dist).otherwise(0).cast("long").alias("edt"))
 
 
+# interp2d gate geometry: md5-derived deterministic point sets, recomputable
+# bit-identically in Spark SQL, DuckDB SQL, and pure Python (hashlib) — the
+# same cross-engine trick that hash-gates sim_lsh.  The Delaunay triangulation
+# itself is driver-side sequential (reference runs delaunator on one thread
+# the same way, /root/reference/imops/interp2d.py:48-121); the DISTRIBUTED
+# part — barycentric point-in-triangle evaluation — is what the DuckDB oracle
+# re-derives from the emitted triangle table with exact integer arithmetic.
+I2_SETS, I2_KNOTS, I2_QUERIES = 5, 60, 120
+I2_COORD_MOD, I2_V_MOD = 1000, 10000
+
+
+def _i2_hash_int(key: str, lo: int, hi: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[lo:hi], 16)
+
+
+def _i2_knots(set_id: int) -> list[tuple[int, int, float]]:
+    """Pure-Python twin of the Spark/DuckDB knot generators: (x, y, v) rows,
+    deduplicated per (x, y) by max v, sorted — the canonical triangulation
+    input order used by interp2d_batch_df."""
+    best: dict[tuple[int, int], float] = {}
+    for j in range(I2_KNOTS):
+        h = f"i2k-{set_id}-{j}"
+        x = _i2_hash_int(h, 0, 8) % I2_COORD_MOD
+        y = _i2_hash_int(h, 8, 16) % I2_COORD_MOD
+        v = (_i2_hash_int(h, 16, 24) % I2_V_MOD) / 100.0
+        k = (x, y)
+        best[k] = v if k not in best else max(best[k], v)
+    return [(x, y, best[(x, y)]) for x, y in sorted(best)]
+
+
 def q_interp2d(spark, sf_dir):
     """Linear2DInterpolator (#4): Delaunay + barycentric per point set via
-    applyInPandas — not SQL-expressible (rows-only check by design)."""
+    applyInPandas.  Point sets are md5-generated inside the plan (distributed
+    spark.range + conv(md5) column expressions, no driver-side data) so the
+    DuckDB oracle can regenerate them exactly."""
     from imops_spark.operators.interp2d import interp2d_batch_df
 
-    p = _t(spark, sf_dir, "part")
-    pts = p.select(
-        (F.col("p_partkey") % 5).alias("set_id"),
-        (F.col("p_partkey") % 61).cast("long").alias("x"),
-        (F.floor(F.col("p_partkey") / 61) % 61).cast("long").alias("y"),
-        F.when(F.col("p_partkey") % 3 != 0, F.col("p_retailprice")).alias("v"),
-    ).dropDuplicates(["set_id", "x", "y"])
-    return interp2d_batch_df(pts, fill_value=-1.0)
+    knots = spark.range(I2_SETS * I2_KNOTS).selectExpr(
+        f"id DIV {I2_KNOTS} AS set_id",
+        f"md5(concat('i2k-', CAST(id DIV {I2_KNOTS} AS STRING), '-', "
+        f"CAST(id % {I2_KNOTS} AS STRING))) AS h",
+    ).selectExpr(
+        "set_id",
+        f"CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % {I2_COORD_MOD} AS x",
+        f"CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT) % {I2_COORD_MOD} AS y",
+        f"CAST(CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT) % {I2_V_MOD} AS DOUBLE)"
+        " / CAST(100 AS DOUBLE) AS v",
+    )
+    queries = spark.range(I2_SETS * I2_QUERIES).selectExpr(
+        f"id DIV {I2_QUERIES} AS set_id",
+        f"md5(concat('i2q-', CAST(id DIV {I2_QUERIES} AS STRING), '-', "
+        f"CAST(id % {I2_QUERIES} AS STRING))) AS h",
+    ).selectExpr(
+        "set_id",
+        f"CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % {I2_COORD_MOD} AS x",
+        f"CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT) % {I2_COORD_MOD} AS y",
+        "CAST(NULL AS DOUBLE) AS v",
+    )
+    return interp2d_batch_df(knots.unionByName(queries), fill_value=-1.0)
+
+
+def _interp2d_oracle() -> str:
+    """DuckDB oracle for q_interp2d: regenerate the md5 query points in SQL,
+    then evaluate barycentric interpolation against the INLINED driver-side
+    triangle table (vertex coords/values are exact integers, so l1/l2/l3 are
+    exact-integer ratios — bit-identical to the numpy kernel's doubles).
+    Containing-triangle choice matches ``_barycentric_eval``: lowest tri_id
+    among eps-tolerant containing triangles with det != 0."""
+    from imops_spark.operators.interp2d import delaunay_bw
+    import numpy as np
+
+    rows = []
+    for s in range(I2_SETS):
+        knots = _i2_knots(s)
+        pts = np.array([(x, y) for x, y, _ in knots], dtype=np.float64)
+        vals = [int(round(v * 100)) for _, _, v in knots]
+        tris = delaunay_bw(pts)
+        for tri_id, (i, j, k) in enumerate(tris.tolist()):
+            (x1, y1), (x2, y2), (x3, y3) = pts[i], pts[j], pts[k]
+            det = int((y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3))
+            if det == 0:  # excluded by the kernel too (ok = det != 0)
+                continue
+            rows.append(
+                f"({tri_id}, {s}, {int(x1)}, {int(y1)}, {vals[i]}, "
+                f"{int(x2)}, {int(y2)}, {vals[j]}, {int(x3)}, {int(y3)}, {vals[k]}, {det})"
+            )
+    values = ",\n              ".join(rows)
+    return f"""
+            WITH tri(tri_id, set_id, x1, y1, vi1, x2, y2, vi2, x3, y3, vi3, det) AS (
+              VALUES {values}
+            ),
+            qpt AS (
+              SELECT (s * {I2_QUERIES} + j) AS qid, s AS set_id,
+                     ('0x' || substr(h, 1, 8))::BIGINT % {I2_COORD_MOD} AS x,
+                     ('0x' || substr(h, 9, 8))::BIGINT % {I2_COORD_MOD} AS y
+              FROM (
+                SELECT t1.range AS s, t2.range AS j,
+                       md5('i2q-' || CAST(t1.range AS VARCHAR) || '-'
+                           || CAST(t2.range AS VARCHAR)) AS h
+                FROM range({I2_SETS}) t1, range({I2_QUERIES}) t2
+              )
+            ),
+            cand AS (
+              SELECT qpt.qid, tri.tri_id,
+                     CAST((tri.y2 - tri.y3) * (qpt.x - tri.x3)
+                          + (tri.x3 - tri.x2) * (qpt.y - tri.y3) AS DOUBLE)
+                       / CAST(tri.det AS DOUBLE) AS l1,
+                     CAST((tri.y3 - tri.y1) * (qpt.x - tri.x3)
+                          + (tri.x1 - tri.x3) * (qpt.y - tri.y3) AS DOUBLE)
+                       / CAST(tri.det AS DOUBLE) AS l2,
+                     CAST(tri.vi1 AS DOUBLE) / CAST(100 AS DOUBLE) AS v1,
+                     CAST(tri.vi2 AS DOUBLE) / CAST(100 AS DOUBLE) AS v2,
+                     CAST(tri.vi3 AS DOUBLE) / CAST(100 AS DOUBLE) AS v3
+              FROM qpt JOIN tri USING (set_id)
+            ),
+            lam AS (
+              SELECT qid, tri_id, l1, l2, CAST(1 AS DOUBLE) - l1 - l2 AS l3, v1, v2, v3
+              FROM cand
+            ),
+            hit AS (
+              SELECT qid, arg_min(l1 * v1 + l2 * v2 + l3 * v3, tri_id) AS v_in
+              FROM lam
+              WHERE l1 >= -1e-9 AND l2 >= -1e-9 AND l3 >= -1e-9
+              GROUP BY qid
+            )
+            SELECT qpt.set_id, qpt.x, qpt.y,
+                   COALESCE(hit.v_in, CAST(-1 AS DOUBLE)) AS v_interp
+            FROM qpt LEFT JOIN hit USING (qid)
+        """
 
 
 def q_multimodal(spark, sf_dir):
@@ -1085,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(next_bg - i, 1073741824)) ELSE 0 END AS BIGINT) AS edt
             FROM scans
         """,
+        "interp2d": _interp2d_oracle(),
         "graph_cc": """
             WITH RECURSIVE
             edges0 AS (

@@ -229,11 +229,20 @@ def interp2d_batch_df(point_sets, fill_value: float = 0.0):
     ``v`` are knots and null-``v`` rows are queries (FIXTURES.md F6 layout).
     Returns ``(set_id, x, y, v_interp)`` for the query rows.  One Arrow task
     per set — triangulate + evaluate with the same kernels as the class.
+
+    Knots are deduplicated per (x, y) (max ``v`` wins) and sorted before
+    triangulation: Bowyer-Watson insertion order decides the triangulation in
+    near-cocircular configurations, so without a canonical order the result
+    would depend on Spark's partitioning/row arrival order.
     """
     import pandas as pd
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        knots = pdf[pdf["v"].notna()]
+        knots = (
+            pdf[pdf["v"].notna()]
+            .groupby(["x", "y"], as_index=False)["v"].max()
+            .sort_values(["x", "y"], kind="mergesort")
+        )
         queries = pdf[pdf["v"].isna()]
         if len(knots) < 3 or len(queries) == 0:
             return pd.DataFrame({"set_id": [], "x": [], "y": [], "v_interp": []}).astype(

@@ -188,6 +188,12 @@ def test_golden_ct_batch_df_parity(spark):
     kp = rng.choice(len(knots), size=1200, replace=False)
     qp = rng.choice(len(queries), size=1200, replace=False)
     kpts, kvals, qpts = knots[kp], vals[kp], queries[qp]
+    # interp2d_batch_df canonicalizes knot order (sorted by (x, y)) before
+    # triangulating; near-cocircular configs make the triangulation — and a
+    # few hull-edge queries — insertion-order-dependent, so the local twin
+    # must use the same order.
+    order = np.lexsort((kpts[:, 1], kpts[:, 0]))
+    kpts, kvals = kpts[order], kvals[order]
 
     f = Linear2DInterpolator(kpts.astype(np.float64), kvals)
     exp = f(qpts.astype(np.float64), fill_value=0.0)
