@@ -370,9 +370,15 @@ def _interp2d_oracle() -> str:
         """
 
 
+# multimodal gate image geometry (w, h, c): 576 px = 36 md5 blocks exactly.
+MM_W, MM_H, MM_C = 16, 12, 3
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal plumbing: binary payloads + metadata structs through an
-    Arrow feature-extraction kernel (deterministic fake decode; rows-only)."""
+    Arrow feature-extraction kernel.  The fake decode is md5 arithmetic on
+    the payload bytes, so the DuckDB oracle regenerates every pixel and
+    recomputes the channel statistics — a full value-hash gate."""
     from imops_spark.functions.multimodal import image_features_df, multimodal_schema
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -381,15 +387,23 @@ def q_multimodal(spark, sf_dir):
         F.lit("image").alias("modality"),
         F.encode("text", "utf-8").alias("data"),
         F.struct(
-            F.lit(16).alias("width"),
-            F.lit(12).alias("height"),
-            F.lit(3).alias("channels"),
+            F.lit(MM_W).alias("width"),
+            F.lit(MM_H).alias("height"),
+            F.lit(MM_C).alias("channels"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
             F.lit("fake").alias("format"),
         ).alias("meta"),
     )
-    return image_features_df(items)
+    feats = image_features_df(items)
+    # ROUND(6): mean/frac are exact (integer sums / fixed divisors) on both
+    # engines; std differs in last ulps (numpy two-pass vs DuckDB streaming).
+    return feats.select(
+        "item_id",
+        F.round("mean_c0", 6).alias("mean_c0"),
+        F.round("std_c0", 6).alias("std_c0"),
+        F.round("frac_dark", 6).alias("frac_dark"),
+    )
 
 
 def q_graph_cc(spark, sf_dir):
@@ -1204,6 +1218,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scans
         """,
         "interp2d": _interp2d_oracle(),
+        "multimodal": f"""
+            -- regenerate the md5 fake-decode pixels: seed = md5(utf-8 text),
+            -- block b = md5(seed || '-' || b), byte o of a block = hex pair
+            -- 2o+1..2o+2.  {MM_H}x{MM_W}x{MM_C} = {MM_H * MM_W * MM_C} px
+            -- = {(MM_H * MM_W * MM_C) // 16} blocks exactly.
+            WITH src AS (
+              SELECT doc_id AS item_id, md5(text) AS seed
+              FROM documents WHERE doc_id < 50
+            ),
+            px AS (
+              SELECT s.item_id, (b.range * 16 + o.range) AS i,
+                     ('0x' || substr(
+                        md5(s.seed || '-' || CAST(b.range AS VARCHAR)),
+                        o.range * 2 + 1, 2))::BIGINT AS v
+              FROM src s, range({(MM_H * MM_W * MM_C) // 16}) b, range(16) o
+            ),
+            chan AS (SELECT item_id, v, i % {MM_C} AS c, i // {MM_C} AS p FROM px),
+            pix AS (
+              SELECT item_id, p, AVG(CAST(v AS DOUBLE)) AS pmean
+              FROM chan GROUP BY item_id, p
+            ),
+            stats AS (
+              SELECT item_id,
+                     ROUND(AVG(CASE WHEN c = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_c0,
+                     ROUND(STDDEV_POP(CASE WHEN c = 0 THEN CAST(v AS DOUBLE) END), 6) AS std_c0
+              FROM chan GROUP BY item_id
+            ),
+            dark AS (
+              SELECT item_id,
+                     ROUND(AVG(CASE WHEN pmean < 32 THEN CAST(1 AS DOUBLE)
+                               ELSE CAST(0 AS DOUBLE) END), 6) AS frac_dark
+              FROM pix GROUP BY item_id
+            )
+            SELECT stats.item_id, mean_c0, std_c0, frac_dark
+            FROM stats JOIN dark USING (item_id)
+        """,
         "graph_cc": """
             WITH RECURSIVE
             edges0 AS (

@@ -83,11 +83,20 @@ def fake_decode_image(data: bytes, width: int, height: int, channels: int) -> np
     """Deterministic stand-in for an image codec: bytes -> (H, W, C) uint8.
 
     STUB — a real deployment replaces this with PIL/turbojpeg.  The output is
-    a reproducible function of the payload so tests can assert end-to-end.
+    pure md5 arithmetic on the payload bytes: pixel block ``b`` is the 16-byte
+    digest of ``f"{md5(data)}-{b}"``.  That makes it reproducible not just
+    across processes but across ENGINES — DuckDB recomputes the identical
+    pixels with ``md5() + substr()``, which is what upgrades the multimodal
+    driver gate from rows-only to a value-hash match.
     """
-    seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(int(seed))
-    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    import hashlib
+
+    seed = hashlib.md5(data).hexdigest()
+    n = height * width * channels
+    buf = b"".join(
+        hashlib.md5(f"{seed}-{b}".encode()).digest() for b in range((n + 15) // 16)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8).reshape(height, width, channels).copy()
 
 
 def real_decode_image(data: bytes, meta) -> np.ndarray:
