@@ -17,6 +17,7 @@ import numpy as np
 
 __all__ = [
     "zoom_numpy",
+    "spline_zoom_numpy",
     "dilation_numpy",
     "erosion_numpy",
     "label_numpy",
@@ -285,6 +286,121 @@ def zoom_numpy(
         for ci in range(n_chunks):
             run_chunk(ci)
     return out
+
+
+# ---------------------------------------------------------------------------
+# High-order (2-5) B-spline zoom — the engine's analog of the reference's
+# scipy fallback (`/root/reference/imops/zoom.py:229-251` warns and delegates
+# to scipy.ndimage.zoom for order>=2; this container has no scipy, so the same
+# published algorithm — Unser's recursive prefilter + cardinal B-spline
+# evaluation, which IS what scipy implements — runs in vectorized numpy).
+# ---------------------------------------------------------------------------
+
+# Unser (1993) interpolation-filter poles per spline order.
+_SPLINE_POLES = {
+    2: (np.sqrt(8.0) - 3.0,),
+    3: (np.sqrt(3.0) - 2.0,),
+    4: (
+        np.sqrt(664.0 - np.sqrt(438976.0)) + np.sqrt(304.0) - 19.0,
+        np.sqrt(664.0 + np.sqrt(438976.0)) - np.sqrt(304.0) - 19.0,
+    ),
+    5: (
+        np.sqrt(135.0 / 2.0 - np.sqrt(17745.0 / 4.0)) + np.sqrt(105.0 / 4.0) - 6.5,
+        np.sqrt(135.0 / 2.0 + np.sqrt(17745.0 / 4.0)) - np.sqrt(105.0 / 4.0) - 6.5,
+    ),
+}
+
+
+def _spline_filter1d(x: np.ndarray, order: int, axis: int) -> np.ndarray:
+    """B-spline interpolation coefficients along ``axis`` (mirror boundary,
+    whole-sample symmetric — scipy's spline_filter1d 'mirror' mode).  Exact
+    boundary init (full-period formula), not the truncated-horizon
+    approximation, so the dense-solve differential test matches to 1e-12."""
+    n = x.shape[axis]
+    if order < 2 or n == 1:
+        return x
+    moved = np.moveaxis(x, axis, 0)
+    flat = np.ascontiguousarray(moved).reshape(n, -1)
+    period = 2 * n - 2
+    for z in _SPLINE_POLES[order]:
+        flat *= (1.0 - z) * (1.0 - 1.0 / z)
+        # causal init: c+[0] = sum_{k<period} z^k x_mirror[k] / (1 - z^period)
+        k = np.arange(1, n - 1)
+        w = np.empty(n)
+        w[0] = 1.0
+        if n > 2:
+            w[1 : n - 1] = z**k + z ** (period - k)
+        w[n - 1] = z ** (n - 1)
+        c0 = (w @ flat) / (1.0 - z**period)
+        flat[0] = c0
+        for i in range(1, n):  # causal sweep (vector op per row)
+            flat[i] += z * flat[i - 1]
+        flat[n - 1] = (z / (z * z - 1.0)) * (flat[n - 1] + z * flat[n - 2])
+        for i in range(n - 2, -1, -1):  # anticausal sweep
+            flat[i] = z * (flat[i + 1] - flat[i])
+    out = flat.reshape(moved.shape)
+    return np.moveaxis(out, 0, axis)
+
+
+def _bspline_kernel(p: int, t: np.ndarray) -> np.ndarray:
+    """Centered cardinal B-spline of degree ``p`` at ``t`` (Cox-de Boor)."""
+    if p == 0:
+        return ((t >= -0.5) & (t < 0.5)).astype(np.float64)
+    h = (p + 1) / 2.0
+    return ((t + h) * _bspline_kernel(p - 1, t + 0.5) + (h - t) * _bspline_kernel(p - 1, t - 0.5)) / p
+
+
+def _spline_interp_axis(coef: np.ndarray, coords: np.ndarray, order: int, axis: int) -> np.ndarray:
+    """Evaluate the spline along ``axis`` at fractional ``coords`` (mirror tap
+    extension).  Tap accumulation runs one gather per tap — no [m, taps, rest]
+    cube is materialized."""
+    n = coef.shape[axis]
+    c = np.moveaxis(coef, axis, 0)
+    m = len(coords)
+    if order % 2:
+        start = np.floor(coords).astype(np.int64) - (order - 1) // 2
+    else:
+        start = np.floor(coords + 0.5).astype(np.int64) - order // 2
+    out = np.zeros((m,) + c.shape[1:], dtype=np.float64)
+    for t in range(order + 1):
+        taps = start + t
+        w = _bspline_kernel(order, coords - taps)
+        if n == 1:
+            idx = np.zeros(m, dtype=np.int64)
+        else:
+            period = 2 * n - 2
+            idx = np.abs(taps) % period
+            idx = np.where(idx >= n, period - idx, idx)
+        out += w.reshape((m,) + (1,) * (c.ndim - 1)) * c[idx]
+    return np.moveaxis(out, 0, axis)
+
+
+def spline_zoom_numpy(
+    x: np.ndarray, scale, order: int, fill_value: float = 0.0, prefilter: bool = True
+) -> np.ndarray:
+    """scipy.ndimage.zoom-equivalent rescale for spline orders 0-5
+    (grid_mode=False endpoint mapping: coord_j = j * (n_in-1)/(n_out-1), so
+    every sample point is interior and ``fill_value`` never applies — kept for
+    signature parity).  Separable: the tensor-product B-spline factorizes into
+    one 1-D interpolation pass per axis.  Edge taps extend by mirror — exact
+    scipy parity for mode='mirror' and scipy's classic interior behavior for
+    mode='constant'."""
+    if order not in (0, 1, 2, 3, 4, 5):
+        raise ValueError(f"spline order must be in 0..5, got {order}")
+    x = np.asarray(x)
+    ndim = x.ndim
+    scale = np.broadcast_to(np.asarray(scale, dtype=float), (ndim,))
+    new_shape = tuple(int(round(s * z)) for s, z in zip(x.shape, scale))
+    work = x.astype(np.float64, copy=True)
+    if prefilter and order >= 2:
+        for ax in range(ndim):
+            work = _spline_filter1d(work, order, ax)
+    for ax in range(ndim):
+        n_in, n_out = x.shape[ax], new_shape[ax]
+        step = 0.0 if n_out == 1 else (n_in - 1) / (n_out - 1)
+        coords = np.arange(n_out) * step
+        work = _spline_interp_axis(work, coords, order, ax)
+    return work
 
 
 # Table caches: radon/backprojection geometry tables depend only on

@@ -150,8 +150,8 @@ def zoom(
     (parity ``zoom.py:72-126``)."""
     resolve_backend(backend)
     n_threads = normalize_num_threads(num_threads)
-    if order not in (0, 1):
-        raise ValueError(f"Interpolation order {order} is not supported (only 0 and 1)")
+    if order not in (0, 1, 2, 3, 4, 5):
+        raise ValueError(f"Interpolation order {order} is not supported (0..5)")
     arr_mode = not isinstance(x, TensorFrame)
     ndim = np.asarray(x).ndim if arr_mode else x.ndim
     axes, scale_ax = broadcast_axis(axis, ndim, scale_factor)
@@ -164,10 +164,31 @@ def zoom(
         fill_value = fill_value(np.asarray(x))
 
     if not arr_mode:
+        if order not in (0, 1):
+            raise ValueError(
+                "TensorFrame zoom supports order 0/1; spline orders 2-5 run on "
+                "the ndarray path (or per-image over blob tables)"
+            )
         return zoom_df(x, full_scale, order=order, fill_value=float(fill_value))
     arr = np.asarray(x)
-    if arr.ndim > 4:
-        raise ValueError(f"zoom supports ndim<=4, got {arr.ndim}")
+    if order > 1 or arr.ndim > 4:
+        # Reference parity (zoom.py:229-251): unsupported order/ndim combos
+        # warn with the reference's exact text and degrade gracefully instead
+        # of raising.  The reference delegates to scipy.ndimage.zoom; this
+        # container has no scipy, so the same published algorithm (Unser
+        # prefilter + B-spline evaluation) runs in vectorized numpy.
+        import warnings
+
+        from ..kernels import spline_zoom_numpy
+
+        warnings.warn(
+            "Fast zoom is only supported for ndim<=4, dtype=fp32-fp64 and "
+            "bool-int16-32-64-uint8-16-32 if order == 0, output=None, order=0 or 1 , "
+            "mode='constant', grid_mode=False. Falling back to scipy's implementation.",
+            stacklevel=2,
+        )
+        res = spline_zoom_numpy(arr, full_scale, order=order, fill_value=float(fill_value))
+        return res.astype(arr.dtype, copy=False)  # scipy writes into input-dtype output
     cast_back = None
     if order == 1 and arr.dtype not in (np.float32, np.float64):
         # Reference parity (zoom.py:243): non-float order-1 input warns and

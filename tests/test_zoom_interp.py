@@ -81,7 +81,103 @@ def test_zoom_identity(spark):
 
 def test_zoom_bad_order(spark):
     with pytest.raises(ValueError):
-        zoom(np.zeros((3, 3)), 2.0, order=3)
+        zoom(np.zeros((3, 3)), 2.0, order=7)
+
+
+# --- spline-order fallback (reference zoom.py:229-251 scipy delegation) ---
+
+
+def np_spline_coef_dense(x, order):
+    """Dense-solve oracle for the recursive prefilter: solve the mirror
+    (whole-sample symmetric) B-spline collocation system directly."""
+    from imops_spark.kernels import _bspline_kernel
+
+    n = len(x)
+    period = 2 * n - 2 if n > 1 else 1
+    m = np.zeros((n, n))
+    reach = order + 2
+    for k in range(n):
+        for i in range(k - reach, k + reach + 1):
+            w = float(_bspline_kernel(order, np.array([float(k - i)]))[0])
+            if w == 0.0:
+                continue
+            idx = abs(i) % period
+            if idx >= n:
+                idx = period - idx
+            m[k, idx] += w
+    return np.linalg.solve(m, x)
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_spline_prefilter_matches_dense_solve(order):
+    from imops_spark.kernels import _spline_filter1d
+
+    rng = np.random.default_rng(5 + order)
+    x = rng.standard_normal(23)
+    got = _spline_filter1d(x.copy().reshape(-1, 1), order, 0).ravel()
+    exp = np_spline_coef_dense(x, order)
+    assert_allclose(got, exp, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_spline_zoom_identity(order):
+    """scale=1 must return the input exactly: prefilter + knot evaluation is
+    the identity (the interpolation property)."""
+    from imops_spark.kernels import spline_zoom_numpy
+
+    rng = np.random.default_rng(order)
+    x = rng.standard_normal((9, 11))
+    assert_allclose(spline_zoom_numpy(x, 1.0, order=order), x, rtol=1e-9, atol=1e-11)
+
+
+def test_spline_zoom_linear_data_interior():
+    """Cubic spline interpolation reproduces degree<=3 polynomials away from
+    the boundary.  The mirror extension puts a slope kink at each edge whose
+    ringing decays by |z1|~=0.27 per sample, so exactness holds in the deep
+    interior (here >25 samples in: ringing < 1e-14)."""
+    from imops_spark.kernels import spline_zoom_numpy
+
+    n = 64
+    x = np.arange(n, dtype=np.float64)
+    out = spline_zoom_numpy(x, 2.0, order=3)
+    exp = np.arange(2 * n) * ((n - 1.0) / (2 * n - 1.0))
+    interior = slice(52, 76)
+    assert_allclose(out[interior], exp[interior], rtol=1e-12, atol=1e-12)
+
+
+def test_spline_zoom_order1_matches_fast_kernel():
+    from imops_spark.kernels import spline_zoom_numpy, zoom_numpy
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((7, 8))
+    assert_allclose(
+        spline_zoom_numpy(x, 1.7, order=1), zoom_numpy(x, 1.7, order=1), rtol=1e-12
+    )
+
+
+def test_zoom_order3_warns_and_returns(spark):
+    """Reference parity: order>=2 warns with the scipy-fallback text and
+    returns (the reference degrades gracefully; we used to raise)."""
+    x = np.random.default_rng(3).standard_normal((10, 12))
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        got = zoom(x, 2.0, order=3)
+    assert got.shape == (20, 24)
+    assert got.dtype == x.dtype
+    # int input comes back int (scipy writes into an input-dtype output)
+    xi = (x * 50).astype(np.int16)
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        gi = zoom(xi, 1.5, order=2)
+    assert gi.dtype == np.int16
+
+
+def test_zoom_5d_falls_back(spark):
+    from imops_spark.kernels import spline_zoom_numpy
+
+    x = np.random.default_rng(4).standard_normal((2, 3, 4, 3, 2))
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        got = zoom(x, [1, 1, 1, 1, 2.0], order=1)
+    assert got.shape == (2, 3, 4, 3, 4)
+    assert_allclose(got, spline_zoom_numpy(x, [1, 1, 1, 1, 2.0], order=1), rtol=1e-12)
 
 
 def test_zoom_linear_int_warns_and_preserves_dtype(spark):
