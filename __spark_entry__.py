@@ -802,6 +802,35 @@ def q_sim_lsh(spark, sf_dir):
     )
 
 
+def q_sim_pq(spark, sf_dir):
+    """Product quantization with a SATURATED codebook: every corpus subvector
+    is its own centroid, so encoding is lossless, reconstruction norms are
+    exact, and ADC scoring equals exact cosine — giving the PQ path an
+    oracle-backed hash gate (the sim_ivf full-probe trick; the compression
+    trade-off at realistic ksub is exercised in tests/test_similarity.py).
+    The codebook build collects the corpus driver-side — a gate construction,
+    not the production recipe (that's pq_train's bounded sample)."""
+    import numpy as np
+
+    from imops_spark.functions.similarity import pq_encode_df, pq_topk_df
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    m = 8
+    dsub = vecs.shape[1] // m
+    books = np.stack(
+        [vecs[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # [m, n_corpus, dsub]: full coverage
+    codes = pq_encode_df(emb, books)
+    return pq_topk_df(codes, queries, books, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_evt_sessions_stream(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState): gap
     sessionization with per-user open-session state.  Drained one-shot with
@@ -953,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
+        "sim_pq": q_sim_pq,
         "evt_window": q_evt_window,
         "evt_window_stream": q_evt_window_stream,
         "evt_sliding_stream": q_evt_sliding_stream,
@@ -1466,6 +1496,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "sim_ivf": """
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id ASC
+                     ) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
+        "sim_pq": """
             SELECT query_id, neighbor_id, rank, cosine FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,

@@ -414,6 +414,8 @@ def pq_train(
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).toPandas()[vec_col]
     )
+    if not len(sample):
+        raise ValueError("pq_train: empty training sample — the corpus has no rows")
     v = np.stack([np.asarray(x, dtype=np.float64) for x in sample])
     dim = v.shape[1]
     if dim % m:
@@ -506,7 +508,11 @@ def pq_topk_df(
             subs = np.arange(m)
             cn = np.sqrt(sq_lut[subs, codes].sum(axis=1))  # [b] exact recon norms
             dots = dot_lut[:, subs, codes].sum(axis=2)  # [q, b]
-            sim = (dots / (cn[None, :] * qn[:, None])).T  # [b, q]
+            # zero-norm reconstructions (or queries) score 0, like the cosine
+            # paths — a 0/0 would otherwise become nan and silently vanish
+            # from rankings.
+            denom = cn[None, :] * qn[:, None]
+            sim = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0).T  # [b, q]
             sim[nid[:, None] == qid[None, :]] = np.nan
             r = np.round(sim, 6)
             out_q, out_n, out_c = [], [], []

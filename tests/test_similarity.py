@@ -229,6 +229,37 @@ def test_pq_exact_when_codebook_covers_corpus(spark):
     assert got == exp
 
 
+def test_pq_train_empty_corpus_raises(spark):
+    from imops_spark.functions.similarity import pq_train
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty training sample"):
+        pq_train(df, m=4, ksub=4)
+
+
+def test_pq_zero_norm_reconstruction_scores_zero(spark):
+    """A zero vector reconstructs to a zero-norm code; its ADC similarity
+    must be 0 (like the cosine paths), not nan/inf silently dropped from the
+    ranking."""
+    from imops_spark.functions.similarity import pq_encode_df, pq_topk_df
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (2, [1.0, 1.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = np.array([r[1] for r in rows])
+    books = np.stack([vecs[:, :2], vecs[:, 2:]])  # saturated codebook
+    codes = pq_encode_df(df, books)
+    out = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in pq_topk_df(codes, df.filter("vec_id = 0"), books, k=3).collect()
+    }
+    assert out[(0, 1)] == 0.0  # zero-norm neighbor present, scored 0
+    assert len(out) == 2
+
+
 def test_pq_recall_on_clustered_data(spark):
     """Clustered vectors (prototypes + small noise): ADC top-1 recall vs
     exact must be high — the regime PQ is built for."""
