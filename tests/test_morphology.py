@@ -151,6 +151,45 @@ def test_edt_blob_path(spark):
         assert_allclose(out[i], brute_edt(a).astype(np.float32), rtol=1e-5)
 
 
+def test_edt_blob_path_return_indices(spark):
+    """DataFrame path with return_indices (reference morphology.py:499-507
+    returns both): per image, indices must point at background voxels whose
+    distance reproduces the distance map exactly — an internal-consistency
+    oracle independent of the kernel."""
+    from imops_spark.operators.morphology import decode_edt_blobs
+    from imops_spark.tensor_io import encode_blobs
+
+    rng = np.random.default_rng(31)
+    arrays = {i: rng.binomial(1, 0.6, (6, 7)).astype(bool) for i in range(3)}
+    for a in arrays.values():
+        a[0, 0] = False
+    blobs = encode_blobs(spark, arrays)
+    out = decode_edt_blobs(distance_transform_edt(blobs, return_indices=True))
+    for i, a in arrays.items():
+        dist, idx = out[i]
+        assert dist.shape == a.shape and idx.shape == (2,) + a.shape
+        assert_allclose(dist, brute_edt(a).astype(np.float32), rtol=1e-5)
+        for p in np.argwhere(a):
+            q = idx[:, p[0], p[1]]
+            assert not a[q[0], q[1]]
+            assert_allclose(np.sqrt(((p - q) ** 2).sum()), dist[tuple(p)], rtol=1e-5)
+
+
+def test_edt_blob_path_indices_only(spark):
+    from imops_spark.operators.morphology import decode_edt_blobs
+    from imops_spark.tensor_io import encode_blobs
+
+    a = np.random.binomial(1, 0.5, (5, 5)).astype(bool)
+    a[2, 2] = False
+    out = decode_edt_blobs(
+        distance_transform_edt(
+            encode_blobs(spark, {7: a}), return_distances=False, return_indices=True
+        )
+    )
+    dist, idx = out[7]
+    assert dist is None and idx is not None
+
+
 @pytest.mark.parametrize("op", [binary_dilation, binary_erosion, binary_closing, binary_opening])
 def test_boxed_matches_unboxed_interior(spark, op):
     """boxed=True is pure work-skipping: identical output for a mask whose
