@@ -40,6 +40,32 @@ __all__ = [
 ]
 
 
+# Broadcast contract for the exact top-k paths: the query side ships in the
+# kernel closure, so it must fit comfortably in driver + executor memory.
+_TOPK_BROADCAST_MAX = 100_000
+
+
+def _collect_query_side(queries: DataFrame, id_col: str, vec_col: str, fn_name: str):
+    """Driver-collect the query side under the broadcast contract: raises a
+    clear error past ``_TOPK_BROADCAST_MAX`` vectors instead of silently
+    OOMing the driver; preserves the input id dtype (long/int/string ids all
+    work).  Returns (qid ndarray, qmatrix, id_type_ddl)."""
+    id_type = dict(queries.dtypes)[id_col]
+    rows = queries.select(F.col(id_col), F.col(vec_col)).limit(_TOPK_BROADCAST_MAX + 1).collect()
+    if len(rows) > _TOPK_BROADCAST_MAX:
+        raise ValueError(
+            f"{fn_name}: query side exceeds the broadcast contract "
+            f"(> {_TOPK_BROADCAST_MAX} vectors); route through lsh_topk_df or "
+            "ivf_topk_df for large query sides"
+        )
+    rows.sort(key=lambda r: r[0])
+    if not rows:
+        return None, None, id_type
+    qid = np.asarray([r[0] for r in rows])  # native dtype: int64 or object/str
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return qid, qm, id_type
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
@@ -70,15 +96,13 @@ def cosine_topk_df(
     evaluation anywhere, no shuffle of the corpus, and per-vector norms are
     computed exactly once.
     """
-    qrows = sorted(
-        queries.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0]
-    )
-    if not qrows:  # empty query side: empty result, correct schema
+    q_type = dict(queries.dtypes)[id_col]
+    c_type = dict(corpus.dtypes)[id_col]
+    qid, qm, _ = _collect_query_side(queries, id_col, vec_col, "cosine_topk_df")
+    if qid is None:  # empty query side: empty result, correct schema
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
+            [], f"query_id {q_type}, neighbor_id {c_type}, rank int, cosine double"
         )
-    qid = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     kk = int(k)
 
@@ -86,15 +110,16 @@ def cosine_topk_df(
         for pdf in batches:
             if not len(pdf):
                 continue
-            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            nid = pdf["neighbor_id"].to_numpy()
             cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
             cn = np.linalg.norm(cm, axis=1)
             sim = (cm @ qm.T) / (cn[:, None] * qn[None, :])
             sim[nid[:, None] == qid[None, :]] = np.nan  # self-matches out
             # Local selection uses the final ranking's rounded grain; keeping
-            # every row within one rounding step of the k-th value makes the
-            # batch winners a superset of the global winners under any
-            # tie-break, so the downstream window reproduces the exact result.
+            # every row within 2e-6 of the k-th value makes the batch winners
+            # a superset of the global winners under any tie-break AND any
+            # rounding-mode disagreement (np.round here is binary half-even,
+            # the final F.round is decimal HALF_UP — one grain each way).
             r = np.round(sim, 6)
             out_q, out_n, out_c = [], [], []
             for j in range(len(qid)):
@@ -103,7 +128,7 @@ def cosine_topk_df(
                     continue
                 col = r[idx, j]
                 if idx.size > kk:
-                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 1e-6
+                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 2e-6
                     idx = idx[col >= thr]
                 out_q.append(np.full(idx.size, qid[j]))
                 out_n.append(nid[idx])
@@ -119,7 +144,7 @@ def cosine_topk_df(
 
     cand = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).mapInPandas(scan, "query_id long, neighbor_id long, cosine_raw double")
+    ).mapInPandas(scan, f"query_id {q_type}, neighbor_id {c_type}, cosine_raw double")
     # round in Spark so the value semantics are identical to the former
     # column-expression scoring (HALF_UP, like the SQL oracle)
     scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
@@ -487,13 +512,13 @@ def pq_topk_df(
     m, ksub, dsub = books.shape
     sq_lut = (books**2).sum(axis=2)  # [m, ksub]
 
-    qrows = sorted(queries.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0])
-    if not qrows:
+    q_type = dict(queries.dtypes)[id_col]
+    c_type = dict(corpus_codes.dtypes)[id_col]
+    qid, qm, _ = _collect_query_side(queries, id_col, vec_col, "pq_topk_df")
+    if qid is None:
         return corpus_codes.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double"
+            [], f"query_id {q_type}, neighbor_id {c_type}, rank int, cosine double"
         )
-    qid = np.asarray([r[0] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(qm, axis=1)
     # dot LUT per query: [nq, m, ksub]
     dot_lut = np.einsum("qsd,skd->qsk", qm.reshape(len(qm), m, dsub), books)
@@ -503,7 +528,7 @@ def pq_topk_df(
         for pdf in batches:
             if not len(pdf):
                 continue
-            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            nid = pdf["neighbor_id"].to_numpy()
             codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             subs = np.arange(m)
             cn = np.sqrt(sq_lut[subs, codes].sum(axis=1))  # [b] exact recon norms
@@ -522,7 +547,9 @@ def pq_topk_df(
                     continue
                 col = r[idx, j]
                 if idx.size > kk:
-                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 1e-6
+                    # 2e-6 margin: one rounding grain per engine (np.round
+                    # half-even vs F.round HALF_UP), see cosine_topk_df.
+                    thr = np.partition(col, idx.size - kk)[idx.size - kk] - 2e-6
                     idx = idx[col >= thr]
                 out_q.append(np.full(idx.size, qid[j]))
                 out_n.append(nid[idx])
@@ -538,7 +565,7 @@ def pq_topk_df(
 
     cand = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
-    ).mapInPandas(scan, "query_id long, neighbor_id long, cosine_raw double")
+    ).mapInPandas(scan, f"query_id {q_type}, neighbor_id {c_type}, cosine_raw double")
     scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

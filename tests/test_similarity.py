@@ -229,6 +229,30 @@ def test_pq_exact_when_codebook_covers_corpus(spark):
     assert got == exp
 
 
+def test_cosine_topk_string_ids(spark):
+    """The broadcast top-k paths must preserve the input id dtype — string
+    ids used to crash on np.int64 coercion."""
+    rng = np.random.default_rng(8)
+    rows = [(f"doc-{i}", [float(v) for v in rng.standard_normal(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = cosine_topk_df(df, df.filter("vec_id IN ('doc-0', 'doc-1')"), k=2).collect()
+    assert {r["query_id"] for r in out} == {"doc-0", "doc-1"}
+    assert all(isinstance(r["neighbor_id"], str) for r in out)
+    empty = cosine_topk_df(df, df.filter("vec_id = 'nope'"), k=2)
+    assert dict(empty.dtypes)["query_id"] == "string"
+
+
+def test_cosine_topk_query_side_guard(spark, monkeypatch):
+    """Past the broadcast contract the collect must raise a clear error, not
+    silently OOM the driver."""
+    import imops_spark.functions.similarity as sim
+
+    monkeypatch.setattr(sim, "_TOPK_BROADCAST_MAX", 5)
+    df, _ = _vectors(spark, 10, 8)
+    with pytest.raises(ValueError, match="broadcast contract"):
+        sim.cosine_topk_df(df, df, k=2)
+
+
 def test_pq_train_empty_corpus_raises(spark):
     from imops_spark.functions.similarity import pq_train
 
