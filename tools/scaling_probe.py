@@ -3,7 +3,7 @@
 The correctness gates run at sf0.01 and the bench at sf0.1; this tool answers
 the 100 TB question directly: generate synthetic corpora at 4x-stepped sizes
 (executor-side, deterministic, no driver data path), time each operator at
-every size with the min-of-2 protocol, and fit the log-log slope — a plan
+every size with the min-of-3 protocol, and fit the log-log slope — a plan
 that shuffles or pairs quadratically shows a slope near 2, a scalable one
 stays near 1 (sub-linear constants push it below 1 while fixed overhead
 still amortizes).
@@ -140,7 +140,7 @@ def main() -> None:
         "",
         "Synthetic corpora generated executor-side at "
         + " / ".join(f"{n:,}" for n in sizes)
-        + " rows (constant ~1% planted dup rate, 20 fixed queries); min-of-2",
+        + " rows (constant ~1% planted dup rate, 20 fixed queries); min-of-3",
         "timings; `slope` = least-squares log-log exponent across the sizes.",
         "A quadratic plan would show slope ≈ 2; these stay ≈ 1 or below",
         "(fixed overhead still amortizing).  Probe: `python tools/scaling_probe.py`.",
