@@ -37,6 +37,7 @@ __all__ = [
     "encode_volume",
     "encode_volumes",
     "decode_volume",
+    "tensor_frame_from_df",
     "encode_blobs",
     "decode_blobs",
     "map_blobs",
@@ -59,6 +60,12 @@ def _spark_val_type(dtype: np.dtype):
         return T.BooleanType()
     if dtype.kind in "iu":
         return T.LongType()
+    if dtype == np.float16:
+        # Spark has no half type: fp16 is float32 physical + logical dtype in
+        # the val column's schema metadata (SURVEY §1.4; the reference's
+        # uint16-bit-view analog, numeric.py:182-185).  Any fp16 is exact in
+        # f32 and the width halves vs double — the right trade at scale.
+        return T.FloatType()
     return T.DoubleType()
 
 
@@ -113,15 +120,38 @@ def encode_volumes(spark: SparkSession, arrays: dict[int, np.ndarray]) -> Tensor
             data[VAL] = flat
         elif dtype.kind in "iu":
             data[VAL] = flat.astype(np.int64)
+        elif dtype == np.float16:
+            data[VAL] = flat.astype(np.float32)
         else:
             data[VAL] = flat.astype(np.float64)
         frames.append(pd.DataFrame(data))
     pdf = pd.concat(frames, ignore_index=True)
+    # Logical tensor metadata rides in the val column's schema metadata, so a
+    # bare DataFrame handoff (including a parquet write/read round-trip, which
+    # preserves Spark schema metadata in the footer) keeps enough to rebuild
+    # the TensorFrame — see tensor_frame_from_df.
+    meta = {"logical_dtype": str(dtype), "shape": [int(s) for s in shape]}
     fields = [T.StructField(IMAGE_ID, T.LongType(), False)]
     fields += [T.StructField(c, T.IntegerType(), False) for c in coord_cols(ndim)]
-    fields += [T.StructField(VAL, _spark_val_type(dtype), False)]
+    fields += [T.StructField(VAL, _spark_val_type(dtype), False, metadata=meta)]
     df = spark.createDataFrame(pdf, schema=T.StructType(fields))
     return TensorFrame(df=df, shape=tuple(shape), dtype=dtype)
+
+
+def tensor_frame_from_df(df: DataFrame) -> TensorFrame:
+    """Rebuild a :class:`TensorFrame` from a bare voxel-table DataFrame using
+    the logical metadata written by :func:`encode_volumes` (survives parquet
+    round-trips — Spark persists column metadata in the footer schema)."""
+    meta = df.schema[VAL].metadata or {}
+    if "logical_dtype" not in meta:
+        raise ValueError(
+            "DataFrame has no tensor metadata on the val column; was it "
+            "produced by encode_volume(s) (or a parquet round-trip thereof)?"
+        )
+    return TensorFrame(
+        df=df, shape=tuple(int(s) for s in meta["shape"]),
+        dtype=np.dtype(str(meta["logical_dtype"])),
+    )
 
 
 def decode_volume(

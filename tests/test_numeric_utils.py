@@ -47,6 +47,52 @@ def test_pointwise_add_inplace_unsupported(spark):
         pointwise_add(np.zeros((3, 3)), 1, output=np.zeros((3, 3)))
 
 
+def test_fp16_voxel_roundtrip_and_metadata(spark, tmp_path):
+    """fp16 logical dtype (SURVEY §1.4): float32 physical + logical dtype in
+    the val column metadata, surviving a parquet round-trip."""
+    from imops_spark.tensor_io import decode_volume, encode_volume, tensor_frame_from_df
+
+    a = (np.random.randn(5, 6) * 4).astype(np.float16)
+    tf = encode_volume(spark, a)
+    assert dict(tf.df.dtypes)["val"] == "float"  # f32 physical, not double
+    assert_array_equal(decode_volume(tf), a)
+    assert decode_volume(tf).dtype == np.float16
+
+    p = str(tmp_path / "vox.parquet")
+    tf.df.write.mode("overwrite").parquet(p)
+    tf2 = tensor_frame_from_df(spark.read.parquet(p))
+    assert tf2.shape == a.shape and tf2.dtype == np.float16
+    assert_array_equal(decode_volume(tf2), a)
+
+
+def test_tensor_frame_from_df_requires_metadata(spark):
+    from imops_spark.tensor_io import tensor_frame_from_df
+
+    bare = spark.createDataFrame([(0, 0, 1.0)], "image_id long, i0 int, val double")
+    with pytest.raises(ValueError, match="no tensor metadata"):
+        tensor_frame_from_df(bare)
+
+
+def test_fp16_pointwise_add_matches_half_arithmetic(spark):
+    """Parity with the reference's fp16 kernel (numeric.py:182-185 uint16
+    bit-view): results must equal numpy's native half arithmetic bit-for-bit
+    (a double-precision sum of two fp16 values rounds to the same half)."""
+    a = (np.random.randn(4, 5)).astype(np.float16)
+    b = (np.random.randn(4, 5)).astype(np.float16)
+    got = pointwise_add(a, b)
+    assert got.dtype == np.float16
+    assert_array_equal(got.view(np.uint16), (a + b).view(np.uint16))
+
+
+def test_fp16_blob_roundtrip(spark):
+    from imops_spark.tensor_io import decode_blobs, encode_blobs
+
+    a = (np.random.randn(3, 4) * 2).astype(np.float16)
+    out = decode_blobs(encode_blobs(spark, {5: a}))
+    assert out[5].dtype == np.float16
+    assert_array_equal(out[5], a)
+
+
 def test_full(spark):
     got = full((3, 4), 2.5)
     assert_array_equal(got, np.full((3, 4), 2.5))
