@@ -4,10 +4,11 @@ embedding-cosine near-dup.
 Design for 100 TB:
 - exact dedup is a hash groupBy (md5 of normalized text) — one shuffle, AQE
   handles skew on pathological duplicate clusters;
-- MinHash signatures are computed per document with only ``explode`` +
-  ``groupBy min`` (map-side partial agg), then LSH banding turns the O(n^2)
-  pair problem into an equi-join on band keys — the shuffle is keyed by band
-  hash, so candidate generation scales linearly with corpus size;
+- MinHash signatures are computed per document with ZERO shuffles (the
+  shingle set is a row-local array; each hash's minimum is ``array_min`` over
+  a ``transform``), then LSH banding turns the O(n^2) pair problem into an
+  equi-join on band keys — the shuffle is keyed by band hash, so candidate
+  generation scales linearly with corpus size;
 - SimHash packs a 32-bit signature from token-hash bit votes — pure column
   arithmetic;
 - verification (Jaccard on shingle sets) only runs on LSH candidates.
@@ -28,6 +29,7 @@ __all__ = [
     "exact_dup_groups_df",
     "drop_exact_duplicates",
     "shingles_df",
+    "shingle_array_df",
     "minhash_signatures_df",
     "lsh_candidate_pairs_df",
     "ngram_jaccard_df",
@@ -39,6 +41,22 @@ __all__ = [
 
 def normalized_text(col: str = "text"):
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def _widen(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Match partition count to cores before a CPU-dense per-row stage.
+
+    Signature computation does tens of md5 digests per row; when the scan
+    under-partitions (one small parquet file -> one task), every core but one
+    idles.  The repartition moves only the raw text once — cheap next to the
+    hashing it parallelizes — and is a no-op shuffle-wise when the input is
+    already as wide as the cluster (the common case at scale, where this
+    never triggers).
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, key)
+    return docs
 
 
 def exact_dup_groups_df(docs: DataFrame) -> DataFrame:
@@ -57,15 +75,13 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
     return h.join(keep, on=["__h", "doc_id"], how="inner").drop("__h")
 
 
-def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
-    """Word k-shingles per document: ``(doc_id, shingle)``.
+def shingle_array_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-shingles per document as a row-local array: ``(doc_id, shingles)``.
 
     Tokens come from a whitespace split of normalized text; shingles are the
     space-joined k-grams — ``transform`` over token indices keeps everything
     JVM-side.  ``distinct=True`` dedups ROW-LOCALLY with ``array_distinct``
-    before the explode (shingle sets are per-document, so no shuffle is ever
-    needed); ``distinct=False`` keeps duplicates for consumers whose
-    aggregate is multiset-invariant (MIN for minhash).
+    (shingle sets are per-document, so no shuffle is ever needed).
     """
     toks = docs.select("doc_id", F.split(normalized_text(), r"\s+").alias("t"))
     n = F.size("t")
@@ -75,7 +91,14 @@ def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame
     )
     if distinct:
         arr = F.array_distinct(arr)
-    return toks.select("doc_id", F.explode(arr).alias("shingle"))
+    return toks.select("doc_id", arr.alias("shingles"))
+
+
+def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-shingles per document, exploded: ``(doc_id, shingle)``."""
+    return shingle_array_df(docs, k=k, distinct=distinct).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _md5_hash_col(col, salt: int, part: int = 0):
@@ -92,24 +115,43 @@ def _md5_hash_col(col, salt: int, part: int = 0):
 def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
     """MinHash signatures: ``(doc_id, mh0..mh{H-1})``.
 
-    One explode + one groupBy: hash h_i of every shingle is a column
-    expression, the signature is ``min`` per hash — map-side combine makes
-    the shuffle tiny (H longs per doc).  Hash i reads 60 bits from half of
-    ``md5(i//2 | shingle)`` so the digest count is num_hashes/2 per shingle,
-    and the explode feeds the aggregation without a distinct (MIN is
-    multiset-invariant) — one shuffle total.  MIN runs on the fixed-width
-    hex substring (lexicographic == numeric for same-length lowercase hex)
-    and the hex->decimal conv runs once per doc after the aggregation, not
-    once per shingle.
+    ZERO shuffles: the shingle set is row-local (an array column), so the
+    per-hash minimum is row-local too — ``array_min`` over a ``transform``
+    of the shingle array replaces the explode + groupBy(min) formulation
+    entirely.  Hash i reads 60 bits from half of ``md5(i//2 | shingle)``:
+    each salt's digest array is materialized once per row and feeds BOTH
+    half-signatures, so the md5 count is num_hashes/2 per distinct shingle
+    (``array_distinct`` first — MIN is set-invariant, and natural text
+    repeats shingles).  MIN runs on the fixed-width hex substring
+    (lexicographic == numeric for same-length lowercase hex) and the
+    hex->decimal conv runs once per doc, not once per shingle.
     """
-    sh = shingles_df(docs, k=k, distinct=False)
-    aggs = []
+    # NULL-text docs produced no shingle rows on the old explode path; the
+    # equivalent guard here must be a SCAN-level predicate (text IS NOT NULL)
+    # — a post-hoc size(shingles) > 0 filter would be pushed below the widen
+    # exchange and re-derive the whole shingle array inside the narrow scan
+    # stage, serializing exactly the work the exchange parallelizes.
+    sh = shingle_array_df(
+        _widen(docs.where(F.col("text").isNotNull())), k=k, distinct=True
+    )
+
+    # One digest array per salt, shared by the low/high half-signatures.
+    # NB: the lambda must be unary — a second (even defaulted) parameter makes
+    # pyspark treat it as transform's binary (element, index) form.
+    def digest(s):
+        return F.transform("shingles", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+
+    digs = sh.select(
+        "doc_id",
+        *[digest(s).alias(f"__d{s}") for s in range((num_hashes + 1) // 2)],
+    )
+    cols = []
     for i in range(num_hashes):
-        sub = F.substring(
-            F.md5(F.concat(F.lit(f"{i // 2}|"), F.col("shingle"))), 1 + 16 * (i % 2), 15
+        sub = F.array_min(
+            F.transform(f"__d{i // 2}", lambda d: F.substring(d, 1 + 16 * (i % 2), 15))
         )
-        aggs.append(F.conv(F.min(sub), 16, 10).cast("long").alias(f"mh{i}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+        cols.append(F.conv(sub, 16, 10).cast("long").alias(f"mh{i}"))
+    return digs.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs_df(
@@ -186,7 +228,7 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
     operator is ONE map-side-combined shuffle (the former ``.distinct()``
     on exploded (doc, token) rows was a second, data-sized shuffle).
     """
-    toks = docs.select(
+    toks = _widen(docs).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalized_text(), r"\s+"))).alias("tok"),
     ).withColumn("th", _md5_hash_col(F.col("tok"), 0))
