@@ -120,3 +120,51 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_voxel_tables_pointwise_add_shuffle_free(spark, tmp_path):
+    """The imaging-pipeline co-location story: two voxel tables written
+    bucketed by the full coordinate key add elementwise with NO Exchange —
+    the pre-paid write-time shuffle satisfies the coordinate equi-join's
+    distribution at every later read.  (Bucket on the FULL join key:
+    spark.sql.requireAllClusterKeysForCoPartition makes subset-key bucketing
+    shuffle anyway.)  This is the plan shape a 100 TB voxel store relies
+    on for repeated cross-volume arithmetic (registration deltas, masks)."""
+    import numpy as np
+    from numpy.testing import assert_array_equal
+
+    from imops_spark.operators.numeric import pointwise_add_df
+    from imops_spark.sources.parquet import write_bucketed
+    from imops_spark.tensor_io import decode_volume, encode_volume, tensor_frame_from_df
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((8, 9, 10)).astype(np.float64)
+    b = rng.standard_normal((8, 9, 10)).astype(np.float64)
+    key = ["image_id", "i0", "i1", "i2"]
+    write_bucketed(encode_volume(spark, a).df, "vox_a", key,
+                   num_buckets=4, sort_cols=key, path=str(tmp_path / "vox_a"))
+    write_bucketed(encode_volume(spark, b).df, "vox_b", key,
+                   num_buckets=4, sort_cols=key, path=str(tmp_path / "vox_b"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the auto rule may turn bucketed scans off when it underestimates
+        # their benefit; pin it for a deterministic plan assertion
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ta = tensor_frame_from_df(spark.table("vox_a"))
+        tb = tensor_frame_from_df(spark.table("vox_b"))
+        assert ta.shape == (8, 9, 10) and ta.dtype == np.float64
+        out = pointwise_add_df(ta, tb)
+        assert_array_equal(decode_volume(out), a + b)
+        # AQE finalizes the plan only after execution; inspect the final one
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS vox_a")
+        spark.sql("DROP TABLE IF EXISTS vox_b")

@@ -337,3 +337,54 @@ def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
         for seq, n, eid, _last in ss[:-1]
     }
     assert got == exp and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Pin watermark late-data semantics: an event older than the watermark
+    arriving in a later micro-batch is DROPPED from the windowed aggregate
+    (a batch recomputation over the same rows would count it — the
+    difference is exactly the watermark contract).
+
+    Batch 0 fills window [0, 300) with 3 events; batch 1 advances event time
+    to t=10000 (watermark delay is 10 s); batch 2 advances it again, and —
+    because the late-row filter uses the PREVIOUS batch's watermark while
+    eviction uses the current one — this is the batch that finalizes and
+    emits the [0, 300) window; batch 3 then delivers a late event at t=50
+    plus a fresh one at t=10050.  Append-mode output must contain the
+    [0, 300) window with n=3 exactly once — the late event must neither bump
+    nor re-open the finalized window (numRowsDroppedByWatermark path).
+    """
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import run_stream_to_memory, windowed_counts_stream
+
+    d = tmp_path / "late"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"ts_sec": [10, 50, 120], "event_type": ["a"] * 3, "value": [1.0] * 3}),
+        pd.DataFrame({"ts_sec": [10000], "event_type": ["a"], "value": [1.0]}),
+        pd.DataFrame({"ts_sec": [10010], "event_type": ["a"], "value": [1.0]}),
+        pd.DataFrame({"ts_sec": [50, 10050], "event_type": ["a", "a"], "value": [1.0, 1.0]}),
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)  # file-source orders batches by modification time
+
+    stream = (
+        spark.readStream.schema("ts_sec long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts_t", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    agg = windowed_counts_stream(stream, minutes=5, watermark="10 seconds")
+    out = run_stream_to_memory(agg, "late_drop", spark, mode="append")
+    rows = {r["win_start"]: r["n"] for r in out.collect()}
+    # the finalized [0, 300) window counts only the 3 on-time events
+    assert rows[0] == 3
+    # the late t=50 event created no extra emission for that window
+    assert sum(1 for w in rows if w == 0) == 1
