@@ -73,9 +73,10 @@ def _contract_stars(e: DataFrame, parts: list[str]) -> DataFrame:
     schema = e.schema
 
     def contract(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if len(pdf) == 0:
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
             return
+        pdf = pd.concat(chunks, ignore_index=True)
         if parts:
             grouped = pdf.groupby(parts, sort=False)
         else:
@@ -99,7 +100,16 @@ def _contract_stars(e: DataFrame, parts: list[str]) -> DataFrame:
 def _fixpoint(
     e: DataFrame, nodes: DataFrame, parts: list[str], max_iterations: int
 ) -> DataFrame:
-    """Iterative distributed CC (neighbor-min + pointer jumping)."""
+    """Iterative distributed CC (neighbor-min + pointer jumping).
+
+    Each round runs two bounded jobs: the neighbor-min step is checkpointed
+    BEFORE the pointer jump, so the jump's self-join reads two scans of the
+    same materialized RDD.  Self-joining the un-checkpointed multi-join plan
+    instead looks harmless (the logical plan stays constant-size) but was
+    measured to blow up per-round wall time ~8x/round after a handful of
+    rounds — the attribute-deduplicated self-join copies defeat stage reuse
+    and the recomputation compounds across rounds.
+    """
     obs0 = Observation()
     comp = (
         nodes.select(*parts, "node", F.col("node").alias("comp"))
@@ -117,23 +127,32 @@ def _fixpoint(
             .groupBy(*parts, F.col("dst").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_comp = comp.join(nbr, on=[*parts, "node"], how="left").select(
-            *parts,
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-        )
-        # Pointer jumping (path halving): comp(v) <- comp(comp(v)), twice.
-        for _ in range(2):
-            parents = new_comp.select(
-                *parts, F.col("node").alias("comp"), F.col("comp").alias("grand")
+        mid = (
+            comp.join(nbr, on=[*parts, "node"], how="left")
+            .select(
+                *parts,
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
             )
-            new_comp = new_comp.join(parents, on=[*parts, "comp"], how="left").select(
+            .localCheckpoint()
+        )
+        # Pointer jumping (path halving): comp(v) <- comp(comp(v)).
+        parents = mid.select(
+            *parts, F.col("node").alias("comp"), F.col("comp").alias("grand")
+        )
+        obs = Observation()
+        new_comp = (
+            mid.join(parents, on=[*parts, "comp"], how="left")
+            .select(
                 *parts,
                 "node",
                 F.coalesce(F.col("grand"), F.col("comp")).alias("comp"),
             )
-        obs = Observation()
-        new_comp = new_comp.observe(obs, F.sum("comp").alias("s")).localCheckpoint()
+            .observe(obs, F.sum("comp").alias("s"))
+            .localCheckpoint()
+        )
         new_sum = obs.get["s"]
         comp = new_comp
         if new_sum == prev_sum:

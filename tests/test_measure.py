@@ -119,3 +119,79 @@ def test_label_connectivity_validation(spark):
         label(a, connectivity=3)
     with pytest.raises(ValueError):  # 0 must not be coerced to full connectivity
         label(a, connectivity=0)
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_connected_components_driver_and_fixpoint_paths_agree(spark):
+    """The two kernel-solve paths — driver union-find under the threshold and
+    the distributed fixpoint above it (forced with threshold=0) — must give
+    identical components, and both must match a plain python union-find."""
+    import random
+
+    from imops_spark.operators.graph import connected_components_df
+
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    exp = _uf_components(edges, sorted({n for e in edges for n in e}))
+
+    edf = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    got_driver = {
+        r["node"]: r["comp"] for r in connected_components_df(edf).collect()
+    }
+    got_fix = {
+        r["node"]: r["comp"]
+        for r in connected_components_df(edf, driver_solve_threshold=0).collect()
+    }
+    assert got_driver == exp
+    assert got_fix == exp
+
+
+def test_connected_components_isolated_nodes_and_parts(spark):
+    """Isolated nodes keep comp=node on both paths; partition_cols keep
+    same-id nodes of different groups in separate components."""
+    from imops_spark.operators.graph import connected_components_df
+
+    edges = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 3), ("b", 1, 9)], "g string, src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 7), ("b", 1), ("b", 9), ("b", 5)],
+        "g string, node long",
+    )
+    for thr in (2_000_000, 0):
+        got = {
+            (r["g"], r["node"]): r["comp"]
+            for r in connected_components_df(
+                edges, nodes=nodes, partition_cols=["g"], driver_solve_threshold=thr
+            ).collect()
+        }
+        assert got == {
+            ("a", 1): 1, ("a", 2): 1, ("a", 3): 1, ("a", 7): 7,
+            ("b", 1): 1, ("b", 9): 1, ("b", 5): 5,
+        }, got
+
+
+def test_connected_components_empty_edges(spark):
+    from imops_spark.operators.graph import connected_components_df
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(4,), (8,)], "node long")
+    got = {r["node"]: r["comp"] for r in connected_components_df(edges, nodes=nodes).collect()}
+    assert got == {4: 4, 8: 8}
+    assert connected_components_df(edges).count() == 0

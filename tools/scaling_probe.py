@@ -58,6 +58,17 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def synth_edges(spark, n: int):
+    """n edges over ~n/4 nodes, deterministic hash-mixed endpoints — a sparse
+    multigraph with many small components plus a few larger ones, the shape
+    dedup-cluster graphs take."""
+    m = max(n // 4, 8)
+    return spark.range(n).select(
+        F.pmod(F.hash(F.col("id") * 31 + 7), F.lit(m)).cast("long").alias("src"),
+        F.pmod(F.hash(F.col("id") * 37 + 11), F.lit(m)).cast("long").alias("dst"),
+    )
+
+
 def timed(df_builder, repeat: int = 3) -> float:
     best = float("inf")
     for _ in range(repeat):
@@ -83,6 +94,7 @@ def main() -> None:
         pq_train,
     )
     from imops_spark.functions.text import tfidf_df
+    from imops_spark.operators.graph import connected_components_df
     from imops_spark.session import get_spark
 
     sizes = [5_000, 20_000, 80_000]
@@ -120,6 +132,7 @@ def main() -> None:
             "sim_exact_topk": lambda: cosine_topk_df(emb, queries, k=3),
             "pq_encode": lambda: pq_encode_df(emb, books),
             "asof_join": lambda: asof_join_df(left, right, on="ts_sec", value_cols=["rv"]),
+            "graph_cc": lambda: connected_components_df(synth_edges(spark, n)),
         }
         for name, b in rows.items():
             record(name, timed(b))
