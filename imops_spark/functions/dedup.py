@@ -251,7 +251,7 @@ def embedding_near_dup_df(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` (exact).
 
@@ -259,29 +259,44 @@ def embedding_near_dup_df(
     blocks; every block pair (i <= j) is shipped to one Arrow task that
     computes the cross-cosine matrix with a single numpy GEMM.  Exact O(n^2)
     math, but the FLOPs run vectorized in C and the cross product never
-    exists as Spark rows — each vector is replicated ``num_blocks`` times
-    instead of ``n`` times.  At 100 TB the same plan holds with bigger
-    blocks; the sub-quadratic path is ``similarity.lsh_topk_df``.
+    exists as Spark rows — each vector is replicated ``num_blocks + 1``
+    times instead of ``n`` times.  ``num_blocks=None`` sizes blocks to
+    ~4k vectors from a count (one cheap pre-job): small corpora collapse to
+    a single GEMM instead of paying fan-out overhead, big ones keep every
+    pair task's matrix bounded.  At 100 TB the same plan holds; the
+    sub-quadratic path is ``similarity.lsh_topk_df``.
+
+    The pair replication is a row-local explode of each vector's pair list
+    — one scan, no join: a vector in block b is the LEFT side of pairs
+    (b, j>=b) and the RIGHT side of pairs (i<=b, b).
     """
+    import math
+
     import pandas as pd
 
-    spark = embeddings.sparkSession
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = min(max(1, math.ceil(n / 4096)), 64)
     emb = embeddings.select(
         F.col(id_col).alias("vid").cast("long"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
     )
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
-        "bi int, bj int",
+    as_left = F.transform(
+        F.sequence(F.col("blk"), F.lit(num_blocks - 1)),
+        lambda j: F.struct(
+            F.col("blk").alias("bi"), j.alias("bj"), F.lit(0).alias("side")
+        ),
     )
-    left = emb.join(F.broadcast(block_pairs), emb.blk == F.col("bi")).select(
-        "bi", "bj", F.lit(0).alias("side"), "vid", "vec"
+    as_right = F.transform(
+        F.sequence(F.lit(0), F.col("blk")),
+        lambda i: F.struct(
+            i.alias("bi"), F.col("blk").alias("bj"), F.lit(1).alias("side")
+        ),
     )
-    right = emb.join(F.broadcast(block_pairs), emb.blk == F.col("bj")).select(
-        "bi", "bj", F.lit(1).alias("side"), "vid", "vec"
-    )
-    both = left.unionAll(right)
+    both = emb.select(
+        F.explode(F.concat(as_left, as_right)).alias("p"), "vid", "vec"
+    ).select(F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"), F.col("p.side").alias("side"), "vid", "vec")
 
     thr = float(threshold)
 

@@ -309,3 +309,40 @@ def test_pq_recall_on_clustered_data(spark):
     # the approx top-1 lives in the same prototype cluster as the true top-1.
     hits = sum(1 for q in exact if approx.get(q, -1) % 10 == exact[q] % 10)
     assert hits >= 18, f"PQ cluster recall {hits}/20 too low"
+
+
+def test_embedding_near_dup_block_invariance(spark):
+    """The block-GEMM pair set must be independent of the block count: auto
+    sizing (single block for a small corpus), a forced multi-block split,
+    and a numpy re-derivation all agree exactly."""
+    from imops_spark.functions.dedup import embedding_near_dup_df
+
+    rng = np.random.default_rng(5)
+    n, dim = 60, 8
+    m = rng.standard_normal((n, dim))
+    m[17] = m[3] * 2.0       # planted near-dup (same direction, scaled)
+    m[41] = m[9] + 1e-9      # planted near-identical
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+
+    thr = 0.95
+    got_auto = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_df(df, threshold=thr).collect()
+    }
+    got_forced = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_df(df, threshold=thr, num_blocks=5).collect()
+    }
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 6)
+    exp = {
+        (i, j): cos[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cos[i, j] >= thr
+    }
+    assert got_auto == got_forced == exp
+    assert (3, 17) in exp and (9, 41) in exp

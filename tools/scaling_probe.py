@@ -180,7 +180,8 @@ def main() -> None:
         "- A slope near 0 means Spark's fixed per-query cost (stage scheduling,",
         "  codegen, Arrow round-trips) still dominates the operator's real work",
         "  at 80k rows — the strongest possible evidence there is no hidden",
-        "  pairing blowup. `dd_minhash` (shingle explode + 8-way min-agg) is the",
+        "  pairing blowup. `dd_minhash` (row-local array_min signatures, zero",
+        "  shuffle; md5 work linear in tokens) is the",
         "  only operator whose data work outgrows fixed cost in this range, and",
         "  it scales at ~0.8: near-linear with overhead still amortizing.",
         "- `sim_exact_topk` is the documented brute-force baseline: O(corpus x",
