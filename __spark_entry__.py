@@ -703,6 +703,30 @@ def q_dd_simhash(spark, sf_dir):
     return simhash_df(_t(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+def q_dd_lsh_stream(spark, sf_dir):
+    """Streaming twin of dd_lsh_pairs: documents ingested as a stream, banded
+    signatures computed with the same row-local (streaming-legal, zero
+    aggregation) expressions, and candidate pairs emitted by a per-bucket
+    applyInPandasWithState operator — the incremental ingestion-time dedup a
+    training pipeline runs.  Drained one-shot it must equal the batch LSH
+    self-join, which the oracle recomputes relationally in DuckDB."""
+    from imops_spark.streaming.dedup import lsh_pairs_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = lsh_pairs_stream(stream, num_hashes=MINHASHES, bands=4, rows_per_band=2)
+    drained = run_stream_to_memory(out, "dd_lsh_stream_gate", spark, mode="append")
+    # per-band emission: cross-band duplicate pairs collapse like the batch
+    # twin's .distinct()
+    return drained.distinct()
+
+
 def q_emb_near_dup(spark, sf_dir):
     from imops_spark.functions.dedup import embedding_near_dup_df
 
@@ -969,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
+        "dd_lsh_stream": q_dd_lsh_stream,
         "dd_jaccard": q_dd_jaccard,
         "dd_clusters": q_dd_clusters,
         "dd_simhash": q_dd_simhash,
@@ -1383,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_minhash": _minhash_select(),
         "dd_lsh_pairs": _lsh_pairs_sql(),
+        "dd_lsh_stream": _lsh_pairs_sql(),
         "dd_jaccard": f"""
             WITH {_SHINGLES},
             pairs AS (

@@ -31,6 +31,7 @@ __all__ = [
     "shingles_df",
     "shingle_array_df",
     "minhash_signatures_df",
+    "band_entries_df",
     "lsh_candidate_pairs_df",
     "ngram_jaccard_df",
     "drop_near_duplicates_df",
@@ -53,6 +54,8 @@ def _widen(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     already as wide as the cluster (the common case at scale, where this
     never triggers).
     """
+    if docs.isStreaming:  # micro-batch sizing is the source's job; .rdd is illegal here
+        return docs
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         return docs.repartition(target, key)
@@ -154,26 +157,37 @@ def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> 
     return digs.select("doc_id", *cols)
 
 
+def band_entries_df(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded bucket keys per doc: ``(doc_id, band, band_key)``.
+
+    The band key is md5 over the band's minhash values.  One explode over an
+    inline (band, key) array: the signature subtree is scanned once, not
+    ``bands`` times (a unionAll of per-band selects would re-evaluate the
+    signature computation per branch).  Pure row-local column expressions —
+    usable on batch AND streaming frames.
+    """
+    entries = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+
+
 def lsh_candidate_pairs_df(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs
     ``(doc_a, doc_b)`` with doc_a < doc_b.
 
-    The band key is md5 over the band's minhash values; the self-join is an
-    equi-join on (band, key) — linear shuffle, no cross product.
+    The self-join is an equi-join on (band, key) — linear shuffle, no cross
+    product.
     """
-    # One explode over an inline (band, key) array: the signature subtree is
-    # scanned once, not ``bands`` times (a unionAll of per-band selects would
-    # re-evaluate the minhash aggregation per branch).
-    entries = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+    buckets = band_entries_df(signatures, bands=bands, rows_per_band=rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -221,29 +235,34 @@ def ngram_jaccard_df(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame
 def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash signature per document: ``(doc_id, simhash)``.
 
-    Each distinct token hashes to ``bits`` bits; bit b of the signature is the
-    sign of the vote sum over tokens — implemented as ``bits`` aggregate
-    expressions (pure arithmetic).  Per-document token dedup happens
-    row-locally with ``array_distinct`` BEFORE the explode, so the whole
-    operator is ONE map-side-combined shuffle (the former ``.distinct()``
-    on exploded (doc, token) rows was a second, data-sized shuffle).
+    ZERO shuffles: the distinct token set is a row-local array, each token's
+    60-bit md5 hash is a ``transform``, and bit b's vote count is the number
+    of hashes with bit b set — ``bits`` row-local filter-size expressions
+    over the hash array.  Bit b of the signature is set when ones out-vote
+    zeros (2*ones > n).  Streaming-legal for the same reason as the minhash
+    signatures: no aggregation anywhere.
     """
-    toks = _widen(docs).select(
+    # scan-level guard: NULL-text docs produced no rows on the old explode
+    # path, and a size(null) comparison would silently emit sig=0 instead
+    toks = _widen(docs.where(F.col("text").isNotNull())).select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(normalized_text(), r"\s+"))).alias("tok"),
-    ).withColumn("th", _md5_hash_col(F.col("tok"), 0))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+        F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
+    )
+    th = toks.select(
+        "doc_id",
+        F.transform("tok", lambda x: _md5_hash_col(x, 0)).alias("th"),
+        F.size("tok").alias("n"),
+    )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(
+            F.filter("th", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        term = F.when(ones * 2 > F.col("n"), F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.alias("simhash"))
+    return th.select("doc_id", sig.alias("simhash"))
 
 
 def embedding_near_dup_df(

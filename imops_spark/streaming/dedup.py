@@ -1,0 +1,86 @@
+"""Streaming near-duplicate detection over a document stream.
+
+The ingestion-time twin of the batch MinHash+LSH pipeline
+(``functions.dedup``): documents arrive in micro-batches, signatures and
+band keys are computed with the SAME row-local column expressions (the
+zero-shuffle formulation is what makes them streaming-legal — no
+aggregation before the stateful step), and a per-bucket
+``applyInPandasWithState`` operator emits every new document paired with
+every earlier document in its bucket.  Draining a corpus through the stream
+yields exactly the batch ``lsh_candidate_pairs_df`` pair set (up to the
+cross-band duplicates noted below).
+
+This is the shape a 100 TB training-data pipeline wants at ingestion: new
+documents are checked against the already-ingested corpus incrementally,
+keyed by band hash, with state sharded across executors by bucket —
+no rescan of the corpus per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.dedup import band_entries_df, minhash_signatures_df
+
+__all__ = ["lsh_pairs_stream"]
+
+
+def lsh_pairs_stream(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental LSH candidate pairs from a streaming ``(doc_id, text)``
+    frame: ``(doc_a, doc_b)`` with doc_a < doc_b.
+
+    Per-bucket state is the list of doc ids seen in that (band, band_key)
+    bucket; each micro-batch emits new-vs-seen and new-vs-new pairs, so
+    across a drain every unordered pair within a bucket is emitted exactly
+    once PER BUCKET.  Docs colliding in several bands therefore emit the
+    same pair once per colliding band — the batch twin applies
+    ``.distinct()``; a streaming consumer dedups downstream (stacking a
+    second stateful dedup on this operator is restricted by Spark's
+    multi-stateful-operator rules, and the verification join that follows
+    is idempotent anyway).
+
+    State grows with bucket occupancy — bounded in practice by LSH design
+    (buckets are meant to be small; a hot bucket means the banding is too
+    coarse).  No timeout is set: dedup state is corpus-lifetime by
+    definition; production would snapshot/TTL via the checkpoint.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    buckets = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band)
+
+    out_schema = "doc_a long, doc_b long"
+    state_schema = "seen array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # NoTimeout: unreachable, defensive
+            return
+        seen = list(state.get[0]) if state.exists else []
+        batch_ids = sorted(
+            {int(d) for p in pdfs for d in p["doc_id"]} - set(seen)
+        )
+        if not batch_ids:
+            return
+        pa, pb = [], []
+        for i, d in enumerate(batch_ids):
+            for other in seen:
+                lo, hi = (d, other) if d < other else (other, d)
+                pa.append(lo)
+                pb.append(hi)
+            for other in batch_ids[:i]:  # new-vs-new, each pair once
+                pa.append(other)
+                pb.append(d)
+        state.update((seen + batch_ids,))
+        if pa:
+            yield pd.DataFrame({"doc_a": pa, "doc_b": pb})
+
+    return buckets.groupBy("band", "band_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -439,3 +439,48 @@ def test_stream_parquet_sink_with_checkpoint(spark, tmp_path):
     run_once()  # replay against the same checkpoint: must not duplicate
     second = [tuple(r) for r in spark.read.parquet(str(tmp_path / "sink")).collect()]
     assert sorted(second) == sorted(first)
+
+
+def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
+    """Streaming ingestion near-dup: documents drained through the stateful
+    per-bucket operator in three micro-batches must yield exactly the batch
+    lsh_candidate_pairs_df pair set (after cross-band distinct), with open
+    bucket state carrying across batch boundaries."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.dedup import lsh_candidate_pairs_df, minhash_signatures_df
+    from imops_spark.streaming.dedup import lsh_pairs_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    d = tmp_path / "docstream"
+    d.mkdir()
+    n = len(pdf)
+    for i, part in enumerate([pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = lsh_pairs_stream(stream, num_hashes=8, bands=4, rows_per_band=2)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in run_stream_to_memory(out, "lsh_stream", spark).collect()
+    }
+    exp = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_df(
+            minhash_signatures_df(docs, num_hashes=8), bands=4, rows_per_band=2
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
