@@ -406,6 +406,37 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_mm_frame_dedup(spark, sf_dir):
+    """Cross-family gate: video frame sampling (multimodal Arrow kernel,
+    payload = utf-8 text bytes sliced into 4 equal frames) feeding exact
+    frame-level dedup (md5 groupBy) — duplicate documents collide on every
+    frame, so the oracle reproduces the whole pipeline with substr+md5."""
+    from imops_spark.functions.multimodal import sample_frames_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8)
+    )
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("video").alias("modality"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(4).alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    frames = sample_frames_df(items, every_n=1)
+    return (
+        frames.select("item_id", F.md5("frame_data").alias("frame_hash"))
+        .groupBy("frame_hash")
+        .agg(F.count("*").alias("n_frames"), F.min("item_id").alias("keep_item"))
+    )
+
+
 def q_graph_cc(spark, sf_dir):
     """label (#11): distributed connected components (neighbor-min +
     pointer-jumping fixpoint) on a sparse bipartite graph from lineitem;
@@ -855,6 +886,42 @@ def q_sim_pq(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq(spark, sf_dir):
+    """IVFPQ (coarse quantizer + product-quantized residuals — the
+    production ANN index shape) at full probe with a SATURATED residual
+    codebook: coarse approximation removed by probing every list, fine
+    approximation removed by lossless residual encoding, so ADC scoring
+    equals exact cosine and the brute-force oracle hash-gates the whole
+    index path (tests exercise realistic ksub recall + partition pruning).
+    Codebook build collects the corpus driver-side — a gate construction,
+    not the production recipe (that's ivfpq_residual_train's sample)."""
+    import numpy as np
+
+    from imops_spark.functions.similarity import (
+        ivf_centroids,
+        ivfpq_encode_df,
+        ivfpq_topk_df,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = ivf_centroids(emb, n_centroids=8)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    xn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-(xn @ np.asarray(cents).T), axis=1, kind="stable")[:, 0]
+    res = vecs - np.asarray(cents)[assign]
+    m = 8
+    dsub = vecs.shape[1] // m
+    books = np.stack([res[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+    index = ivfpq_encode_df(emb, cents, books)
+    return ivfpq_topk_df(index, queries, cents, books, k=3, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def q_evt_sessions_stream(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState): gap
     sessionization with per-user open-session state.  Drained one-shot with
@@ -982,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edt_1d": q_edt_1d,
         "interp2d": q_interp2d,
         "multimodal": q_multimodal,
+        "mm_frame_dedup": q_mm_frame_dedup,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "top1_nn": q_top1_nn,
@@ -1008,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
         "sim_pq": q_sim_pq,
+        "sim_ivfpq": q_sim_ivfpq,
         "evt_window": q_evt_window,
         "evt_window_stream": q_evt_window_stream,
         "evt_sliding_stream": q_evt_sliding_stream,
@@ -1401,6 +1470,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount <= CAST(0.07 AS DOUBLE)
               AND l_quantity < 24
         """,
+        "mm_frame_dedup": """
+            WITH f AS (
+              SELECT d.doc_id,
+                     md5(substr(d.text, fi.fi * (length(d.text) // 4) + 1,
+                                length(d.text) // 4)) AS frame_hash
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(0, 4)) AS fi) fi
+              WHERE d.doc_id < 200 AND length(d.text) >= 8
+            )
+            SELECT frame_hash, COUNT(*) AS n_frames, MIN(doc_id) AS keep_item
+            FROM f GROUP BY 1
+        """,
         "dd_exact": f"""
             SELECT md5({_NORM}) AS content_hash, COUNT(*) AS n_docs,
                    MIN(doc_id) AS keep_doc_id
@@ -1535,6 +1616,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "sim_pq": """
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id ASC
+                     ) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
+        "sim_ivfpq": """
             SELECT query_id, neighbor_id, rank, cosine FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,

@@ -35,6 +35,9 @@ __all__ = [
     "ivf_write_index",
     "ivf_query_index",
     "pq_train",
+    "ivfpq_encode_df",
+    "ivfpq_residual_train",
+    "ivfpq_topk_df",
     "pq_encode_df",
     "pq_topk_df",
 ]
@@ -566,6 +569,215 @@ def pq_topk_df(
     cand = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
     ).mapInPandas(scan, f"query_id {q_type}, neighbor_id {c_type}, cosine_raw double")
+    scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivfpq_encode_df(
+    corpus: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFPQ index rows: ``(vec_id, centroid_id, codes)``.
+
+    One Arrow kernel per batch assigns each vector its nearest coarse
+    centroid (cosine, matching ``ivf_assign_df``'s stable tie-break) and
+    PQ-encodes the RESIDUAL ``x - c`` — the classic IVFPQ layout: coarse
+    geometry in the inverted list, fine detail in ~m bytes of codes.  No
+    shuffle; the corpus streams.  Written ``partitionBy("centroid_id")``,
+    the probe filter prunes whole lists at scan time.
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            assign = np.argsort(-(xn @ c.T), axis=1, kind="stable")[:, 0]
+            r = x - c[assign]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                d2 = ((rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": assign.astype(np.int32),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} {id_type}, centroid_id int, codes array<int>"
+    )
+
+
+def ivfpq_residual_train(
+    corpus: DataFrame,
+    centroids,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks on coarse-quantization RESIDUALS (the IVFPQ
+    recipe): driver-side sample of the lowest ids, assign each to its
+    nearest centroid, k-means each residual subspace.  Deterministic like
+    ``pq_train`` (first-k init, empty clusters keep their centroid)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(int(sample_size)).toPandas()[vec_col]
+    )
+    if not len(sample):
+        raise ValueError("ivfpq_residual_train: empty training sample")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-(xn @ c.T), axis=1, kind="stable")[:, 0]
+    v = x - c[assign]
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        vs = v[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(vs))
+        cc = vs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((vs[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                members = vs[a == j]
+                if len(members):
+                    cc[j] = members.mean(axis=0)
+        books[s, :k] = cc
+        if k < ksub:
+            books[s, k:] = cc[0]
+    return books
+
+
+def ivfpq_topk_df(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ approximate top-k: probe the ``n_probe`` nearest inverted
+    lists, score their PQ codes by asymmetric distance — never a decode,
+    never a cross product, and the only scan is over the probed lists
+    (``centroid_id IN (...)`` is a pushable predicate: with the index
+    partitioned by centroid_id it prunes whole lists).
+
+    Exact-cosine algebra over the reconstruction ``x̂ = c + r̂``:
+    ``dot(q, x̂) = dot(q, c) + Σ_s LUT_q[s, code_s]`` and
+    ``|x̂|² = |c|² + 2·Σ_s LUT_c[s, code_s] + Σ_s |book_s[code_s]|²`` —
+    all table lookups, queries and LUTs ship in the kernel closure
+    (broadcast contract, like ``pq_topk_df``).  With ``n_probe`` = number
+    of centroids and a saturated residual codebook this is EXACT cosine
+    top-k (the driver gate); at realistic settings recall tunes with
+    n_probe and ksub.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q_type = dict(queries.dtypes)[id_col]
+    c_type = dict(index.dtypes)[id_col]
+    qid, qm, _ = _collect_query_side(queries, id_col, vec_col, "ivfpq_topk_df")
+    if qid is None:
+        return index.sparkSession.createDataFrame(
+            [], f"query_id {q_type}, neighbor_id {c_type}, rank int, cosine double"
+        )
+    qn = np.linalg.norm(qm, axis=1)
+    qnorm = qm / np.maximum(qn[:, None], 1e-12)
+    order = np.argsort(-(qnorm @ cents.T), axis=1, kind="stable")[
+        :, : int(min(n_probe, len(cents)))
+    ]
+    probe_union = sorted({int(cc) for row in order for cc in row})
+    probing = {}
+    for qi, row in enumerate(order):
+        for cc in row:
+            probing.setdefault(int(cc), []).append(qi)
+    probing = {cc: np.asarray(qs) for cc, qs in probing.items()}
+
+    dot_lut = np.einsum("qsd,skd->qsk", qm.reshape(len(qm), m, dsub), books)
+    qc_dot = qm @ cents.T                                  # [nq, nc]
+    cent_lut = np.einsum("csd,skd->csk", cents.reshape(len(cents), m, dsub), books)
+    sq_lut = (books**2).sum(axis=2)                        # [m, ksub]
+    cent_n2 = (cents**2).sum(axis=1)                       # [nc]
+    subs = np.arange(m)
+    kk = int(k)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cval, grp in pdf.groupby("centroid_id"):
+                cval = int(cval)
+                qs = probing.get(cval)
+                if qs is None or not len(qs):
+                    continue
+                nid = grp["neighbor_id"].to_numpy()
+                codes = np.stack([np.asarray(x, dtype=np.int64) for x in grp["codes"]])
+                res_dots = dot_lut[qs][:, subs, codes].sum(axis=2)      # [nq', b]
+                dots = res_dots + qc_dot[qs, cval][:, None]
+                n2 = (
+                    cent_n2[cval]
+                    + 2.0 * cent_lut[cval, subs, codes].sum(axis=1)
+                    + sq_lut[subs, codes].sum(axis=1)
+                )                                                        # [b]
+                cn = np.sqrt(np.maximum(n2, 0.0))
+                denom = cn[None, :] * qn[qs][:, None]
+                sim = np.divide(
+                    dots, denom, out=np.zeros_like(dots), where=denom > 0
+                ).T                                                      # [b, nq']
+                sim[nid[:, None] == qid[qs][None, :]] = np.nan
+                r = np.round(sim, 6)
+                out_q, out_n, out_c = [], [], []
+                for j in range(len(qs)):
+                    idx = np.flatnonzero(~np.isnan(r[:, j]))
+                    if idx.size == 0:
+                        continue
+                    col = r[idx, j]
+                    if idx.size > kk:
+                        # 2e-6: one rounding grain per engine, see cosine_topk_df
+                        thr = np.partition(col, idx.size - kk)[idx.size - kk] - 2e-6
+                        idx = idx[col >= thr]
+                    out_q.append(np.full(idx.size, qid[qs[j]]))
+                    out_n.append(nid[idx])
+                    out_c.append(sim[idx, j])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "cosine_raw": np.concatenate(out_c),
+                        }
+                    )
+
+    cand = (
+        index.filter(F.col("centroid_id").isin(probe_union))
+        .select(F.col(id_col).alias("neighbor_id"), "centroid_id", "codes")
+        .mapInPandas(scan, f"query_id {q_type}, neighbor_id {c_type}, cosine_raw double")
+    )
     scored = cand.withColumn("cosine", F.round("cosine_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

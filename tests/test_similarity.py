@@ -346,3 +346,80 @@ def test_embedding_near_dup_block_invariance(spark):
     }
     assert got_auto == got_forced == exp
     assert (3, 17) in exp and (9, 41) in exp
+
+
+def _ivfpq_parts(spark, n=80, dim=16, seed=11):
+    from imops_spark.functions.similarity import ivf_centroids
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(df, n_centroids=4)
+    return df, m, cents
+
+
+def test_ivfpq_full_probe_saturated_books_is_exact(spark):
+    """Full probe + saturated residual codebook => IVFPQ equals exact
+    brute-force cosine top-k (the sim_ivf / sim_pq exactness trick composed:
+    residual reconstruction is lossless, so ADC scores are exact cosines and
+    probing every list removes the coarse approximation)."""
+    from imops_spark.functions.similarity import (
+        cosine_topk_df,
+        ivfpq_encode_df,
+        ivfpq_topk_df,
+    )
+
+    df, m, cents = _ivfpq_parts(spark)
+    # saturated residual codebook: every corpus residual subvector a centroid
+    xn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assign = np.argsort(-(xn @ np.asarray(cents).T), axis=1, kind="stable")[:, 0]
+    res = m - np.asarray(cents)[assign]
+    mm, dsub = 4, m.shape[1] // 4
+    books = np.stack([res[:, s * dsub : (s + 1) * dsub] for s in range(mm)])
+    queries = df.filter("vec_id < 6")
+    index = ivfpq_encode_df(df, cents, books)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivfpq_topk_df(index, queries, cents, books, k=3, n_probe=4).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_df(df, queries, k=3).collect()
+    }
+    assert got == exp and len(got) == 18
+
+
+def test_ivfpq_realistic_recall_and_partition_prune(spark, tmp_path):
+    """Realistic codebooks: recall@3 above a floor, and the probe filter
+    prunes whole inverted lists when the index is written partitioned by
+    centroid_id (PartitionFilters in the scan — the at-scale skip)."""
+    from imops_spark.functions.similarity import (
+        cosine_topk_df,
+        ivfpq_encode_df,
+        ivfpq_residual_train,
+        ivfpq_topk_df,
+    )
+
+    df, m, cents = _ivfpq_parts(spark, n=120)
+    books = ivfpq_residual_train(df, cents, m=4, ksub=32)
+    queries = df.filter("vec_id < 10")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_encode_df(df, cents, books).write.partitionBy("centroid_id").parquet(path)
+    index = spark.read.parquet(path)
+
+    out = ivfpq_topk_df(index, queries, cents, books, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200], plan
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = {}
+    for r in cosine_topk_df(df, queries, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    assert hits / total >= 0.5, (hits, total)

@@ -88,7 +88,11 @@ def main() -> None:
     from imops_spark.functions.events import asof_join_df
     from imops_spark.functions.similarity import (
         cosine_topk_df,
+        ivf_centroids,
         ivf_topk_df,
+        ivfpq_encode_df,
+        ivfpq_residual_train,
+        ivfpq_topk_df,
         lsh_topk_df,
         pq_encode_df,
         pq_train,
@@ -119,6 +123,10 @@ def main() -> None:
         sigs = minhash_signatures_df(docs, num_hashes=8).persist()
         sigs.count()
         books = pq_train(emb, m=8, ksub=16)
+        cents = ivf_centroids(emb, n_centroids=16)
+        rbooks = ivfpq_residual_train(emb, cents, m=8, ksub=16)
+        ivfpq_index = ivfpq_encode_df(emb, cents, rbooks).persist()
+        ivfpq_index.count()
         right = emb.select((F.col("vec_id") * 7919 % 100_000).alias("ts_sec"), F.col("vec_id").alias("rv"))
         right = right.groupBy("ts_sec").agg(F.max("rv").alias("rv"))
         left = emb.select((F.col("vec_id") * 104_729 % 100_000).alias("ts_sec"), F.col("vec_id").alias("lid"))
@@ -133,10 +141,15 @@ def main() -> None:
             "pq_encode": lambda: pq_encode_df(emb, books),
             "asof_join": lambda: asof_join_df(left, right, on="ts_sec", value_cols=["rv"]),
             "graph_cc": lambda: connected_components_df(synth_edges(spark, n)),
+            "ivfpq_encode": lambda: ivfpq_encode_df(emb, cents, rbooks),
+            "ivfpq_topk": lambda: ivfpq_topk_df(
+                ivfpq_index, queries, cents, rbooks, k=3, n_probe=2
+            ),
         }
         for name, b in rows.items():
             record(name, timed(b))
         sigs.unpersist()
+        ivfpq_index.unpersist()
         docs.unpersist()
         emb.unpersist()
 
