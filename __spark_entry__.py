@@ -944,6 +944,104 @@ def q_evt_window(spark, sf_dir):
     return tumbling_window_df(load_events(spark, sf_dir))
 
 
+def q_tpch_rollup(spark, sf_dir):
+    """ROLLUP hierarchy aggregates (§2.2 aggregations): subtotal rows at
+    (flag, status), (flag), and grand-total levels in one pass — Spark's
+    partial-aggregate-friendly grouping-sets expansion vs DuckDB ROLLUP.
+    NULL group markers stringified (COALESCE) so the hash compare is
+    deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_evt_running(spark, sf_dir):
+    """Running (cumulative) per-user aggregate ordered by (ts, event_id) —
+    the unbounded-preceding window frame, §2.2 window functions."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+def q_evt_json(spark, sf_dir):
+    """JSON column functions (§2.2 scalar functions): parse the props JSON
+    payload per event and aggregate an extracted field — Spark
+    get_json_object vs DuckDB json_extract, two independent JSON parsers."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_evt_antijoin(spark, sf_dir):
+    """Set difference (§2.2 set ops): users who clicked but never purchased —
+    a left_anti join; the oracle uses EXCEPT, a different formulation of the
+    same algebra."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    big_buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90.0))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.join(big_buyers, on="user_id", how="left_anti")
+
+
+def q_evt_dedup_stream(spark, sf_dir):
+    """Streaming stateful exact dedup (dropDuplicates under a watermark):
+    the kept ROW per key is batch-order-dependent, so the gate projects the
+    KEYS — which are deterministic and equal SELECT DISTINCT."""
+    from imops_spark.streaming.events import dedup_stream, run_stream_to_memory, stream_events
+
+    out = dedup_stream(stream_events(spark, sf_dir))
+    drained = run_stream_to_memory(out, "evt_dedup_stream_gate", spark, mode="append")
+    return drained.select("user_id", "event_type")
+
+
+def q_evt_median(spark, sf_dir):
+    """Exact per-group percentiles: Spark's exact `percentile` (linear
+    interpolation) vs DuckDB quantile_cont — same math, two engines.
+    ROUND(5): interpolated midpoints can land on 1e-7-grain values where
+    double rounding at 6 digits disagrees in the last ulp."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 5).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 5).alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_evt_window_stream(spark, sf_dir):
     """Streaming twin of evt_window: tumbling-window counts over the event
     stream, drained with availableNow in complete mode — one-shot it must
@@ -1053,6 +1151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "top1_nn": q_top1_nn,
+        "tpch_rollup": q_tpch_rollup,
+        "evt_running": q_evt_running,
+        "evt_median": q_evt_median,
+        "evt_json": q_evt_json,
+        "evt_antijoin": q_evt_antijoin,
+        "evt_dedup_stream": q_evt_dedup_stream,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -1409,6 +1513,48 @@ def oracle_sql() -> dict[str, str]:
               FROM customer a JOIN customer b
                 ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
             ) WHERE rn = 1
+        """,
+        "tpch_rollup": """
+            SELECT COALESCE(l_returnflag, '<all>') AS flag,
+                   COALESCE(l_linestatus, '<all>') AS status,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "evt_running": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id
+                     ORDER BY (epoch_ns(ts) // 1000000000), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id
+                     ORDER BY (epoch_ns(ts) // 1000000000), event_id) AS seq
+            FROM events
+        """,
+        "evt_json": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "evt_antijoin": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > CAST(90.0 AS DOUBLE)
+        """,
+        "evt_dedup_stream": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "evt_median": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 5) AS median_value,
+                   ROUND(quantile_cont(value, 0.9), 5) AS p90_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -168,3 +168,29 @@ def test_bucketed_voxel_tables_pointwise_add_shuffle_free(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS vox_a")
         spark.sql("DROP TABLE IF EXISTS vox_b")
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """Pin the scan-efficiency invariants the 100 TB design depends on:
+    filters reach the parquet scan (PushedFilters) and the ReadSchema is
+    pruned to the referenced columns — a scan reading all 16 lineitem
+    columns for a 2-column aggregate would be wrong at any scale."""
+    import __spark_entry__ as entry
+
+    q6 = entry.queries()["tpch_q6"](spark, "/root/testdata/sf0.001")
+    plan = q6._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :].split("ReadSchema:")[0]
+    # real predicates (not just IsNotNull) reached the parquet reader
+    assert "PushedFilters: [IsNotNull" in scan, scan
+    assert "GreaterThanOrEqual(l_shipda" in scan or "GreaterThanOrEqual(l_disc" in scan, scan
+    read_schema = plan[plan.index("ReadSchema:") :].splitlines()[0]
+    # only the four referenced columns are read
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema, read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema, read_schema
+
+    # crop (#19): coordinate range predicates push down on the voxel path too
+    crop = entry.queries()["crop"](spark, "/root/testdata/sf0.001")
+    cplan = crop._jdf.queryExecution().executedPlan().toString()
+    cscan = cplan[cplan.index("FileScan") :].split("ReadSchema:")[0]
+    assert "GreaterThan" in cscan or "LessThan" in cscan, cscan
