@@ -758,6 +758,29 @@ def q_dd_lsh_stream(spark, sf_dir):
     return drained.distinct()
 
 
+def q_dd_near_stream(spark, sf_dir):
+    """Streaming candidates + stream-static exact-Jaccard verification
+    (array_intersect per pair — no aggregation, legal downstream of the
+    stateful operator): the full ingestion-time near-dup check.  The oracle
+    recomputes LSH pairs AND shingle-set Jaccard relationally."""
+    from imops_spark.streaming.dedup import verified_near_dup_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = verified_near_dup_stream(
+        stream, static.select("doc_id", "text"), threshold=0.5,
+        num_hashes=MINHASHES, bands=4, rows_per_band=2,
+    )
+    drained = run_stream_to_memory(out, "dd_near_stream_gate", spark, mode="append")
+    return drained.distinct()
+
+
 def q_emb_near_dup(spark, sf_dir):
     from imops_spark.functions.dedup import embedding_near_dup_df
 
@@ -1166,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "dd_lsh_stream": q_dd_lsh_stream,
+        "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
         "dd_clusters": q_dd_clusters,
         "dd_simhash": q_dd_simhash,
@@ -1252,6 +1276,43 @@ def _lsh_pairs_sql(bands: int = 4, rows_per_band: int = 2) -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def _verified_pairs_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.5) -> str:
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+      WITH {_SHINGLES},
+      sigs AS (SELECT doc_id, {", ".join(f"MIN({_mh_hash(i)}) AS mh{i}" for i in range(MINHASHES))}
+               FROM sh GROUP BY doc_id),
+      buckets AS ({buckets}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+      )
+      SELECT p.doc_a, p.doc_b,
+             ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (na.n + nb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes na ON na.doc_id = p.doc_a
+      JOIN sizes nb ON nb.doc_id = p.doc_b
+      WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (na.n + nb.n - COALESCE(i.n_inter, 0)) >= {thresh}
     """
 
 
@@ -1636,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash": _minhash_select(),
         "dd_lsh_pairs": _lsh_pairs_sql(),
         "dd_lsh_stream": _lsh_pairs_sql(),
+        "dd_near_stream": _verified_pairs_sql(),
         "dd_jaccard": f"""
             WITH {_SHINGLES},
             pairs AS (

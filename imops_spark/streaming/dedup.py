@@ -21,9 +21,11 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.dedup import band_entries_df, minhash_signatures_df
+from pyspark.sql import functions as F
 
-__all__ = ["lsh_pairs_stream"]
+from ..functions.dedup import band_entries_df, minhash_signatures_df, shingle_array_df
+
+__all__ = ["lsh_pairs_stream", "verified_near_dup_stream"]
 
 
 def lsh_pairs_stream(
@@ -83,4 +85,46 @@ def lsh_pairs_stream(
 
     return buckets.groupBy("band", "band_key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def verified_near_dup_stream(
+    docs: DataFrame,
+    static_docs: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming near-dup pairs WITH exact Jaccard verification:
+    ``(doc_a, doc_b, jaccard)``, jaccard >= ``threshold``.
+
+    The candidate stream (``lsh_pairs_stream``) is verified by a
+    stream-STATIC join against the already-ingested corpus: both documents'
+    shingle sets ride as row-local arrays, so the exact Jaccard is
+    ``array_intersect`` arithmetic per pair — no aggregation, which is what
+    keeps a second computation legal downstream of the stateful operator
+    (Spark restricts stacking stateful ops; a groupBy-based verify would
+    not run here).  Semantics match the batch ``ngram_jaccard_df`` exactly
+    (distinct word-k-shingles, ROUND(6)).
+
+    The static side is the reference corpus snapshot; in production it is
+    the same table the stream appends to (Spark re-reads static sides per
+    micro-batch).  Cluster formation (connected components) stays batch —
+    it is iterative and has no incremental formulation here.
+    """
+    pairs = lsh_pairs_stream(
+        docs, num_hashes=num_hashes, k=k, bands=bands, rows_per_band=rows_per_band
+    )
+    sh = shingle_array_df(static_docs, k=k, distinct=True)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )

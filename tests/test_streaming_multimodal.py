@@ -484,3 +484,50 @@ def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_verified_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming candidates + stream-static Jaccard verification must equal
+    the batch pipeline (LSH pairs -> ngram_jaccard -> threshold)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.dedup import (
+        lsh_candidate_pairs_df,
+        minhash_signatures_df,
+        ngram_jaccard_df,
+    )
+    from imops_spark.streaming.dedup import verified_near_dup_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    d = tmp_path / "vstream"
+    d.mkdir()
+    n = len(pdf)
+    for i, part in enumerate([pdf.iloc[: n // 2], pdf.iloc[n // 2 :]]):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    thr = 0.3
+    out = verified_near_dup_stream(stream, docs, threshold=thr)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in run_stream_to_memory(out, "vnd_stream", spark).collect()
+    }
+    pairs = lsh_candidate_pairs_df(minhash_signatures_df(docs, num_hashes=8), bands=4, rows_per_band=2)
+    exp = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_df(docs, pairs).filter(f"jaccard >= {thr}").collect()
+    }
+    assert got == exp
+    assert len(got) > 0
