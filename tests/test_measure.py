@@ -195,3 +195,21 @@ def test_connected_components_empty_edges(spark):
     got = {r["node"]: r["comp"] for r in connected_components_df(edges, nodes=nodes).collect()}
     assert got == {4: 4, 8: 8}
     assert connected_components_df(edges).count() == 0
+
+
+def test_connected_components_long_path_graph(spark):
+    """A single 400-node path — the worst case for plain neighbor-min
+    propagation (O(diameter) rounds).  The per-partition contraction
+    collapses each partition's chain segment to a star first, so both the
+    driver solve and the forced distributed fixpoint finish quickly and
+    agree: one component rooted at node 0."""
+    from imops_spark.operators.graph import connected_components_df
+
+    edges = [(i, i + 1) for i in range(399)]
+    edf = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    for thr in (2_000_000, 0):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components_df(edf, driver_solve_threshold=thr).collect()
+        }
+        assert got == {i: 0 for i in range(400)}, thr
