@@ -1079,6 +1079,24 @@ def q_evt_window_stream(spark, sf_dir):
     return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
 
 
+def q_evt_join_stream(spark, sf_dir):
+    """TRUE stream-stream join: purchases joined to the same user's clicks
+    within the preceding 30 minutes, both sides watermarked, the interval
+    condition bounding state eviction (streaming/events.py
+    interval_join_stream).  Drained one-shot the inner join must equal the
+    batch interval self-join, which the oracle recomputes in DuckDB."""
+    from imops_spark.streaming.events import (
+        interval_join_stream,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    purchases = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    clicks = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    out = interval_join_stream(purchases, clicks, window_minutes=30)
+    return run_stream_to_memory(out, "evt_join_stream_gate", spark, mode="append")
+
+
 def q_evt_asof(spark, sf_dir):
     """General backward-inclusive as-of join via the union + running
     last(ignorenulls) window trick (no range join, no interval explosion);
@@ -1213,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_asof": q_evt_asof,
         "evt_closing": q_evt_closing,
         "evt_sessions_stream": q_evt_sessions_stream,
+        "evt_join_stream": q_evt_join_stream,
     }
 
 
@@ -1912,6 +1931,21 @@ def oracle_sql() -> dict[str, str]:
                    MAX(flag) OVER (PARTITION BY user_id ORDER BY b
                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
             FROM f
+        """,
+        "evt_join_stream": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+              FROM events
+            )
+            SELECT a.user_id AS user_id,
+                   a.event_id AS l_event_id,
+                   b.event_id AS r_event_id,
+                   a.ts_sec - b.ts_sec AS lag_sec
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'purchase' AND b.event_type = 'click'
+             AND b.ts_sec >= a.ts_sec - 1800 AND b.ts_sec <= a.ts_sec
         """,
         "evt_asof": """
             WITH e AS (

@@ -25,6 +25,7 @@ __all__ = [
     "windowed_counts_stream",
     "sliding_avg_stream",
     "dedup_stream",
+    "interval_join_stream",
     "sessionize_stateful_stream",
     "run_stream_to_memory",
 ]
@@ -99,6 +100,66 @@ def sliding_avg_stream(events: DataFrame, length_min: int = 10, slide_min: int =
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exact dedup on (user_id, event_type) within the watermark."""
     return events.withWatermark("ts_t", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition: for
+    each left event, the right events of the same user whose timestamp falls
+    in ``[left.ts - window_minutes, left.ts]`` (attribution-style join, e.g.
+    purchases to the clicks that preceded them).
+
+    Both sides carry a watermark and the join condition bounds the two event
+    times against each other — exactly what Structured Streaming needs to
+    know when buffered state on either side can be evicted: a right row is
+    droppable once the watermark passes ``its ts + window``, a left row once
+    the watermark passes its own ts.  State is therefore bounded by
+    (watermark + window) × arrival rate regardless of how long the streams
+    run — the property that makes the operator safe on an unbounded 100 TB
+    stream.  The shuffle is keyed by ``user_id`` on both sides, so the join
+    scales horizontally with users and no executor ever sees more than one
+    user's in-window buffer per task.
+
+    Output: ``(user_id, l_event_id, r_event_id, lag_sec)`` with
+    ``lag_sec = left.ts_sec - right.ts_sec ∈ [0, window]``.  Inner-join
+    matches emit as soon as both rows have arrived (no watermark-expiry
+    latency), so a single availableNow drain over a time-split file source
+    yields the full batch-equivalent result — which is what the driver's SQL
+    oracle cross-checks.
+    """
+    l = left.withWatermark("ts_t", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts_t").alias("l_ts"),
+        F.col("ts_sec").alias("l_ts_sec"),
+    )
+    r = right.withWatermark("ts_t", watermark).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts_t").alias("r_ts"),
+        F.col("ts_sec").alias("r_ts_sec"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (
+                F.col("r_ts")
+                >= F.col("l_ts") - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+            )
+            & (F.col("r_ts") <= F.col("l_ts")),
+        )
+        .select(
+            "user_id",
+            "l_event_id",
+            "r_event_id",
+            (F.col("l_ts_sec") - F.col("r_ts_sec")).alias("lag_sec"),
+        )
+    )
 
 
 def sessionize_stateful_stream(

@@ -339,6 +339,80 @@ def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_interval_join_stream_buffers_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join must BUFFER unmatched rows as state: a
+    click arriving in micro-batch 0 must still match a purchase that only
+    arrives in micro-batch 1 (and vice versa for the purchase-first file
+    split).  The drained one-shot result must equal the batch interval join
+    computed in plain pandas."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import interval_join_stream, run_stream_to_memory
+
+    # user 1: click @100 (batch 0) <- purchase @200 (batch 1): cross-batch match
+    # user 2: purchase @150 (batch 0) <- click @160 (batch 1): right side late,
+    #         NO match (click after purchase)
+    # user 2: click @120 (batch 1) -> purchase @150 (batch 0): cross-batch,
+    #         right row arrives AFTER the left row's batch
+    # user 3: click @100, purchase @5000 (both batch 1): outside 30 min window
+    b0 = pd.DataFrame(
+        {
+            "event_id": [10, 20],
+            "user_id": [1, 2],
+            "event_type": ["click", "purchase"],
+            "ts_sec": [100, 150],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "event_id": [11, 21, 22, 30, 31],
+            "user_id": [1, 2, 2, 3, 3],
+            "event_type": ["purchase", "click", "click", "click", "purchase"],
+            "ts_sec": [200, 160, 120, 100, 5000],
+        }
+    )
+    d = tmp_path / "ssj"
+    d.mkdir()
+    for i, b in enumerate([b0, b1]):
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)  # file-source orders batches by modification time
+
+    def src():
+        return (
+            spark.readStream.schema("event_id long, user_id long, event_type string, ts_sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts_t", F.timestamp_seconds(F.col("ts_sec")))
+        )
+
+    out = interval_join_stream(
+        src().where(F.col("event_type") == "purchase"),
+        src().where(F.col("event_type") == "click"),
+        window_minutes=30,
+    )
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"], r["lag_sec"])
+        for r in run_stream_to_memory(out, "ssj_mb", spark, mode="append").collect()
+    }
+    both = pd.concat([b0, b1], ignore_index=True)
+    p = both[both["event_type"] == "purchase"]
+    c = both[both["event_type"] == "click"]
+    m = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+    m = m[(m["ts_sec_c"] >= m["ts_sec_p"] - 1800) & (m["ts_sec_c"] <= m["ts_sec_p"])]
+    exp = {
+        (r.user_id, r.event_id_p, r.event_id_c, r.ts_sec_p - r.ts_sec_c)
+        for r in m.itertuples()
+    }
+    assert got == exp
+    # the load-bearing cases really are cross-batch
+    assert (1, 11, 10, 100) in got and (2, 20, 22, 30) in got
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Pin watermark late-data semantics: an event older than the watermark
     arriving in a later micro-batch is DROPPED from the windowed aggregate
