@@ -37,6 +37,8 @@ __all__ = [
     "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
+    "lsh_write_index",
+    "lsh_query_index",
 ]
 
 
@@ -384,3 +386,78 @@ def drop_near_duplicates_df(
         F.col("node").alias("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def _bucket_key_col():
+    # single-column join key: band id folded into the key string so the
+    # persisted index can bucket on ONE column (a (band, band_key) composite
+    # bucket would force requireAllClusterKeysForCoPartition gymnastics) and
+    # cross-band hash collisions cannot alias buckets.
+    return F.concat_ws(":", F.col("band").cast("string"), F.col("band_key")).alias(
+        "bucket_key"
+    )
+
+
+def lsh_write_index(
+    docs: DataFrame,
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist the LSH band index for ``docs``: ``(doc_id, bucket_key)``
+    bucketed by ``bucket_key`` (``sources.parquet.write_bucketed``) — the
+    build-once/probe-many shape of incremental corpus dedup.
+
+    The historical corpus pays its signature computation and bucket shuffle
+    ONCE at build time; every subsequent batch of new documents computes only
+    its OWN signatures and joins against the bucketed index with no exchange
+    on the index side (`lsh_query_index`).  That turns daily dedup of a
+    100 TB corpus from O(corpus) re-hashing per day into O(new batch) —
+    the same economics as ``similarity.ivf_write_index`` for ANN.
+
+    Banding parameters (``num_hashes, bands, rows_per_band, k``) are part of
+    the index contract: probes must use the same values or the bucket keys
+    will not align (callers keep them alongside the table name).
+    """
+    from ..sources.parquet import write_bucketed
+
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    entries = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
+        "doc_id", _bucket_key_col()
+    )
+    write_bucketed(entries, table, ["bucket_key"], num_buckets=num_buckets, path=path)
+
+
+def lsh_query_index(
+    spark,
+    table: str,
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a persisted LSH index built by ``lsh_write_index`` with a batch
+    of new documents: returns candidate near-duplicate pairs
+    ``(index_doc_id, probe_doc_id)`` — new docs that share any band bucket
+    with an indexed doc.  Only the (small) probe side shuffles to the
+    index's bucketing; verification (``ngram_jaccard_df``) and the
+    drop decision run on candidates only, exactly like the inline pipeline.
+    """
+    idx = spark.table(table).select(
+        F.col("doc_id").alias("index_doc_id"), "bucket_key"
+    )
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    probe = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
+        F.col("doc_id").alias("probe_doc_id"), _bucket_key_col()
+    )
+    return (
+        idx.join(probe, on="bucket_key")
+        .filter(F.col("index_doc_id") != F.col("probe_doc_id"))
+        .select("index_doc_id", "probe_doc_id")
+        .distinct()
+    )

@@ -605,3 +605,53 @@ def test_verified_near_dup_stream_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_lsh_persisted_index_matches_inline_and_skips_index_shuffle(spark, tmp_path):
+    """lsh_write_index / lsh_query_index: probing a persisted band index with
+    a batch of new documents yields exactly the cross pairs of the inline
+    batch LSH over the union corpus, and the probe join's executed plan reads
+    the index through its bucketing (no exchange on the index side)."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import (
+        lsh_candidate_pairs_df,
+        lsh_query_index,
+        lsh_write_index,
+        minhash_signatures_df,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lsh_write_index(
+            hist, "lsh_idx_test", num_hashes=8, bands=4, rows_per_band=2,
+            path=str(tmp_path / "lshidx"),
+        )
+        got_df = lsh_query_index(
+            spark, "lsh_idx_test", new, num_hashes=8, bands=4, rows_per_band=2
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        got = {(r["index_doc_id"], r["probe_doc_id"]) for r in got_df.collect()}
+        # inline twin over the union corpus, restricted to cross pairs
+        pairs = lsh_candidate_pairs_df(
+            minhash_signatures_df(docs, num_hashes=8), bands=4, rows_per_band=2
+        )
+        exp = {
+            (a, b) if a % 2 == 0 else (b, a)
+            for a, b in (
+                (r["doc_a"], r["doc_b"]) for r in pairs.collect()
+            )
+            if (a % 2) != (b % 2)
+        }
+        assert got == exp
+        assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
