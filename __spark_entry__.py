@@ -1065,6 +1065,94 @@ def q_evt_median(spark, sf_dir):
     )
 
 
+def q_evt_pivot(spark, sf_dir):
+    """PIVOT (§2.2 aggregations): per-user event-type counts as columns.
+    Spark's pivot is a single map-side-combined aggregate over (user, type)
+    pairs with the explicit value list avoiding the extra distinct-values
+    job; the oracle is conditional aggregation — same algebra, no PIVOT
+    syntax dependence."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_tpch_cube(spark, sf_dir):
+    """CUBE (§2.2 aggregations): all 2^2 grouping sets over
+    (returnflag, linestatus) in one grouping-sets expansion, NULL markers
+    stringified for a deterministic cross-engine hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def q_evt_lag(spark, sf_dir):
+    """lag/lead window navigation (§2.2 window functions): per-user gap to
+    the previous event and id of the next one under the total
+    (ts_sec, event_id) ordering; boundary NULLs coalesced to sentinels so
+    the hash compare is deterministic."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            F.col("ts_sec") - F.lag("ts_sec").over(w), F.lit(-1)
+        ).alias("gap_sec"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_event_id"),
+    )
+
+
+def q_evt_intersect(spark, sf_dir):
+    """INTERSECT (§2.2 set ops): users who both clicked and purchased —
+    Spark rewrites intersect to a left-semi aggregate; the oracle runs
+    DuckDB's native INTERSECT."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+def q_evt_ntile(spark, sf_dir):
+    """ntile + percent_rank (§2.2 window functions) under the total
+    per-user (ts_sec, event_id) ordering — rank arithmetic must agree
+    across engines exactly; percent_rank rounded at a tie-free grain."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 5).alias("prank"),
+    )
+
+
 def q_evt_window_stream(spark, sf_dir):
     """Streaming twin of evt_window: tumbling-window counts over the event
     stream, drained with availableNow in complete mode — one-shot it must
@@ -1232,6 +1320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_closing": q_evt_closing,
         "evt_sessions_stream": q_evt_sessions_stream,
         "evt_join_stream": q_evt_join_stream,
+        "evt_pivot": q_evt_pivot,
+        "tpch_cube": q_tpch_cube,
+        "evt_lag": q_evt_lag,
+        "evt_intersect": q_evt_intersect,
+        "evt_ntile": q_evt_ntile,
     }
 
 
@@ -1931,6 +2024,52 @@ def oracle_sql() -> dict[str, str]:
                    MAX(flag) OVER (PARTITION BY user_id ORDER BY b
                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
             FROM f
+        """,
+        "evt_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "tpch_cube": """
+            SELECT COALESCE(l_returnflag, '<all>') AS flag,
+                   COALESCE(l_linestatus, '<all>') AS status,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "evt_lag": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   COALESCE(ts_sec - LAG(ts_sec) OVER w, -1) AS gap_sec,
+                   COALESCE(LEAD(event_id) OVER w, -1) AS next_event_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        """,
+        "evt_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "evt_ntile": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   NTILE(4) OVER w AS quartile,
+                   ROUND(PERCENT_RANK() OVER w, 5) AS prank
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
         """,
         "evt_join_stream": """
             WITH e AS (
