@@ -29,17 +29,65 @@ __all__ = [
     "read_blobs",
     "write_bucketed",
     "ingest_npy_gz",
+    "morton_key",
 ]
 
 
-def write_voxels(tf: TensorFrame, path: str, mode: str = "overwrite") -> None:
-    """Write a voxel table sorted by (image_id, coords) for row-group pruning."""
-    (
+def morton_key(coords, bits: int = 10):
+    """Morton (Z-order) key column: the bits of each coordinate interleaved,
+    so consecutive keys stay spatially close in EVERY dimension at once.
+
+    Row-major order prunes parquet row groups only on the leading coordinate
+    — a slab filter on i1 or i2 touches every row group.  Z-ordering keeps
+    each row group's min/max tight in all coordinates, so any axis-aligned
+    box predicate skips most groups regardless of which axes it constrains —
+    the layout trick Delta/Iceberg OPTIMIZE ZORDER applies to 100 TB tables,
+    here as a pure column expression (shift/and/or, whole-stage codegen).
+
+    ``bits`` bounds each coordinate (< 2**bits); bits * ndim must be <= 63.
+    """
+    coords = list(coords)
+    nd = len(coords)
+    if bits * nd > 63:
+        raise ValueError(f"bits={bits} x ndim={nd} exceeds a long key")
+    expr = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, c in enumerate(coords):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            expr = expr.bitwiseOR(F.shiftleft(bit, b * nd + d))
+    return expr
+
+
+def write_voxels(
+    tf: TensorFrame,
+    path: str,
+    mode: str = "overwrite",
+    layout: str = "rowmajor",
+    **options,
+) -> None:
+    """Write a voxel table ordered for parquet row-group pruning.
+
+    ``layout='rowmajor'`` sorts by (image_id, i0, i1, ...): best when box
+    predicates constrain the leading coordinate (and for sequential decode).
+    ``layout='zorder'`` sorts by (image_id, morton_key): best when box
+    predicates may constrain ANY coordinate — see ``morton_key``.
+    Extra ``options`` pass through to the parquet writer (e.g.
+    ``compression``, ``parquet.block.size`` to control row-group size).
+    """
+    if layout == "rowmajor":
+        order = list(tf.coords)
+    elif layout == "zorder":
+        order = [morton_key(tf.coords)]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    w = (
         tf.df.repartition(IMAGE_ID)
-        .sortWithinPartitions(IMAGE_ID, *tf.coords)
+        .sortWithinPartitions(IMAGE_ID, *order)
         .write.mode(mode)
-        .parquet(path)
     )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.parquet(path)
 
 
 def read_voxels(

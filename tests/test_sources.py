@@ -194,3 +194,103 @@ def test_scan_pushdown_and_column_pruning(spark):
     cplan = crop._jdf.queryExecution().executedPlan().toString()
     cscan = cplan[cplan.index("FileScan") :].split("ReadSchema:")[0]
     assert "GreaterThan" in cscan or "LessThan" in cscan, cscan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """plans.skew.salted_join: hybrid hot-key salting must reproduce the
+    plain join exactly (inner and left), and the salted plan must spread a
+    hot key across multiple shuffle partitions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from imops_spark.plans import hot_keys_df, salted_join
+
+    # 10k fact rows, 90% on key 7 (pathological skew), dim misses key 3
+    fact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [7 if i % 10 else (i // 10) % 5 for i in range(10000)],
+                "x": list(range(10000)),
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1, 2, 4, 7], "name": ["a", "b", "c", "e", "hot"]})
+    )
+    hot = hot_keys_df(fact, ["k"], min_rows=1000)
+    assert [r["k"] for r in hot.collect()] == [7]
+
+    for how in ("inner", "left"):
+        exp = sorted(
+            (r["k"], r["x"], r["name"]) for r in fact.join(dim, "k", how).collect()
+        )
+        got_hybrid = sorted(
+            (r["k"], r["x"], r["name"])
+            for r in salted_join(fact, dim, ["k"], num_salts=8, how=how, hot=hot).collect()
+        )
+        got_full = sorted(
+            (r["k"], r["x"], r["name"])
+            for r in salted_join(fact, dim, ["k"], num_salts=8, how=how).collect()
+        )
+        assert got_hybrid == exp and got_full == exp
+
+    # the salt really fans the hot key out: >1 distinct salt on key 7
+    salted = fact.withColumn(
+        "s", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    )
+    n_salts = salted.filter("k = 7").select("s").distinct().count()
+    assert n_salts > 1
+
+
+def test_zorder_layout_prunes_compact_box(spark, tmp_path):
+    """write_voxels(layout='zorder'): a compact multi-axis box predicate must
+    intersect a much smaller fraction of parquet row groups than under the
+    row-major layout (where the box's rows scatter across every group of the
+    leading-coordinate slices), while decoding identical data."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from imops_spark.sources.parquet import write_voxels
+    from imops_spark.tensor_io import decode_volume, encode_volume, tensor_frame_from_df
+
+    rng = np.random.default_rng(11)
+    arr = rng.normal(size=(32, 32, 32))
+    tf = encode_volume(spark, arr)
+    paths = {}
+    for layout in ("rowmajor", "zorder"):
+        p = str(tmp_path / layout)
+        write_voxels(tf, p, layout=layout, **{"parquet.block.size": 16384})
+        paths[layout] = p
+
+    def groups_intersecting(path, box):
+        n_hit = n_tot = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            pf = papq.ParquetFile(f)
+            idx = {c: pf.schema_arrow.names.index(c) for c in box}
+            for g in range(pf.num_row_groups):
+                md = pf.metadata.row_group(g)
+                n_tot += 1
+                if all(
+                    md.column(idx[c]).statistics.min <= hi
+                    and md.column(idx[c]).statistics.max >= lo
+                    for c, (lo, hi) in box.items()
+                ):
+                    n_hit += 1
+        return n_hit, n_tot
+
+    # compact 8^3 corner box: in z-order its 512 rows are CONTIGUOUS in the
+    # morton key, so they land in O(1) row groups; row-major spreads them
+    # across every group of the first 8 i0-slices
+    box = {"i0": (0, 7), "i1": (0, 7), "i2": (0, 7)}
+    rm_hit, rm_tot = groups_intersecting(paths["rowmajor"], box)
+    zo_hit, zo_tot = groups_intersecting(paths["zorder"], box)
+    assert rm_tot > 4 and zo_tot > 4  # the block-size option really split groups
+    assert zo_hit < zo_tot
+    assert zo_hit / zo_tot < 0.5 * (rm_hit / rm_tot)
+
+    # identical logical content in both layouts
+    for layout in ("rowmajor", "zorder"):
+        back = tensor_frame_from_df(spark.read.parquet(paths[layout]))
+        np.testing.assert_array_equal(decode_volume(back), arr)
