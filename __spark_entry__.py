@@ -1065,6 +1065,26 @@ def q_evt_median(spark, sf_dir):
     )
 
 
+def q_rel_salted_join(spark, sf_dir):
+    """Skew-salted fact-dim join (plans.skew.salted_join, full salting):
+    the fact side gets a deterministic row-hash salt, the dim side
+    replicates per salt, and the join runs on (key, salt) — the oracle is
+    the PLAIN join, proving the salting is semantics-free."""
+    from imops_spark.plans import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name", "p_size"
+    )
+    return salted_join(li, pt, ["l_partkey"], num_salts=8).select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_quantity"), 2).alias("qty"),
+        "p_name",
+        "p_size",
+    )
+
+
 def q_evt_pivot(spark, sf_dir):
     """PIVOT (§2.2 aggregations): per-user event-type counts as columns.
     Spark's pivot is a single map-side-combined aggregate over (user, type)
@@ -1320,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_closing": q_evt_closing,
         "evt_sessions_stream": q_evt_sessions_stream,
         "evt_join_stream": q_evt_join_stream,
+        "rel_salted_join": q_rel_salted_join,
         "evt_pivot": q_evt_pivot,
         "tpch_cube": q_tpch_cube,
         "evt_lag": q_evt_lag,
@@ -2024,6 +2045,12 @@ def oracle_sql() -> dict[str, str]:
                    MAX(flag) OVER (PARTITION BY user_id ORDER BY b
                                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS any_near
             FROM f
+        """,
+        "rel_salted_join": """
+            SELECT l_orderkey, l_partkey,
+                   ROUND(l_quantity, 2) AS qty,
+                   p_name, p_size
+            FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "evt_pivot": """
             SELECT user_id,

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import band_entries_df, minhash_signatures_df, shingle_array_df
 
-__all__ = ["lsh_pairs_stream", "verified_near_dup_stream"]
+__all__ = [
+    "lsh_pairs_stream",
+    "verified_near_dup_stream",
+    "start_lsh_index_maintenance",
+]
 
 
 def lsh_pairs_stream(
@@ -128,3 +132,63 @@ def verified_near_dup_stream(
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def start_lsh_index_maintenance(
+    docs: DataFrame,
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    k: int = 3,
+    num_buckets: int = 16,
+    path: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Keep a persisted LSH band index (``functions.dedup.lsh_write_index``
+    layout) current as documents stream in: every micro-batch's band entries
+    are APPENDED to the bucketed index table via ``foreachBatch``, so
+    ``lsh_query_index`` probes always see the corpus ingested so far —
+    index build and index maintenance become the same code path.
+
+    foreachBatch is the right sink here because the bucketed-table writer
+    (``bucketBy``/``saveAsTable``) is a batch API: each micro-batch re-enters
+    the batch writer with ``mode='append'``, which validates the bucket spec
+    against the existing table — the index stays probe-compatible (same
+    single-column bucket key, no exchange on the index side) forever.
+    Exactly-once comes from the checkpoint's batch-id log; replays of a
+    committed batch are skipped by the streaming engine before foreachBatch
+    runs.
+
+    Returns the started ``StreamingQuery`` (``available_now=True`` drains
+    the current backlog and stops — the test/backfill mode; ``False`` runs
+    continuously).
+    """
+    from ..functions.dedup import (
+        _bucket_key_col,
+        band_entries_df,
+        minhash_signatures_df,
+    )
+    from ..sources.parquet import write_bucketed
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures_df(batch_df, num_hashes=num_hashes, k=k)
+        entries = band_entries_df(
+            sigs, bands=bands, rows_per_band=rows_per_band
+        ).select("doc_id", _bucket_key_col())
+        write_bucketed(
+            entries,
+            table,
+            ["bucket_key"],
+            num_buckets=num_buckets,
+            path=path,
+            mode="append",
+        )
+
+    w = docs.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -655,3 +655,70 @@ def test_lsh_persisted_index_matches_inline_and_skips_index_shuffle(spark, tmp_p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+
+
+def test_streaming_lsh_index_maintenance(spark, tmp_path):
+    """start_lsh_index_maintenance: documents streamed in two micro-batches
+    append band entries into the persisted bucketed index; a probe against
+    the streamed index must equal a probe against the same index built in
+    one batch write, and stay bucketed (no exchange on the index side)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import lsh_query_index, lsh_write_index
+    from imops_spark.streaming.dedup import start_lsh_index_maintenance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pdf = hist.toPandas().sort_values("doc_id")
+    d = tmp_path / "docstream"
+    d.mkdir()
+    n = len(pdf)
+    for i, part in enumerate([pdf.iloc[: n // 2], pdf.iloc[n // 2 :]]):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = start_lsh_index_maintenance(
+            stream, "lsh_idx_stream", num_hashes=8, bands=4, rows_per_band=2,
+            path=str(tmp_path / "lsh_idx_stream"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got_df = lsh_query_index(
+            spark, "lsh_idx_stream", new, num_hashes=8, bands=4, rows_per_band=2
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        got = {(r["index_doc_id"], r["probe_doc_id"]) for r in got_df.collect()}
+
+        lsh_write_index(
+            hist, "lsh_idx_batch", num_hashes=8, bands=4, rows_per_band=2,
+            path=str(tmp_path / "lsh_idx_batch"),
+        )
+        exp = {
+            (r["index_doc_id"], r["probe_doc_id"])
+            for r in lsh_query_index(
+                spark, "lsh_idx_batch", new, num_hashes=8, bands=4, rows_per_band=2
+            ).collect()
+        }
+        assert got == exp
+        assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_stream")
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_batch")
