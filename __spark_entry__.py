@@ -799,6 +799,21 @@ def q_txt_tokens(spark, sf_dir):
     )
 
 
+def q_txt_bpe(spark, sf_dir):
+    """BPE pre-tokenizer token budgets (functions.text.bpe_token_count_df):
+    the GPT-2-style segmentation regex evaluated by Spark's Java regex vs
+    DuckDB's RE2 — two regex engines, one pattern, identical counts."""
+    from imops_spark.functions.text import bpe_token_count_df
+
+    out = bpe_token_count_df(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.col("n_unique_bpe").cast("long").alias("n_unique_bpe"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 def q_txt_quality(spark, sf_dir):
     from imops_spark.functions.text import quality_df
 
@@ -1321,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
+        "txt_bpe": q_txt_bpe,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
@@ -1866,6 +1882,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
                    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_unique_tokens
             FROM documents
+        """,
+        "txt_bpe": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                     ) AS bt
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   CAST(len(bt) AS BIGINT) AS n_bpe,
+                   CAST(len(list_distinct(bt)) AS BIGINT) AS n_unique_bpe,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+            FROM t JOIN documents USING (doc_id)
         """,
         "txt_quality": """
             WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)

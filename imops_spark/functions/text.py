@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "BPE_PRETOKEN_PATTERN",
+    "bpe_pretokenize",
+    "bpe_token_count_df",
     "with_tokens",
     "token_count_df",
     "quality_df",
@@ -28,8 +31,47 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "data", "value"]
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokenization (BPE-ish regex split; JVM-side)."""
+    """Whitespace tokenization (JVM-side split)."""
     return df.withColumn("tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+# GPT-2-family pre-tokenizer split, minus the trailing-space lookahead (both
+# Java regex and RE2 — i.e. Spark and the DuckDB oracle — support this exact
+# pattern, and lookahead is what RE2 lacks): contraction suffixes, then
+# optionally-space-prefixed letter runs, digit runs, punctuation runs, then
+# whitespace runs.  Token COUNTS under this split approximate BPE token
+# budgets far better than whitespace words (punctuation and digits tokenize
+# separately, exactly like a trained byte-BPE's pre-tokenization stage).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``bpe_tokens``: the BPE pre-tokenizer segmentation of the text.
+
+    ``regexp_extract_all`` runs JVM-side in whole-stage codegen — the full
+    vocabulary-merge step of real BPE needs the merges table and is out of
+    scope; pre-tokenization is the part pipelines use for token budgeting
+    and is exactly reproducible in SQL (the driver gate cross-checks it
+    against DuckDB's RE2 on the same pattern).
+    """
+    return df.withColumn(
+        "bpe_tokens",
+        F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_PATTERN), 0),
+    )
+
+
+def bpe_token_count_df(docs: DataFrame) -> DataFrame:
+    """Per-document BPE-pre-token counts next to whitespace word counts:
+    ``(doc_id, n_bpe, n_unique_bpe, n_words)`` — the budget numbers a
+    training-mix planner reads per document."""
+    return bpe_pretokenize(docs.where(F.col("text").isNotNull())).select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_unique_bpe"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
 
 
 def token_count_df(docs: DataFrame) -> DataFrame:

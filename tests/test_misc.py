@@ -201,3 +201,34 @@ def test_drop_near_duplicates_keeps_canonical(spark):
     assert 9 in kept and 0 in kept
     assert 1 not in kept or 5 not in kept  # cluster collapsed to its canonical
     assert kept[0] == 0
+
+
+def test_bpe_pretokenize_exact_segmentation(spark):
+    """bpe_pretokenize: the GPT-2-style split must produce the exact expected
+    segments (contractions split off, punctuation and digit runs separate,
+    space prefixes retained) and the count frame must agree."""
+    from imops_spark.functions.text import bpe_pretokenize, bpe_token_count_df
+
+    texts = {
+        1: "Hello, world! It's 2024-01-01.",
+        2: "a'b's'll don't 3.14 x+y=z",
+        3: None,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_pretokenize(df.where("text is not null")).collect()
+    }
+    assert toks[1] == [
+        "Hello", ",", " world", "!", " It", "'s", " 2024", "-", "01", "-", "01", ".",
+    ]
+    assert toks[2] == [
+        "a", "'", "b", "'s", "'ll", " don", "'t", " 3", ".", "14", " x", "+", "y", "=", "z",
+    ]
+    counts = {r["doc_id"]: r for r in bpe_token_count_df(df).collect()}
+    assert set(counts) == {1, 2}  # NULL text filtered
+    assert counts[1]["n_bpe"] == 12 and counts[1]["n_words"] == 4
+    assert counts[2]["n_bpe"] == 15
+    assert counts[2]["n_unique_bpe"] == len(set(toks[2]))
