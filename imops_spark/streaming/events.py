@@ -107,6 +107,7 @@ def interval_join_stream(
     right: DataFrame,
     window_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval condition: for
     each left event, the right events of the same user whose timestamp falls
@@ -130,7 +131,17 @@ def interval_join_stream(
     latency), so a single availableNow drain over a time-split file source
     yields the full batch-equivalent result — which is what the driver's SQL
     oracle cross-checks.
+
+    ``how='left_outer'`` additionally emits unmatched LEFT rows (null
+    ``r_event_id``/``lag_sec``) — but only once the watermark proves no
+    in-window right row can still arrive, i.e. after it passes the left
+    row's ``ts``.  Outer emission is therefore watermark-DRIVEN: a one-shot
+    drain only flushes left rows old enough relative to the final watermark
+    (the inherent streaming-vs-batch outer-join difference; the multi-batch
+    test pins it).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join_stream supports inner/left_outer, got {how!r}")
     l = left.withWatermark("ts_t", watermark).select(
         F.col("user_id"),
         F.col("event_id").alias("l_event_id"),
@@ -152,6 +163,7 @@ def interval_join_stream(
                 >= F.col("l_ts") - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
             )
             & (F.col("r_ts") <= F.col("l_ts")),
+            how,
         )
         .select(
             "user_id",

@@ -722,3 +722,62 @@ def test_streaming_lsh_index_maintenance(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS lsh_idx_stream")
         spark.sql("DROP TABLE IF EXISTS lsh_idx_batch")
+
+
+def test_interval_join_stream_left_outer_watermark_flush(spark, tmp_path):
+    """how='left_outer': an unmatched purchase emits a NULL-padded row, but
+    only after the watermark (advanced by later batches) proves no in-window
+    click can still arrive; matched rows emit immediately."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import interval_join_stream, run_stream_to_memory
+
+    # user 1: purchase @100 with NO click -> outer row once watermark > 100
+    # user 2: purchase @200 with click @150 -> inner match immediately
+    # batches 1/2 only advance event time far enough (watermark delay 10 s,
+    # window 30 min) for the final batch to evict and flush user 1's row
+    b0 = pd.DataFrame(
+        {
+            "event_id": [10, 20, 21],
+            "user_id": [1, 2, 2],
+            "event_type": ["purchase", "purchase", "click"],
+            "ts_sec": [100, 200, 150],
+        }
+    )
+    b1 = pd.DataFrame(
+        {"event_id": [90], "user_id": [9], "event_type": ["click"], "ts_sec": [50000]}
+    )
+    b2 = pd.DataFrame(
+        {"event_id": [91], "user_id": [9], "event_type": ["click"], "ts_sec": [60000]}
+    )
+    d = tmp_path / "ssjlo"
+    d.mkdir()
+    for i, b in enumerate([b0, b1, b2]):
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    def src():
+        return (
+            spark.readStream.schema("event_id long, user_id long, event_type string, ts_sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts_t", F.timestamp_seconds(F.col("ts_sec")))
+        )
+
+    out = interval_join_stream(
+        src().where(F.col("event_type") == "purchase"),
+        src().where(F.col("event_type") == "click"),
+        window_minutes=30,
+        watermark="10 seconds",
+        how="left_outer",
+    )
+    rows = run_stream_to_memory(out, "ssj_lo", spark, mode="append").collect()
+    got = {(r["user_id"], r["l_event_id"], r["r_event_id"], r["lag_sec"]) for r in rows}
+    assert (2, 20, 21, 50) in got  # inner match
+    assert (1, 10, None, None) in got  # watermark-flushed outer row
+    assert len(got) == 2
