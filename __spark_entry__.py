@@ -638,6 +638,96 @@ def q_tpch_q4(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Q7-style volume shipping: revenue between (supplier nation, customer
+    nation) pairs per ship year — a 5-way star join whose order Catalyst +
+    AQE pick (dims broadcast), grouped on three keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, "s_nationkey")
+        .join(n2, "c_nationkey")
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            # revenue terms carry exactly 4 decimals (2-decimal price x
+            # 2-decimal discount), so the true sum sits ON .xx5 cent
+            # boundaries constantly — round at the tie-free 4-decimal grain
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10-style returned-item ranking: top-20 customers by revenue lost to
+    returns — star join + top-k with a deterministic (revenue, custkey)
+    tie-break so LIMIT agrees across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, "c_nationkey")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # 4-decimal grain: tie-free (see q7) — and the LIMIT cutoff
+            # order must agree across engines, so the ranking value itself
+            # has to round deterministically
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14-style promo revenue share: one global ratio aggregate over a
+    month of lineitem joined to part — conditional aggregation feeding a
+    scalar division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings / events)
 # ---------------------------------------------------------------------------
@@ -1326,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -1825,6 +1918,45 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= CAST(0.05 AS DOUBLE)
               AND l_discount <= CAST(0.07 AS DOUBLE)
               AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS ship_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT ROUND(
+                     100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+                   COUNT(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
         """,
         "mm_frame_dedup": """
             WITH f AS (
