@@ -232,3 +232,81 @@ def test_bpe_pretokenize_exact_segmentation(spark):
     assert counts[1]["n_bpe"] == 12 and counts[1]["n_words"] == 4
     assert counts[2]["n_bpe"] == 15
     assert counts[2]["n_unique_bpe"] == len(set(toks[2]))
+
+
+def test_sketch_distinct_partials_merge_within_error(spark):
+    """HLL partial-then-merge must estimate the global distinct count within
+    the sketch's error envelope, and merging per-shard partials must equal
+    (exactly — HLL union is deterministic) sketching the whole frame."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import (
+        approx_distinct_df,
+        distinct_sketch_by,
+        merge_distinct_sketches,
+    )
+
+    n, dup = 50_000, 5
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("shard"), (F.col("id") % (n // dup)).alias("v")
+    )
+    exact = n // dup
+
+    partials = distinct_sketch_by(df, ["shard"], "v")
+    (row,) = merge_distinct_sketches(partials).collect()
+    assert abs(row["approx_distinct"] - exact) / exact < 0.05
+    assert row["n_rows"] == n
+
+    # merging shard partials == one global sketch (mergeability, not luck)
+    (whole,) = merge_distinct_sketches(
+        distinct_sketch_by(df.withColumn("g", F.lit(0)), ["g"], "v")
+    ).collect()
+    assert row["approx_distinct"] == whole["approx_distinct"]
+
+    (ad,) = approx_distinct_df(df.withColumn("g", F.lit(0)), ["g"], "v", rsd=0.02).collect()
+    assert abs(ad["approx_distinct"] - exact) / exact < 0.06
+
+
+def test_theta_set_cardinalities(spark):
+    """Theta set algebra: |A|, |B|, |A∪B|, |A∩B|, |A\\B| estimates within 5%
+    of the constructed overlap."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import theta_set_cardinalities
+
+    a = spark.range(0, 30_000).select(F.col("id").alias("v"))         # [0, 30k)
+    b = spark.range(20_000, 60_000).select(F.col("id").alias("v"))    # [20k, 60k)
+    (r,) = theta_set_cardinalities(a, b, "v").collect()
+    for got, exp in [
+        (r["n_a"], 30_000),
+        (r["n_b"], 40_000),
+        (r["n_union"], 60_000),
+        (r["n_intersection"], 10_000),
+        (r["n_only_a"], 20_000),
+    ]:
+        assert abs(got - exp) / exp < 0.05, (got, exp)
+
+
+def test_kll_quantile_partials_merge_within_rank_error(spark):
+    """KLL quantiles: per-shard partials merged must put each estimated
+    quantile within 2% RANK error of the true order statistic (the KLL
+    guarantee is on rank, not value)."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import merge_quantile_sketches, quantile_sketch_by
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") % 8).alias("shard"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000))).cast("double").alias("v"),
+    )
+    vals = [r["v"] for r in df.select("v").collect()]
+    vals.sort()
+    partials = quantile_sketch_by(df, ["shard"], "v")
+    (row,) = merge_quantile_sketches(partials, [0.1, 0.5, 0.99]).collect()
+    import bisect
+
+    for p in (0.1, 0.5, 0.99):
+        est = row[f"q_{str(p).replace('.', '_')}"]
+        rank = bisect.bisect_left(vals, est) / n
+        assert abs(rank - p) < 0.02, (p, est, rank)
