@@ -30,6 +30,7 @@ __all__ = [
     "write_bucketed",
     "ingest_npy_gz",
     "morton_key",
+    "write_time_partitioned",
 ]
 
 
@@ -149,3 +150,41 @@ def ingest_npy_gz(spark: SparkSession, paths: dict[int, str]) -> DataFrame:
     from ..tensor_io import encode_blobs, load_npy_gz
 
     return encode_blobs(spark, {i: load_npy_gz(p) for i, p in paths.items()})
+
+
+def write_time_partitioned(
+    events: DataFrame,
+    path: str,
+    ts_sec_col: str = "ts_sec",
+    granularity: str = "day",
+    mode: str = "overwrite",
+) -> None:
+    """Write an event table hive-partitioned by event date (or hour): the
+    standard time-series layout at 100 TB — every time-range query prunes
+    whole directories before a single footer is read, retention is a
+    directory delete, and backfills replace one partition atomically with
+    dynamic partition overwrite.
+
+    ``events`` must carry an epoch-seconds column (``ts_sec``, the engine's
+    normalized event-time — see ``functions.events.load_events``); the
+    partition value is derived from it with pure UTC integer arithmetic
+    (``ts_sec DIV 86400`` days since epoch), NOT ``date_format`` — the
+    session timezone must never move a row between partitions, or two
+    writers with different timezones would shred the layout.
+    """
+    epoch_day = (F.col(ts_sec_col) / F.lit(86400)).cast("int")
+    day = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
+    if granularity == "day":
+        part = day
+    elif granularity == "hour":
+        hour = ((F.col(ts_sec_col) % 86400) / 3600).cast("int")
+        part = F.concat_ws("-", day, F.lpad(hour.cast("string"), 2, "0"))
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    (
+        events.withColumn("event_date", part)
+        .repartition("event_date")
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )

@@ -294,3 +294,58 @@ def test_zorder_layout_prunes_compact_box(spark, tmp_path):
     for layout in ("rowmajor", "zorder"):
         back = tensor_frame_from_df(spark.read.parquet(paths[layout]))
         np.testing.assert_array_equal(decode_volume(back), arr)
+
+
+def test_time_partitioned_events_prune_directories(spark, tmp_path):
+    """write_time_partitioned: a date-range filter must read ONLY the
+    matching partition directories (file-level pruning, visible in
+    inputFiles), the partition value must be session-timezone-independent,
+    and the read-back rows must round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.events import load_events
+    from imops_spark.sources.parquet import write_time_partitioned
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts_sec", "user_id", "event_type", "value"
+    )
+    p = str(tmp_path / "ev_by_day")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # UTC+14
+        write_time_partitioned(ev, p)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    back = spark.read.parquet(p)
+    n_days = back.select("event_date").distinct().count()
+    assert n_days > 5
+
+    one_day = [r["event_date"] for r in back.select("event_date").distinct().limit(1).collect()][0]
+    # tz-independent partition value: must equal pure UTC epoch-day arithmetic
+    import datetime
+
+    sample = back.filter(F.col("event_date") == one_day).select("ts_sec").first()
+    assert (
+        datetime.datetime(1970, 1, 1)
+        + datetime.timedelta(days=sample["ts_sec"] // 86400)
+    ).strftime("%Y-%m-%d") == str(one_day)
+
+    filtered = back.filter(F.col("event_date") == one_day)
+    # the filter must become a PARTITION filter (directory pruning before
+    # any footer read), not a pushed data filter
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    exp_day = ev.filter((F.col("ts_sec") / 86400).cast("int") == sample["ts_sec"] // 86400).count()
+    assert filtered.count() == exp_day > 0
+
+    # round trip: the partition column re-derives ts content exactly
+    exp = {tuple(r) for r in ev.collect()}
+    got = {
+        tuple(r)
+        for r in back.select("event_id", "ts_sec", "user_id", "event_type", "value").collect()
+    }
+    assert got == exp
