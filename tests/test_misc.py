@@ -310,3 +310,41 @@ def test_kll_quantile_partials_merge_within_rank_error(spark):
         est = row[f"q_{str(p).replace('.', '_')}"]
         rank = bisect.bisect_left(vals, est) / n
         assert abs(rank - p) < 0.02, (p, est, rank)
+
+
+def test_curate_documents_pipeline(spark):
+    """curate_documents: quality rejects garbage, exact dup collapses,
+    near-dup cluster keeps its canonical, survivors carry token budgets —
+    and the result equals composing the gated stages by hand."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import curate_documents, quality_filter_df
+    from imops_spark.functions.dedup import drop_exact_duplicates, drop_near_duplicates_df
+    from imops_spark.functions.text import bpe_token_count_df
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                          # exact dup of 0 -> dropped
+            (2, base + " extra"),               # near dup of 0 -> dropped
+            (3, "completely different text about spark engines and parquet files"),
+            (4, "aa"),                          # too short -> quality-dropped
+            (5, "x " * 200),                    # type-token ratio ~0 -> dropped
+            (6, None),                          # NULL text -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_documents(docs).collect()
+    kept = {r["doc_id"]: r for r in out}
+    assert set(kept) == {0, 3}
+    assert kept[0]["n_words"] == len(base.split())
+    assert kept[0]["n_bpe"] >= kept[0]["n_words"]  # punctuation-free text: >=
+    assert all(r["n_unique_bpe"] <= r["n_bpe"] for r in out)
+
+    manual = drop_near_duplicates_df(
+        drop_exact_duplicates(quality_filter_df(docs)),
+        num_hashes=8, bands=4, rows_per_band=2, threshold=0.6,
+    )
+    manual_ids = {r["doc_id"] for r in manual.collect()}
+    assert manual_ids == set(kept)
