@@ -97,8 +97,13 @@ def main() -> None:
         pq_encode_df,
         pq_train,
     )
-    from imops_spark.functions.text import tfidf_df
+    from imops_spark.functions.sketch import (
+        distinct_sketch_by,
+        merge_distinct_sketches,
+    )
+    from imops_spark.functions.text import bpe_token_count_df, tfidf_df
     from imops_spark.operators.graph import connected_components_df
+    from imops_spark.plans import salted_join
     from imops_spark.session import get_spark
 
     sizes = [5_000, 20_000, 80_000]
@@ -144,6 +149,26 @@ def main() -> None:
             "ivfpq_encode": lambda: ivfpq_encode_df(emb, cents, rbooks),
             "ivfpq_topk": lambda: ivfpq_topk_df(
                 ivfpq_index, queries, cents, rbooks, k=3, n_probe=2
+            ),
+            "txt_bpe": lambda: bpe_token_count_df(docs),
+            "sketch_distinct": lambda: merge_distinct_sketches(
+                distinct_sketch_by(
+                    docs.select(F.pmod("doc_id", F.lit(16)).alias("shard"), "text"),
+                    ["shard"],
+                    "text",
+                )
+            ),
+            # 90% of the fact on one key: full salting must stay linear
+            "salted_join": lambda: salted_join(
+                emb.select(
+                    F.when(F.col("vec_id") % 10 != 0, 0)
+                    .otherwise(F.col("vec_id") % 32)
+                    .alias("k"),
+                    F.col("vec_id").alias("x"),
+                ),
+                spark.range(32).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v")),
+                ["k"],
+                num_salts=8,
             ),
         }
         for name, b in rows.items():
