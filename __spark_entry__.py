@@ -797,6 +797,24 @@ def q_dd_jaccard(spark, sf_dir):
     return ngram_jaccard_df(docs, pairs)
 
 
+def q_curate(spark, sf_dir):
+    """END-TO-END curation pipeline gate (functions.curate.curate_documents):
+    quality gate -> exact dedup -> MinHash/LSH/Jaccard near dedup ->
+    connected components -> BPE token budgets, hashed as ONE result against
+    a single DuckDB CTE chain (recursive CTE for the cluster step) — the
+    strongest composition check the driver can run."""
+    from imops_spark.functions.curate import curate_documents
+
+    out = curate_documents(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.col("n_unique_bpe").cast("long").alias("n_unique_bpe"),
+    )
+
+
 def q_dd_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline closure: shared MinHash signatures ->
     banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
@@ -1426,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
         "dd_clusters": q_dd_clusters,
+        "curate": q_curate,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -1603,6 +1622,99 @@ def _dd_clusters_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.6
         SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
       )
       SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+def _curate_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.6) -> str:
+    """End-to-end oracle for the curation pipeline: quality gate -> exact
+    dedup -> near-dup chain (minhash/LSH/jaccard/recursive-CTE CC) -> BPE
+    budgets, all running on the same CTE chain the individually-gated
+    stages use — one hash over the WHOLE pipeline."""
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    buckets = " UNION ALL ".join(band_selects)
+    stop = "['the','a','of','and','to','in','is','it','data','value']"
+    bpe_pat = (
+        "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+    )
+    return f"""
+      WITH RECURSIVE
+      q AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+      ),
+      qf AS (
+        SELECT doc_id, text FROM q
+        WHERE len(toks) >= 5
+          AND ROUND(length(text)::DOUBLE / len(toks), 4) <= 12.0
+          AND ROUND(len(list_filter(toks, x -> list_contains({stop}, x)))::DOUBLE
+                    / len(toks), 4) >= 0.0
+          AND ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) >= 0.2
+      ),
+      keys AS (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM qf
+      ),
+      keep AS (SELECT h, MIN(doc_id) AS doc_id FROM keys GROUP BY h),
+      cdocs AS (SELECT qf.doc_id, qf.text FROM qf JOIN keep ON keep.doc_id = qf.doc_id),
+      toks2 AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM cdocs
+      ),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[(i+1):(i+3)], ' ') AS shingle
+        FROM toks2, unnest(generate_series(0, greatest(len(t)-3, 0))) u(i)
+      ),
+      sigs AS (SELECT doc_id, {", ".join(f"MIN({_mh_hash(i)}) AS mh{i}" for i in range(MINHASHES))}
+               FROM sh GROUP BY doc_id),
+      buckets AS ({buckets}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        WHERE ROUND(COALESCE(i.n_inter, 0)::DOUBLE /
+                    (na.n + nb.n - COALESCE(i.n_inter, 0)), 6) >= {thresh}
+      ),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION SELECT doc_b AS a, doc_a AS b FROM verified
+      ),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      reach(src, node) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
+      ),
+      clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+      losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+      surv AS (
+        SELECT * FROM cdocs WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ),
+      bt AS (SELECT doc_id, regexp_extract_all(text, {bpe_pat}) AS b FROM surv)
+      SELECT s.doc_id, s.text,
+             CAST(len(string_split_regex(trim(s.text), '\\s+')) AS BIGINT) AS n_words,
+             CAST(len(b) AS BIGINT) AS n_bpe,
+             CAST(len(list_distinct(b)) AS BIGINT) AS n_unique_bpe
+      FROM surv s JOIN bt ON bt.doc_id = s.doc_id
     """
 
 
@@ -2001,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = p.doc_b
         """,
         "dd_clusters": _dd_clusters_sql(),
+        "curate": _curate_sql(),
         "dd_simhash": _simhash_sql(),
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
