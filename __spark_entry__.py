@@ -459,6 +459,69 @@ def q_radon_raysum(spark, sf_dir):
     return li.groupBy(bucket).agg(F.round(F.sum("l_quantity"), 4).alias("ray_sum"))
 
 
+def q_radon_backproj(spark, sf_dir):
+    """inverse_radon (#14) relational core: UNFILTERED backprojection.  The
+    sinogram is the gated ray-sum at three fixed angles; every generated
+    grid point gathers each angle's two neighboring rays (floor/ceil
+    equi-joins), lerps between them, and the per-angle contributions add in
+    a FIXED order (conditional single-element sums, then v0+v1+v2) so the
+    double arithmetic is expression-identical across engines — only the FFT
+    filtering step stays outside SQL (operators/radon.py:300)."""
+    li = _t(spark, sf_dir, "lineitem")
+    angles = [(0.8, 0.6), (1.0, 0.0), (0.6, -0.8)]
+    sino = None
+    for k, (a, b) in enumerate(angles):
+        sk = (
+            li.groupBy(
+                F.floor(a * F.col("l_partkey") + b * F.col("l_suppkey"))
+                .cast("long")
+                .alias("r")
+            )
+            .agg(F.sum("l_quantity").alias("s"))
+            .withColumn("k", F.lit(k))
+        )
+        sino = sk if sino is None else sino.unionByName(sk)
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), F.expr("CAST(id DIV 32 AS BIGINT)").alias("y")
+    )
+    ang = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(float(a)).alias("a"), F.lit(float(b)).alias("b"))
+            for k, (a, b) in enumerate(angles)
+        ]
+    )
+    pts = grid.select("x", "y", F.explode(ang).alias("g")).select(
+        "x",
+        "y",
+        F.col("g.k").alias("k"),
+        (F.col("g.a") * (40 * F.col("x") + 7) + F.col("g.b") * (40 * F.col("y") + 11)).alias("t"),
+    )
+    pp = pts.select(
+        "x", "y", "k",
+        F.floor("t").cast("long").alias("r0"),
+        (F.col("t") - F.floor("t")).alias("frac"),
+    )
+    s0 = sino.select("k", F.col("r").alias("r0"), F.col("s").alias("s0"))
+    s1 = sino.select("k", (F.col("r") - 1).alias("r0"), F.col("s").alias("s1"))
+    j = (
+        pp.join(s0, ["k", "r0"], "left")
+        .join(s1, ["k", "r0"], "left")
+        .withColumn(
+            "val",
+            F.coalesce("s0", F.lit(0.0))
+            + (F.coalesce("s1", F.lit(0.0)) - F.coalesce("s0", F.lit(0.0))) * F.col("frac"),
+        )
+    )
+    out = j.groupBy("x", "y").agg(
+        F.sum(F.when(F.col("k") == 0, F.col("val"))).alias("v0"),
+        F.sum(F.when(F.col("k") == 1, F.col("val"))).alias("v1"),
+        F.sum(F.when(F.col("k") == 2, F.col("val"))).alias("v2"),
+    )
+    return out.select(
+        "x", "y", F.round(F.col("v0") + F.col("v1") + F.col("v2"), 6).alias("backproj")
+    )
+
+
 def q_top1_nn(spark, sf_dir):
     """1-NN (#4 KD-tree query) in 1-D, sort-based: the nearest acctbal
     neighbor is the same-value group, the predecessor group, or the successor
@@ -1422,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_dedup": q_mm_frame_dedup,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
+        "radon_backproj": q_radon_backproj,
         "top1_nn": q_top1_nn,
         "tpch_rollup": q_tpch_rollup,
         "evt_running": q_evt_running,
@@ -1911,6 +1975,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
             )
             SELECT src AS node, MIN(node) AS comp FROM reach GROUP BY src
+        """,
+        "radon_backproj": """
+            WITH sino AS (
+              SELECT 0 AS k, CAST(FLOOR(CAST(0.8 AS DOUBLE)*l_partkey + CAST(0.6 AS DOUBLE)*l_suppkey) AS BIGINT) AS r, SUM(l_quantity) AS s FROM lineitem GROUP BY 2
+              UNION ALL
+              SELECT 1, CAST(FLOOR(CAST(1.0 AS DOUBLE)*l_partkey + CAST(0.0 AS DOUBLE)*l_suppkey) AS BIGINT), SUM(l_quantity) FROM lineitem GROUP BY 2
+              UNION ALL
+              SELECT 2, CAST(FLOOR(CAST(0.6 AS DOUBLE)*l_partkey + CAST(-0.8 AS DOUBLE)*l_suppkey) AS BIGINT), SUM(l_quantity) FROM lineitem GROUP BY 2
+            ),
+            grid AS (
+              SELECT CAST(gx.x AS BIGINT) AS x, CAST(gy.y AS BIGINT) AS y
+              FROM generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+            ),
+            ang(k, a, b) AS (
+              VALUES (0, CAST(0.8 AS DOUBLE), CAST(0.6 AS DOUBLE)),
+                     (1, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                     (2, CAST(0.6 AS DOUBLE), CAST(-0.8 AS DOUBLE))
+            ),
+            pts AS (
+              SELECT x, y, k, a*(40*x + 7) + b*(40*y + 11) AS t FROM grid, ang
+            ),
+            pp AS (
+              SELECT x, y, k, CAST(FLOOR(t) AS BIGINT) AS r0, t - FLOOR(t) AS frac
+              FROM pts
+            ),
+            j AS (
+              SELECT p.x, p.y, p.k,
+                     COALESCE(s0.s, CAST(0 AS DOUBLE))
+                       + (COALESCE(s1.s, CAST(0 AS DOUBLE)) - COALESCE(s0.s, CAST(0 AS DOUBLE))) * p.frac AS val
+              FROM pp p
+              LEFT JOIN sino s0 ON s0.k = p.k AND s0.r = p.r0
+              LEFT JOIN sino s1 ON s1.k = p.k AND s1.r = p.r0 + 1
+            )
+            SELECT x, y,
+                   ROUND(SUM(CASE WHEN k = 0 THEN val END)
+                         + SUM(CASE WHEN k = 1 THEN val END)
+                         + SUM(CASE WHEN k = 2 THEN val END), 6) AS backproj
+            FROM j GROUP BY x, y
         """,
         "radon_raysum": """
             SELECT CAST(FLOOR(CAST(0.8 AS DOUBLE) * l_partkey + CAST(0.6 AS DOUBLE) * l_suppkey) AS BIGINT) AS ray,
