@@ -136,3 +136,26 @@ def test_restore_crop(spark):
     assert_array_equal(got, exp)
     with pytest.raises(ValueError):
         restore_crop(crop, make_box([[0, 0], [1, 1]]), a.shape)
+
+
+def test_pad_restore_crop_roundtrip_many_margins(spark):
+    """restore_crop inverts pad for arbitrary per-axis margins, and the
+    padded border holds exactly the fill value — checked through the real
+    engine operators (encode -> plan -> decode), several margin shapes."""
+    import numpy as np
+    from numpy.testing import assert_array_equal
+
+    from imops_spark import pad, restore_crop
+    from imops_spark.utils import build_slices
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(4, 5, 3))
+    for lo, hi in [((0, 0, 0), (0, 0, 0)), ((1, 0, 2), (0, 3, 1)), ((2, 2, 2), (2, 2, 2))]:
+        padded = pad(vol, np.array(list(zip(lo, hi))), padding_values=7.5)
+        assert padded.shape == tuple(s + a + b for s, a, b in zip(vol.shape, lo, hi))
+        box = build_slices(list(lo), [l + s for l, s in zip(lo, vol.shape)])
+        assert_array_equal(padded[box], vol)
+        border = padded.copy()
+        border[box] = 7.5
+        assert bool(np.all(border == 7.5))
+        assert_array_equal(restore_crop(vol, np.array([list(lo), [l + s for l, s in zip(lo, vol.shape)]]), padded.shape, 7.5), padded)

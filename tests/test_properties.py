@@ -93,3 +93,22 @@ def test_interp1d_reproduces_knots_and_is_monotone_bounded(args):
     lo = np.minimum(y[:-1], y[1:]) - 1e-9
     hi = np.maximum(y[:-1], y[1:]) + 1e-9
     assert bool(np.all(gmid >= lo) and np.all(gmid <= hi))
+
+
+@settings(max_examples=60, deadline=None)
+@given(masks)
+def test_morphology_closing_opening_idempotent(mask):
+    """Closing and opening are idempotent filters (applying twice == once),
+    and opening(m) <= m <= closing(m) — the lattice-theoretic contract every
+    morphology implementation must satisfy."""
+
+    def closing(m):
+        return erosion_numpy(dilation_numpy(m, OFFS3), OFFS3)
+
+    def opening(m):
+        return dilation_numpy(erosion_numpy(m, OFFS3), OFFS3)
+
+    c, o = closing(mask), opening(mask)
+    np.testing.assert_array_equal(closing(c), c)
+    np.testing.assert_array_equal(opening(o), o)
+    assert bool(np.all(o <= mask)) and bool(np.all(mask <= c))
