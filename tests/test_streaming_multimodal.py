@@ -781,3 +781,28 @@ def test_interval_join_stream_left_outer_watermark_flush(spark, tmp_path):
     assert (2, 20, 21, 50) in got  # inner match
     assert (1, 10, None, None) in got  # watermark-flushed outer row
     assert len(got) == 2
+
+
+def test_streaming_hll_distinct_matches_batch(spark):
+    """Mergeable sketches are streaming-legal: an HLL distinct-user count
+    per event type over the event STREAM (complete mode) must equal the
+    batch sketch exactly — HLL registers are max-based, so the estimate is
+    order-insensitive and micro-batching cannot change it."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import run_stream_to_memory, stream_events
+
+    agg = lambda df: df.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {
+        (r["event_type"], r["approx_users"], r["n"])
+        for r in run_stream_to_memory(
+            agg(stream_events(spark, SF)), "hll_stream", spark, mode="complete"
+        ).collect()
+    }
+    from imops_spark.functions.events import load_events
+
+    exp = {(r["event_type"], r["approx_users"], r["n"]) for r in agg(load_events(spark, SF)).collect()}
+    assert got == exp and len(got) == 5
