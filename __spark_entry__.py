@@ -1436,6 +1436,46 @@ def q_evt_closing(spark, sf_dir):
     )
 
 
+def q_evt_pipeline(spark, sf_dir):
+    """END-TO-END imaging-pipeline analog, chained as ONE query: binary
+    closing (#7, densify + two RANGE windows) -> connected-component
+    labeling of the closed mask (#11, 1-D gaps-and-islands: bucket -
+    row_number is constant within a run) -> per-component measures (#12/#26:
+    size, bounding stop, center of mass).  The composition twin of the
+    `curate` gate for the array-operator half of the engine."""
+    from pyspark.sql.window import Window
+
+    from imops_spark.functions.events import load_events
+
+    events = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("ts_sec") / 600)
+    flags = events.groupBy("user_id", bucket.alias("b")).agg(
+        F.max(F.when(F.col("value") > 90.0, 1).otherwise(0)).alias("flag")
+    )
+    bounds = flags.groupBy("user_id").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    dense = bounds.select("user_id", F.explode(F.sequence("lo", "hi")).alias("b"))
+    dns = dense.join(flags, ["user_id", "b"], "left").select(
+        "user_id", "b", F.coalesce("flag", F.lit(0)).alias("flag")
+    )
+    w = Window.partitionBy("user_id").orderBy("b").rangeBetween(-1, 1)
+    closed = dns.select(
+        "user_id", "b", F.max("flag").over(w).alias("d")
+    ).select("user_id", "b", F.min("d").over(w).alias("closed"))
+    ones = closed.filter(F.col("closed") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("b")
+    isl = ones.withColumn("grp", F.col("b") - F.row_number().over(w2))
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(
+            F.min("b").alias("label"),
+            F.count(F.lit(1)).alias("size"),
+            (F.max("b") + 1).alias("stop"),
+            F.round(F.avg("b"), 6).alias("com"),
+        )
+        .select("user_id", "label", "size", "stop", "com")
+    )
+
+
 def q_evt_sliding_stream(spark, sf_dir):
     """Streaming sliding windows (10-min length, 5-min slide): every event
     lands in two overlapping windows; drained complete it must equal the
@@ -1530,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_neighbor": q_evt_neighbor,
         "evt_asof": q_evt_asof,
         "evt_closing": q_evt_closing,
+        "evt_pipeline": q_evt_pipeline,
         "evt_sessions_stream": q_evt_sessions_stream,
         "evt_join_stream": q_evt_join_stream,
         "rel_salted_join": q_rel_salted_join,
@@ -2489,6 +2530,44 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_type = 'purchase' AND b.event_type = 'click'
              AND b.ts_sec >= a.ts_sec - 1800 AND b.ts_sec <= a.ts_sec
+        """,
+        "evt_pipeline": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(FLOOR((epoch_ns(ts) // 1000000000) / 600.0) AS BIGINT) AS b,
+                     MAX(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS flag
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM f GROUP BY 1),
+            dense AS (
+              SELECT user_id, CAST(u.b AS BIGINT) AS b
+              FROM bounds, unnest(generate_series(lo, hi)) u(b)
+            ),
+            dns AS (
+              SELECT d.user_id, d.b, COALESCE(f.flag, 0) AS flag
+              FROM dense d LEFT JOIN f ON f.user_id = d.user_id AND f.b = d.b
+            ),
+            dil AS (
+              SELECT user_id, b,
+                     MAX(flag) OVER (PARTITION BY user_id ORDER BY b
+                                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS d
+              FROM dns
+            ),
+            closed AS (
+              SELECT user_id, b,
+                     MIN(d) OVER (PARTITION BY user_id ORDER BY b
+                                  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS closed
+              FROM dil
+            ),
+            ones AS (SELECT user_id, b FROM closed WHERE closed = 1),
+            isl AS (
+              SELECT user_id, b,
+                     b - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b) AS grp
+              FROM ones
+            )
+            SELECT user_id, MIN(b) AS label, COUNT(*) AS size,
+                   MAX(b) + 1 AS stop, ROUND(AVG(b), 6) AS com
+            FROM isl GROUP BY user_id, grp
         """,
         "evt_asof": """
             WITH e AS (
