@@ -459,6 +459,20 @@ def q_radon_raysum(spark, sf_dir):
     return li.groupBy(bucket).agg(F.round(F.sum("l_quantity"), 4).alias("ray_sum"))
 
 
+def q_hull_fill(spark, sf_dir):
+    """convex_hull_image (#10) relational core: per-scanline fill between
+    the row's left/right bounds (`src/_convex_hull.pyx:135-149` computes
+    exactly these per-row extremes, then fills between them) — min/max
+    aggregates feeding a generated sequence explode."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    bounds = li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("lo"), F.max("l_linenumber").alias("hi")
+    )
+    return bounds.select(
+        "l_orderkey", F.explode(F.sequence("lo", "hi")).alias("p")
+    ).select("l_orderkey", F.col("p").cast("long").alias("pos"))
+
+
 def q_radon_backproj(spark, sf_dir):
     """inverse_radon (#14) relational core: UNFILTERED backprojection.  The
     sinogram is the gated ray-sum at three fixed angles; every generated
@@ -1525,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_dedup": q_mm_frame_dedup,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
+        "hull_fill": q_hull_fill,
         "radon_backproj": q_radon_backproj,
         "top1_nn": q_top1_nn,
         "tpch_rollup": q_tpch_rollup,
@@ -2016,6 +2031,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
             )
             SELECT src AS node, MIN(node) AS comp FROM reach GROUP BY src
+        """,
+        "hull_fill": """
+            WITH b AS (
+              SELECT l_orderkey, MIN(l_linenumber) AS lo, MAX(l_linenumber) AS hi
+              FROM lineitem WHERE l_quantity > 45 GROUP BY 1
+            )
+            SELECT l_orderkey, CAST(u.pos AS BIGINT) AS pos
+            FROM b, unnest(generate_series(lo, hi)) u(pos)
         """,
         "radon_backproj": """
             WITH sino AS (
