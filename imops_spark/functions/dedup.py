@@ -439,8 +439,10 @@ def lsh_write_index(
     the same economics as ``similarity.ivf_write_index`` for ANN.
 
     Banding parameters (``num_hashes, bands, rows_per_band, k``) are part of
-    the index contract: probes must use the same values or the bucket keys
-    will not align (callers keep them alongside the table name).
+    the index contract: a mismatched probe would silently miss every bucket,
+    so the index is SELF-DESCRIBING — the parameters are stored as table
+    properties at build time and ``lsh_query_index`` validates its arguments
+    against them, failing loudly instead of returning an empty join.
     """
     from ..sources.parquet import write_bucketed
 
@@ -449,6 +451,16 @@ def lsh_write_index(
         "doc_id", _bucket_key_col()
     )
     write_bucketed(entries, table, ["bucket_key"], num_buckets=num_buckets, path=path)
+    props = ", ".join(
+        f"'imops.lsh.{name}'='{int(v)}'"
+        for name, v in [
+            ("num_hashes", num_hashes),
+            ("bands", bands),
+            ("rows_per_band", rows_per_band),
+            ("k", k),
+        ]
+    )
+    docs.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
 
 
 def lsh_query_index(
@@ -466,7 +478,31 @@ def lsh_query_index(
     with an indexed doc.  Only the (small) probe side shuffles to the
     index's bucketing; verification (``ngram_jaccard_df``) and the
     drop decision run on candidates only, exactly like the inline pipeline.
+
+    Probe parameters are validated against the table properties written by
+    ``lsh_write_index`` (when present — tables built by other writers skip
+    the check): a silent mismatch would return zero candidates.
     """
+    try:
+        stored = {
+            row["key"].removeprefix("imops.lsh."): int(row["value"])
+            for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            if row["key"].startswith("imops.lsh.")
+        }
+    except Exception:
+        stored = {}
+    if stored:
+        asked = {
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "rows_per_band": int(rows_per_band),
+            "k": int(k),
+        }
+        if stored != asked:
+            raise ValueError(
+                f"LSH index {table!r} was built with {stored}, probed with "
+                f"{asked}: bucket keys cannot align"
+            )
     idx = spark.table(table).select(
         F.col("doc_id").alias("index_doc_id"), "bucket_key"
     )

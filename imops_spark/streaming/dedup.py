@@ -185,6 +185,18 @@ def start_lsh_index_maintenance(
             path=path,
             mode="append",
         )
+        # self-describing contract, same as lsh_write_index: probes validate
+        # their banding params against these (idempotent per batch)
+        props = ", ".join(
+            f"'imops.lsh.{name}'='{int(v)}'"
+            for name, v in [
+                ("num_hashes", num_hashes),
+                ("bands", bands),
+                ("rows_per_band", rows_per_band),
+                ("k", k),
+            ]
+        )
+        batch_df.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
 
     w = docs.writeStream.foreachBatch(write_batch)
     if checkpoint:

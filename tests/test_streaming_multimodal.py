@@ -806,3 +806,28 @@ def test_streaming_hll_distinct_matches_batch(spark):
 
     exp = {(r["event_type"], r["approx_users"], r["n"]) for r in agg(load_events(spark, SF)).collect()}
     assert got == exp and len(got) == 5
+
+
+def test_lsh_index_param_mismatch_raises(spark, tmp_path):
+    """The persisted LSH index stores its banding parameters; probing with
+    different ones must raise (a silent mismatch would miss every bucket),
+    while matching probes work."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import lsh_query_index, lsh_write_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    try:
+        lsh_write_index(
+            docs, "lsh_idx_props", num_hashes=8, bands=4, rows_per_band=2,
+            path=str(tmp_path / "idx"),
+        )
+        with pytest.raises(ValueError, match="cannot align"):
+            lsh_query_index(spark, "lsh_idx_props", docs, num_hashes=16, bands=4, rows_per_band=4)
+        ok = lsh_query_index(spark, "lsh_idx_props", docs, num_hashes=8, bands=4, rows_per_band=2)
+        assert ok.columns == ["index_doc_id", "probe_doc_id"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_props")
