@@ -34,6 +34,7 @@ __all__ = [
     "ivf_topk_df",
     "ivf_write_index",
     "ivf_query_index",
+    "ivf_load_centroids",
     "pq_train",
     "ivfpq_encode_df",
     "ivfpq_residual_train",
@@ -386,7 +387,29 @@ def ivf_write_index(
     write_bucketed(
         inv, table, ["centroid_id"], num_buckets=int(n_centroids), path=path
     )
+    # persist the codebook next to the lists: a service restart (or another
+    # session) can probe without retraining — without this the index is only
+    # usable by the process that built it
+    spark = corpus.sparkSession
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+    w = cdf.coalesce(1).write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}__centroids")
+    w.saveAsTable(f"{table}__centroids")
     return cents
+
+
+def ivf_load_centroids(spark, table: str):
+    """Load the codebook persisted by ``ivf_write_index`` as the [k, dim]
+    numpy array ``ivf_query_index`` expects — the missing half of
+    build-once/probe-many across sessions."""
+    import numpy as np
+
+    rows = spark.table(f"{table}__centroids").orderBy("centroid_id").collect()
+    if not rows:
+        raise ValueError(f"no centroids stored for IVF index {table!r}")
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
 def ivf_query_index(

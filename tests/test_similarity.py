@@ -158,6 +158,13 @@ def test_ivf_persisted_index_matches_inline_and_skips_corpus_shuffle(spark, tmp_
         cents = ivf_write_index(
             df, "ivf_idx_test", n_centroids=4, path=str(tmp_path / "ivf")
         )
+        # the codebook round-trips through its sidecar table bit-exactly —
+        # probing from a fresh session needs no retraining
+        from imops_spark.functions.similarity import ivf_load_centroids
+        import numpy as np
+
+        np.testing.assert_array_equal(ivf_load_centroids(spark, "ivf_idx_test"), cents)
+        cents = ivf_load_centroids(spark, "ivf_idx_test")
         got = ivf_query_index(spark, "ivf_idx_test", queries, cents, k=3, n_probe=4)
         plan = got._jdf.queryExecution().executedPlan().toString()
         # corpus side: bucketed scan, no exchange; query side + window: yes
@@ -197,6 +204,7 @@ def test_ivf_persisted_index_matches_inline_and_skips_corpus_shuffle(spark, tmp_
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test__centroids")
 
 
 def test_cosine_topk_empty_query_side(spark):
