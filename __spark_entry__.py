@@ -804,6 +804,432 @@ def q_tpch_q14(spark, sf_dir):
         )
     )
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2-style minimum-cost supplier: for each part in a size slice, the
+    EUROPE supplier(s) with the lowest account balance among those that
+    shipped it.  Correlated-MIN subquery shape — expressed as a window MIN
+    over the candidate relation (one shuffle on p_partkey, no re-join).
+    No partsupp table in the testdata, so "supplies part" = distinct
+    (l_partkey, l_suppkey) from lineitem and min s_acctbal stands in for
+    min ps_supplycost."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    cand = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), pairs.l_suppkey == eu.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        # stored doubles compared bit-exactly: MIN returns one of the stored
+        # values, so the equality keeps all tied suppliers on both engines
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Q8-style national market share: NATION_5 suppliers' share of ECONOMY
+    part revenue sold to AMERICA-region customers, per order year.  The
+    ratio divides the two ROUNDED sums so both engines divide bit-identical
+    operands (revenue terms carry exactly 4 decimals — the tie-free grain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), "c_nationkey")
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey, "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), "s_nationkey")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0)), 4
+            ).alias("nation_rev"),
+            F.round(F.sum(rev), 4).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        "nation_rev",
+        "total_rev",
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9-style product-type profit: per supplier nation and order year, sum
+    of revenue minus a synthetic supply cost (10% of retail price x qty; the
+    testdata has no partsupp.ps_supplycost) over parts named '*bolt*'.
+    Multiplication order matches the oracle exactly — left-associative
+    0.1 * p_retailprice * l_quantity — so both engines sum identical terms."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), "s_nationkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # terms carry exactly 4 decimals (2-dec price x 2-dec discount;
+            # 3-dec cost x integer qty) -> sums sit ON the 1e-4 grid
+            F.round(F.sum(amount), 4).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11-style important stock: per-part shipped quantity from NATION_7
+    suppliers, kept when above a fraction of the nation-wide total.  The
+    scalar subquery is a 1-row broadcast cross join; quantities are
+    integer-valued doubles so every sum is EXACT and the threshold compare
+    is deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_li = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+    )
+    per_part = nat_li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    total = per_part.agg(F.sum("qty").alias("total_qty"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("qty") > F.lit(0.001) * F.col("total_qty"))
+        .select("l_partkey", F.col("qty").cast("long").alias("stock_qty"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12-style late-shipment priority split: lineitems shipped >30 days
+    after the order date in 1997, counted per returnflag with the
+    URGENT/HIGH vs other conditional split.  Pure integer aggregates."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Q13-style customer order-count distribution: LEFT OUTER join with a
+    predicate INSIDE the join condition (priority filter must not drop
+    order-less customers), two-level aggregation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "3-MEDIUM"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15-style top supplier: revenue per supplier over 1997Q1, keep the
+    supplier(s) whose revenue equals the maximum.  Revenue is rounded to the
+    tie-free 4-decimal grain BEFORE the max/equality so the scalar-subquery
+    compare is bit-deterministic; the scalar is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16-style supplier counts per part attribute: distinct suppliers per
+    (brand, type, size) over shipped pairs, excluding one brand, one type,
+    and "complaint" suppliers (negative balance) via an anti-join — the
+    NOT IN subquery shape.  Integer counts: airtight across engines."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17-style small-quantity revenue: Brand#3 lineitems below 20% of the
+    part's average quantity; the correlated AVG subquery is a groupBy +
+    equi-join back.  Quantities are integer-valued doubles, so both engines
+    compute the identical exact sum/count -> identical threshold double."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18-style large-volume orders: orders whose total quantity exceeds an
+    integer threshold (HAVING in a subquery + join back), with customer
+    names.  Quantity sums are exact; no LIMIT so no cutoff ordering risk."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 350)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19-style disjunctive predicate revenue: OR of three (brand, size
+    range, quantity range) conjuncts over the part join — the
+    pushdown-through-disjunction showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20-style excess shipments: NATION_3 suppliers that shipped more than
+    50 units of some 'red*' part during 1997 — nested IN subqueries become a
+    filtered aggregate + two semi-joins.  Integer threshold: airtight."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21-style suppliers who kept orders waiting: for finished orders, the
+    late lineitem's supplier where ANOTHER supplier participated (EXISTS)
+    but NO other supplier was late (NOT EXISTS) — a semi-join and an
+    anti-join against the same relation with non-equi residuals."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+        F.col("l_shipdate").alias("o3_shipdate"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2_orderkey) & (l1.l_suppkey != l2.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3_orderkey)
+            & (F.col("l_suppkey") != l3.o3_suppkey)
+            & (l3.o3_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22-style global sales opportunity: customers with above-average
+    positive balances and no recent orders, counted per nation.  The scalar
+    AVG threshold is compared RAW: both engines build it as exact-sum /
+    exact-count over the same rows, and customer balances live on the cent
+    grid ~6.7e-6 away from any generic threshold, so a ~1e-11 summation
+    difference cannot flip the comparison."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings / events)
@@ -1556,6 +1982,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -2235,6 +2675,212 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+        """,
+        "tpch_q2": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+              SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name, eu.s_acctbal
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+              JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 15
+              JOIN eu ON l.l_suppkey = eu.s_suppkey
+            )
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   ROUND(s_acctbal, 2) AS s_acctbal
+            FROM cand c
+            WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand c2
+                               WHERE c2.p_partkey = c.p_partkey)
+        """,
+        "tpch_q8": """
+            WITH agg AS (
+              SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                     ROUND(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END), 4) AS nation_rev,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region   ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              GROUP BY 1
+            )
+            SELECT o_year, ROUND(nation_rev / total_rev, 6) AS mkt_share,
+                   nation_rev, total_rev
+            FROM agg
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity),
+                         4) AS sum_profit,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH nat_li AS (
+              SELECT l_partkey, l_quantity
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+            ),
+            per_part AS (
+              SELECT l_partkey, SUM(l_quantity) AS qty FROM nat_li GROUP BY 1
+            )
+            SELECT l_partkey, CAST(qty AS BIGINT) AS stock_qty
+            FROM per_part
+            WHERE qty > CAST(0.001 AS DOUBLE) * (SELECT SUM(qty) FROM per_part)
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 15, 20, 25, 30, 45)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q17": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+            ),
+            avg_qty AS (
+              SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM li GROUP BY 1
+            )
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   COUNT(*) AS n
+            FROM li JOIN avg_qty USING (l_partkey)
+            WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM (
+              SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 350
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING SUM(l_quantity) > 50
+              )
+        """,
+        "tpch_q21": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+            WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY s_name
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey,
+                   COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+              )
+            GROUP BY c_nationkey
         """,
         "mm_frame_dedup": """
             WITH f AS (
