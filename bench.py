@@ -22,6 +22,13 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    # the heaviest shapes of the full 22-query TPC-H-style suite (added in
+    # round 4: totals are not comparable to BENCH_r03 and earlier; per-query
+    # timings are)
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
     "center_of_mass",
     "isin",
     "pointwise",
