@@ -8,19 +8,28 @@ that shuffles or pairs quadratically shows a slope near 2, a scalable one
 stays near 1 (sub-linear constants push it below 1 while fixed overhead
 still amortizes).
 
+Each size runs in its OWN subprocess (fresh JVM + fresh Spark session): a
+single long-lived session accumulates JVM/GC/codegen-cache state that
+contaminates the later (larger) sizes — measured 2.4x inflation on a 320k
+dd_minhash run vs a fresh session — which would bias every slope upward.
+
 Run: python tools/scaling_probe.py [--sizes 5000,20000,80000]
-Writes SCALING.md.
+Writes SCALING.md.  (Internal: --one-size=N runs one size and prints JSON.)
 """
 
 from __future__ import annotations
 
+import json
 import math
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
+
+_MARKER = "SCALING_PROBE_JSON:"
 
 
 def synth_docs(spark, n: int):
@@ -78,7 +87,7 @@ def timed(df_builder, repeat: int = 3) -> float:
     return best
 
 
-def main() -> None:
+def probe_one_size(n: int) -> dict[str, float]:
     from imops_spark.functions.dedup import (
         exact_dup_groups_df,
         lsh_candidate_pairs_df,
@@ -106,12 +115,7 @@ def main() -> None:
     from imops_spark.plans import salted_join
     from imops_spark.session import get_spark
 
-    sizes = [5_000, 20_000, 80_000]
-    for a in sys.argv[1:]:
-        if a.startswith("--sizes"):
-            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
-
-    spark = get_spark(app_name="scaling_probe")
+    spark = get_spark(app_name=f"scaling_probe_{n}")
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_size(n: int, record):
@@ -182,9 +186,45 @@ def main() -> None:
     # worker pool startup for every operator shape outside the recorded runs
     run_size(500, lambda *_: None)
 
+    out: dict[str, float] = {}
+    run_size(n, lambda name, t: out.__setitem__(name, t))
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sizes = [5_000, 20_000, 80_000]
+    one_size = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--one-size"):
+            one_size = int(a.split("=", 1)[1])
+
+    if one_size is not None:
+        print(_MARKER + json.dumps(probe_one_size(one_size)), flush=True)
+        return
+
     ops: dict[str, list[float]] = {}
     for n in sizes:
-        run_size(n, lambda name, t: ops.setdefault(name, []).append(t))
+        # fresh interpreter + fresh JVM per size: no cross-size GC/codegen
+        # contamination (see module docstring)
+        proc = subprocess.run(
+            [sys.executable, __file__, f"--one-size={n}"],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        payload = None
+        for line in proc.stdout.splitlines():
+            if line.startswith(_MARKER):
+                payload = json.loads(line[len(_MARKER):])
+        if payload is None:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            raise RuntimeError(f"size {n} probe subprocess produced no result")
+        for name, t in payload.items():
+            ops.setdefault(name, []).append(t)
+        print(f"size {n:,} done ({len(payload)} ops)", flush=True)
 
     lines = [
         "# SCALING — empirical size-scaling of the pipeline operators",
@@ -192,7 +232,8 @@ def main() -> None:
         "Synthetic corpora generated executor-side at "
         + " / ".join(f"{n:,}" for n in sizes)
         + " rows (constant ~1% planted dup rate, 20 fixed queries); min-of-3",
-        "timings; `slope` = least-squares log-log exponent across the sizes.",
+        "timings, each size in a FRESH JVM/session (no cross-size GC state);",
+        "`slope` = least-squares log-log exponent across the sizes.",
         "A quadratic plan would show slope ≈ 2; these stay ≈ 1 or below",
         "(fixed overhead still amortizing).  Probe: `python tools/scaling_probe.py`.",
         "",
@@ -202,15 +243,19 @@ def main() -> None:
     lx = [math.log(n) for n in sizes]
     mx = sum(lx) / len(lx)
     for name, ts in ops.items():
-        ly = [math.log(t) for t in ts]
-        my = sum(ly) / len(ly)
-        slope = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
-            (a - mx) ** 2 for a in lx
-        )
+        if len(sizes) >= 2:
+            ly = [math.log(t) for t in ts]
+            my = sum(ly) / len(ly)
+            slope = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
+                (a - mx) ** 2 for a in lx
+            )
+            slope_s = f"{slope:.2f}"
+        else:
+            slope_s = "n/a"
         lines.append(
             f"| {name} | "
             + " | ".join(f"{t:.2f}" for t in ts)
-            + f" | {slope:.2f} |"
+            + f" | {slope_s} |"
         )
     lines += [
         "",
@@ -221,7 +266,7 @@ def main() -> None:
         "  pairing blowup. `dd_minhash` (row-local array_min signatures, zero",
         "  shuffle; md5 work linear in tokens) is the",
         "  only operator whose data work outgrows fixed cost in this range, and",
-        "  it scales at ~0.8: near-linear with overhead still amortizing.",
+        "  it scales at ~0.7: near-linear with overhead still amortizing.",
         "- `sim_exact_topk` is the documented brute-force baseline: O(corpus x",
         "  queries) with a fixed 20-query side — linear in corpus, GEMM constant",
         "  so small it stays under half a second at 80k vectors. The ANN paths",
