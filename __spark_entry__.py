@@ -1799,6 +1799,72 @@ def q_evt_ntile(spark, sf_dir):
     )
 
 
+def q_evt_gsets(spark, sf_dir):
+    """GROUPING SETS with an explicit arbitrary combination list (§2.2
+    aggregations) — distinct from the gated ROLLUP/CUBE prefixes/power set:
+    (type, bucket), (type), (bucket), () in one pass.  GROUPING() ids
+    disambiguate "NULL because aggregated" from data NULLs."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.pmod("user_id", F.lit(4)).alias("bucket"), "value"
+    )
+    ev.createOrReplaceTempView("evt_gsets_src")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS etype,
+               COALESCE(CAST(bucket AS STRING), '<all>') AS ubucket,
+               GROUPING(event_type) + 2 * GROUPING(bucket) AS gid,
+               COUNT(1) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM evt_gsets_src
+        GROUP BY GROUPING SETS ((event_type, bucket), (event_type), (bucket), ())
+        """
+    )
+
+
+def q_evt_range_frame(spark, sf_dir):
+    """RANGE interval window frame (§2.2 window functions): per-user
+    trailing 60-second sum/count.  Unlike the gated ROWS frames, the frame
+    is defined by the ORDER-BY VALUE — peers at the same ts_sec share one
+    frame, so the result is set-determined and tie-proof by construction."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-59, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+def q_evt_nullsafe(spark, sf_dir):
+    """Null-safe equality join (§2.2 joins): Spark's <=> vs DuckDB's
+    IS NOT DISTINCT FROM.  Both sides derive a NULLable key with NULLIF, so
+    the NULL<=>NULL bucket must actually match (a plain equi-join would drop
+    it) — the semantics dedup pipelines rely on when keying by optional
+    fields."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = ev.groupBy(
+        F.nullif(F.pmod("user_id", F.lit(7)), F.lit(3)).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("n_users_side"))
+    b = ev.groupBy(
+        F.nullif(F.pmod("event_id", F.lit(7)), F.lit(3)).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("n_events_side"))
+    return (
+        a.join(b, a["grp"].eqNullSafe(b["grp"]))
+        .select(
+            F.coalesce(a["grp"], F.lit(-1)).alias("grp_key"),
+            "n_users_side",
+            "n_events_side",
+        )
+    )
+
+
 def q_evt_window_stream(spark, sf_dir):
     """Streaming twin of evt_window: tumbling-window counts over the event
     stream, drained with availableNow in complete mode — one-shot it must
@@ -2034,6 +2100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_lag": q_evt_lag,
         "evt_intersect": q_evt_intersect,
         "evt_ntile": q_evt_ntile,
+        "evt_gsets": q_evt_gsets,
+        "evt_range_frame": q_evt_range_frame,
+        "evt_nullsafe": q_evt_nullsafe,
     }
 
 
@@ -3184,6 +3253,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(PERCENT_RANK() OVER w, 5) AS prank
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        """,
+        "evt_gsets": """
+            WITH e AS (
+              SELECT event_type, user_id % 4 AS bucket, value FROM events
+            )
+            SELECT COALESCE(event_type, '<all>') AS etype,
+                   COALESCE(CAST(bucket AS VARCHAR), '<all>') AS ubucket,
+                   GROUPING(event_type) + 2 * GROUPING(bucket) AS gid,
+                   COUNT(1) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM e
+            GROUP BY GROUPING SETS ((event_type, bucket), (event_type), (bucket), ())
+        """,
+        "evt_range_frame": """
+            WITH e AS (
+              SELECT user_id, event_id, value,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER w, 4) AS trailing_sum,
+                   COUNT(1) OVER w AS trailing_n
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                         RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+        """,
+        "evt_nullsafe": """
+            WITH a AS (
+              SELECT NULLIF(user_id % 7, 3) AS grp, COUNT(1) AS n_users_side
+              FROM events GROUP BY 1
+            ),
+            b AS (
+              SELECT NULLIF(event_id % 7, 3) AS grp, COUNT(1) AS n_events_side
+              FROM events GROUP BY 1
+            )
+            SELECT COALESCE(a.grp, -1) AS grp_key, n_users_side, n_events_side
+            FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
         """,
         "evt_join_stream": """
             WITH e AS (
