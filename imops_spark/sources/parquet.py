@@ -31,6 +31,8 @@ __all__ = [
     "ingest_npy_gz",
     "morton_key",
     "write_time_partitioned",
+    "upsert_time_partitioned",
+    "compact_partitions",
 ]
 
 
@@ -172,19 +174,133 @@ def write_time_partitioned(
     session timezone must never move a row between partitions, or two
     writers with different timezones would shred the layout.
     """
-    epoch_day = (F.col(ts_sec_col) / F.lit(86400)).cast("int")
-    day = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
-    if granularity == "day":
-        part = day
-    elif granularity == "hour":
-        hour = ((F.col(ts_sec_col) % 86400) / 3600).cast("int")
-        part = F.concat_ws("-", day, F.lpad(hour.cast("string"), 2, "0"))
-    else:
-        raise ValueError(f"unknown granularity {granularity!r}")
     (
-        events.withColumn("event_date", part)
+        events.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
         .repartition("event_date")
         .write.mode(mode)
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def _event_date_expr(ts_sec_col: str, granularity: str):
+    epoch_day = (F.col(ts_sec_col) / F.lit(86400)).cast("int")
+    day = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
+    if granularity == "day":
+        return day
+    if granularity == "hour":
+        hour = ((F.col(ts_sec_col) % 86400) / 3600).cast("int")
+        return F.concat_ws("-", day, F.lpad(hour.cast("string"), 2, "0"))
+    raise ValueError(f"unknown granularity {granularity!r}")
+
+
+def upsert_time_partitioned(
+    events: DataFrame,
+    path: str,
+    ts_sec_col: str = "ts_sec",
+    granularity: str = "day",
+) -> None:
+    """Backfill/replace ONLY the partitions present in ``events``, leaving
+    every other partition's files untouched — the idempotent reprocessing
+    primitive of a time-partitioned lake (re-run one bad day without
+    rewriting the year).
+
+    Implemented with Spark's dynamic partition overwrite: mode=overwrite
+    deletes just the partition directories the incoming rows land in.  The
+    conf is set scoped to this write and restored, because STATIC is the
+    session default and leaving dynamic on would silently change the
+    semantics of every other overwrite in the session.
+
+    Partition derivation is byte-identical to ``write_time_partitioned``
+    (UTC integer arithmetic), so upserts can never shred a layout written
+    by it.
+    """
+    spark = events.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            events.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str = "event_date",
+    partitions: list[str] | None = None,
+) -> dict[str, dict[str, int]]:
+    """Rewrite small-file partitions of a hive-partitioned parquet table
+    into ~``target_file_bytes`` files — the maintenance job every streaming
+    sink needs: micro-batches append file-per-trigger-per-task, and a year
+    of 30-second triggers turns scans into footer-fetch storms (each file
+    costs a listing entry, a footer read, and a task).
+
+    Per partition: list its files via the Hadoop FS API, compute the target
+    file count ``ceil(bytes / target_file_bytes)``, and skip partitions
+    already at or below it (compaction must be cheap to re-run).  A
+    partition that needs work is read (partition-pruned scan),
+    ``localCheckpoint``-ed to cut the file-source lineage — Spark refuses to
+    overwrite a path its plan is reading, and the checkpoint is what makes
+    read-rewrite-in-place legal — then rewritten with dynamic partition
+    overwrite, so concurrent readers of OTHER partitions never see a
+    partial table.  One partition per job bounds executor-storage use: the
+    checkpointed partition, not the table, must fit the cluster.
+
+    Returns ``{partition_value: {"files_before": n, "files_after": m,
+    "bytes": b}}`` for the partitions rewritten.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+
+    def _part_dirs():
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{partition_col}="):
+                yield name.split("=", 1)[1], st.getPath()
+
+    def _data_files(jpath):
+        return [
+            s
+            for s in fs.listStatus(jpath)
+            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+        ]
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    report: dict[str, dict[str, int]] = {}
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        for value, jdir in _part_dirs():
+            if partitions is not None and value not in partitions:
+                continue
+            files = _data_files(jdir)
+            nbytes = sum(s.getLen() for s in files)
+            n_target = max(1, -(-nbytes // int(target_file_bytes)))
+            if len(files) <= n_target:
+                continue
+            part_df = spark.read.parquet(path).filter(F.col(partition_col) == value)
+            compacted = part_df.localCheckpoint(eager=True).repartition(n_target)
+            (
+                compacted.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+            report[value] = {
+                "files_before": len(files),
+                "files_after": len(_data_files(jdir)),
+                "bytes": int(nbytes),
+            }
+    finally:
+        spark.conf.set(conf_key, prev)
+    return report

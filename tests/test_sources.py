@@ -349,3 +349,123 @@ def test_time_partitioned_events_prune_directories(spark, tmp_path):
         for r in back.select("event_id", "ts_sec", "user_id", "event_type", "value").collect()
     }
     assert got == exp
+
+
+def test_upsert_time_partitioned_replaces_only_touched_partitions(spark, tmp_path):
+    """upsert_time_partitioned: re-writing one day must leave every other
+    partition's FILES untouched (same names, same bytes — the atomicity
+    contract concurrent readers depend on), replace the touched day's
+    content, and restore the session's partitionOverwriteMode."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imops_spark.sources.parquet import (
+        upsert_time_partitioned,
+        write_time_partitioned,
+    )
+
+    ev = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3 * 86400 + F.col("id")).alias("ts_sec"),
+        (F.col("id").cast("double") * 0.5).alias("value"),
+    )
+    p = str(tmp_path / "upsert_days")
+    write_time_partitioned(ev, p)
+
+    def day_files(day):
+        d = os.path.join(p, f"event_date={day}")
+        # file NAMES carry the writer's task UUIDs, so an untouched
+        # partition keeps the exact same name->size map
+        return {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    day0_before = day_files("1970-01-01")
+    day2_before = day_files("1970-01-03")
+
+    # backfill day 1 (1970-01-02) with corrected values
+    fix = spark.range(100).select(
+        (F.col("id") + 1000).alias("event_id"),
+        (F.lit(86400) + F.col("id")).alias("ts_sec"),
+        F.lit(9.75).alias("value"),
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    upsert_time_partitioned(fix, p)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        == prev_mode
+    )
+
+    assert day_files("1970-01-01") == day0_before
+    assert day_files("1970-01-03") == day2_before
+    back = spark.read.parquet(p)
+    day1 = back.filter(F.col("event_date") == "1970-01-02")
+    assert day1.count() == 100
+    assert {r["value"] for r in day1.collect()} == {9.75}
+    assert back.count() == 200 + 100  # days 0 and 2 intact, day 1 replaced
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """compact_partitions: four append batches leave >= 4 files per day;
+    compaction with a large file target must rewrite each day to ONE file,
+    preserve the rows exactly, report before/after counts, and be an
+    idempotent no-op when re-run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imops_spark.sources.parquet import compact_partitions, write_time_partitioned
+
+    p = str(tmp_path / "compact_days")
+    for batch in range(4):
+        ev = spark.range(50).select(
+            (F.col("id") + batch * 1000).alias("event_id"),
+            (F.col("id") % 2 * 86400 + F.col("id")).alias("ts_sec"),
+            F.col("id").cast("double").alias("value"),
+        )
+        write_time_partitioned(ev, p, mode="append")
+
+    def n_files(day):
+        d = os.path.join(p, f"event_date={day}")
+        return len([f for f in os.listdir(d) if not f.startswith((".", "_"))])
+
+    assert n_files("1970-01-01") >= 4 and n_files("1970-01-02") >= 4
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+    )
+
+    report = compact_partitions(spark, p, target_file_bytes=1 << 30)
+    assert set(report) == {"1970-01-01", "1970-01-02"}
+    for day, stats in report.items():
+        assert stats["files_before"] >= 4 and stats["files_after"] == 1, (day, stats)
+        assert n_files(day) == 1
+
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+    )
+    assert after == before
+
+    # already compact -> nothing rewritten
+    assert compact_partitions(spark, p, target_file_bytes=1 << 30) == {}
+
+    # scoped run: only the named partition is considered
+    for batch in range(2):
+        ev = spark.range(20).select(
+            (F.col("id") + 5000 + batch * 100).alias("event_id"),
+            F.col("id").alias("ts_sec"),
+            F.lit(1.0).alias("value"),
+        )
+        write_time_partitioned(ev, p, mode="append")
+    report = compact_partitions(
+        spark, p, target_file_bytes=1 << 30, partitions=["1970-01-02"]
+    )
+    assert report == {}  # the new small files are all in 1970-01-01
+    report = compact_partitions(
+        spark, p, target_file_bytes=1 << 30, partitions=["1970-01-01"]
+    )
+    assert set(report) == {"1970-01-01"} and n_files("1970-01-01") == 1
