@@ -1318,6 +1318,38 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_cur_sample(spark, sf_dir):
+    """Deterministic hash sampling + hash splitting (curate.hash_sample_df /
+    split_by_hash_df): every doc gets a train/val/test split label and an
+    in-sample flag, both pure md5-bucket arithmetic — reproducible under
+    reprocessing and recomputed verbatim by the DuckDB oracle (an RNG
+    sample could never be cross-engine gated)."""
+    from imops_spark.functions.curate import hash_sample_df, split_by_hash_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    split = split_by_hash_df(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=5
+    )
+    sampled = hash_sample_df(docs, "doc_id", 0.25, salt=7).select(
+        "doc_id", F.lit(1).alias("in_sample")
+    )
+    return (
+        split.join(sampled, "doc_id", "left_outer")
+        .select("doc_id", "split", F.coalesce("in_sample", F.lit(0)).alias("in_sample"))
+    )
+
+
+def q_cur_quota(spark, sf_dir):
+    """Per-group quota sampling (curate.cap_per_group_df): keep at most 10
+    docs per source, chosen by deterministic md5 order — the
+    source-balancing step of a corpus mix.  Oracle recomputes the
+    ROW_NUMBER over the identical hash ordering."""
+    from imops_spark.functions.curate import cap_per_group_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group_df(docs, "source", 10, "doc_id", salt=3)
+
+
 def q_dd_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline closure: shared MinHash signatures ->
     banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
@@ -2070,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard": q_dd_jaccard,
         "dd_clusters": q_dd_clusters,
         "curate": q_curate,
+        "cur_sample": q_cur_sample,
+        "cur_quota": q_cur_quota,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -2995,6 +3029,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_clusters": _dd_clusters_sql(),
         "curate": _curate_sql(),
+        "cur_sample": f"""
+            SELECT doc_id,
+                   CASE WHEN {_mh_hash(10, "CAST(doc_id AS VARCHAR)")} % 1000000 < 800000
+                        THEN 'train'
+                        WHEN {_mh_hash(10, "CAST(doc_id AS VARCHAR)")} % 1000000 < 900000
+                        THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN {_mh_hash(14, "CAST(doc_id AS VARCHAR)")} % 1000000 < 250000
+                        THEN 1 ELSE 0 END AS in_sample
+            FROM documents
+        """,
+        "cur_quota": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {_mh_hash(6, "CAST(doc_id AS VARCHAR)")}, doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
         "dd_simhash": _simhash_sql(),
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

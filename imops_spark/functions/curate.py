@@ -30,10 +30,93 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import drop_exact_duplicates, drop_near_duplicates_df
+from .dedup import _md5_hash_col, drop_exact_duplicates, drop_near_duplicates_df
 from .text import bpe_token_count_df, quality_df
 
-__all__ = ["quality_filter_df", "curate_documents"]
+__all__ = [
+    "quality_filter_df",
+    "curate_documents",
+    "hash_sample_df",
+    "split_by_hash_df",
+    "cap_per_group_df",
+]
+
+
+def hash_sample_df(
+    df: DataFrame, key_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic ``fraction``-sample keyed on ``md5(salt|key)``.
+
+    The sampling primitive a reprocessable pipeline needs is NOT an RNG
+    draw: re-running the job, adding columns, or repartitioning must never
+    change which rows are in the sample, and late-arriving rows must join
+    the same sample their key dictates.  Hash-bucketing gives all of that —
+    a row is in iff ``hash(key) % 10^6 < fraction * 10^6`` — plus exact
+    reproducibility in any engine with md5 (the DuckDB oracle recomputes
+    it verbatim).  Changing ``salt`` draws an independent sample.
+
+    Pure column expression: no shuffle, no state, scan-speed at 100 TB.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
+    return df.where(bucket < F.lit(int(round(fraction * 1_000_000))))
+
+
+def split_by_hash_df(
+    df: DataFrame, key_col: str, fractions: dict[str, float], salt: int = 0
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test...) by
+    hash bucket: splits are disjoint, exhaustive, reproducible, and stable
+    under reprocessing — and keying on a GROUP column (e.g. ``source``)
+    puts whole groups in one split, the leakage guard evaluation needs.
+
+    ``fractions`` maps split name -> fraction; must sum to 1 (±1e-9).
+    Returns ``df`` plus a ``split`` column.  Buckets are carved as
+    cumulative ranges over ``md5(salt|key) % 10^6``, so the boundaries are
+    integers and every engine agrees on membership exactly.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
+    expr = None
+    hi = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += int(round(fractions[name] * 1_000_000))
+        case = F.when(bucket < F.lit(hi), F.lit(name))
+        expr = case if expr is None else expr.when(bucket < F.lit(hi), F.lit(name))
+    # the last split absorbs the rounding remainder: exhaustive by
+    # construction
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def cap_per_group_df(
+    df: DataFrame, group_col: str, n: int, key_col: str, salt: int = 0
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by hash
+    order — the source-balancing step of a corpus mix (cap any one domain
+    before it dominates training).  Selection order is
+    ``(md5(salt|key), key)``: pseudo-random within the group yet exactly
+    reproducible, with the raw key as a total tie-break.
+
+    One shuffle on ``group_col`` (window rank); skewed giant groups are the
+    expected case — AQE handles the partition imbalance, and the rank
+    early-outs at ``n`` per group.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = _md5_hash_col(F.col(key_col).cast("string"), salt)
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
 
 
 def quality_filter_df(

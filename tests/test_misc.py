@@ -348,3 +348,60 @@ def test_curate_documents_pipeline(spark):
     )
     manual_ids = {r["doc_id"] for r in manual.collect()}
     assert manual_ids == set(kept)
+
+
+def test_hash_sampling_and_splits(spark):
+    """hash_sample_df / split_by_hash_df / cap_per_group_df: deterministic
+    across calls, disjoint+exhaustive splits, subset-stability (the property
+    RNG sampling lacks: a row's membership never depends on the rest of the
+    frame), and quota caps with hash-order selection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import (
+        cap_per_group_df,
+        hash_sample_df,
+        split_by_hash_df,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+
+    s1 = {r["k"] for r in hash_sample_df(df, "k", 0.3, salt=1).collect()}
+    s2 = {r["k"] for r in hash_sample_df(df, "k", 0.3, salt=1).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 2000 < 0.4
+    # different salt -> a genuinely different draw
+    s3 = {r["k"] for r in hash_sample_df(df, "k", 0.3, salt=2).collect()}
+    assert s3 != s1
+    # subset stability: sampling a filtered frame = filtering the sample
+    half = df.where(F.col("k") < 1000)
+    s_half = {r["k"] for r in hash_sample_df(half, "k", 0.3, salt=1).collect()}
+    assert s_half == {k for k in s1 if k < 1000}
+    # fraction edge cases + validation
+    assert hash_sample_df(df, "k", 0.0).count() == 0
+    assert hash_sample_df(df, "k", 1.0).count() == 2000
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample_df(df, "k", 1.5)
+
+    split = split_by_hash_df(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive
+    assert set(counts) == {"train", "val", "test"}  # all splits hit
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # disjoint by construction (one row one label); group-keyed split keeps
+    # whole groups together
+    gsplit = split_by_hash_df(df, "g", {"a": 0.5, "b": 0.5})
+    assert gsplit.groupBy("g").agg(F.countDistinct("split").alias("n")).filter("n > 1").count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash_df(df, "k", {"a": 0.5, "b": 0.3})
+
+    capped = cap_per_group_df(df, "g", 5, "k")
+    sizes = {r["g"]: r["n"] for r in capped.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in sizes.values())
+    # deterministic selection: same rows every run
+    again = cap_per_group_df(df, "g", 5, "k")
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in again.collect()}
+    # n larger than any group: everything survives
+    assert cap_per_group_df(df, "g", 10_000, "k").count() == 2000
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group_df(df, "g", 0, "k")
