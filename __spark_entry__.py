@@ -1948,6 +1948,45 @@ def q_evt_asof(spark, sf_dir):
     )
 
 
+def _asof_fixture(spark, sf_dir):
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    knots = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy("ts_sec")
+        .agg(F.max_by("value", "event_id").alias("kval"))
+    )
+    queries = ev.filter(F.col("event_id") % 7 == 0).select("event_id", "ts_sec")
+    return knots, queries
+
+
+def q_evt_asof_fwd(spark, sf_dir):
+    """Forward (next-knot) as-of join — same union+window machinery as the
+    gated backward direction, opposite sort; the oracle is an independent
+    algorithm (correlated min-over-range subquery), so direction handling
+    is cross-checked, not self-checked."""
+    from imops_spark.functions.events import asof_join_df
+
+    knots, queries = _asof_fixture(spark, sf_dir)
+    return asof_join_df(
+        queries, knots, on="ts_sec", value_cols=["kval"], direction="forward"
+    ).select("event_id", "asof_kval")
+
+
+def q_evt_asof_near(spark, sf_dir):
+    """Nearest-knot as-of join (ties resolve backward, the pandas
+    merge_asof convention): two running-last windows over ONE shuffle pick
+    the closer candidate; oracle recomputes both sides with correlated
+    subqueries and applies the same tie rule."""
+    from imops_spark.functions.events import asof_join_df
+
+    knots, queries = _asof_fixture(spark, sf_dir)
+    return asof_join_df(
+        queries, knots, on="ts_sec", value_cols=["kval"], direction="nearest"
+    ).select("event_id", "asof_kval")
+
+
 def q_evt_closing(spark, sf_dir):
     """binary_closing (#7) as its 1-D relational composition: dilate then
     erode the per-user occupied-bucket flags over a DENSIFIED bucket domain
@@ -2124,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessions": q_evt_sessions,
         "evt_neighbor": q_evt_neighbor,
         "evt_asof": q_evt_asof,
+        "evt_asof_fwd": q_evt_asof_fwd,
+        "evt_asof_near": q_evt_asof_near,
         "evt_closing": q_evt_closing,
         "evt_pipeline": q_evt_pipeline,
         "evt_sessions_stream": q_evt_sessions_stream,
@@ -3411,6 +3452,52 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0)
             SELECT q.event_id, k.kval AS asof_kval
             FROM q ASOF JOIN k ON q.ts_sec >= k.ts_sec
+        """,
+        "evt_asof_fwd": """
+            WITH e AS (
+              SELECT event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec, value
+              FROM events
+            ),
+            k AS (
+              SELECT ts_sec, arg_max(value, event_id) AS kval
+              FROM e WHERE event_id % 50 = 0 GROUP BY 1
+            ),
+            q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0)
+            SELECT q.event_id,
+                   (SELECT k.kval FROM k WHERE k.ts_sec >= q.ts_sec
+                    ORDER BY k.ts_sec ASC LIMIT 1) AS asof_kval
+            FROM q
+            WHERE EXISTS (SELECT 1 FROM k WHERE k.ts_sec >= q.ts_sec)
+        """,
+        "evt_asof_near": """
+            WITH e AS (
+              SELECT event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec, value
+              FROM events
+            ),
+            k AS (
+              SELECT ts_sec, arg_max(value, event_id) AS kval
+              FROM e WHERE event_id % 50 = 0 GROUP BY 1
+            ),
+            q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0),
+            cand AS (
+              SELECT q.event_id, q.ts_sec,
+                     (SELECT k.ts_sec FROM k WHERE k.ts_sec <= q.ts_sec
+                      ORDER BY k.ts_sec DESC LIMIT 1) AS bk_ts,
+                     (SELECT k.kval FROM k WHERE k.ts_sec <= q.ts_sec
+                      ORDER BY k.ts_sec DESC LIMIT 1) AS bk_val,
+                     (SELECT k.ts_sec FROM k WHERE k.ts_sec >= q.ts_sec
+                      ORDER BY k.ts_sec ASC LIMIT 1) AS fw_ts,
+                     (SELECT k.kval FROM k WHERE k.ts_sec >= q.ts_sec
+                      ORDER BY k.ts_sec ASC LIMIT 1) AS fw_val
+              FROM q
+            )
+            SELECT event_id,
+                   CASE WHEN bk_ts IS NULL THEN fw_val
+                        WHEN fw_ts IS NULL THEN bk_val
+                        WHEN (fw_ts - ts_sec) < (ts_sec - bk_ts) THEN fw_val
+                        ELSE bk_val END AS asof_kval
+            FROM cand
+            WHERE bk_ts IS NOT NULL OR fw_ts IS NOT NULL
         """,
         "evt_closing": """
             WITH f AS (

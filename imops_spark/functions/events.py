@@ -100,18 +100,24 @@ def asof_join_df(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks the right row with the greatest
-    ``on`` <= its own (``direction='backward'``, inclusive) or the smallest
-    ``on`` >= its own (``'forward'``), per ``by`` group.  Left rows with no
+    ``on`` <= its own (``direction='backward'``, inclusive), the smallest
+    ``on`` >= its own (``'forward'``), or whichever of those two is closer
+    (``'nearest'``, exact ties resolve backward — the pandas
+    ``merge_asof`` convention), per ``by`` group.  Left rows with no
     matching right row are dropped (inner asof, DuckDB's default).
 
     Implemented with the UNION + running ``last(ignorenulls)`` window trick —
     the scale-correct plan: one shuffle on (``by``, sort ``on``), no range
     join and no per-interval row explosion, so it survives arbitrarily dense
-    right sides.  Right rows must be unique per (``by``, ``on``) — enforce
-    upstream with an aggregate — otherwise "the" prior row is ambiguous.
+    right sides (``'nearest'`` adds a second sort over the SAME partitioning,
+    not a second shuffle).  Right rows must be unique per (``by``, ``on``) —
+    enforce upstream with an aggregate — otherwise "the" prior row is
+    ambiguous.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     by = list(by or [])
     value_cols = list(value_cols or [c for c in right.columns if c not in by + [on]])
     if not value_cols:
@@ -126,7 +132,11 @@ def asof_join_df(
     # nearest right row atomically — matched-but-NULL values stay NULL (no
     # silent carry of an older row, no per-column row tearing), and 'no
     # match' is exactly `struct IS NULL`.
-    payload = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    # `_on` rides along so 'nearest' can compare the two candidates'
+    # distances; backward/forward ignore it
+    payload = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in value_cols]
+    )
     payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
     r_u = right.select(
         *by,
@@ -144,19 +154,39 @@ def asof_join_df(
     )
     # tag=0 sorts right rows toward the window edge at equal timestamps ->
     # inclusive in either direction
-    order = (
-        [F.col(on).asc(), F.col("_tag").asc()]
-        if direction == "backward"
-        else [F.col(on).desc(), F.col("_tag").asc()]
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = r_u.unionByName(l_u).select(
-        "*", F.last("_r_payload", ignorenulls=True).over(w).alias("_asof_payload")
-    )
+    back_order = [F.col(on).asc(), F.col("_tag").asc()]
+    fwd_order = [F.col(on).desc(), F.col("_tag").asc()]
+
+    def _running(order):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("_r_payload", ignorenulls=True).over(w)
+
+    base = r_u.unionByName(l_u)
+    if direction == "nearest":
+        carried = base.select(
+            "*",
+            _running(back_order).alias("_pb"),
+            _running(fwd_order).alias("_pf"),
+        )
+        pb, pf = F.col("_pb"), F.col("_pf")
+        # distances are non-negative by construction; exact tie -> backward
+        chosen = (
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(
+                (pf.getField("_on") - F.col(on)) < (F.col(on) - pb.getField("_on")),
+                pf,
+            )
+            .otherwise(pb)
+        )
+        carried = carried.select("*", chosen.alias("_asof_payload"))
+    else:
+        order = back_order if direction == "backward" else fwd_order
+        carried = base.select("*", _running(order).alias("_asof_payload"))
     out = carried.filter((F.col("_tag") == 1) & F.col("_asof_payload").isNotNull())
     return out.select(
         *by,

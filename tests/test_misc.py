@@ -405,3 +405,39 @@ def test_hash_sampling_and_splits(spark):
     assert cap_per_group_df(df, "g", 10_000, "k").count() == 2000
     with pytest.raises(ValueError, match="n must be"):
         cap_per_group_df(df, "g", 0, "k")
+
+
+def test_asof_join_nearest_direction(spark):
+    """direction='nearest': each left row takes whichever of the backward /
+    forward candidates is closer; exact ties resolve backward (the pandas
+    merge_asof convention); one-sided rows fall back to the available side;
+    rows with no candidate at all are dropped."""
+    from imops_spark.functions.events import asof_join_df
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 500.0)],
+        "user_id long, ts_sec long, value double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 12, 0),   # 2 back vs 8 fwd -> 100
+            (1, 18, 1),   # 8 back vs 2 fwd -> 200
+            (1, 15, 2),   # exact tie -> backward -> 100
+            (1, 5, 3),    # before all knots -> forward 100
+            (1, 99, 4),   # after all knots -> backward 200
+            (2, 10, 5),   # only forward exists -> 500
+            (3, 10, 6),   # no knots in group -> dropped
+        ],
+        "user_id long, ts_sec long, event_id long",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join_df(
+            left, right, on="ts_sec", by=["user_id"], value_cols=["value"],
+            direction="nearest",
+        ).collect()
+    }
+    assert got == {0: 100.0, 1: 200.0, 2: 100.0, 3: 100.0, 4: 200.0, 5: 500.0}
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_df(left, right, on="ts_sec", direction="sideways")
