@@ -149,7 +149,7 @@ class interp1d:
         self._ytf = self._ytf.with_df(self._ytf.df.cache())
 
     def __call__(self, x_new: np.ndarray) -> np.ndarray:
-        normalize_num_threads(self.num_threads)
+        n_threads = normalize_num_threads(self.num_threads)
         x_new = np.atleast_1d(np.asarray(x_new))
         extrapolate = self.fill_value == "extrapolate"
         if self._strategy == "udf":
@@ -163,6 +163,7 @@ class interp1d:
                 fill_value=0.0 if extrapolate else self.fill_value,
                 extrapolate=extrapolate,
                 assume_sorted=self.assume_sorted,
+                num_threads=n_threads,
             )
             return self._postprocess(out, x_new)
         rows, fill_mask = _build_weight_map(

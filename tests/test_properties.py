@@ -112,3 +112,38 @@ def test_morphology_closing_opening_idempotent(mask):
     np.testing.assert_array_equal(closing(c), c)
     np.testing.assert_array_equal(opening(o), o)
     assert bool(np.all(o <= mask)) and bool(np.all(mask <= c))
+
+
+def test_interp1d_threaded_path_is_bit_exact():
+    """num_threads > 1 splits the gather+lerp across a thread pool; every
+    chunk runs the identical fused sequence, so the result must equal the
+    serial path BIT-exactly (same index math, same multiply order) across
+    extrapolate / fill / unsorted-knot configs and the small-input gate."""
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64, 300), (7, 2048, 64), (2048, 513)]:
+        y = rng.standard_normal(shape)
+        x = np.sort(rng.random(shape[-1])) * 50
+        xn = rng.random(400) * 60 - 5
+        for kw in (
+            dict(extrapolate=True),
+            dict(extrapolate=False, fill_value=3.5),
+            dict(bounds_error=False),
+        ):
+            a = interp1d_numpy(y, x, xn, assume_sorted=True, num_threads=1, **kw)
+            b = interp1d_numpy(y, x, xn, assume_sorted=True, num_threads=16, **kw)
+            assert np.array_equal(a, b), (shape, kw)
+    # unsorted knots: the perm gather must land inside each chunk too
+    y = rng.standard_normal((128, 128, 100))
+    x = rng.permutation(np.sort(rng.random(100)))
+    xn = rng.random(64)
+    assert np.array_equal(
+        interp1d_numpy(y, x, xn, num_threads=1, extrapolate=True),
+        interp1d_numpy(y, x, xn, num_threads=16, extrapolate=True),
+    )
+    # below the size gate the threaded arg must be a no-op (serial path)
+    y1 = rng.standard_normal((4, 80))
+    x1 = np.sort(rng.random(80))
+    assert np.array_equal(
+        interp1d_numpy(y1, x1, xn, num_threads=8, extrapolate=True),
+        interp1d_numpy(y1, x1, xn, num_threads=1, extrapolate=True),
+    )

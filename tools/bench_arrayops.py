@@ -119,7 +119,15 @@ def main():
     rows.append(
         (
             f"interp1d {n_i}^3 f64 extrapolate (udf)",
-            t(interp1d_numpy, y_i, x_i, x_new_i, extrapolate=True, assume_sorted=True),
+            t(
+                interp1d_numpy,
+                y_i,
+                x_i,
+                x_new_i,
+                extrapolate=True,
+                assume_sorted=True,
+                num_threads=8,
+            ),
             149,
             780,
         )
