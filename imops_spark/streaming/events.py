@@ -28,7 +28,62 @@ __all__ = [
     "interval_join_stream",
     "sessionize_stateful_stream",
     "run_stream_to_memory",
+    "start_time_partitioned_sink",
 ]
+
+
+def start_time_partitioned_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_sec_col: str = "ts_sec",
+    granularity: str = "day",
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    available_now: bool = True,
+):
+    """Stream events into the hive time-partitioned layout
+    (``sources.parquet.write_time_partitioned`` directories) and keep it
+    scannable: every ``compact_every``-th micro-batch also runs
+    ``compact_partitions`` over the table, folding the
+    file-per-trigger-per-task debris back to ~target-size files — the sink
+    plus its maintenance job in one pipeline.
+
+    Spark's native streaming parquet sink cannot be used for this layout:
+    it tracks output files in a ``_spark_metadata`` commit log, and any
+    out-of-band rewrite (compaction) would orphan log entries and corrupt
+    reads.  foreachBatch with a plain batch append keeps the directory
+    log-free, so compaction and partition-level backfills
+    (``upsert_time_partitioned``) stay legal.  Exactly-once: replays of a
+    COMMITTED batch are skipped via the checkpoint's batch-id log before
+    foreachBatch runs, and within a batch the Hadoop commit protocol keeps
+    partial task output invisible; the residual window is a crash during
+    job commit — the classic non-transactional-lake caveat (dedup on a
+    unique event id downstream if that window matters).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from ..sources.parquet import _event_date_expr, compact_partitions
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
+            .repartition("event_date")
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_partitions(
+                batch_df.sparkSession, path, target_file_bytes=target_file_bytes
+            )
+
+    w = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

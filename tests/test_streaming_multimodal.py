@@ -831,3 +831,69 @@ def test_lsh_index_param_mismatch_raises(spark, tmp_path):
         assert ok.columns == ["index_doc_id", "probe_doc_id"]
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx_props")
+
+
+def test_time_partitioned_sink_with_inline_compaction(spark, tmp_path):
+    """start_time_partitioned_sink: four micro-batches land in hive day
+    partitions; every 2nd batch runs compaction, so after the drain each
+    partition holds ONE file while every row survives; a checkpoint replay
+    appends nothing; and the layout stays compatible with the batch
+    maintenance ops (compact_partitions reports nothing left to do)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.sources.parquet import compact_partitions
+    from imops_spark.streaming.events import start_time_partitioned_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        b = pd.DataFrame(
+            {
+                "event_id": [i * 10 + j for j in range(3)],
+                "ts_sec": [j % 2 * 86400 + i for j in range(3)],
+                "value": [float(i)] * 3,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), src / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts_sec long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_time_partitioned_sink(
+            stream,
+            sink,
+            checkpoint=str(tmp_path / "ckpt"),
+            compact_every=2,
+            target_file_bytes=1 << 30,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+
+    def n_files(day):
+        d = os.path.join(sink, f"event_date={day}")
+        return len([f for f in os.listdir(d) if not f.startswith((".", "_"))])
+
+    # compaction ran after the final (4th) batch -> one file per day
+    assert n_files("1970-01-01") == 1 and n_files("1970-01-02") == 1
+    back = spark.read.parquet(sink)
+    assert back.count() == 12
+    assert {r["event_id"] for r in back.collect()} == set(
+        i * 10 + j for i in range(4) for j in range(3)
+    )
+    # nothing left for the batch maintenance job
+    assert compact_partitions(spark, sink, target_file_bytes=1 << 30) == {}
+
+    run_once()  # checkpoint replay: committed batches skipped, no dupes
+    assert spark.read.parquet(sink).count() == 12
