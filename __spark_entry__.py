@@ -1202,6 +1202,47 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_tpch_q21_1scan(spark, sf_dir):
+    """q21 rewritten to ONE lineitem scan: the EXISTS ("another supplier
+    participated") and NOT EXISTS ("no other supplier was late") become two
+    per-order window aggregates — distinct-supplier count > 1 and
+    distinct-LATE-supplier count == 1 (the row itself is late, so the one
+    late supplier is its own).  Same oracle as tpch_q21: the rewrite is
+    cross-checked, and at 100 TB it reads the fact table once instead of
+    three times (one window shuffle on l_orderkey replaces two
+    fact-vs-fact joins)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = joined.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    waiting = flagged.filter(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_tpch_q22(spark, sf_dir):
     """Q22-style global sales opportunity: customers with above-average
     positive balances and no recent orders, counted per nation.  The scalar
@@ -2132,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "tpch_q21_1scan": q_tpch_q21_1scan,
         "tpch_q22": q_tpch_q22,
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
@@ -2423,6 +2465,14 @@ def _curate_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.6) -> 
 
 
 def oracle_sql() -> dict[str, str]:
+    oracles = _oracle_sql_literals()
+    # the single-scan rewrite must reproduce the EXISTS/NOT-EXISTS
+    # formulation exactly — same oracle, different physical plan
+    oracles["tpch_q21_1scan"] = oracles["tpch_q21"]
+    return oracles
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "center_of_mass": """
             SELECT l_orderkey,

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q18",
     "tpch_q21",
+    "tpch_q21_1scan",
     "center_of_mass",
     "isin",
     "pointwise",
