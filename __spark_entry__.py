@@ -1391,6 +1391,36 @@ def q_cur_quota(spark, sf_dir):
     return cap_per_group_df(docs, "source", 10, "doc_id", salt=3)
 
 
+def q_cur_mix(spark, sf_dir):
+    """Mixture sampling (curate.mixture_sample_df): per-source keep
+    fractions via the same md5-bucket membership as cur_sample — a literal
+    MAP lookup, no join; unnamed sources drop.  Oracle recomputes the
+    per-source thresholds with a CASE."""
+    from imops_spark.functions.curate import mixture_sample_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample_df(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        key_col="doc_id",
+        salt=11,
+    )
+
+
+def q_cur_pack(spark, sf_dir):
+    """Deterministic sequence packing (curate.pack_documents_df): docs fill
+    fixed-budget bins in per-shard md5 order (running-sum fill).  The
+    oracle recomputes shard, order, cumulative sum, and bin arithmetic —
+    integer-exact end to end."""
+    from imops_spark.functions.curate import pack_documents_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_documents_df(docs, budget=4000, shards=8, salt=13).select(
+        "doc_id", "pack_id"
+    )
+
+
 def q_dd_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline closure: shared MinHash signatures ->
     banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
@@ -2185,6 +2215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "cur_sample": q_cur_sample,
         "cur_quota": q_cur_quota,
+        "cur_mix": q_cur_mix,
+        "cur_pack": q_cur_pack,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -3140,6 +3172,32 @@ def _oracle_sql_literals() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 10
+        """,
+        "cur_mix": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_mh_hash(22, "CAST(doc_id AS VARCHAR)")} % 1000000 <
+                  CASE source WHEN 'src0' THEN 1000000
+                              WHEN 'src1' THEN 500000
+                              WHEN 'src2' THEN 100000
+                              ELSE 0 END
+        """,
+        "cur_pack": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     {_mh_hash(26, "CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, h % 8 AS shard,
+                     SUM(n_chars) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST((GREATEST(cum - 1, 0) // 4000) * 8 + shard AS BIGINT)
+                     AS pack_id
+            FROM c
         """,
         "dd_simhash": _simhash_sql(),
         "emb_near_dup": """

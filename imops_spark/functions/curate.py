@@ -39,6 +39,8 @@ __all__ = [
     "hash_sample_df",
     "split_by_hash_df",
     "cap_per_group_df",
+    "mixture_sample_df",
+    "pack_documents_df",
 ]
 
 
@@ -136,6 +138,87 @@ def quality_filter_df(
         & (F.col("type_token_ratio") >= min_type_token_ratio)
     ).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi")
+
+
+def mixture_sample_df(
+    df: DataFrame, group_col: str, fractions: dict[str, float], key_col: str, salt: int = 0
+) -> DataFrame:
+    """Per-group hash sampling with a DIFFERENT fraction per group — the
+    mixture-weighting step of a training recipe ("keep 100% of books, 30%
+    of web, 5% of logs").  Groups not named in ``fractions`` are dropped
+    (an explicit mix is the whole point).  Same md5-bucket membership as
+    ``hash_sample_df``, so the draw is reproducible, subset-stable, and
+    per-group independent of every other group's fraction.
+
+    The fraction lookup is a literal MAP expression — no join, no shuffle,
+    scan-speed like the flat sampler.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    if not fractions:
+        raise ValueError("fractions must name at least one group")
+    pairs = []
+    for name, frac in fractions.items():
+        pairs += [F.lit(name), F.lit(int(round(frac * 1_000_000)))]
+    thresholds = F.create_map(*pairs)
+    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
+    return df.where(bucket < F.coalesce(thresholds[F.col(group_col)], F.lit(0)))
+
+
+def pack_documents_df(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    shards: int = 1024,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every document to a fixed-budget pack (the sequence-packing
+    step before pretraining): documents are ordered pseudo-randomly by
+    ``md5(salt|key)`` within a hash shard and filled into consecutive
+    running-sum bins of ``budget`` total ``weight_col`` — a document
+    belongs to the bin where its cumulative range ENDS.  The budget is
+    therefore SOFT: a boundary-straddling document pushes its bin over by
+    less than its own weight, which is exactly the shape
+    concatenate-and-split sequence packing wants — the materializer walks
+    each shard in (hash, key) order and cuts at exact budget boundaries,
+    splitting the straddler; ``pack_id`` tells it which cut each document
+    finishes in.  (A hard per-bin cap would be a sequential recurrence —
+    not expressible as one window pass, and unnecessary downstream.)
+
+    Deterministic by construction — the pack of a document is a pure
+    function of the corpus content, so re-runs and engine changes cannot
+    reshuffle training sequences.  Scale shape: packing is per-shard
+    (``pmod(hash, shards)``), so the running sum is a window over ~1/shards
+    of the corpus instead of a global single-partition sort — the standard
+    distributed-packing tradeoff (no cross-shard bins).  Returns ``df``
+    plus ``pack_id`` (= bin * shards + shard: collision-free across
+    shards).
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    h = _md5_hash_col(F.col(key_col).cast("string"), salt)
+    shard = F.pmod(h, F.lit(shards))
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_cum", F.sum(F.col(weight_col)).over(w))
+        .withColumn(
+            "pack_id",
+            # greatest(.., 0): zero-weight prefixes must not produce bin -1
+            F.floor(F.greatest(F.col("_cum") - 1, F.lit(0)) / F.lit(budget)) * shards
+            + F.col("_shard"),
+        )
+        .drop("_h", "_shard", "_cum")
+    )
 
 
 def curate_documents(

@@ -441,3 +441,58 @@ def test_asof_join_nearest_direction(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join_df(left, right, on="ts_sec", direction="sideways")
+
+
+def test_mixture_sample_and_packing(spark):
+    """mixture_sample_df: per-group fractions honored independently, unnamed
+    groups dropped, membership consistent with hash_sample_df (same salt =
+    same draw).  pack_documents_df: every bin's weight stays <= budget
+    unless a single document exceeds it alone; assignment is deterministic
+    and exhaustive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import (
+        hash_sample_df,
+        mixture_sample_df,
+        pack_documents_df,
+    )
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        (F.col("id") % 700 + 1).alias("wt"),
+    )
+    mix = mixture_sample_df(df, "g", {"g0": 1.0, "g1": 0.4}, key_col="k", salt=2)
+    counts = {r["g"]: r["n"] for r in mix.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("g0") == 1000          # fraction 1.0 keeps everything
+    assert "g2" not in counts                # unnamed group dropped
+    assert 250 < counts.get("g1", 0) < 550   # ~40% of 1000
+    # same salt => the g1 subset IS the flat 40% sample restricted to g1
+    flat = {r["k"] for r in hash_sample_df(df, "k", 0.4, salt=2).collect()}
+    assert {r["k"] for r in mix.filter("g = 'g1'").collect()} == {
+        k for k in flat if k % 3 == 1
+    }
+    with pytest.raises(ValueError, match="at least one group"):
+        mixture_sample_df(df, "g", {}, key_col="k")
+
+    packed = pack_documents_df(df, budget=2000, weight_col="wt", key_col="k", shards=4)
+    assert packed.count() == 3000  # exhaustive
+    per_bin = packed.groupBy("pack_id").agg(
+        F.sum("wt").alias("tot"), F.count("*").alias("n")
+    )
+    # SOFT budget: a bin may overflow only by less than the straddling
+    # document's weight (max wt here is 700)
+    assert per_bin.filter(F.col("tot") >= 2000 + 700).count() == 0
+    # deterministic across runs
+    a = {(r["k"], r["pack_id"]) for r in packed.collect()}
+    b = {(r["k"], r["pack_id"]) for r in pack_documents_df(
+        df, budget=2000, weight_col="wt", key_col="k", shards=4
+    ).collect()}
+    assert a == b
+    # bins are reasonably full (fill efficiency > 50% for all but the last
+    # bin of each shard)
+    n_bins = per_bin.count()
+    assert n_bins * 2000 < 2 * 3000 * 350.5  # total weight ~ 3000*350.5
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents_df(df, budget=0, weight_col="wt", key_col="k")
