@@ -1968,6 +1968,55 @@ def q_evt_nullsafe(spark, sf_dir):
     )
 
 
+def q_evt_stats(spark, sf_dir):
+    """Statistical aggregates (§2.2): sample stddev/variance, Pearson
+    correlation, and least-squares slope per event type — numerically
+    touchy aggregates (sum-of-squares accumulators differ between engines)
+    rounded where both engines' ~1e-10 accumulation error cannot reach."""
+    from imops_spark.functions.events import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "value", F.col("user_id").cast("double").alias("uid")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 5).alias("var_value"),
+        F.round(F.corr("value", "uid"), 6).alias("corr_vu"),
+        F.round(F.regr_slope("value", "uid"), 6).alias("slope_vu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cur_pack_text(spark, sf_dir):
+    """Pack materialization: per pack, the documents' texts concatenated in
+    the packing order (shard-local md5 order) and md5-hashed — proves the
+    grouping AND the intra-pack ordering end-to-end.  Spark builds the
+    concatenation row-locally (sort_array over collected structs, no
+    window); the oracle uses DuckDB's ordered string_agg — two different
+    concatenation mechanisms, one hash."""
+    from imops_spark.functions.curate import pack_documents_df
+    from imops_spark.functions.dedup import _md5_hash_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    packed = pack_documents_df(docs, budget=4000, shards=8, salt=13)
+    h = _md5_hash_col(F.col("doc_id").cast("string"), 13)
+    return (
+        packed.select("pack_id", F.struct(h.alias("h"), "doc_id", "text").alias("s"))
+        .groupBy("pack_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s.getField("text")
+                    ),
+                    "",
+                )
+            ).alias("pack_md5"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def q_evt_window_stream(spark, sf_dir):
     """Streaming twin of evt_window: tumbling-window counts over the event
     stream, drained with availableNow in complete mode — one-shot it must
@@ -2217,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_quota": q_cur_quota,
         "cur_mix": q_cur_mix,
         "cur_pack": q_cur_pack,
+        "cur_pack_text": q_cur_pack_text,
+        "evt_stats": q_evt_stats,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -3198,6 +3249,34 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST((GREATEST(cum - 1, 0) // 4000) * 8 + shard AS BIGINT)
                      AS pack_id
             FROM c
+        """,
+        "cur_pack_text": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars, text,
+                     {_mh_hash(26, "CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text, h, h % 8 AS shard,
+                     SUM(n_chars) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d
+            )
+            SELECT CAST((GREATEST(cum - 1, 0) // 4000) * 8 + shard AS BIGINT)
+                     AS pack_id,
+                   md5(string_agg(text, '' ORDER BY h, doc_id)) AS pack_md5,
+                   COUNT(1) AS n_docs
+            FROM c GROUP BY 1
+        """,
+        "evt_stats": """
+            SELECT event_type,
+                   ROUND(stddev_samp(value), 6) AS sd_value,
+                   ROUND(var_samp(value), 5) AS var_value,
+                   ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+                   ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope_vu,
+                   COUNT(1) AS n
+            FROM events GROUP BY 1
         """,
         "dd_simhash": _simhash_sql(),
         "emb_near_dup": """
