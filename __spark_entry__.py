@@ -1968,6 +1968,41 @@ def q_evt_nullsafe(spark, sf_dir):
     )
 
 
+def q_rel_unpivot(spark, sf_dir):
+    """UNPIVOT (§2.2 set ops/reshape): lineitem's three measure columns
+    melt into (measure, value) rows — Spark's DataFrame.unpivot vs DuckDB's
+    native UNPIVOT; values rounded at their stored grain."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "measure",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def q_rel_explode(spark, sf_dir):
+    """Lateral array expansion with ordinality (§2.2 scalar/array
+    functions): per document, posexplode of its whitespace tokens vs
+    DuckDB's UNNEST WITH ORDINALITY — positions must agree exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.trim("text"), "\\s+")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select("doc_id", (F.col("pos") + 1).alias("ordinality"), "tok")
+    )
+
+
 def q_evt_stats(spark, sf_dir):
     """Statistical aggregates (§2.2): sample stddev/variance, Pearson
     correlation, and least-squares slope per event type — numerically
@@ -2268,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "evt_stats": q_evt_stats,
+        "rel_unpivot": q_rel_unpivot,
+        "rel_explode": q_rel_explode,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -3268,6 +3305,28 @@ def _oracle_sql_literals() -> dict[str, str]:
                    md5(string_agg(text, '' ORDER BY h, doc_id)) AS pack_md5,
                    COUNT(1) AS n_docs
             FROM c GROUP BY 1
+        """,
+        "rel_unpivot": """
+            WITH src AS (
+              SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+              FROM lineitem WHERE l_orderkey < 200
+            ),
+            u AS (
+              UNPIVOT src
+              ON l_quantity, l_extendedprice, l_discount
+              INTO NAME measure VALUE value
+            )
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   measure, ROUND(value, 2) AS value
+            FROM u
+        """,
+        "rel_explode": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+            )
+            SELECT doc_id, CAST(u.i AS INTEGER) AS ordinality, toks[u.i] AS tok
+            FROM t, unnest(generate_series(1, len(toks))) u(i)
         """,
         "evt_stats": """
             SELECT event_type,
