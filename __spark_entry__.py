@@ -2032,7 +2032,14 @@ def q_cur_pack_text(spark, sf_dir):
     from imops_spark.functions.curate import pack_documents_df
     from imops_spark.functions.dedup import _md5_hash_col
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    # NULL-text rows are excluded on BOTH sides: a pack of only-NULL texts
+    # would hash md5('') in Spark (array_join skips nulls) but NULL in
+    # DuckDB (string_agg of all-NULL is NULL) — a latent gate divergence
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "n_chars", "text")
+    )
     packed = pack_documents_df(docs, budget=4000, shards=8, salt=13)
     h = _md5_hash_col(F.col("doc_id").cast("string"), 13)
     return (
@@ -3291,7 +3298,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, n_chars, text,
                      {_mh_hash(26, "CAST(doc_id AS VARCHAR)")} AS h
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ),
             c AS (
               SELECT doc_id, text, h, h % 8 AS shard,

@@ -44,6 +44,33 @@ __all__ = [
 ]
 
 
+def _key_hash(key_col: str, salt: int):
+    """md5 hash of the key — the shared ordering/membership primitive of
+    every sampler/splitter/packer here.  NULL keys hash a sentinel instead
+    of propagating NULL (which would silently DROP rows from where()
+    filters while withColumn paths kept them, and scramble NULLS FIRST
+    orderings): a NULL key is data and gets a stable value like any
+    other."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>"))
+    return _md5_hash_col(key, salt)
+
+
+def _hash_bucket(key_col: str, salt: int):
+    return _key_hash(key_col, salt) % F.lit(1_000_000)
+
+
+def _fraction_buckets(fraction: float, what: str) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"{what} must be in [0, 1], got {fraction}")
+    buckets = int(round(fraction * 1_000_000))
+    if fraction > 0.0 and buckets == 0:
+        raise ValueError(
+            f"{what}={fraction} is below the 1e-6 bucket grain and would "
+            "silently sample nothing; use a coarser fraction or pre-shard"
+        )
+    return buckets
+
+
 def hash_sample_df(
     df: DataFrame, key_col: str, fraction: float, salt: int = 0
 ) -> DataFrame:
@@ -58,11 +85,12 @@ def hash_sample_df(
     it verbatim).  Changing ``salt`` draws an independent sample.
 
     Pure column expression: no shuffle, no state, scan-speed at 100 TB.
+    Sub-1e-6 fractions raise (bucket grain); NULL keys hash a sentinel, so
+    they are sampled like any other single key value.
     """
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
-    return df.where(bucket < F.lit(int(round(fraction * 1_000_000))))
+    return df.where(
+        _hash_bucket(key_col, salt) < F.lit(_fraction_buckets(fraction, "fraction"))
+    )
 
 
 def split_by_hash_df(
@@ -76,12 +104,14 @@ def split_by_hash_df(
     ``fractions`` maps split name -> fraction; must sum to 1 (±1e-9).
     Returns ``df`` plus a ``split`` column.  Buckets are carved as
     cumulative ranges over ``md5(salt|key) % 10^6``, so the boundaries are
-    integers and every engine agrees on membership exactly.
+    integers and every engine agrees on membership exactly.  NULL keys
+    hash a sentinel — same deterministic bucket semantics as
+    ``hash_sample_df``, never a silent catch-all assignment.
     """
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
+    bucket = _hash_bucket(key_col, salt)
     expr = None
     hi = 0
     names = list(fractions)
@@ -112,7 +142,7 @@ def cap_per_group_df(
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    order = _md5_hash_col(F.col(key_col).cast("string"), salt)
+    order = _key_hash(key_col, salt)
     w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -153,16 +183,13 @@ def mixture_sample_df(
     The fraction lookup is a literal MAP expression — no join, no shuffle,
     scan-speed like the flat sampler.
     """
-    for name, frac in fractions.items():
-        if not 0.0 <= frac <= 1.0:
-            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
     if not fractions:
         raise ValueError("fractions must name at least one group")
     pairs = []
     for name, frac in fractions.items():
-        pairs += [F.lit(name), F.lit(int(round(frac * 1_000_000)))]
+        pairs += [F.lit(name), F.lit(_fraction_buckets(frac, f"fraction for {name!r}"))]
     thresholds = F.create_map(*pairs)
-    bucket = _md5_hash_col(F.col(key_col).cast("string"), salt) % F.lit(1_000_000)
+    bucket = _hash_bucket(key_col, salt)
     return df.where(bucket < F.coalesce(thresholds[F.col(group_col)], F.lit(0)))
 
 
@@ -200,7 +227,7 @@ def pack_documents_df(
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    h = _md5_hash_col(F.col(key_col).cast("string"), salt)
+    h = _key_hash(key_col, salt)
     shard = F.pmod(h, F.lit(shards))
     w = (
         Window.partitionBy("_shard")

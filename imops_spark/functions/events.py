@@ -125,6 +125,12 @@ def asof_join_df(
             "asof_join_df: no value columns — `right` has only key/on columns; "
             "pass value_cols explicitly"
         )
+    if "_on" in value_cols:
+        raise ValueError(
+            "asof_join_df: value column name '_on' is reserved (it carries "
+            "the matched row's timestamp for the 'nearest' distance compare);"
+            " rename the column before joining"
+        )
     l_cols = [c for c in left.columns if c not in by + [on]]
     # All value columns ride in ONE struct per right row.  The struct itself
     # is never NULL for a right row (even if every field is NULL), so it

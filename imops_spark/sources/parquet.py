@@ -16,6 +16,8 @@ contiguity handling (`utils.py:95-100`) and `boxed` data skipping:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,11 +217,7 @@ def upsert_time_partitioned(
     (UTC integer arithmetic), so upserts can never shred a layout written
     by it.
     """
-    spark = events.sparkSession
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "STATIC")
-    spark.conf.set(conf_key, "dynamic")
-    try:
+    with _dynamic_partition_overwrite(events.sparkSession):
         (
             events.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
             .repartition("event_date")
@@ -227,6 +225,18 @@ def upsert_time_partitioned(
             .partitionBy("event_date")
             .parquet(path)
         )
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to one write and restore it:
+    STATIC is the session default, and leaving dynamic on would silently
+    change the semantics of every other overwrite in the session."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        yield
     finally:
         spark.conf.set(conf_key, prev)
 
@@ -276,11 +286,8 @@ def compact_partitions(
             if s.isFile() and not s.getPath().getName().startswith(("_", "."))
         ]
 
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "STATIC")
     report: dict[str, dict[str, int]] = {}
-    try:
-        spark.conf.set(conf_key, "dynamic")
+    with _dynamic_partition_overwrite(spark):
         for value, jdir in _part_dirs():
             if partitions is not None and value not in partitions:
                 continue
@@ -289,18 +296,33 @@ def compact_partitions(
             n_target = max(1, -(-nbytes // int(target_file_bytes)))
             if len(files) <= n_target:
                 continue
-            part_df = spark.read.parquet(path).filter(F.col(partition_col) == value)
-            compacted = part_df.localCheckpoint(eager=True).repartition(n_target)
-            (
-                compacted.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
+            # partition-pruned scan: read ONLY this partition's directory
+            # (basePath recovers the partition column) — a plain read of
+            # `path` would relist every partition of the table per loop
+            # iteration, O(n_compacted x n_total) metadata calls at scale
+            part_df = (
+                spark.read.option("basePath", path)
+                .parquet(jdir.toString())
+                .filter(F.col(partition_col) == value)
             )
+            compacted = part_df.localCheckpoint(eager=True)
+            if compacted.isEmpty():
+                # footer-only debris (0-row files): a dynamic overwrite of
+                # an empty frame touches nothing, so delete the files
+                # directly — no rows exist to lose — or the partition
+                # would be "compacted" forever without converging
+                for s in files:
+                    fs.delete(s.getPath(), False)
+            else:
+                (
+                    compacted.repartition(n_target)
+                    .write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
             report[value] = {
                 "files_before": len(files),
                 "files_after": len(_data_files(jdir)),
                 "bytes": int(nbytes),
             }
-    finally:
-        spark.conf.set(conf_key, prev)
     return report

@@ -496,3 +496,47 @@ def test_mixture_sample_and_packing(spark):
     assert n_bins * 2000 < 2 * 3000 * 350.5  # total weight ~ 3000*350.5
     with pytest.raises(ValueError, match="budget"):
         pack_documents_df(df, budget=0, weight_col="wt", key_col="k")
+
+
+def test_sampling_null_keys_and_grain_guard(spark):
+    """NULL keys hash a sentinel: consistent membership across
+    hash_sample_df / split_by_hash_df / pack_documents_df (never silently
+    dropped by a where() while kept by a withColumn path); fractions below
+    the 1e-6 bucket grain raise instead of sampling nothing; asof value
+    column '_on' is reserved."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import (
+        hash_sample_df,
+        mixture_sample_df,
+        pack_documents_df,
+        split_by_hash_df,
+    )
+    from imops_spark.functions.events import asof_join_df
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 10), (3, "b", 10), (None, "c", 10)],
+        "k long, g string, wt long",
+    )
+    # NULL key rows are ASSIGNED (not dropped): full-fraction sample keeps
+    # all 4, split labels all 4, packing bins all 4
+    assert hash_sample_df(df, "k", 1.0).count() == 4
+    split = split_by_hash_df(df, "k", {"x": 0.5, "y": 0.5})
+    assert split.count() == 4 and split.filter("split IS NULL").count() == 0
+    packed = pack_documents_df(df, budget=100, weight_col="wt", key_col="k")
+    assert packed.count() == 4 and packed.filter("pack_id IS NULL").count() == 0
+    # and membership at fraction f is a deterministic subset incl. NULL's fate
+    s1 = {tuple(r) for r in hash_sample_df(df, "k", 0.5).collect()}
+    s2 = {tuple(r) for r in hash_sample_df(df, "k", 0.5).collect()}
+    assert s1 == s2
+
+    with pytest.raises(ValueError, match="bucket grain"):
+        hash_sample_df(df, "k", 1e-9)
+    with pytest.raises(ValueError, match="bucket grain"):
+        mixture_sample_df(df, "g", {"a": 1e-9}, key_col="k")
+
+    right = spark.createDataFrame([(10, 1.0)], "_on long, v double")
+    left = spark.createDataFrame([(15, 0)], "ts_sec long, event_id long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_df(left, right.withColumnRenamed("_on", "ts_sec").withColumn("_on", F.lit(1)), on="ts_sec", value_cols=["_on"])

@@ -88,6 +88,11 @@ def timed(df_builder, repeat: int = 3) -> float:
 
 
 def probe_one_size(n: int) -> dict[str, float]:
+    from imops_spark.functions.curate import (
+        mixture_sample_df,
+        pack_documents_df,
+        split_by_hash_df,
+    )
     from imops_spark.functions.dedup import (
         exact_dup_groups_df,
         lsh_candidate_pairs_df,
@@ -161,6 +166,25 @@ def probe_one_size(n: int) -> dict[str, float]:
                     ["shard"],
                     "text",
                 )
+            ),
+            # per-shard window cumsum: the one shuffle in sequence packing
+            "cur_pack": lambda: pack_documents_df(
+                docs.select("doc_id", F.length("text").alias("n_chars")),
+                budget=4000,
+                shards=64,
+            ),
+            # pure column expressions: sampling must stay at scan cost
+            "cur_split_mix": lambda: mixture_sample_df(
+                split_by_hash_df(
+                    docs.select(
+                        "doc_id", F.pmod("doc_id", F.lit(5)).cast("string").alias("src")
+                    ),
+                    "doc_id",
+                    {"train": 0.9, "val": 0.1},
+                ),
+                "src",
+                {"0": 1.0, "1": 0.5, "2": 0.25},
+                key_col="doc_id",
             ),
             # 90% of the fact on one key: full salting must stay linear
             "salted_join": lambda: salted_join(
