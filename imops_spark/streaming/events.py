@@ -29,7 +29,73 @@ __all__ = [
     "sessionize_stateful_stream",
     "run_stream_to_memory",
     "start_time_partitioned_sink",
+    "start_daily_rollup_maintenance",
 ]
+
+
+def start_daily_rollup_maintenance(
+    events: DataFrame,
+    raw_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    ts_sec_col: str = "ts_sec",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Maintain a per-day rollup table alongside the raw event sink — the
+    incrementally-maintained materialized view of a lakehouse: every
+    micro-batch (1) appends its rows to the hive day-partitioned raw
+    table, then (2) RECOMPUTES the rollup for just the days the batch
+    touched and replaces those rollup partitions via dynamic overwrite.
+
+    Recompute-from-raw (not merge-into-rollup) is deliberate: the rollup
+    stays a pure function of the raw table, so a batch replayed after a
+    crash between the raw append and the checkpoint commit re-derives the
+    SAME rollup instead of double-merging a delta — idempotence by
+    construction, where incremental merge would need transactional
+    read-modify-write.  Cost is re-aggregating whole day partitions
+    (partition-pruned scans), the standard partition-recompute tradeoff.
+
+    Rollup schema: ``(event_date, <group_col>, n, sum_value)``.
+    Returns the started ``StreamingQuery``.
+    """
+    from ..sources.parquet import _dynamic_partition_overwrite, _event_date_expr
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dated = batch_df.withColumn(
+            "event_date", _event_date_expr(ts_sec_col, "day")
+        )
+        (
+            dated.repartition("event_date")
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(raw_path)
+        )
+        days = [r["event_date"] for r in dated.select("event_date").distinct().collect()]
+        if not days:
+            return
+        fresh = (
+            spark.read.option("basePath", raw_path)
+            .parquet(*[f"{raw_path}/event_date={d}" for d in days])
+            .groupBy("event_date", group_col)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sum_value"))
+        )
+        with _dynamic_partition_overwrite(spark):
+            (
+                fresh.repartition("event_date")
+                .write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(rollup_path)
+            )
+
+    w = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def start_time_partitioned_sink(

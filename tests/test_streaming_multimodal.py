@@ -897,3 +897,75 @@ def test_time_partitioned_sink_with_inline_compaction(spark, tmp_path):
 
     run_once()  # checkpoint replay: committed batches skipped, no dupes
     assert spark.read.parquet(sink).count() == 12
+
+
+def test_daily_rollup_maintenance_recompute_is_idempotent(spark, tmp_path):
+    """start_daily_rollup_maintenance: after draining 3 micro-batches across
+    2 days, the rollup table equals a batch groupBy of the raw table; a
+    late batch for an existing day REPLACES that day's rollup partition;
+    checkpoint replay changes nothing (recompute-from-raw idempotence)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import start_daily_rollup_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        pd.DataFrame({"event_id": [1, 2], "ts_sec": [10, 86410],
+                      "event_type": ["a", "b"], "value": [1.0, 2.0]}),
+        pd.DataFrame({"event_id": [3], "ts_sec": [20],
+                      "event_type": ["a"], "value": [4.0]}),
+        pd.DataFrame({"event_id": [4], "ts_sec": [86420],
+                      "event_type": ["a"], "value": [8.0]}),
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), src / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    raw, roll = str(tmp_path / "raw"), str(tmp_path / "rollup")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts_sec long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_daily_rollup_maintenance(
+            stream, raw, roll, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        (str(r["event_date"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got == {
+        ("1970-01-01", "a"): (2, 5.0),
+        ("1970-01-02", "a"): (1, 8.0),
+        ("1970-01-02", "b"): (1, 2.0),
+    }
+    # rollup == batch recompute of raw (the defining invariant)
+    exp = {
+        (str(r["event_date"]), r["event_type"]): (r["n"], r["s"])
+        for r in spark.read.parquet(raw)
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+    run_once()  # checkpoint replay: no raw duplication, rollup unchanged
+    assert spark.read.parquet(raw).count() == 4
+    again = {
+        (str(r["event_date"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert again == got
