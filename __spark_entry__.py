@@ -2073,6 +2073,24 @@ def q_evt_window_stream(spark, sf_dir):
     return run_stream_to_memory(out, "evt_window_stream_gate", spark, mode="complete")
 
 
+def q_evt_topk_stream(spark, sf_dir):
+    """Streaming top-k: the ORDER BY + LIMIT runs INSIDE the streaming
+    query (legal only in complete output mode, after the stateful
+    aggregation) — the memory sink holds exactly the top 10 users by event
+    count with a deterministic (n desc, user_id asc) tie-break, and must
+    equal the batch top-k the oracle computes."""
+    from imops_spark.streaming.events import run_stream_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+    return run_stream_to_memory(top, "evt_topk_stream_gate", spark, mode="complete")
+
+
 def q_evt_join_stream(spark, sf_dir):
     """TRUE stream-stream join: purchases joined to the same user's clicks
     within the preceding 30 minutes, both sides watermarked, the interval
@@ -2328,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq": q_sim_ivfpq,
         "evt_window": q_evt_window,
         "evt_window_stream": q_evt_window_stream,
+        "evt_topk_stream": q_evt_topk_stream,
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_neighbor": q_evt_neighbor,
@@ -3705,6 +3724,13 @@ def _oracle_sql_literals() -> dict[str, str]:
             q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0)
             SELECT q.event_id, k.kval AS asof_kval
             FROM q ASOF JOIN k ON q.ts_sec >= k.ts_sec
+        """,
+        "evt_topk_stream": """
+            SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY n DESC, user_id ASC
+            LIMIT 10
         """,
         "evt_asof_fwd": """
             WITH e AS (
