@@ -1421,6 +1421,22 @@ def q_cur_pack(spark, sf_dir):
     )
 
 
+def q_cur_contam(spark, sf_dir):
+    """Train/eval contamination scan (curate.contamination_pairs_df): docs
+    split by doc_id % 5 into pseudo-train/eval; pairs sharing >= 30
+    winnowing fingerprints are flagged (the testdata's planted dups share
+    51-203, background vocab noise far fewer — clean separation).  The winnowing guarantee makes any
+    verbatim overlap >= k+window-1 chars detectable; candidates come from
+    a fingerprint EQUI-join, never a train x eval cross product.  Oracle
+    recomputes both fingerprint sets with the txt_winnow SQL chain."""
+    from imops_spark.functions.curate import contamination_pairs_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_pairs_df(train, holdout, min_shared=30)
+
+
 def q_dd_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline closure: shared MinHash signatures ->
     banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
@@ -2327,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_mix": q_cur_mix,
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
+        "cur_contam": q_cur_contam,
         "evt_stats": q_evt_stats,
         "rel_unpivot": q_rel_unpivot,
         "rel_explode": q_rel_explode,
@@ -2387,6 +2404,37 @@ def _mh_hash(i: int, col: str = "shingle") -> str:
     # Hash i = 60 bits from half of md5(i//2 | value): mirrors
     # dedup._md5_hash_col(col, i // 2, i % 2) exactly.
     return f"(('0x' || substr(md5('{i // 2}|' || {col}), {1 + 16 * (i % 2)}, 15))::BIGINT)"
+
+
+def _winnow_fps_sql(pred: str) -> str:
+    """Winnowing fingerprint subquery (same chain as the txt_winnow
+    oracle, k=8 window=4) over the documents matching ``pred`` —
+    DISTINCT (doc_id, fp)."""
+    return f"""(
+      WITH d AS (
+        SELECT doc_id, {_NORM} AS nt FROM documents
+        WHERE ({pred}) AND length({_NORM}) >= 8
+      ),
+      g AS (
+        SELECT doc_id, pos,
+               ('0x'||substr(md5(substr(nt, pos, 8)),1,15))::BIGINT AS h
+        FROM d, unnest(generate_series(1, length(nt) - 7)) u(pos)
+      ),
+      ng AS (SELECT doc_id, MAX(pos) AS ng FROM g GROUP BY 1),
+      s AS (
+        SELECT doc_id, pos, h, pos - o AS t
+        FROM g, unnest(generate_series(0, 3)) v(o)
+        WHERE pos - o >= 1
+      ),
+      w AS (
+        SELECT doc_id, t, pos, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY h, pos) AS rn
+        FROM s
+      )
+      SELECT DISTINCT doc_id, h AS fp
+      FROM w JOIN ng USING (doc_id)
+      WHERE rn = 1 AND t <= ng - 3
+    )"""
 
 
 def _minhash_select() -> str:
@@ -3724,6 +3772,14 @@ def _oracle_sql_literals() -> dict[str, str]:
             q AS (SELECT event_id, ts_sec FROM e WHERE event_id % 7 = 0)
             SELECT q.event_id, k.kval AS asof_kval
             FROM q ASOF JOIN k ON q.ts_sec >= k.ts_sec
+        """,
+        "cur_contam": f"""
+            SELECT tf.doc_id AS train_id, ef.doc_id AS eval_id,
+                   COUNT(1) AS n_shared
+            FROM {_winnow_fps_sql("doc_id % 5 <> 0")} tf
+            JOIN {_winnow_fps_sql("doc_id % 5 = 0")} ef ON tf.fp = ef.fp
+            GROUP BY 1, 2
+            HAVING COUNT(1) >= 30
         """,
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value

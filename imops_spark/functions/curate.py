@@ -41,6 +41,8 @@ __all__ = [
     "cap_per_group_df",
     "mixture_sample_df",
     "pack_documents_df",
+    "contamination_pairs_df",
+    "decontaminate_df",
 ]
 
 
@@ -246,6 +248,61 @@ def pack_documents_df(
         )
         .drop("_h", "_shard", "_cum")
     )
+
+
+def contamination_pairs_df(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval contamination scan (the decontamination step of an LLM
+    data pipeline): pairs of (train doc, eval doc) sharing at least
+    ``min_shared`` winnowing fingerprints — the winnowing guarantee makes
+    any verbatim overlap of length >= ``k + window - 1`` chars produce at
+    least one shared fingerprint, so leakage cannot hide below the
+    threshold by luck.
+
+    Plan shape: fingerprint sets are row-local per side (the gated
+    ``txt_winnow`` machinery), the candidate step is an EQUI-join on the
+    fingerprint hash — no train x eval cross product — and the pair count
+    is one groupBy.  Returns ``(train_id, eval_id, n_shared)``.
+    """
+    from .text import winnow_fingerprints_df
+
+    tf = (
+        winnow_fingerprints_df(train_docs, k=k, window=window)
+        .select(F.col("doc_id").alias("train_id"), "fp")
+        .dropDuplicates()
+    )
+    ef = (
+        winnow_fingerprints_df(eval_docs, k=k, window=window)
+        .select(F.col("doc_id").alias("eval_id"), "fp")
+        .dropDuplicates()
+    )
+    return (
+        tf.join(ef, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def decontaminate_df(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop every training document that shares >= ``min_shared`` winnowing
+    fingerprints with any eval document (anti-join on the contamination
+    pairs) — the one-call eval-leakage guard."""
+    bad = contamination_pairs_df(
+        train_docs, eval_docs, k=k, window=window, min_shared=min_shared
+    ).select(F.col("train_id").alias("doc_id")).dropDuplicates()
+    return train_docs.join(bad, "doc_id", "left_anti")
 
 
 def curate_documents(

@@ -540,3 +540,33 @@ def test_sampling_null_keys_and_grain_guard(spark):
     left = spark.createDataFrame([(15, 0)], "ts_sec long, event_id long")
     with pytest.raises(ValueError, match="reserved"):
         asof_join_df(left, right.withColumnRenamed("_on", "ts_sec").withColumn("_on", F.lit(1)), on="ts_sec", value_cols=["_on"])
+
+
+def test_contamination_scan_and_decontaminate(spark):
+    """contamination_pairs_df flags train docs sharing a >= k+window-1 char
+    substring with an eval doc (the winnowing guarantee) and nothing else;
+    decontaminate_df drops exactly the flagged train docs."""
+    from imops_spark.functions.curate import (
+        contamination_pairs_df,
+        decontaminate_df,
+    )
+
+    leak = "the secret benchmark answer is forty two exactly"
+    train = spark.createDataFrame(
+        [
+            (0, f"some long training text with {leak} embedded in the middle"),
+            (1, "perfectly clean training document about distributed joins"),
+            (2, "another clean one discussing parquet row group statistics"),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, f"eval question: {leak}?"), (101, "unrelated eval prompt xyzzy")],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs_df(train, holdout, min_shared=1).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in pairs} == {(0, 100)}
+    assert all(r["n_shared"] >= 1 for r in pairs)
+
+    kept = sorted(r["doc_id"] for r in decontaminate_df(train, holdout).collect())
+    assert kept == [1, 2]
