@@ -1421,6 +1421,43 @@ def q_cur_pack(spark, sf_dir):
     )
 
 
+def q_mm_audio(spark, sf_dir):
+    """Audio modality gate: document bytes reinterpreted as PCM16 clips run
+    through the REAL audio kernel (int16 buffer decode in mapInPandas) and
+    the oracle regenerates every sample with byte arithmetic (text is pure
+    ASCII, so ord(char) == byte; sample = lo + 256*hi, signed).  rms is
+    exact on both engines: squared samples sit on the 2^-30 grid and the
+    clip sums fit 53 bits, so summation order cannot matter."""
+    from imops_spark.functions.multimodal import audio_features_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 80) & (F.length("text") >= 4)
+    )
+    # int16 needs an even byte count: truncate to even length (ASCII text,
+    # so char length == byte length)
+    even = F.expr("substring(text, 1, CAST(floor(length(text)/2)*2 AS INT))")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("audio").alias("modality"),
+        F.encode(even, "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("pcm16").alias("format"),
+        ).alias("meta"),
+    )
+    return audio_features_df(items).select(
+        "item_id",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("rms", 9).alias("rms"),
+        F.round("peak", 9).alias("peak"),
+        F.round("zcr", 9).alias("zcr"),
+    )
+
+
 def q_cur_contam(spark, sf_dir):
     """Train/eval contamination scan (curate.contamination_pairs_df): docs
     split by doc_id % 5 into pseudo-train/eval; pairs sharing >= 30
@@ -2296,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp2d": q_interp2d,
         "multimodal": q_multimodal,
         "mm_frame_dedup": q_mm_frame_dedup,
+        "mm_audio": q_mm_audio,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "hull_fill": q_hull_fill,
@@ -3269,6 +3307,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
               )
             GROUP BY c_nationkey
+        """,
+        "mm_audio": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, CAST(floor(length(text)/2)*2 AS INT)) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 4
+            ),
+            s AS (
+              SELECT doc_id, u.i,
+                     ord(substr(t, CAST(2*u.i-1 AS INT), 1))
+                       + 256 * ord(substr(t, CAST(2*u.i AS INT), 1)) AS v
+              FROM d, unnest(generate_series(1, length(t) // 2)) u(i)
+            ),
+            sg AS (
+              SELECT doc_id, i,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+              FROM s
+            ),
+            w AS (
+              SELECT doc_id, sv,
+                     LAG(sv) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM sg
+            )
+            SELECT doc_id AS item_id,
+                   ROUND(COUNT(1) / 16000.0, 9) AS duration_s,
+                   ROUND(SQRT(AVG((sv / 32768.0) * (sv / 32768.0))), 9) AS rms,
+                   ROUND(MAX(ABS(sv / 32768.0)), 9) AS peak,
+                   ROUND(SUM(CASE WHEN prev IS NOT NULL
+                                   AND ((sv < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
+                         / CAST(COUNT(prev) AS DOUBLE), 9) AS zcr
+            FROM w GROUP BY doc_id
         """,
         "mm_frame_dedup": """
             WITH f AS (
