@@ -1458,6 +1458,40 @@ def q_mm_audio(spark, sf_dir):
     )
 
 
+def q_mm_image_raw(spark, sf_dir):
+    """REAL image decode gate (raw_u8): 4x5x3 uint8 images cut from
+    document bytes run through image_features_df(decode='real') — the
+    buffer-reinterpret path resize_images_df emits — while the oracle
+    rebuilds every pixel with byte arithmetic.  Channel means are exact
+    integer ratios; std rounds at 6 (numpy two-pass vs DuckDB streaming
+    differ in last ulps); the channel-mean dark compare divides the same
+    left-associated sum by 3.0 on both engines."""
+    from imops_spark.functions.multimodal import image_features_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 80) & (F.length("text") >= 60)
+    )
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.substring("text", 1, 60), "utf-8").alias("data"),
+        F.struct(
+            F.lit(5).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("raw_u8").alias("format"),
+        ).alias("meta"),
+    )
+    return image_features_df(items, decode="real").select(
+        "item_id",
+        F.round("mean_c0", 9).alias("mean_c0"),
+        F.round("std_c0", 6).alias("std_c0"),
+        F.round("frac_dark", 9).alias("frac_dark"),
+    )
+
+
 def q_cur_contam(spark, sf_dir):
     """Train/eval contamination scan (curate.contamination_pairs_df): docs
     split by doc_id % 5 into pseudo-train/eval; pairs sharing >= 30
@@ -2334,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "mm_frame_dedup": q_mm_frame_dedup,
         "mm_audio": q_mm_audio,
+        "mm_image_raw": q_mm_image_raw,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "hull_fill": q_hull_fill,
@@ -3307,6 +3342,26 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
               )
             GROUP BY c_nationkey
+        """,
+        "mm_image_raw": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 60) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 60
+            ),
+            px AS (
+              SELECT doc_id,
+                     ord(substr(t, CAST(3*u.i + 1 AS INT), 1)) AS c0,
+                     ord(substr(t, CAST(3*u.i + 2 AS INT), 1)) AS c1,
+                     ord(substr(t, CAST(3*u.i + 3 AS INT), 1)) AS c2
+              FROM d, unnest(generate_series(0, 19)) u(i)
+            )
+            SELECT doc_id AS item_id,
+                   ROUND(AVG(CAST(c0 AS DOUBLE)), 9) AS mean_c0,
+                   ROUND(STDDEV_POP(CAST(c0 AS DOUBLE)), 6) AS std_c0,
+                   ROUND(AVG(CASE WHEN (CAST(c0 AS DOUBLE) + c1 + c2) / 3.0 < 32
+                                  THEN 1.0 ELSE 0.0 END), 9) AS frac_dark
+            FROM px GROUP BY 1
         """,
         "mm_audio": """
             WITH d AS (
