@@ -1492,6 +1492,26 @@ def q_mm_image_raw(spark, sf_dir):
     )
 
 
+def q_rel_hof(spark, sf_dir):
+    """Higher-order array functions (§2.2 scalar functions) as a first-class
+    gate: per embedding, the L2 norm via aggregate(), a self inner product
+    via zip_with()+aggregate(), and the count of positive components via
+    filter() — vs DuckDB's list_* builtins.  Sums fold in index order on
+    both engines (left fold vs list_sum over the same list), error ~1e-15
+    against a round-6 grain."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    vec = F.col("embedding").cast("array<double>")
+    sq = F.zip_with(vec, vec, lambda a, b: a * b)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6
+        ).alias("l2_norm"),
+        F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 5).alias("self_dot"),
+        F.size(F.filter(vec, lambda x: x > 0.0)).alias("n_pos"),
+    )
+
+
 def q_cur_contam(spark, sf_dir):
     """Train/eval contamination scan (curate.contamination_pairs_df): docs
     split by doc_id % 5 into pseudo-train/eval; pairs sharing >= 30
@@ -2420,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_stats": q_evt_stats,
         "rel_unpivot": q_rel_unpivot,
         "rel_explode": q_rel_explode,
+        "rel_hof": q_rel_hof,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
         "txt_tokens": q_txt_tokens,
@@ -3518,6 +3539,16 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    measure, ROUND(value, 2) AS value
             FROM u
+        """,
+        "rel_hof": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2_norm,
+                   ROUND(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x*x)), 5) AS self_dot,
+                   CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                        x -> x > 0.0)) AS INT) AS n_pos
+            FROM embeddings WHERE vec_id < 500
         """,
         "rel_explode": """
             WITH t AS (
