@@ -294,11 +294,19 @@ def decontaminate_df(
     eval_docs: DataFrame,
     k: int = 8,
     window: int = 4,
-    min_shared: int = 1,
+    min_shared: int = 3,
 ) -> DataFrame:
     """Drop every training document that shares >= ``min_shared`` winnowing
     fingerprints with any eval document (anti-join on the contamination
-    pairs) — the one-call eval-leakage guard."""
+    pairs) — the one-call eval-leakage guard.
+
+    Threshold tradeoff: ``min_shared=1`` flags ANY verbatim overlap of
+    ``k + window - 1`` chars — including stock phrases that ordinary
+    shared vocabulary produces — and silently over-deletes clean training
+    data; real corpora want a higher bar (the driver gate uses 30 to
+    separate planted duplicates at 51-203 shared fingerprints from
+    background noise).  The default of 3 is a conservative floor; tune on
+    a sample of your corpus with ``contamination_pairs_df`` first."""
     bad = contamination_pairs_df(
         train_docs, eval_docs, k=k, window=window, min_shared=min_shared
     ).select(F.col("train_id").alias("doc_id")).dropDuplicates()

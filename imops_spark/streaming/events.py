@@ -33,49 +33,43 @@ __all__ = [
 ]
 
 
-def start_daily_rollup_maintenance(
-    events: DataFrame,
+def _rollup_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
     raw_path: str,
     rollup_path: str,
-    checkpoint: str,
-    ts_sec_col: str = "ts_sec",
-    group_col: str = "event_type",
-    value_col: str = "value",
-    available_now: bool = True,
-):
-    """Maintain a per-day rollup table alongside the raw event sink — the
-    incrementally-maintained materialized view of a lakehouse: every
-    micro-batch (1) appends its rows to the hive day-partitioned raw
-    table, then (2) RECOMPUTES the rollup for just the days the batch
-    touched and replaces those rollup partitions via dynamic overwrite.
-
-    Recompute-from-raw (not merge-into-rollup) is deliberate: the rollup
-    stays a pure function of the raw table, so a batch replayed after a
-    crash between the raw append and the checkpoint commit re-derives the
-    SAME rollup instead of double-merging a delta — idempotence by
-    construction, where incremental merge would need transactional
-    read-modify-write.  Cost is re-aggregating whole day partitions
-    (partition-pruned scans), the standard partition-recompute tradeoff.
-
-    Rollup schema: ``(event_date, <group_col>, n, sum_value)``.
-    Returns the started ``StreamingQuery``.
-    """
+    ts_sec_col: str,
+    group_col: str,
+    value_col: str,
+) -> None:
+    """One micro-batch of rollup maintenance (module-level so tests can
+    drive the crash-replay path directly).  See
+    ``start_daily_rollup_maintenance`` for the idempotence argument."""
     from ..sources.parquet import _dynamic_partition_overwrite, _event_date_expr
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        dated = batch_df.withColumn(
-            "event_date", _event_date_expr(ts_sec_col, "day")
-        )
-        (
-            dated.repartition("event_date")
-            .write.mode("append")
-            .partitionBy("event_date")
-            .parquet(raw_path)
-        )
+    spark = batch_df.sparkSession
+    dated = batch_df.withColumn(
+        # NULL timestamps land in an explicit sentinel partition instead of
+        # crashing the recompute (a NULL day would become the literal path
+        # '.../event_date=None')
+        "event_date",
+        F.coalesce(_event_date_expr(ts_sec_col, "day"), F.lit("__unknown__")),
+    ).withColumn("_batch_id", F.lit(int(batch_id))).persist()
+    try:
         days = [r["event_date"] for r in dated.select("event_date").distinct().collect()]
         if not days:
-            return
+            return  # empty batch: no append job, no recompute
+        with _dynamic_partition_overwrite(spark):
+            # OVERWRITE the batch's own (event_date, _batch_id) partitions:
+            # a replayed batch rewrites its own directories with identical
+            # content instead of appending duplicates — this is what makes
+            # the raw table (and thus the rollup) replay-idempotent
+            (
+                dated.repartition("event_date")
+                .write.mode("overwrite")
+                .partitionBy("event_date", "_batch_id")
+                .parquet(raw_path)
+            )
         fresh = (
             spark.read.option("basePath", raw_path)
             .parquet(*[f"{raw_path}/event_date={d}" for d in days])
@@ -89,6 +83,49 @@ def start_daily_rollup_maintenance(
                 .partitionBy("event_date")
                 .parquet(rollup_path)
             )
+    finally:
+        dated.unpersist()
+
+
+def start_daily_rollup_maintenance(
+    events: DataFrame,
+    raw_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    ts_sec_col: str = "ts_sec",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Maintain a per-day rollup table alongside the raw event sink — the
+    incrementally-maintained materialized view of a lakehouse: every
+    micro-batch (1) lands its rows in the raw table under
+    ``event_date=<day>/_batch_id=<n>`` partitions, then (2) RECOMPUTES the
+    rollup for just the days the batch touched and replaces those rollup
+    partitions via dynamic overwrite.
+
+    Idempotence is end-to-end and holds across the crash-replay window:
+    the raw write is a dynamic OVERWRITE of the batch's own
+    (event_date, _batch_id) partitions — a batch replayed after a crash
+    anywhere before the checkpoint commit rewrites exactly the
+    directories it wrote before, never appends duplicates — and the
+    rollup is recomputed from raw, so it is a pure function of a raw
+    table that replay cannot corrupt.  (A merge-into-rollup delta design
+    would need transactional read-modify-write to get the same
+    guarantee.)  NULL timestamps land in an ``event_date=__unknown__``
+    sentinel partition rather than killing the query.  Cost per trigger
+    is re-aggregating whole day partitions (partition-pruned scans), the
+    standard partition-recompute tradeoff; raw readers see the extra
+    ``_batch_id`` ingestion column, the usual lakehouse idiom.
+
+    Rollup schema: ``(event_date, <group_col>, n, sum_value)``.
+    Returns the started ``StreamingQuery``.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _rollup_write_batch(
+            batch_df, batch_id, raw_path, rollup_path, ts_sec_col, group_col, value_col
+        )
 
     w = events.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -969,3 +969,30 @@ def test_daily_rollup_maintenance_recompute_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(roll).collect()
     }
     assert again == got
+
+    # CRASH-WINDOW replay: re-running the SAME batch_id (as the engine does
+    # after a crash between the raw write and the checkpoint commit) must
+    # overwrite the batch's own (event_date, _batch_id) partitions, never
+    # append — raw count and rollup stay identical
+    from imops_spark.streaming.events import _rollup_write_batch
+
+    replay = spark.createDataFrame(
+        [(3, 86420, "a", 8.0)], "event_id long, ts_sec long, event_type string, value double"
+    )
+    for _ in range(2):
+        _rollup_write_batch(replay, 2, raw, roll, "ts_sec", "event_type", "value")
+    assert spark.read.parquet(raw).count() == 4
+    assert {
+        (str(r["event_date"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    } == got
+
+    # NULL timestamps land in the sentinel partition instead of killing
+    # the maintenance job
+    nulls = spark.createDataFrame(
+        [(99, None, "a", 1.0)], "event_id long, ts_sec long, event_type string, value double"
+    )
+    _rollup_write_batch(nulls, 7, raw, roll, "ts_sec", "event_type", "value")
+    back = spark.read.parquet(raw)
+    assert back.filter("event_date = '__unknown__'").count() == 1
+    assert back.count() == 5
