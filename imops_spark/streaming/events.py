@@ -162,7 +162,12 @@ def start_time_partitioned_sink(
     foreachBatch runs, and within a batch the Hadoop commit protocol keeps
     partial task output invisible; the residual window is a crash during
     job commit — the classic non-transactional-lake caveat (dedup on a
-    unique event id downstream if that window matters).
+    unique event id downstream if that window matters).  This sink keeps a
+    FLAT event_date layout so ``compact_partitions`` can fold its files;
+    if hard replay-idempotence matters more than compactability, use
+    ``start_daily_rollup_maintenance``'s raw table instead — its
+    (event_date, _batch_id) overwrite closes the crash window but nests a
+    partition level compaction does not manage.
 
     Returns the started ``StreamingQuery``.
     """
