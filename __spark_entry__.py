@@ -1341,6 +1341,20 @@ def q_dd_jaccard(spark, sf_dir):
     return ngram_jaccard_df(docs, pairs)
 
 
+def q_dd_editsim(spark, sf_dir):
+    """Edit-distance verification (dedup.edit_similarity_df): exact
+    Levenshtein over normalized texts for candidate pairs — the
+    order-sensitive complement to Jaccard verification; both engines run
+    their native integer Levenshtein kernel, one answer."""
+    from imops_spark.functions.dedup import edit_similarity_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return edit_similarity_df(docs, pairs)
+
+
 def q_curate(spark, sf_dir):
     """END-TO-END curation pipeline gate (functions.curate.curate_documents):
     quality gate -> exact dedup -> MinHash/LSH/Jaccard near dedup ->
@@ -2429,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_stream": q_dd_lsh_stream,
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
+        "dd_editsim": q_dd_editsim,
         "dd_clusters": q_dd_clusters,
         "curate": q_curate,
         "cur_sample": q_cur_sample,
@@ -3437,6 +3452,23 @@ def _oracle_sql_literals() -> dict[str, str]:
         "dd_lsh_pairs": _lsh_pairs_sql(),
         "dd_lsh_stream": _lsh_pairs_sql(),
         "dd_near_stream": _verified_pairs_sql(),
+        "dd_editsim": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            p AS (
+              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT p.doc_a, p.doc_b,
+                   levenshtein(a.nt, b.nt) AS edit_dist,
+                   ROUND(CASE WHEN greatest(length(a.nt), length(b.nt)) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(a.nt, b.nt)
+                                   / CAST(greatest(length(a.nt), length(b.nt)) AS DOUBLE)
+                         END, 6) AS edit_sim
+            FROM p
+            JOIN n a ON p.doc_a = a.doc_id
+            JOIN n b ON p.doc_b = b.doc_id
+        """,
         "dd_jaccard": f"""
             WITH {_SHINGLES},
             pairs AS (

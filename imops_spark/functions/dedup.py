@@ -34,6 +34,7 @@ __all__ = [
     "band_entries_df",
     "lsh_candidate_pairs_df",
     "ngram_jaccard_df",
+    "edit_similarity_df",
     "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
@@ -199,6 +200,36 @@ def lsh_candidate_pairs_df(
         .distinct()
     )
     return pairs
+
+
+def edit_similarity_df(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Levenshtein verification for candidate pairs: edit distance
+    over the NORMALIZED texts plus a length-normalized similarity
+    ``1 - dist / max(len_a, len_b)`` — the character-level alternative to
+    ``ngram_jaccard_df`` (order-sensitive where shingle Jaccard is not:
+    a shuffled paragraph scores high Jaccard but low edit similarity).
+
+    Runs only on the (LSH-pruned) candidate pairs, never all pairs —
+    Levenshtein is O(len_a x len_b) per pair, so the pruning IS the scale
+    story.  Distances are exact integers (built-in JVM kernel, no Python);
+    the similarity divides two exact ints, deterministic cross-engine.
+    """
+    ta = docs.select(F.col("doc_id").alias("doc_a"), normalized_text().alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), normalized_text().alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(ta, on="doc_a")
+        .join(tb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(
+                F.when(max_len == 0, 1.0).otherwise(1.0 - dist / max_len), 6
+            ).alias("edit_sim"),
+        )
+    )
 
 
 def ngram_jaccard_df(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame:
