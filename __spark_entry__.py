@@ -1246,10 +1246,12 @@ def q_tpch_q21_1scan(spark, sf_dir):
 def q_tpch_q22(spark, sf_dir):
     """Q22-style global sales opportunity: customers with above-average
     positive balances and no recent orders, counted per nation.  The scalar
-    AVG threshold is compared RAW: both engines build it as exact-sum /
-    exact-count over the same rows, and customer balances live on the cent
-    grid ~6.7e-6 away from any generic threshold, so a ~1e-11 summation
-    difference cannot flip the comparison."""
+    AVG threshold is ROUNDED to the 4-decimal grain before the comparison
+    (the q15 recipe): both engines' ~1e-11 summation difference is far below
+    the 5e-5 rounding boundary, so the rounded thresholds are bitwise
+    identical and `>` sees the same doubles on both sides — robust at any
+    seed/sf, unlike the previous raw compare that relied on a data-grid
+    distance argument."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     recent = (
         _t(spark, sf_dir, "orders")
@@ -1263,7 +1265,7 @@ def q_tpch_q22(spark, sf_dir):
     return (
         c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("c_acctbal") > F.round(F.col("avg_bal"), 4))
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -3053,7 +3055,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "evt_json": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
@@ -3245,10 +3247,10 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -3370,7 +3372,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COUNT(*) AS numcust,
                    ROUND(SUM(c_acctbal), 2) AS totacctbal
             FROM customer c
-            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+            WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4) FROM customer
                                WHERE c_acctbal > CAST(0.0 AS DOUBLE))
               AND NOT EXISTS (
                 SELECT 1 FROM orders o
@@ -3814,11 +3816,11 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "evt_pivot": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-                   SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-                   SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+                   CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
         "tpch_cube": """

@@ -165,10 +165,36 @@ def zoom(
 
     if not arr_mode:
         if order not in (0, 1):
-            raise ValueError(
-                "TensorFrame zoom supports order 0/1; spline orders 2-5 run on "
-                "the ndarray path (or per-image over blob tables)"
+            # Reference parity (zoom.py:230-250): every input degrades
+            # gracefully for spline orders — warn and fall back.  Distributed
+            # path: densify per image (one shuffle), run the Unser
+            # prefilter+B-spline kernel per blob (one Arrow task per image,
+            # embarrassingly parallel at any corpus size), re-explode to a
+            # voxel table.
+            import warnings
+
+            from ..kernels import spline_zoom_numpy
+            from ..tensor_io import blobs_to_voxels, map_blobs, voxels_to_blobs
+
+            warnings.warn(
+                "Fast zoom is only supported for ndim<=4, dtype=fp32-fp64 and "
+                "bool-int16-32-64-uint8-16-32 if order == 0, output=None, order=0 or 1 , "
+                "mode='constant', grid_mode=False. Falling back to scipy's implementation.",
+                stacklevel=2,
             )
+            new_shape = tuple(
+                int(round(s * z)) for s, z in zip(x.shape, full_scale)
+            )
+            fv = float(fill_value)
+
+            def _spline(a: np.ndarray) -> np.ndarray:
+                # scipy writes into an output array of the INPUT dtype
+                return spline_zoom_numpy(
+                    a, full_scale, order=order, fill_value=fv
+                ).astype(a.dtype, copy=False)
+
+            out_blobs = map_blobs(voxels_to_blobs(x), _spline)
+            return blobs_to_voxels(out_blobs, new_shape, x.dtype)
         return zoom_df(x, full_scale, order=order, fill_value=float(fill_value))
     arr = np.asarray(x)
     if order > 1 or arr.ndim > 4:

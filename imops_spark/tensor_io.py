@@ -44,6 +44,8 @@ __all__ = [
     "blob_schema",
     "load_npy_gz",
     "coord_cols",
+    "voxels_to_blobs",
+    "blobs_to_voxels",
 ]
 
 IMAGE_ID = "image_id"
@@ -247,6 +249,85 @@ def map_blobs(
                 )
 
     return df.mapInArrow(run, schema=schema)
+
+
+def voxels_to_blobs(tf: TensorFrame, default: float | int | bool = 0) -> DataFrame:
+    """Re-encode a voxel table as per-image blobs (the bridge between the two
+    physical encodings, SURVEY §1.4).
+
+    One shuffle on ``image_id``: each image's rows land in one Arrow group and
+    densify into a C-order buffer.  Missing coordinates read ``default``
+    (voxel tables are dense by contract; internal sparse encodings fill with
+    the background).  The per-image fits-in-one-task memory bound is the same
+    contract every blob operator (EDT, interp2d, spline zoom) already
+    carries — across images the job stays embarrassingly parallel at any
+    corpus size.
+    """
+    shape = tf.shape
+    dtype = np.dtype(tf.dtype)
+    ndim = tf.ndim
+    cols = coord_cols(ndim)
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.full(shape, default, dtype=dtype)
+        if len(pdf):
+            idx = tuple(pdf[c].to_numpy(dtype=np.int64) for c in cols)
+            out[idx] = pdf[VAL].to_numpy().astype(dtype, copy=False)
+        return pd.DataFrame(
+            {
+                IMAGE_ID: [int(pdf[IMAGE_ID].iloc[0])],
+                "shape": [[int(s) for s in shape]],
+                "dtype": [str(dtype)],
+                "data": [out.tobytes()],
+            }
+        )
+
+    return tf.df.groupBy(IMAGE_ID).applyInPandas(densify, schema=blob_schema())
+
+
+def blobs_to_voxels(df: DataFrame, shape, dtype) -> TensorFrame:
+    """Explode a blob table back into a voxel table.
+
+    ``mapInPandas`` — no shuffle: each blob row expands in place into its
+    element rows, carrying the same val typing and logical metadata as
+    :func:`encode_volumes` so the result is a first-class TensorFrame.
+    """
+    shape = tuple(int(s) for s in shape)
+    dtype = np.dtype(dtype)
+    ndim = len(shape)
+    meta = {"logical_dtype": str(dtype), "shape": [int(s) for s in shape]}
+    fields = [T.StructField(IMAGE_ID, T.LongType(), False)]
+    fields += [T.StructField(c, T.IntegerType(), False) for c in coord_cols(ndim)]
+    fields += [T.StructField(VAL, _spark_val_type(dtype), False, metadata=meta)]
+    out_schema = T.StructType(fields)
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in range(len(pdf)):
+                row_shape = [int(s) for s in pdf["shape"].iloc[r]]
+                arr = np.frombuffer(
+                    pdf["data"].iloc[r], dtype=np.dtype(pdf["dtype"].iloc[r])
+                ).reshape(row_shape)
+                idx = np.indices(arr.shape).reshape(arr.ndim, -1)
+                data = {
+                    IMAGE_ID: np.full(
+                        idx.shape[1], int(pdf[IMAGE_ID].iloc[r]), dtype=np.int64
+                    )
+                }
+                for k in range(arr.ndim):
+                    data[f"i{k}"] = idx[k].astype(np.int32)
+                flat = arr.ravel()
+                if dtype == np.bool_:
+                    data[VAL] = flat.astype(np.bool_)
+                elif dtype.kind in "iu":
+                    data[VAL] = flat.astype(np.int64)
+                elif dtype == np.float16:
+                    data[VAL] = flat.astype(np.float32)
+                else:
+                    data[VAL] = flat.astype(np.float64)
+                yield pd.DataFrame(data)
+
+    return TensorFrame(df=df.mapInPandas(explode, schema=out_schema), shape=shape, dtype=dtype)
 
 
 def load_npy_gz(path: str) -> np.ndarray:

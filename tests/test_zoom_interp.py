@@ -304,3 +304,59 @@ def test_interp1d_len_mismatch(spark):
 def test_interp1d_extrapolate_and_raise(spark):
     with pytest.raises(ValueError):
         interp1d(np.arange(3.0), np.arange(3.0), bounds_error=True, fill_value="extrapolate")
+
+
+# --- spline orders on the distributed (TensorFrame) path ---
+
+
+@pytest.mark.parametrize("order", [2, 3, 5])
+def test_zoom_tensorframe_spline_matches_ndarray(spark, order):
+    """TensorFrame spline zoom (map_blobs route) ≡ the ndarray spline path,
+    and it returns instead of raising (reference zoom.py:230-250 degrades
+    gracefully for every input)."""
+    from imops_spark.tensor_io import decode_volume, encode_volume
+
+    x = np.random.default_rng(11 + order).standard_normal((7, 9))
+    tf = encode_volume(spark, x)
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        out_tf = zoom(tf, 1.5, order=order)
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        exp = zoom(x, 1.5, order=order)
+    assert out_tf.shape == exp.shape
+    assert out_tf.dtype == x.dtype
+    got = decode_volume(out_tf)
+    assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_zoom_tensorframe_spline_int_dtype(spark):
+    """Spline zoom on an int TensorFrame comes back int (scipy writes into
+    an input-dtype output) and multi-image tables stay per-image."""
+    from imops_spark.tensor_io import decode_volume, encode_volumes
+
+    rng = np.random.default_rng(7)
+    arrs = {0: rng.integers(0, 80, (6, 8)).astype(np.int32),
+            1: rng.integers(0, 80, (6, 8)).astype(np.int32)}
+    tf = encode_volumes(spark, arrs)
+    with pytest.warns(UserWarning, match="Falling back to scipy"):
+        out_tf = zoom(tf, [2.0, 0.75], order=3)
+    assert out_tf.dtype == np.int32
+    from imops_spark.kernels import spline_zoom_numpy
+
+    for iid, a in arrs.items():
+        exp = spline_zoom_numpy(a, [2.0, 0.75], order=3).astype(np.int32)
+        assert_array_equal(decode_volume(out_tf, image_id=iid), exp)
+
+
+def test_voxels_blobs_roundtrip(spark):
+    """voxels_to_blobs ∘ blobs_to_voxels is the identity on a voxel table."""
+    from imops_spark.tensor_io import (
+        blobs_to_voxels, decode_volume, encode_volumes, voxels_to_blobs,
+    )
+
+    rng = np.random.default_rng(5)
+    arrs = {3: rng.standard_normal((4, 5, 3)), 9: rng.standard_normal((4, 5, 3))}
+    tf = encode_volumes(spark, arrs)
+    back = blobs_to_voxels(voxels_to_blobs(tf), tf.shape, tf.dtype)
+    assert back.shape == tf.shape and back.dtype == tf.dtype
+    for iid, a in arrs.items():
+        assert_array_equal(decode_volume(back, image_id=iid), a)

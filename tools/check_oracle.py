@@ -82,6 +82,22 @@ def main():
             failures.append(name)
             continue
         problems = []
+        # Typing guard: DuckDB silently widens integer SUMs to HUGEINT
+        # (int128) and literal arithmetic to DECIMAL; the driver's value
+        # hash serializes those differently from Spark's BIGINT/DOUBLE even
+        # when the values are identical (cost 2 red gates in r4).  DESCRIBE
+        # every oracle and fail hard on any wide output column so the
+        # pattern can't be reintroduced.
+        try:
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            wide = [(c, t) for c, t, *_ in desc
+                    if any(w in t.upper() for w in ("HUGEINT", "DECIMAL"))]
+            if wide:
+                problems.append(
+                    f"oracle output typing: {wide} — CAST the column "
+                    f"(BIGINT/DOUBLE) in oracle_sql()")
+        except Exception as e:
+            problems.append(f"oracle DESCRIBE failed: {e}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):
