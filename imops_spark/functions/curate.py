@@ -136,6 +136,11 @@ def cap_per_group_df(
     ``(md5(salt|key), key)``: pseudo-random within the group yet exactly
     reproducible, with the raw key as a total tie-break.
 
+    **Precondition**: ``key_col`` must be unique within each group (the
+    standard id-column contract, as in ``asof_join_df``) — duplicate keys
+    make the order non-total, and which duplicate ``row_number`` keeps
+    could then vary across runs and engines.
+
     One shuffle on ``group_col`` (window rank); skewed giant groups are the
     expected case — AQE handles the partition imbalance, and the rank
     early-outs at ``n`` per group.
@@ -218,7 +223,10 @@ def pack_documents_df(
 
     Deterministic by construction — the pack of a document is a pure
     function of the corpus content, so re-runs and engine changes cannot
-    reshuffle training sequences.  Scale shape: packing is per-shard
+    reshuffle training sequences.  **Precondition**: ``key_col`` must be
+    unique (the id-column contract) — duplicate keys make the
+    ``(hash, key)`` order non-total and the running-sum assignment of the
+    duplicates run-dependent.  Scale shape: packing is per-shard
     (``pmod(hash, shards)``), so the running sum is a window over ~1/shards
     of the corpus instead of a global single-partition sort — the standard
     distributed-packing tradeoff (no cross-shard bins).  Returns ``df``

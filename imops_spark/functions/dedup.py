@@ -212,7 +212,11 @@ def edit_similarity_df(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     Runs only on the (LSH-pruned) candidate pairs, never all pairs —
     Levenshtein is O(len_a x len_b) per pair, so the pruning IS the scale
     story.  Distances are exact integers (built-in JVM kernel, no Python);
-    the similarity divides two exact ints, deterministic cross-engine.
+    the similarity divides two exact ints.  Cross-engine determinism is
+    verified for ASCII text: Spark's ``levenshtein``/``length`` count
+    UTF-16 code units, and other engines (e.g. DuckDB) may count Unicode
+    text differently (codepoints/graphemes), so non-BMP or multi-byte
+    content can legitimately score differently across engines.
     """
     ta = docs.select(F.col("doc_id").alias("doc_a"), normalized_text().alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), normalized_text().alias("text_b"))

@@ -543,6 +543,12 @@ def radon_numpy(image: np.ndarray, theta, num_threads: int = 1) -> np.ndarray:
                 continue
             f0 = starts[s0]
             f1 = starts[s1] if s1 < segs_total else n_samples
+            # every (angle, row) segment is non-empty by construction (the
+            # keep-band always retains the center sample, cnt >= 1), so no
+            # segment start can equal the block end — which np.add.reduceat
+            # below would reject (`empty` handles rows outside the circle,
+            # whose segments still hold their one center sample)
+            assert f0 < f1, "empty radon segment: keep-band invariant broken"
             acc = P[idxs[0][f0:f1]]
             acc *= ws[0][f0:f1]
             for k in (1, 2, 3):

@@ -16,8 +16,6 @@ contiguity handling (`utils.py:95-100`) and `boxed` data skipping:
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -209,36 +207,26 @@ def upsert_time_partitioned(
 
     Implemented with Spark's dynamic partition overwrite: mode=overwrite
     deletes just the partition directories the incoming rows land in.  The
-    conf is set scoped to this write and restored, because STATIC is the
-    session default and leaving dynamic on would silently change the
-    semantics of every other overwrite in the session.
+    mode rides on the ``DataFrameWriter`` itself
+    (``.option("partitionOverwriteMode", "dynamic")``), NOT on the session
+    conf: the per-write option takes precedence over the conf and is
+    genuinely scoped to this one write — a session-conf flip, even
+    try/finally-restored, races with any concurrently *planned* overwrite
+    on the same session (e.g. a rollup-stream micro-batch overlapping a
+    user batch job).
 
     Partition derivation is byte-identical to ``write_time_partitioned``
     (UTC integer arithmetic), so upserts can never shred a layout written
     by it.
     """
-    with _dynamic_partition_overwrite(events.sparkSession):
-        (
-            events.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
-            .repartition("event_date")
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(path)
-        )
-
-
-@contextmanager
-def _dynamic_partition_overwrite(spark: SparkSession):
-    """Scope partitionOverwriteMode=dynamic to one write and restore it:
-    STATIC is the session default, and leaving dynamic on would silently
-    change the semantics of every other overwrite in the session."""
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "STATIC")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        yield
-    finally:
-        spark.conf.set(conf_key, prev)
+    (
+        events.withColumn("event_date", _event_date_expr(ts_sec_col, granularity))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
 
 
 def compact_partitions(
@@ -256,22 +244,35 @@ def compact_partitions(
 
     Per partition: list its files via the Hadoop FS API, compute the target
     file count ``ceil(bytes / target_file_bytes)``, and skip partitions
-    already at or below it (compaction must be cheap to re-run).  A
-    partition that needs work is read (partition-pruned scan),
-    ``localCheckpoint``-ed to cut the file-source lineage — Spark refuses to
-    overwrite a path its plan is reading, and the checkpoint is what makes
-    read-rewrite-in-place legal — then rewritten with dynamic partition
-    overwrite, so concurrent readers of OTHER partitions never see a
-    partial table.  One partition per job bounds executor-storage use: the
-    checkpointed partition, not the table, must fit the cluster.
+    already at or below it (compaction must be cheap to re-run).
+
+    **Crash safety (staged swap)**: the compacted replacement is written to
+    a dot-prefixed staging directory first — Spark/Hadoop file listings
+    skip ``.``-names, so readers never see it — and the original files stay
+    on disk untouched until the replacement is fully committed.  The swap
+    itself is per-file renames inside the partition directory: hide the
+    originals under a ``.orig-`` prefix, move the staged files in under a
+    ``compacted-`` prefix, then delete the hidden originals and the staging
+    directory.  The staging ``_SUCCESS`` marker is the commit point:
+    :func:`_recover_partition` (run for every partition with staging debris
+    before planning new work) rolls an interrupted swap BACK before the
+    marker and FORWARD after it.  A driver/app crash at any instant can
+    therefore duplicate work or leave a transient visibility anomaly for
+    concurrent readers of the partition being swapped — it can never lose
+    rows (the previous localCheckpoint+dynamic-overwrite design had an
+    unrecoverable window where the only copy of the partition lived in
+    executor storage).  One partition per job bounds cluster memory: the
+    partition, not the table, must fit.
 
     Returns ``{partition_value: {"files_before": n, "files_after": m,
     "bytes": b}}`` for the partitions rewritten.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
     fs = root.getFileSystem(hconf)
+    staging_root = Path(path, _STAGING_DIR)
 
     def _part_dirs():
         for st in fs.listStatus(root):
@@ -286,43 +287,141 @@ def compact_partitions(
             if s.isFile() and not s.getPath().getName().startswith(("_", "."))
         ]
 
+    # finish or roll back any swap a previous run left behind BEFORE
+    # planning new work — a fresh staged write would otherwise clobber the
+    # only complete copy of a half-swapped partition
+    if fs.exists(staging_root):
+        for st in fs.listStatus(staging_root):
+            if st.isDirectory():
+                _recover_partition(jvm, fs, Path, root, st.getPath())
+        fs.delete(staging_root, True)
+
     report: dict[str, dict[str, int]] = {}
-    with _dynamic_partition_overwrite(spark):
-        for value, jdir in _part_dirs():
-            if partitions is not None and value not in partitions:
-                continue
-            files = _data_files(jdir)
-            nbytes = sum(s.getLen() for s in files)
-            n_target = max(1, -(-nbytes // int(target_file_bytes)))
-            if len(files) <= n_target:
-                continue
-            # partition-pruned scan: read ONLY this partition's directory
-            # (basePath recovers the partition column) — a plain read of
-            # `path` would relist every partition of the table per loop
-            # iteration, O(n_compacted x n_total) metadata calls at scale
-            part_df = (
-                spark.read.option("basePath", path)
-                .parquet(jdir.toString())
-                .filter(F.col(partition_col) == value)
-            )
-            compacted = part_df.localCheckpoint(eager=True)
-            if compacted.isEmpty():
-                # footer-only debris (0-row files): a dynamic overwrite of
-                # an empty frame touches nothing, so delete the files
-                # directly — no rows exist to lose — or the partition
-                # would be "compacted" forever without converging
-                for s in files:
-                    fs.delete(s.getPath(), False)
-            else:
-                (
-                    compacted.repartition(n_target)
-                    .write.mode("overwrite")
-                    .partitionBy(partition_col)
-                    .parquet(path)
-                )
-            report[value] = {
-                "files_before": len(files),
-                "files_after": len(_data_files(jdir)),
-                "bytes": int(nbytes),
-            }
+    for value, jdir in _part_dirs():
+        if partitions is not None and value not in partitions:
+            continue
+        files = _data_files(jdir)
+        nbytes = sum(s.getLen() for s in files)
+        n_target = max(1, -(-nbytes // int(target_file_bytes)))
+        if len(files) <= n_target:
+            continue
+        # 1. stage: write the compacted replacement next to the partition.
+        #    Reading jdir directly (not the table root) keeps the scan
+        #    partition-pruned — a plain read of `path` would relist every
+        #    partition per loop iteration, O(n_compacted x n_total)
+        #    metadata calls at scale.  The partition value is encoded in
+        #    the directory name, so the staged schema matches the hive
+        #    data files (no partition column).
+        stage = Path(staging_root, jdir.getName())
+        part_df = spark.read.parquet(jdir.toString())
+        part_df.repartition(n_target).write.mode("overwrite").parquet(stage.toString())
+        # 2. commit point: the manifest records the staged file names; from
+        #    here recovery rolls FORWARD through any crash inside the swap
+        _write_manifest(fs, Path, stage)
+        # 3-5. swap + cleanup
+        _swap_in_staged(jvm, fs, Path, jdir, stage)
+        _cleanup_stage(fs, Path, stage)
+        report[value] = {
+            "files_before": len(files),
+            "files_after": len(_data_files(jdir)),
+            "bytes": int(nbytes),
+        }
+    if fs.exists(staging_root) and len(fs.listStatus(staging_root)) == 0:
+        fs.delete(staging_root, True)
     return report
+
+
+_STAGING_DIR = ".compact_staging"
+_HIDDEN_ORIG = ".orig-"
+_MANIFEST = "_MANIFEST"
+
+
+def _stage_data_names(fs, jpath):
+    return [
+        s.getPath().getName()
+        for s in fs.listStatus(jpath)
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def _write_manifest(fs, Path, stage) -> None:
+    out = fs.create(Path(stage, _MANIFEST), True)
+    try:
+        out.write(bytearray("\n".join(_stage_data_names(fs, stage)).encode()))
+    finally:
+        out.close()
+
+
+def _read_manifest(jvm, fs, Path, stage) -> set:
+    p = Path(stage, _MANIFEST)
+    if not fs.exists(p):
+        return set()
+    ins = fs.open(p)
+    try:
+        # py4j passes byte[] by VALUE, so stream-into-buffer APIs
+        # (readFully) can't return data — decode JVM-side into a String
+        text = jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+    finally:
+        ins.close()
+    return {line for line in text.split("\n") if line}
+
+
+def _swap_in_staged(jvm, fs, Path, jdir, stage) -> None:
+    """Swap a committed (manifest-bearing) staged compaction into its
+    partition directory.  Every step is a per-file rename inside one
+    filesystem — no copy, and both generations' bytes exist on disk until
+    the final delete.  The manifest makes the swap resumable from any crash
+    point: a plain-named partition file is an original iff its name is NOT
+    in the manifest (original and staged names are distinct Spark
+    part-<uuid> names), so re-running the three loops below is idempotent.
+    """
+    staged_names = _read_manifest(jvm, fs, Path, stage)
+    # hide originals (skip already-moved-in staged files)
+    for s in list(fs.listStatus(jdir)):
+        name = s.getPath().getName()
+        if s.isFile() and not name.startswith(("_", ".")) and name not in staged_names:
+            fs.rename(s.getPath(), Path(jdir, _HIDDEN_ORIG + name))
+    # move staged files in under their manifest names
+    for s in list(fs.listStatus(stage)):
+        name = s.getPath().getName()
+        if s.isFile() and name in staged_names:
+            fs.rename(s.getPath(), Path(jdir, name))
+    # drop the hidden originals — the replacement is fully visible now
+    for s in list(fs.listStatus(jdir)):
+        name = s.getPath().getName()
+        if s.isFile() and name.startswith(_HIDDEN_ORIG):
+            fs.delete(s.getPath(), False)
+
+
+def _cleanup_stage(fs, Path, stage) -> None:
+    """Delete staging debris, manifest LAST: the manifest is the commit
+    marker, so it must outlive every other staged byte or a cleanup crash
+    would flip a committed swap back into the roll-back branch."""
+    for s in list(fs.listStatus(stage)):
+        if s.getPath().getName() != _MANIFEST:
+            fs.delete(s.getPath(), s.isDirectory())
+    fs.delete(Path(stage, _MANIFEST), False)
+    fs.delete(stage, True)
+
+
+def _recover_partition(jvm, fs, Path, root, stage) -> None:
+    """Resolve a swap interrupted by a crash, using the staging manifest as
+    the commit point.
+
+    - manifest present: the staged generation (staging files + any already
+      moved into the partition) is a complete snapshot — roll FORWARD by
+      re-running the idempotent swap.
+    - manifest absent: the staged write died mid-flight and the swap never
+      started — roll BACK (restore any hidden originals defensively, drop
+      the staged debris).
+    """
+    jdir = Path(root, stage.getName())
+    committed = fs.exists(Path(stage, _MANIFEST))
+    if committed and fs.exists(jdir):
+        _swap_in_staged(jvm, fs, Path, jdir, stage)
+    elif fs.exists(jdir):
+        for s in list(fs.listStatus(jdir)):
+            name = s.getPath().getName()
+            if s.isFile() and name.startswith(_HIDDEN_ORIG):
+                fs.rename(s.getPath(), Path(jdir, name[len(_HIDDEN_ORIG):]))
+    _cleanup_stage(fs, Path, stage) if committed else fs.delete(stage, True)

@@ -45,7 +45,7 @@ def _rollup_write_batch(
     """One micro-batch of rollup maintenance (module-level so tests can
     drive the crash-replay path directly).  See
     ``start_daily_rollup_maintenance`` for the idempotence argument."""
-    from ..sources.parquet import _dynamic_partition_overwrite, _event_date_expr
+    from ..sources.parquet import _event_date_expr
 
     spark = batch_df.sparkSession
     dated = batch_df.withColumn(
@@ -59,30 +59,33 @@ def _rollup_write_batch(
         days = [r["event_date"] for r in dated.select("event_date").distinct().collect()]
         if not days:
             return  # empty batch: no append job, no recompute
-        with _dynamic_partition_overwrite(spark):
-            # OVERWRITE the batch's own (event_date, _batch_id) partitions:
-            # a replayed batch rewrites its own directories with identical
-            # content instead of appending duplicates — this is what makes
-            # the raw table (and thus the rollup) replay-idempotent
-            (
-                dated.repartition("event_date")
-                .write.mode("overwrite")
-                .partitionBy("event_date", "_batch_id")
-                .parquet(raw_path)
-            )
+        # OVERWRITE the batch's own (event_date, _batch_id) partitions:
+        # a replayed batch rewrites its own directories with identical
+        # content instead of appending duplicates — this is what makes
+        # the raw table (and thus the rollup) replay-idempotent.  Dynamic
+        # mode rides on the writer (genuinely scoped), not the session
+        # conf — a conf flip would race with concurrently planned
+        # overwrites on the same session.
+        (
+            dated.repartition("event_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date", "_batch_id")
+            .parquet(raw_path)
+        )
         fresh = (
             spark.read.option("basePath", raw_path)
             .parquet(*[f"{raw_path}/event_date={d}" for d in days])
             .groupBy("event_date", group_col)
             .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sum_value"))
         )
-        with _dynamic_partition_overwrite(spark):
-            (
-                fresh.repartition("event_date")
-                .write.mode("overwrite")
-                .partitionBy("event_date")
-                .parquet(rollup_path)
-            )
+        (
+            fresh.repartition("event_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(rollup_path)
+        )
     finally:
         dated.unpersist()
 

@@ -516,3 +516,98 @@ def test_compact_partitions_deletes_zero_row_debris(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 10  # every real row survived
     assert compact_partitions(spark, p, target_file_bytes=1 << 30) == {}  # converged
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """Staged-swap durability: a driver crash at ANY point of the swap must
+    never lose rows.  Simulates the three crash windows by reconstructing
+    their on-disk states and re-running compact_partitions (whose recovery
+    preamble rolls back before the manifest commit point and forward after
+    it)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from imops_spark.sources.parquet import compact_partitions, write_time_partitioned
+
+    def mk_table(p):
+        for batch in range(3):
+            ev = spark.range(40).select(
+                (F.col("id") + batch * 1000).alias("event_id"),
+                F.col("id").alias("ts_sec"),
+                F.col("id").cast("double").alias("value"),
+            )
+            write_time_partitioned(ev, p, mode="append")
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+        )
+
+    def rows(p):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+        )
+
+    part = "event_date=1970-01-01"
+
+    # -- window A: crash before the commit point (staged write died: staged
+    #    data present, no _MANIFEST) -> roll back, then compact normally
+    p = str(tmp_path / "crash_precommit")
+    before = mk_table(p)
+    stage = os.path.join(p, ".compact_staging", part)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-halfwritten.parquet"), "wb") as f:
+        f.write(b"garbage")  # incomplete staged output, no manifest
+    report = compact_partitions(spark, p, target_file_bytes=1 << 30)
+    assert rows(p) == before
+    assert report[part.split("=")[1]]["files_after"] == 1
+    assert not os.path.exists(os.path.join(p, ".compact_staging"))
+
+    # -- window B: crash right after the commit point (staged copy complete
+    #    + _MANIFEST written, swap not started) -> roll FORWARD
+    p = str(tmp_path / "crash_committed")
+    before = mk_table(p)
+    pdir = os.path.join(p, part)
+    stage = os.path.join(p, ".compact_staging", part)
+    # build a committed staging dir: a real compacted copy of the partition
+    spark.read.parquet(pdir).repartition(1).write.mode("overwrite").parquet(stage)
+    staged = [f for f in os.listdir(stage) if not f.startswith((".", "_"))]
+    with open(os.path.join(stage, "_MANIFEST"), "w") as f:
+        f.write("\n".join(staged))
+    # partitions=[] plans no new work — isolates the recovery preamble
+    assert compact_partitions(spark, p, target_file_bytes=1 << 30, partitions=[]) == {}
+    assert rows(p) == before
+    live = [f for f in os.listdir(pdir) if not f.startswith((".", "_"))]
+    assert live == staged  # the staged generation replaced the originals
+    assert not os.path.exists(os.path.join(p, ".compact_staging"))
+
+    # -- window C: crash mid-swap (originals hidden, one staged file moved
+    #    in, manifest still present) -> roll forward finishes the swap
+    p = str(tmp_path / "crash_midswap")
+    before = mk_table(p)
+    pdir = os.path.join(p, part)
+    stage = os.path.join(p, ".compact_staging", part)
+    spark.read.parquet(pdir).repartition(2).write.mode("overwrite").parquet(stage)
+    staged = sorted(f for f in os.listdir(stage) if not f.startswith((".", "_")))
+    assert len(staged) == 2
+    with open(os.path.join(stage, "_MANIFEST"), "w") as f:
+        f.write("\n".join(staged))
+    # hide the originals, move ONE staged file in, "crash"
+    for f in list(os.listdir(pdir)):
+        if not f.startswith((".", "_")):
+            os.rename(os.path.join(pdir, f), os.path.join(pdir, ".orig-" + f))
+    os.rename(os.path.join(stage, staged[0]), os.path.join(pdir, staged[0]))
+    assert compact_partitions(spark, p, target_file_bytes=1 << 30, partitions=[]) == {}
+    assert rows(p) == before
+    live = sorted(
+        f for f in os.listdir(pdir) if not f.startswith((".", "_"))
+    )
+    assert live == staged  # both staged files live, originals gone
+    assert not any(f.startswith(".orig-") for f in os.listdir(pdir))
+    assert not os.path.exists(os.path.join(p, ".compact_staging"))
+    # a full run then compacts the recovered partition down to one file
+    report = compact_partitions(spark, p, target_file_bytes=1 << 30)
+    assert rows(p) == before
+    assert report["1970-01-01"]["files_after"] == 1
