@@ -1595,6 +1595,39 @@ def q_dd_lsh_stream(spark, sf_dir):
     return drained.distinct()
 
 
+def q_dd_lsh_sjoin(spark, sf_dir):
+    """LSH candidate pairs via a true stream-stream SELF-join: both sides of
+    every pair arrive on the stream and are buffered in Spark's symmetric
+    join state (watermark + event-time bound evict it) — the third streaming
+    dedup formulation next to the stateful operator (dd_lsh_stream) and the
+    persisted index.  All fixture timestamps sit inside the horizon, so a
+    one-shot drain equals the batch LSH self-join the oracle recomputes."""
+    from imops_spark.streaming.dedup import lsh_pairs_selfjoin_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            # synthetic event time: deterministic, spread over 100 s — far
+            # inside the 60 min horizon, so no pair is outside the window
+            F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id") % 100).alias(
+                "ts_t"
+            ),
+        )
+    )
+    out = lsh_pairs_selfjoin_stream(
+        stream, ts_col="ts_t", num_hashes=MINHASHES, bands=4, rows_per_band=2
+    )
+    drained = run_stream_to_memory(out, "dd_lsh_sjoin_gate", spark, mode="append")
+    # per-band emission duplicates collapse like the batch twin's .distinct()
+    return drained.distinct()
+
+
 def q_dd_near_stream(spark, sf_dir):
     """Streaming candidates + stream-static exact-Jaccard verification
     (array_intersect per pair — no aggregation, legal downstream of the
@@ -2443,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": q_dd_minhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "dd_lsh_stream": q_dd_lsh_stream,
+        "dd_lsh_sjoin": q_dd_lsh_sjoin,
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
         "dd_editsim": q_dd_editsim,
@@ -3453,6 +3487,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "dd_minhash": _minhash_select(),
         "dd_lsh_pairs": _lsh_pairs_sql(),
         "dd_lsh_stream": _lsh_pairs_sql(),
+        "dd_lsh_sjoin": _lsh_pairs_sql(),
         "dd_near_stream": _verified_pairs_sql(),
         "dd_editsim": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

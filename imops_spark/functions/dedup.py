@@ -81,15 +81,21 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
     return h.join(keep, on=["__h", "doc_id"], how="inner").drop("__h")
 
 
-def shingle_array_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+def shingle_array_df(
+    docs: DataFrame, k: int = 3, distinct: bool = True, carry: tuple = ()
+) -> DataFrame:
     """Word k-shingles per document as a row-local array: ``(doc_id, shingles)``.
 
     Tokens come from a whitespace split of normalized text; shingles are the
     space-joined k-grams — ``transform`` over token indices keeps everything
     JVM-side.  ``distinct=True`` dedups ROW-LOCALLY with ``array_distinct``
     (shingle sets are per-document, so no shuffle is ever needed).
+    ``carry`` names extra input columns to pass through unchanged (e.g. an
+    event-time column for streaming watermarks).
     """
-    toks = docs.select("doc_id", F.split(normalized_text(), r"\s+").alias("t"))
+    toks = docs.select(
+        "doc_id", *carry, F.split(normalized_text(), r"\s+").alias("t")
+    )
     n = F.size("t")
     arr = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -97,7 +103,7 @@ def shingle_array_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> Data
     )
     if distinct:
         arr = F.array_distinct(arr)
-    return toks.select("doc_id", arr.alias("shingles"))
+    return toks.select("doc_id", *carry, arr.alias("shingles"))
 
 
 def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
@@ -118,7 +124,9 @@ def _md5_hash_col(col, salt: int, part: int = 0):
     ).cast("long")
 
 
-def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> DataFrame:
+def minhash_signatures_df(
+    docs: DataFrame, num_hashes: int = 16, k: int = 3, carry: tuple = ()
+) -> DataFrame:
     """MinHash signatures: ``(doc_id, mh0..mh{H-1})``.
 
     ZERO shuffles: the shingle set is row-local (an array column), so the
@@ -138,7 +146,7 @@ def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> 
     # exchange and re-derive the whole shingle array inside the narrow scan
     # stage, serializing exactly the work the exchange parallelizes.
     sh = shingle_array_df(
-        _widen(docs.where(F.col("text").isNotNull())), k=k, distinct=True
+        _widen(docs.where(F.col("text").isNotNull())), k=k, distinct=True, carry=carry
     )
 
     # One digest array per salt, shared by the low/high half-signatures.
@@ -149,6 +157,7 @@ def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> 
 
     digs = sh.select(
         "doc_id",
+        *carry,
         *[digest(s).alias(f"__d{s}") for s in range((num_hashes + 1) // 2)],
     )
     cols = []
@@ -157,11 +166,11 @@ def minhash_signatures_df(docs: DataFrame, num_hashes: int = 16, k: int = 3) -> 
             F.transform(f"__d{i // 2}", lambda d: F.substring(d, 1 + 16 * (i % 2), 15))
         )
         cols.append(F.conv(sub, 16, 10).cast("long").alias(f"mh{i}"))
-    return digs.select("doc_id", *cols)
+    return digs.select("doc_id", *carry, *cols)
 
 
 def band_entries_df(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4, carry: tuple = ()
 ) -> DataFrame:
     """Banded bucket keys per doc: ``(doc_id, band, band_key)``.
 
@@ -177,8 +186,13 @@ def band_entries_df(
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
         entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
     return signatures.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+        "doc_id", *carry, F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("e.band").alias("band"),
+        F.col("e.band_key").alias("band_key"),
+    )
 
 
 def lsh_candidate_pairs_df(

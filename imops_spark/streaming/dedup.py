@@ -27,6 +27,7 @@ from ..functions.dedup import band_entries_df, minhash_signatures_df, shingle_ar
 
 __all__ = [
     "lsh_pairs_stream",
+    "lsh_pairs_selfjoin_stream",
     "verified_near_dup_stream",
     "start_lsh_index_maintenance",
 ]
@@ -89,6 +90,62 @@ def lsh_pairs_stream(
 
     return buckets.groupBy("band", "band_key").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def lsh_pairs_selfjoin_stream(
+    docs: DataFrame,
+    ts_col: str = "ts_t",
+    watermark: str = "10 seconds",
+    horizon_minutes: int = 60,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs as a true stream-stream SELF-join: BOTH sides of
+    every pair arrive on the stream and are buffered by Spark's symmetric
+    join state — no custom state operator (contrast ``lsh_pairs_stream``,
+    which hand-manages per-bucket state in ``applyInPandasWithState``).
+
+    Band entries are row-local column expressions carrying the event-time
+    column through (``carry=(ts_col,)``), then the entry stream is joined
+    with itself on ``(band, band_key)`` with ``doc_a < doc_b`` ordering and
+    a symmetric event-time bound ``|ts_a - ts_b| <= horizon_minutes``.  The
+    watermark + time bound are what let Structured Streaming evict buffered
+    entries: a row is droppable once the watermark passes
+    ``its ts + horizon``, so state is bounded by (watermark + horizon) ×
+    arrival rate on an unbounded stream — the semantic trade vs
+    ``lsh_pairs_stream`` is explicit: pairs farther apart than the horizon
+    are NOT emitted (corpus-lifetime dedup needs the stateful-operator or
+    persisted-index formulation; bounded-window dedup gets join-state
+    eviction for free).
+
+    Inner-join matches emit as soon as both rows arrived, so a one-shot
+    drain over a fixture whose timestamps all fit in the horizon equals the
+    batch ``lsh_candidate_pairs_df`` up to the same cross-band duplicate
+    caveat (consumer dedups downstream).  The shuffle keys both sides by
+    the join keys — band buckets spread across executors, no broadcast of
+    an unbounded side.
+    """
+    from ..functions.dedup import band_entries_df, minhash_signatures_df
+
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, carry=(ts_col,))
+    buckets = band_entries_df(
+        sigs, bands=bands, rows_per_band=rows_per_band, carry=(ts_col,)
+    ).withWatermark(ts_col, watermark)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col(f"b.{ts_col}") >= F.col(f"a.{ts_col}") - horizon)
+        & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}") + horizon)
+    )
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
 

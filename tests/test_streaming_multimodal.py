@@ -996,3 +996,64 @@ def test_daily_rollup_maintenance_recompute_is_idempotent(spark, tmp_path):
     back = spark.read.parquet(raw)
     assert back.filter("event_date = '__unknown__'").count() == 1
     assert back.count() == 5
+
+
+def test_lsh_selfjoin_stream_matches_batch(spark, tmp_path):
+    """Stream-stream SELF-join dedup: both sides of every pair arrive on the
+    stream across three micro-batches; Spark's symmetric join state must
+    buffer earlier batches so cross-batch pairs still emit, and the drained
+    set must equal the batch LSH pairs (after cross-band distinct)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import lsh_candidate_pairs_df, minhash_signatures_df
+    from imops_spark.streaming.dedup import lsh_pairs_selfjoin_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    d = tmp_path / "sjstream"
+    d.mkdir()
+    n = len(pdf)
+    thirds = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+    for i, part in enumerate(thirds):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn(
+            # deterministic event time, all inside the horizon; generous
+            # watermark below so no batch-order lateness drops rows
+            "ts_t",
+            F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id") % 100),
+        )
+    )
+    out = lsh_pairs_selfjoin_stream(
+        stream, ts_col="ts_t", watermark="1 hour", horizon_minutes=60,
+        num_hashes=8, bands=4, rows_per_band=2,
+    )
+    got_rows = run_stream_to_memory(out, "lsh_sjoin_stream", spark).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    exp = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_df(
+            minhash_signatures_df(docs, num_hashes=8), bands=4, rows_per_band=2
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
+    # cross-batch coverage: at least one pair spans two different thirds —
+    # provable only if the join buffered earlier batches
+    tiers = {}
+    for i, part in enumerate(thirds):
+        for doc in part["doc_id"]:
+            tiers[int(doc)] = i
+    assert any(tiers[a] != tiers[b] for a, b in got), "no cross-batch pair emitted"
