@@ -34,6 +34,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same memoization for the events table: load_events pays file listing,
+    # schema resolution (under the nanosAsLong conf), and the ts_sec
+    # normalization — all analysis-time work identical across the 20+ event
+    # gates, and the result is an immutable logical plan.
+    from imops_spark.functions.events import load_events
+
+    key = (spark.sparkContext.applicationId, sf_dir, "__events__")
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = load_events(spark, sf_dir)
+        _T_CACHE[key] = df
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -107,24 +122,23 @@ def q_label_sizes(spark, sf_dir):
 def q_interp1d(spark, sf_dir):
     """interp1d (#3): as-of/range join of queries into lead()-built knot
     intervals + lerp."""
-    from imops_spark.functions.events import asof_interpolate_df, load_events
+    from imops_spark.functions.events import asof_interpolate_df
 
-    return asof_interpolate_df(load_events(spark, sf_dir))
+    return asof_interpolate_df(_events(spark, sf_dir))
 
 
 def q_dilation(spark, sf_dir):
     """binary_dilation (#5): neighbor-offset broadcast join + any() reduce."""
-    from imops_spark.functions.events import load_events, neighborhood_flag_df
+    from imops_spark.functions.events import neighborhood_flag_df
 
-    return neighborhood_flag_df(load_events(spark, sf_dir))
+    return neighborhood_flag_df(_events(spark, sf_dir))
 
 
 def q_erosion(spark, sf_dir):
     """binary_erosion (#6): all-neighbor bool_and, missing neighbors count
     True (the reference's erosion border rule, _morphology.pyx:222-227)."""
-    from imops_spark.functions.events import load_events
 
-    events = load_events(spark, sf_dir)
+    events = _events(spark, sf_dir)
     bucket = F.floor(F.col("ts_sec") / 600)
     flags = events.groupBy(F.col("user_id"), bucket.alias("b")).agg(
         F.max(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("flag")
@@ -141,9 +155,8 @@ def q_erosion(spark, sf_dir):
 def q_sliding_window(spark, sf_dir):
     """Sliding windows (streaming §2.2): 10-min windows sliding by 5 — each
     event lands in 2 windows via a broadcast offset explode."""
-    from imops_spark.functions.events import load_events
 
-    events = load_events(spark, sf_dir)
+    events = _events(spark, sf_dir)
     half = F.floor(F.col("ts_sec") / 300)  # 5-min half-windows
     tagged = events.select(half.alias("h"), "value")
     offsets = spark.createDataFrame([(0,), (1,)], "o int")
@@ -1847,9 +1860,9 @@ def q_evt_sessions_stream(spark, sf_dir):
 
 
 def q_evt_window(spark, sf_dir):
-    from imops_spark.functions.events import load_events, tumbling_window_df
+    from imops_spark.functions.events import tumbling_window_df
 
-    return tumbling_window_df(load_events(spark, sf_dir))
+    return tumbling_window_df(_events(spark, sf_dir))
 
 
 def q_tpch_rollup(spark, sf_dir):
@@ -1877,9 +1890,8 @@ def q_tpch_rollup(spark, sf_dir):
 def q_evt_running(spark, sf_dir):
     """Running (cumulative) per-user aggregate ordered by (ts, event_id) —
     the unbounded-preceding window frame, §2.2 window functions."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_sec", "event_id")
@@ -1897,9 +1909,8 @@ def q_evt_json(spark, sf_dir):
     """JSON column functions (§2.2 scalar functions): parse the props JSON
     payload per event and aggregate an extracted field — Spark
     get_json_object vs DuckDB json_extract, two independent JSON parsers."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
@@ -1912,9 +1923,8 @@ def q_evt_antijoin(spark, sf_dir):
     """Set difference (§2.2 set ops): users who clicked but never purchased —
     a left_anti join; the oracle uses EXCEPT, a different formulation of the
     same algebra."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     big_buyers = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90.0))
@@ -1940,9 +1950,8 @@ def q_evt_median(spark, sf_dir):
     interpolation) vs DuckDB quantile_cont — same math, two engines.
     ROUND(5): interpolated midpoints can land on 1e-7-grain values where
     double rounding at 6 digits disagrees in the last ulp."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 5).alias("median_value"),
         F.round(F.expr("percentile(value, 0.9)"), 5).alias("p90_value"),
@@ -1976,9 +1985,8 @@ def q_evt_pivot(spark, sf_dir):
     pairs with the explicit value list avoiding the extra distinct-values
     job; the oracle is conditional aggregation — same algebra, no PIVOT
     syntax dependence."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     types = ["click", "view", "purchase", "signup", "error"]
     return (
         ev.groupBy("user_id")
@@ -2016,9 +2024,8 @@ def q_evt_lag(spark, sf_dir):
     the previous event and id of the next one under the total
     (ts_sec, event_id) ordering; boundary NULLs coalesced to sentinels so
     the hash compare is deterministic."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     return ev.select(
         "user_id",
@@ -2034,9 +2041,8 @@ def q_evt_intersect(spark, sf_dir):
     """INTERSECT (§2.2 set ops): users who both clicked and purchased —
     Spark rewrites intersect to a left-semi aggregate; the oracle runs
     DuckDB's native INTERSECT."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers)
@@ -2046,9 +2052,8 @@ def q_evt_ntile(spark, sf_dir):
     """ntile + percent_rank (§2.2 window functions) under the total
     per-user (ts_sec, event_id) ordering — rank arithmetic must agree
     across engines exactly; percent_rank rounded at a tie-free grain."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     return ev.select(
         "user_id",
@@ -2063,9 +2068,8 @@ def q_evt_gsets(spark, sf_dir):
     aggregations) — distinct from the gated ROLLUP/CUBE prefixes/power set:
     (type, bucket), (type), (bucket), () in one pass.  GROUPING() ids
     disambiguate "NULL because aggregated" from data NULLs."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir).select(
+    ev = _events(spark, sf_dir).select(
         "event_type", F.pmod("user_id", F.lit(4)).alias("bucket"), "value"
     )
     ev.createOrReplaceTempView("evt_gsets_src")
@@ -2087,9 +2091,8 @@ def q_evt_range_frame(spark, sf_dir):
     trailing 60-second sum/count.  Unlike the gated ROWS frames, the frame
     is defined by the ORDER-BY VALUE — peers at the same ts_sec share one
     frame, so the result is set-determined and tie-proof by construction."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-59, 0)
     return ev.select(
         "user_id",
@@ -2105,9 +2108,8 @@ def q_evt_nullsafe(spark, sf_dir):
     the NULL<=>NULL bucket must actually match (a plain equi-join would drop
     it) — the semantics dedup pipelines rely on when keying by optional
     fields."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     a = ev.groupBy(
         F.nullif(F.pmod("user_id", F.lit(7)), F.lit(3)).alias("grp")
     ).agg(F.count(F.lit(1)).alias("n_users_side"))
@@ -2164,9 +2166,8 @@ def q_evt_stats(spark, sf_dir):
     correlation, and least-squares slope per event type — numerically
     touchy aggregates (sum-of-squares accumulators differ between engines)
     rounded where both engines' ~1e-10 accumulation error cannot reach."""
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir).select(
+    ev = _events(spark, sf_dir).select(
         "event_type", "value", F.col("user_id").cast("double").alias("uid")
     )
     return ev.groupBy("event_type").agg(
@@ -2270,9 +2271,9 @@ def q_evt_asof(spark, sf_dir):
     last(ignorenulls) window trick (no range join, no interval explosion);
     the oracle is DuckDB's NATIVE ASOF JOIN — two different algorithms,
     one answer."""
-    from imops_spark.functions.events import asof_join_df, load_events
+    from imops_spark.functions.events import asof_join_df
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     knots = (
         ev.filter(F.col("event_id") % 50 == 0)
         .groupBy("ts_sec")
@@ -2285,9 +2286,8 @@ def q_evt_asof(spark, sf_dir):
 
 
 def _asof_fixture(spark, sf_dir):
-    from imops_spark.functions.events import load_events
 
-    ev = load_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     knots = (
         ev.filter(F.col("event_id") % 50 == 0)
         .groupBy("ts_sec")
@@ -2330,9 +2330,8 @@ def q_evt_closing(spark, sf_dir):
     dense-voxel contract requires), each pass one RANGE window."""
     from pyspark.sql.window import Window
 
-    from imops_spark.functions.events import load_events
 
-    events = load_events(spark, sf_dir)
+    events = _events(spark, sf_dir)
     bucket = F.floor(F.col("ts_sec") / 600)
     flags = events.groupBy("user_id", bucket.alias("b")).agg(
         F.max(F.when(F.col("value") > 90.0, 1).otherwise(0)).alias("flag")
@@ -2358,9 +2357,8 @@ def q_evt_pipeline(spark, sf_dir):
     `curate` gate for the array-operator half of the engine."""
     from pyspark.sql.window import Window
 
-    from imops_spark.functions.events import load_events
 
-    events = load_events(spark, sf_dir)
+    events = _events(spark, sf_dir)
     bucket = F.floor(F.col("ts_sec") / 600)
     flags = events.groupBy("user_id", bucket.alias("b")).agg(
         F.max(F.when(F.col("value") > 90.0, 1).otherwise(0)).alias("flag")
@@ -2404,18 +2402,18 @@ def q_evt_sliding_stream(spark, sf_dir):
 
 
 def q_evt_sessions(spark, sf_dir):
-    from imops_spark.functions.events import load_events, sessionize_df
+    from imops_spark.functions.events import sessionize_df
 
-    return sessionize_df(load_events(spark, sf_dir))
+    return sessionize_df(_events(spark, sf_dir))
 
 
 def q_evt_neighbor(spark, sf_dir):
     """1-D binary-dilation pattern on the events table: per (user, 10-min
     bucket), did any event in the ±1-bucket neighborhood exceed the
     threshold — a RANGE window over present neighbors, one shuffle."""
-    from imops_spark.functions.events import load_events, neighborhood_flag_df
+    from imops_spark.functions.events import neighborhood_flag_df
 
-    return neighborhood_flag_df(load_events(spark, sf_dir))
+    return neighborhood_flag_df(_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

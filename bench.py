@@ -130,12 +130,18 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+    # Keep the cross-round trend line honest: round 4 added five TPC-H
+    # heavies mid-series, so the full total is not comparable to BENCH_r03
+    # and earlier — also publish the shared original-25 subtotal.
+    added_r4 = {"tpch_q9", "tpch_q13", "tpch_q18", "tpch_q21", "tpch_q21_1scan"}
+    shared25 = round(sum(v for k, v in timings.items() if k not in added_r4), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_shared25": shared25,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),

