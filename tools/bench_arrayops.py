@@ -23,6 +23,10 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 QUICK = "--quick" in sys.argv
+RUNS = 1
+for i, a in enumerate(sys.argv):
+    if a == "--runs" and i + 1 < len(sys.argv):
+        RUNS = int(sys.argv[i + 1])
 
 
 def t(fn, *args, repeat=3, **kw):
@@ -36,7 +40,15 @@ def t(fn, *args, repeat=3, **kw):
     return best * 1000  # ms
 
 
-def main():
+def measure():
+    """One full measurement pass; returns [(name, ms, ref_cython, ref_scipy)].
+
+    ``--runs N`` repeats the whole pass and reports per-row MEDIANS with the
+    observed range: the 16-thread kernels (EDT, radon, iradon) drift ±25-30%
+    across full passes on this box even when idle at start (thermal /
+    co-tenant effects a within-pass min-of-k cannot see), so a single pass
+    over-claims whichever direction it happened to land.
+    """
     from imops_spark import get_spark
     from imops_spark.kernels import dilation_numpy, erosion_numpy, zoom_numpy
     from imops_spark.operators.morphology import footprint_offsets, generate_binary_structure
@@ -215,21 +227,62 @@ def main():
             None,
         )
     )
+    blobs.unpersist()
+    mblobs.unpersist()
+    tf.df.unpersist()
+    return rows
 
+
+def main():
+    if "--one-pass" in sys.argv:
+        # subprocess worker: one measurement pass, rows as one JSON line
+        import json
+
+        print("PASS_JSON:" + json.dumps(measure()))
+        return
+
+    if RUNS == 1:
+        passes = [measure()]
+    else:
+        # each pass in its OWN subprocess (fresh JVM, fresh numpy heap):
+        # in-process repetition contaminates later passes — kernel table
+        # caches, JVM/code-cache state and allocator fragmentation inflated
+        # the 16-thread rows up to 3.7x by pass 3 (the same effect the
+        # scaling probe fixed in round 4 with per-size subprocesses)
+        import json
+        import subprocess
+
+        passes = []
+        for _ in range(RUNS):
+            args = [sys.executable, __file__, "--one-pass"]
+            if QUICK:
+                args.append("--quick")
+            out = subprocess.run(args, capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("PASS_JSON:")][-1]
+            passes.append([tuple(r) for r in json.loads(line[len("PASS_JSON:"):])])
+    rows = []
+    for i, (name, _, cy, sp) in enumerate(passes[0]):
+        vals = sorted(p[i][1] for p in passes)
+        med = vals[len(vals) // 2]
+        rows.append((name, med, min(vals), max(vals), cy, sp))
+
+    span = "" if RUNS == 1 else " (range)"
     lines = [
         "# ARRAYOPS_BENCH — array-operator timings vs BASELINE.md",
         "",
         "Single-volume udf-path kernels at the reference's workload sizes",
         "(BASELINE.md cites Cython-8-thread and Scipy columns, ms/call), plus a",
         "join-path batch throughput sample. Machine: this container (local[32]).",
+        f"Protocol: median of {RUNS} full pass(es), min-of-k calls within a pass.",
         "",
-        "| workload | ours (ms) | ref Cython (ms) | ref Scipy (ms) |",
+        f"| workload | ours (ms){span} | ref Cython (ms) | ref Scipy (ms) |",
         "|---|---|---|---|",
     ]
-    for name, ms, cy, sp in rows:
+    for name, med, lo, hi, cy, sp in rows:
         cy_s = f"{cy}" if cy else "—"
         sp_s = f"{sp}" if sp else "—"
-        lines.append(f"| {name} | {ms:.0f} | {cy_s} | {sp_s} |")
+        ours = f"{med:.0f}" if RUNS == 1 else f"{med:.0f} ({lo:.0f}-{hi:.0f})"
+        lines.append(f"| {name} | {ours} | {cy_s} | {sp_s} |")
     lines += [
         "",
         "Notes:",
@@ -246,6 +299,12 @@ def main():
         "  compare throughput per voxel, not raw ms.",
         "- the join path adds fixed per-job overhead (~0.5 s) that amortizes over",
         "  datasets; it exists for volumes that exceed one machine.",
+        "- iradon blocking follow-through (round-5 experiment): the auto block",
+        "  size (~3M (angle,pixel) samples/block = ~16.6k pixels at 180 angles)",
+        "  sits at the measured optimum of a 4k-64k-pixel sweep (2.0 s vs 6.4 s",
+        "  at 4k and 5.6 s at 64k, 32-slice probe); preallocated np.take gather",
+        "  buffers were ~20% SLOWER than fresh fancy-index temporaries.  No",
+        "  further win taken — the r4 pixel-blocking already captured it.",
     ]
     with open("/root/repo/ARRAYOPS_BENCH.md", "w") as f:
         f.write("\n".join(lines) + "\n")
