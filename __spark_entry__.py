@@ -2407,6 +2407,32 @@ def q_evt_sessions(spark, sf_dir):
     return sessionize_df(_events(spark, sf_dir))
 
 
+def q_evt_session_native(spark, sf_dir):
+    """Gap sessionization via Spark's NATIVE session_window aggregation (the
+    streaming-legal built-in merge-on-gap windowing; contrast the
+    applyInPandasWithState formulation gated as evt_sessions_stream and the
+    batch window formulation of evt_sessions).  A new session starts when
+    the gap to the previous event is >= 30 min (window end is exclusive:
+    end = last_ts + gap); the oracle recomputes the same islands with
+    LAG + running SUM of breaks."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("ts_t", F.timestamp_seconds("ts_sec"))
+        .groupBy("user_id", F.session_window("ts_t", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("start_sec"),
+            F.unix_timestamp("w.end").alias("end_sec"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_evt_neighbor(spark, sf_dir):
     """1-D binary-dilation pattern on the events table: per (user, 10-min
     bucket), did any event in the ±1-bucket neighborhood exceed the
@@ -2509,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_topk_stream": q_evt_topk_stream,
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
+        "evt_session_native": q_evt_session_native,
         "evt_neighbor": q_evt_neighbor,
         "evt_asof": q_evt_asof,
         "evt_asof_fwd": q_evt_asof_fwd,
@@ -4142,5 +4169,36 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event_id
             FROM s GROUP BY user_id, session_seq
+        """,
+        "evt_session_native": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+                     value
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, ts_sec, value,
+                     CASE WHEN ts_sec - LAG(ts_sec)
+                               OVER (PARTITION BY user_id ORDER BY ts_sec)
+                               >= 1800
+                          OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, ts_sec, value,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sid
+              FROM g
+            )
+            SELECT user_id,
+                   MIN(ts_sec) AS start_sec,
+                   MAX(ts_sec) + 1800 AS end_sec,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
     }

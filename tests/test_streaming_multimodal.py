@@ -1057,3 +1057,43 @@ def test_lsh_selfjoin_stream_matches_batch(spark, tmp_path):
         for doc in part["doc_id"]:
             tiers[int(doc)] = i
     assert any(tiers[a] != tiers[b] for a, b in got), "no cross-batch pair emitted"
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Native session_window aggregation on a STREAM (complete mode, one-shot
+    drain) must equal the batch session_window aggregation — the built-in
+    merge-on-gap windowing is the streaming-legal sessionizer next to the
+    applyInPandasWithState formulation."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.streaming.events import run_stream_to_memory, stream_events
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def sessions(ev):
+        return (
+            ev.groupBy("user_id", F.session_window("ts_t", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp("w.start").alias("start_sec"),
+                F.unix_timestamp("w.end").alias("end_sec"),
+                "n_events",
+            )
+        )
+
+    from imops_spark.functions.events import load_events
+
+    batch = load_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_seconds("ts_sec")
+    )
+    exp = {tuple(r) for r in sessions(batch).collect()}
+    out = sessions(stream_events(spark, sf_dir))
+    got = {
+        tuple(r)
+        for r in run_stream_to_memory(
+            out, "session_native_stream", spark, mode="complete"
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
