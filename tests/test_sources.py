@@ -611,3 +611,105 @@ def test_compact_partitions_crash_recovery(spark, tmp_path):
     report = compact_partitions(spark, p, target_file_bytes=1 << 30)
     assert rows(p) == before
     assert report["1970-01-01"]["files_after"] == 1
+
+
+def test_compact_partitions_crash_exhaustive(spark, tmp_path):
+    """Durability sweep: crash after EVERY k-th filesystem mutation of the
+    swap+cleanup sequence (rename/delete/create), then run recovery.  For
+    all k, the table's rows must be exactly preserved — the staged-swap
+    protocol's core claim is that no single crash point can lose data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imops_spark.sources.parquet import (
+        _cleanup_stage,
+        _swap_in_staged,
+        _write_manifest,
+        compact_partitions,
+        write_time_partitioned,
+    )
+
+    class CrashError(Exception):
+        pass
+
+    class CrashingFS:
+        """Delegating proxy around the Hadoop FS that raises after a budget
+        of MUTATING calls (listStatus/exists are free: crashes happen on
+        state changes, reads just advance the schedule)."""
+
+        def __init__(self, fs, budget):
+            self._fs = fs
+            self._budget = budget
+
+        def __getattr__(self, name):
+            real = getattr(self._fs, name)
+            if name not in ("rename", "delete", "create"):
+                return real
+
+            def guarded(*a, **kw):
+                if self._budget <= 0:
+                    raise CrashError(name)
+                self._budget -= 1
+                return real(*a, **kw)
+
+            return guarded
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    part = "event_date=1970-01-01"
+
+    def jvm_fs(p):
+        return Path(p).getFileSystem(hconf)
+
+    def build(p):
+        for batch in range(3):
+            ev = spark.range(30).select(
+                (F.col("id") + batch * 1000).alias("event_id"),
+                F.col("id").alias("ts_sec"),
+                F.col("id").cast("double").alias("value"),
+            )
+            write_time_partitioned(ev, p, mode="append")
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+        )
+
+    def stage_copy(p):
+        stage = os.path.join(p, ".compact_staging", part)
+        spark.read.parquet(os.path.join(p, part)).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        fs = jvm_fs(p)
+        _write_manifest(fs, Path, Path(stage))
+        return stage
+
+    k = 0
+    while True:
+        p = str(tmp_path / f"crash_k{k}")
+        before = build(p)
+        stage = stage_copy(p)
+        fs = jvm_fs(p)
+        crasher = CrashingFS(fs, k)
+        jdir, jstage = Path(p, part), Path(stage)
+        crashed = False
+        try:
+            _swap_in_staged(jvm, crasher, Path, jdir, jstage)
+            _cleanup_stage(crasher, Path, jstage)
+        except CrashError:
+            crashed = True
+        # recovery: a fresh compact_partitions run resolves the debris
+        compact_partitions(spark, p, target_file_bytes=1 << 30, partitions=[])
+        after = sorted(
+            tuple(r)
+            for r in spark.read.parquet(p).select("event_id", "ts_sec", "value").collect()
+        )
+        assert after == before, f"row loss after crash at mutation {k}"
+        assert not os.path.exists(os.path.join(p, ".compact_staging")), k
+        d = os.path.join(p, part)
+        assert not any(f.startswith(".orig-") for f in os.listdir(d)), k
+        if not crashed:
+            break  # k exceeded the total mutation count: full sweep done
+        k += 1
+    assert k >= 5, f"sweep only covered {k} mutations — protocol changed?"
