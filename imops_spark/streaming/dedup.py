@@ -28,6 +28,7 @@ from ..functions.dedup import band_entries_df, minhash_signatures_df, shingle_ar
 __all__ = [
     "lsh_pairs_stream",
     "lsh_pairs_selfjoin_stream",
+    "unique_docs_selfjoin_stream",
     "verified_near_dup_stream",
     "start_lsh_index_maintenance",
 ]
@@ -102,11 +103,20 @@ def lsh_pairs_selfjoin_stream(
     k: int = 3,
     bands: int = 4,
     rows_per_band: int = 2,
+    how: str = "inner",
 ) -> DataFrame:
     """LSH candidate pairs as a true stream-stream SELF-join: BOTH sides of
     every pair arrive on the stream and are buffered by Spark's symmetric
     join state — no custom state operator (contrast ``lsh_pairs_stream``,
     which hand-manages per-bucket state in ``applyInPandasWithState``).
+
+    ``how='left_outer'`` additionally emits every left band entry with a
+    NULL ``doc_b`` once the watermark proves no in-horizon mate can still
+    arrive (watermark-driven, like every streaming outer join); the output
+    then carries ``ts`` (the left event time) so downstream windowed
+    aggregation — e.g. :func:`unique_docs_selfjoin_stream` — remains legal.
+    In the outer shape the doc-order predicate is dropped (each side must
+    independently prove it has no mate, smaller or larger).
 
     Band entries are row-local column expressions carrying the event-time
     column through (``carry=(ts_col,)``), then the entry stream is joined
@@ -130,6 +140,8 @@ def lsh_pairs_selfjoin_stream(
     """
     from ..functions.dedup import band_entries_df, minhash_signatures_df
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"lsh_pairs_selfjoin_stream supports inner/left_outer, got {how!r}")
     sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, carry=(ts_col,))
     buckets = band_entries_df(
         sigs, bands=bands, rows_per_band=rows_per_band, carry=(ts_col,)
@@ -140,12 +152,67 @@ def lsh_pairs_selfjoin_stream(
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.col(f"b.{ts_col}") >= F.col(f"a.{ts_col}") - horizon)
         & (F.col(f"b.{ts_col}") <= F.col(f"a.{ts_col}") + horizon)
     )
-    return a.join(b, cond).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if how == "inner":
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    # outer: keep self-matches out, keep ts for downstream windowed aggs
+    cond = cond & (F.col("a.doc_id") != F.col("b.doc_id"))
+    return a.join(b, cond, "left_outer").select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col(f"a.{ts_col}").alias(ts_col),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+
+
+def unique_docs_selfjoin_stream(
+    docs: DataFrame,
+    ts_col: str = "ts_t",
+    watermark: str = "10 seconds",
+    horizon_minutes: int = 60,
+    window_minutes: int = 120,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming uniqueness filter: ``(window, doc_id)`` for documents with
+    NO LSH bucket-mate within the horizon — the ingestion-time "keep only
+    first-of-its-kind" complement of the near-dup pair stream.
+
+    Shape: left_outer stream-stream self-join (per band entry, NULL
+    ``doc_b`` flushes once the watermark proves no in-horizon mate exists)
+    stacked with a windowed all-NULL aggregation — a doc is unique iff
+    EVERY band entry flushed unmatched, i.e. ``max(doc_b) IS NULL`` over
+    its window group.  Multi-stateful append-mode stacking (Spark >= 3.5
+    watermark propagation) makes this a single continuous query; emission
+    needs the watermark to pass join-horizon + window-close, so results
+    trail ingestion by that delay — the inherent price of proving a
+    negative on a stream.
+    """
+    pairs = lsh_pairs_selfjoin_stream(
+        docs,
+        ts_col=ts_col,
+        watermark=watermark,
+        horizon_minutes=horizon_minutes,
+        num_hashes=num_hashes,
+        k=k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        how="left_outer",
+    )
+    return (
+        pairs.groupBy(
+            F.window(ts_col, f"{int(window_minutes)} minutes").alias("w"),
+            F.col("doc_a").alias("doc_id"),
+        )
+        .agg(F.max("doc_b").alias("__mate"))
+        .where(F.col("__mate").isNull())
+        .select(F.col("w.start").alias("window_start"), "doc_id")
     )
 
 

@@ -1097,3 +1097,74 @@ def test_session_window_stream_matches_batch(spark):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_unique_docs_selfjoin_stream(spark, tmp_path):
+    """Streaming uniqueness: left_outer stream-stream self-join stacked with
+    a windowed all-NULL aggregation (Spark >= 3.5 multi-stateful append
+    mode).  A sentinel batch far in the future flushes both watermarks; the
+    emitted set must be exactly the batch LSH 'no candidate pair' docs."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import lsh_candidate_pairs_df, minhash_signatures_df
+    from imops_spark.streaming.dedup import unique_docs_selfjoin_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.toPandas().sort_values("doc_id")
+    d = tmp_path / "ustream"
+    d.mkdir()
+    n = len(pdf)
+    halves = [pdf.iloc[: n // 2], pdf.iloc[n // 2 :]]
+    for i, part in enumerate(halves):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+    # sentinel: one far-future doc to push the watermark past
+    # join-horizon + window-close for everything above
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": [10**9], "text": ["sentinel flush document"]}),
+            preserve_index=False,
+        ),
+        d / "b9.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn(
+            "ts_t",
+            F.when(
+                F.col("doc_id") < 10**9,
+                F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id") % 100),
+            ).otherwise(F.timestamp_seconds(F.lit(10_000_000))),
+        )
+    )
+    out = unique_docs_selfjoin_stream(
+        stream, ts_col="ts_t", watermark="10 seconds", horizon_minutes=60,
+        window_minutes=120, num_hashes=8, bands=4, rows_per_band=2,
+    )
+    got = {
+        int(r["doc_id"])
+        for r in run_stream_to_memory(out, "unique_stream", spark).collect()
+    }
+    paired = lsh_candidate_pairs_df(
+        minhash_signatures_df(docs, num_hashes=8), bands=4, rows_per_band=2
+    )
+    dup_ids = {
+        int(r[0])
+        for r in paired.selectExpr("doc_a AS d").union(paired.selectExpr("doc_b AS d")).collect()
+    }
+    all_ids = {int(x) for x in pdf["doc_id"]}
+    exp = all_ids - dup_ids  # sentinel excluded: its window never flushes
+    assert got == exp
+    assert len(got) > 0
