@@ -186,6 +186,13 @@ def probe_one_size(n: int) -> dict[str, float]:
                 {"0": 1.0, "1": 0.5, "2": 0.25},
                 key_col="doc_id",
             ),
+            # merge-on-gap sessionization: one shuffle on the session keys
+            "evt_session_native": lambda: docs.select(
+                F.pmod("doc_id", F.lit(500)).alias("user_id"),
+                F.timestamp_seconds((F.col("doc_id") * 127) % 100_000).alias("ts_t"),
+            )
+            .groupBy("user_id", F.session_window("ts_t", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n")),
             # 90% of the fact on one key: full salting must stay linear
             "salted_join": lambda: salted_join(
                 emb.select(
