@@ -185,10 +185,13 @@ def connected_components_df(
     e = edges.select(*parts, "src", "dst")
 
     stars = _contract_stars(e, parts).localCheckpoint()
-    n_stars = stars.count()
+    # Fused size-probe + collect: pull threshold+1 rows — if the limit did
+    # not truncate we already hold the WHOLE contracted graph and the
+    # count job is redundant (one job instead of two on the checkpointed
+    # frame; at cluster scale a job is a scheduling round-trip either way)
+    pdf = stars.limit(driver_solve_threshold + 1).toPandas()
 
-    if n_stars <= driver_solve_threshold:
-        pdf = stars.toPandas()
+    if len(pdf) <= driver_solve_threshold:
         if len(pdf) == 0:
             mapping = None
         else:

@@ -1168,3 +1168,13 @@ def test_unique_docs_selfjoin_stream(spark, tmp_path):
     exp = all_ids - dup_ids  # sentinel excluded: its window never flushes
     assert got == exp
     assert len(got) > 0
+
+
+def test_lsh_selfjoin_stream_rejects_bad_how(spark):
+    import pytest as _pytest
+
+    from imops_spark.streaming.dedup import lsh_pairs_selfjoin_stream
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="inner/left_outer"):
+        lsh_pairs_selfjoin_stream(docs, how="full_outer")
