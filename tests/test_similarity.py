@@ -431,3 +431,51 @@ def test_ivfpq_realistic_recall_and_partition_prune(spark, tmp_path):
     hits = sum(len(got.get(q, set()) & nbrs) for q, nbrs in exact.items())
     total = sum(len(nbrs) for nbrs in exact.values())
     assert hits / total >= 0.5, (hits, total)
+
+
+@pytest.mark.parametrize("num_hashes,k", [(4, 2), (8, 3), (7, 4)])
+def test_minhash_sql_build_matches_lambda_build(spark, num_hashes, k):
+    """The single-parse SQL formulation of the MinHash pipeline must be
+    value-identical to the original lambda-based Column-API formulation
+    (kept here as the oracle) for odd/even hash counts and shingle sizes."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import minhash_signatures_df, normalized_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+
+    # oracle: the pre-round-5 lambda-based build
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split(normalized_text(), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+        )
+    )
+    sh = toks.select("doc_id", arr.alias("shingles"))
+
+    def digest(s):
+        return F.transform("shingles", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+
+    digs = sh.select(
+        "doc_id",
+        *[digest(s).alias(f"__d{s}") for s in range((num_hashes + 1) // 2)],
+    )
+    cols = []
+    for i in range(num_hashes):
+        sub = F.array_min(
+            F.transform(f"__d{i // 2}", lambda d: F.substring(d, 1 + 16 * (i % 2), 15))
+        )
+        cols.append(F.conv(sub, 16, 10).cast("long").alias(f"mh{i}"))
+    exp = {tuple(r) for r in digs.select("doc_id", *cols).collect()}
+
+    got = {
+        tuple(r)
+        for r in minhash_signatures_df(docs, num_hashes=num_hashes, k=k).collect()
+    }
+    assert got == exp and len(got) > 0
