@@ -1557,6 +1557,29 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_contam_stream(spark, sf_dir):
+    """Ingestion-time decontamination: the TRAIN side arrives as a stream and
+    is checked against the static holdout as it lands — row-locally distinct
+    winnowing fingerprint sets (zero shuffles, hence streaming-legal; the
+    batch chain's groupBy/dropDuplicates would be illegal upstream state),
+    stream-static fp equi-join, single pair-count aggregation (complete
+    mode).  Same oracle as cur_contam."""
+    from imops_spark.streaming.curate import contamination_pairs_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 != 0)
+    )
+    holdout = static.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    out = contamination_pairs_stream(stream, holdout, min_shared=30)
+    return run_stream_to_memory(out, "cur_contam_stream_gate", spark, mode="complete")
+
+
 def q_dd_clusters(spark, sf_dir):
     """End-to-end near-dup pipeline closure: shared MinHash signatures ->
     banded LSH candidate pairs -> n-gram Jaccard verification (>= 0.6) ->
@@ -2512,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
+        "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
         "rel_unpivot": q_rel_unpivot,
         "rel_explode": q_rel_explode,
@@ -2833,6 +2857,9 @@ def oracle_sql() -> dict[str, str]:
     # the single-scan rewrite must reproduce the EXISTS/NOT-EXISTS
     # formulation exactly — same oracle, different physical plan
     oracles["tpch_q21_1scan"] = oracles["tpch_q21"]
+    # the streaming decontamination drain must equal the batch scan —
+    # same oracle, stream-static physical plan
+    oracles["cur_contam_stream"] = oracles["cur_contam"]
     return oracles
 
 

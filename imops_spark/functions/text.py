@@ -23,6 +23,8 @@ __all__ = [
     "langid_df",
     "fingerprint_df",
     "winnow_fingerprints_df",
+    "winnow_fingerprints_local_df",
+    "winnow_fp_set_df",
     "tfidf_df",
 ]
 
@@ -171,6 +173,98 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("fp"))
         .distinct()
     )
+
+
+def winnow_fingerprints_local_df(
+    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+) -> DataFrame:
+    """Row-local winnowing: value-identical ``(doc_id, pos, fp)`` rows to
+    :func:`winnow_fingerprints_df`, computed entirely inside array
+    expressions — ZERO shuffles, and therefore streaming-legal (the
+    ingestion-time decontamination path needs fingerprints before any
+    stateful operator).
+
+    Per window start t the selected gram is ``argmin`` of the hash slice
+    with leftmost tie-break (``array_position`` returns the FIRST index of
+    the minimum — the same tie rule as the batch ``min(struct(h, pos))``).
+    Memory trade: the transient per-row hash array is O(len(text)) longs
+    (~8x the text bytes); the exploded batch formulation spreads that over
+    a shuffle instead — prefer it for very long documents, this one for
+    streams and short-document corpora.  Single-parse SQL strings (the
+    HOF py4j-latency lesson).
+    """
+    k, window = int(k), int(window)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # n_grams = len - k + 1 must be >= window for any complete window
+    d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    hs = (
+        f"transform(sequence(1, length(nt) - {k - 1}),"
+        f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    # hs and each window slice are bound as LAMBDA VARIABLES so they
+    # materialize once (per row / per window): expressed as stacked
+    # projections, CollapseProject inlines the array expression into every
+    # reference inside the per-window lambda and the document re-hashes
+    # per window — see winnow_fp_array_df's note (measured 30x).
+    sel = (
+        f"array_distinct(flatten(transform(array({hs}),"
+        f" h -> transform(sequence(1, size(h) - {window - 1}),"
+        f"   t -> transform(array(slice(h, t, {window})),"
+        f"     w -> named_struct("
+        f"       'pos', CAST(t + array_position(w, array_min(w)) - 1 AS INT),"
+        f"       'fp', array_min(w)))[0]))))"
+    )
+    return (
+        d.selectExpr("doc_id", *carry, f"explode({sel}) AS s")
+        .selectExpr("doc_id", *carry, "s.pos AS pos", "s.fp AS fp")
+    )
+
+
+def winnow_fp_set_df(
+    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document, ``(doc_id, fp)`` —
+    dedup happens ROW-LOCALLY (``array_distinct`` over the selected-fp
+    array before the explode), so each (doc, fp) pair exists exactly once
+    with zero shuffles and no stateful dedup: the form a streaming
+    fingerprint join needs (a same-fp-several-positions doc would
+    otherwise double-count pairs, and stateful dropDuplicates/countDistinct
+    are restricted upstream/inside streaming aggregations)."""
+    sets = winnow_fp_array_df(docs, k=k, window=window, carry=carry)
+    return sets.selectExpr("doc_id", *carry, "explode(fps) AS fp")
+
+
+def winnow_fp_array_df(
+    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+) -> DataFrame:
+    """Per-document distinct fingerprint ARRAY ``(doc_id, fps)`` — the
+    row-local core shared by :func:`winnow_fp_set_df`."""
+    k, window = int(k), int(window)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    hs = (
+        f"transform(sequence(1, length(nt) - {k - 1}),"
+        f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    # Bind the hash array as a LAMBDA VARIABLE (`array(hs)` + transform) so
+    # it materializes exactly once per row: expressed as two stacked
+    # projections instead, CollapseProject inlines the hs expression into
+    # the per-window-start lambda and the whole document re-hashes once PER
+    # WINDOW — measured 30x slower on 100 docs, and unbounded with doc
+    # length.  Lambda scoping is the optimizer-proof common-subexpression
+    # barrier for array pipelines.
+    fps = (
+        f"array_distinct(flatten(transform(array({hs}),"
+        f" h -> transform(sequence(1, size(h) - {window - 1}),"
+        f"   t -> array_min(slice(h, t, {window}))))))"
+    )
+    return d.selectExpr("doc_id", *carry, f"{fps} AS fps")
 
 
 def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:

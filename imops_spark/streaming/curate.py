@@ -1,0 +1,59 @@
+"""Streaming curation: ingestion-time decontamination.
+
+The batch decontamination step (``functions.curate.contamination_pairs_df``)
+re-expressed for a streaming train side: new training documents are checked
+against the static eval/holdout set AS THEY ARRIVE, so contaminated documents
+can be quarantined before they ever land in the corpus — the shape a
+continuously-ingesting 100 TB training pipeline wants.
+
+Streaming legality is exactly why the row-local winnowing
+(``functions.text.winnow_fp_set_df``) exists: the batch fingerprint chain
+contains a groupBy (per-window minima) plus a dropDuplicates, which would be
+stateful operators UPSTREAM of the pair count and trip Spark's
+multi-stateful rules (and countDistinct is outright rejected in streaming
+aggregations); the row-local formulation produces each (doc, fp) pair
+exactly once with zero shuffles, leaving the pair count as the query's ONLY
+stateful operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["contamination_pairs_stream"]
+
+
+def contamination_pairs_stream(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Streaming twin of ``contamination_pairs_df``: ``(train_id, eval_id,
+    n_shared)`` for streaming train docs sharing >= ``min_shared`` winnowing
+    fingerprints with any static eval doc.
+
+    Plan: row-locally DISTINCT fingerprint sets on both sides (each
+    (doc, fp) exists exactly once — no dedup shuffle, no stateful dedup),
+    a stream-STATIC equi-join on the fingerprint hash (stateless: the
+    static side is re-read per micro-batch, never buffered), and one
+    groupBy pair count — the single stateful operator, so the query runs
+    in complete mode without watermark gymnastics.  Drained one-shot it
+    equals the batch scan, which the oracle recomputes relationally.
+    """
+    from ..functions.text import winnow_fp_set_df
+
+    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
+        F.col("doc_id").alias("eval_id"), "fp"
+    )
+    return (
+        tf.join(ef, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

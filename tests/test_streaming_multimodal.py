@@ -1178,3 +1178,67 @@ def test_lsh_selfjoin_stream_rejects_bad_how(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="inner/left_outer"):
         lsh_pairs_selfjoin_stream(docs, how="full_outer")
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path):
+    """Ingestion-time decontamination across micro-batches: the streaming
+    train side (2 files, maxFilesPerTrigger=1) joined against the static
+    holdout must equal the batch contamination scan exactly — complete-mode
+    aggregation re-emits the full pair table as state accumulates."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import contamination_pairs_df
+    from imops_spark.streaming.curate import contamination_pairs_stream
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    pdf = train.toPandas().sort_values("doc_id")
+    d = tmp_path / "contamstream"
+    d.mkdir()
+    n = len(pdf)
+    for i, part in enumerate([pdf.iloc[: n // 2], pdf.iloc[n // 2 :]]):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = contamination_pairs_stream(stream, holdout, min_shared=5)
+    got = {
+        tuple(r)
+        for r in run_stream_to_memory(
+            out, "contam_stream", spark, mode="complete"
+        ).collect()
+    }
+    exp = {
+        tuple(r) for r in contamination_pairs_df(train, holdout, min_shared=5).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_winnow_fp_set_rowlocal_equivalence(spark):
+    """winnow_fp_set_df (row-local distinct fps) ≡ the distinct (doc, fp)
+    projection of the batch winnowing chain, for default and non-default
+    (k, window)."""
+    from imops_spark.functions.text import winnow_fingerprints_df, winnow_fp_set_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for k, w in [(8, 4), (5, 3)]:
+        a = {tuple(r) for r in winnow_fp_set_df(docs, k=k, window=w).collect()}
+        b = {
+            (r["doc_id"], r["fp"])
+            for r in winnow_fingerprints_df(docs, k=k, window=w).collect()
+        }
+        assert a == b and len(a) > 0
