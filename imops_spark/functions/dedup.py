@@ -313,29 +313,31 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
         "doc_id",
         F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
     )
-    # Single-parse SQL strings for the HOF pipeline (same Catalyst trees as
-    # the previous lambda-based F.transform/F.aggregate/F.zip_with build,
-    # minus ~hundreds of py4j round-trips of driver plan-build latency).
-    th = toks.selectExpr(
-        "doc_id",
-        "transform(tok, x -> CAST(conv(substring(md5(concat('0|', x)), 1, 15),"
-        " 16, 10) AS BIGINT)) AS th",
-        "size(tok) AS n",
-    )
+    # Single-parse SQL string for the whole HOF pipeline (vs lambda-based
+    # F.transform/F.aggregate: ~25 py4j round-trips EACH at build time),
+    # with the token hashes and count LAMBDA-BOUND in one struct: expressed
+    # as stacked projections, CollapseProject inlines `n = size(tok)` into
+    # the per-bit lambda and the tokenization re-evaluates once per bit —
+    # the same optimizer trap winnow_fp_array_df documents (subexpression
+    # elimination stops at lambda boundaries).  Bound form measured ~15%
+    # faster at sf0.1 and structurally immune to the re-evaluation.
     pows = "array(" + ", ".join(f"CAST({2 ** b} AS BIGINT)" for b in range(bits)) + ")"
-    counts = (
-        f"aggregate(th, array_repeat(0, {int(bits)}),"
-        f" (acc, h) -> zip_with(acc,"
-        f"   transform({pows}, p -> IF(h % (p * 2) >= p, 1, 0)),"
-        f"   (a, v) -> a + v))"
-    )
-    withc = th.selectExpr("doc_id", "n", f"{counts} AS c")
     sig = (
-        f"aggregate(zip_with(c, {pows},"
-        f" (cnt, p) -> IF(cnt * 2 > n, p, CAST(0 AS BIGINT))),"
-        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+        f"transform(array(named_struct("
+        f" 'th', transform(tok, x -> CAST(conv(substring(md5(concat('0|', x)),"
+        f"        1, 15), 16, 10) AS BIGINT)),"
+        f" 'n', size(tok))),"
+        f" s -> aggregate("
+        f"   zip_with("
+        f"     aggregate(s.th, array_repeat(0, {int(bits)}),"
+        f"       (acc, h) -> zip_with(acc,"
+        f"         transform({pows}, p -> IF(h % (p * 2) >= p, 1, 0)),"
+        f"         (a, v) -> a + v)),"
+        f"     {pows},"
+        f"     (cnt, p) -> IF(cnt * 2 > s.n, p, CAST(0 AS BIGINT))),"
+        f"   CAST(0 AS BIGINT), (a, x) -> a + x))[0]"
     )
-    return withc.selectExpr("doc_id", f"{sig} AS simhash")
+    return toks.selectExpr("doc_id", f"{sig} AS simhash")
 
 
 def embedding_near_dup_df(
