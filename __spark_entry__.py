@@ -2456,6 +2456,29 @@ def q_evt_session_native(spark, sf_dir):
     )
 
 
+def q_rel_lateral(spark, sf_dir):
+    """LATERAL correlated subquery (Spark DecorrelateInnerQuery path): per
+    nation, the top-3 customers by balance — the per-row-subquery shape
+    ANSI LATERAL expresses and Catalyst rewrites into a join + per-group
+    window (no nested-loop re-execution per outer row).  Tie-proof order:
+    (c_acctbal DESC, c_custkey).  DuckDB runs the identical LATERAL."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.bal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+          FROM lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) c
+        """
+    )
+
+
 def q_evt_neighbor(spark, sf_dir):
     """1-D binary-dilation pattern on the events table: per (user, 10-min
     bucket), did any event in the ±1-bucket neighborhood exceed the
@@ -2560,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_session_native": q_evt_session_native,
+        "rel_lateral": q_rel_lateral,
         "evt_neighbor": q_evt_neighbor,
         "evt_asof": q_evt_asof,
         "evt_asof_fwd": q_evt_asof_fwd,
@@ -4196,6 +4220,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event_id
             FROM s GROUP BY user_id, session_seq
+        """,
+        "rel_lateral": """
+            SELECT n.n_name, c.c_custkey, c.bal
+            FROM nation n,
+            LATERAL (
+              SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+              FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              LIMIT 3
+            ) c
         """,
         "evt_session_native": """
             WITH e AS (

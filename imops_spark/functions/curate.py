@@ -272,22 +272,21 @@ def contamination_pairs_df(
     least one shared fingerprint, so leakage cannot hide below the
     threshold by luck.
 
-    Plan shape: fingerprint sets are row-local per side (the gated
-    ``txt_winnow`` machinery), the candidate step is an EQUI-join on the
-    fingerprint hash — no train x eval cross product — and the pair count
-    is one groupBy.  Returns ``(train_id, eval_id, n_shared)``.
+    Plan shape: per-document fingerprint sets are ROW-LOCALLY distinct
+    (``text.winnow_fp_set_df`` — each (doc, fp) exists exactly once with
+    zero shuffles, replacing the old winnow-chain + dropDuplicates which
+    paid two dedup shuffles per side), the candidate step is an EQUI-join
+    on the fingerprint hash — no train x eval cross product — and the pair
+    count is one groupBy: the whole scan is join + one aggregation.
+    Returns ``(train_id, eval_id, n_shared)``.
     """
-    from .text import winnow_fingerprints_df
+    from .text import winnow_fp_set_df
 
-    tf = (
-        winnow_fingerprints_df(train_docs, k=k, window=window)
-        .select(F.col("doc_id").alias("train_id"), "fp")
-        .dropDuplicates()
+    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
+        F.col("doc_id").alias("train_id"), "fp"
     )
-    ef = (
-        winnow_fingerprints_df(eval_docs, k=k, window=window)
-        .select(F.col("doc_id").alias("eval_id"), "fp")
-        .dropDuplicates()
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
+        F.col("doc_id").alias("eval_id"), "fp"
     )
     return (
         tf.join(ef, "fp")

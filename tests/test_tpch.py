@@ -116,3 +116,16 @@ def test_q15_all_rows_share_the_max_revenue(spark):
     assert rows
     revs = {row["total_revenue"] for row in rows}
     assert len(revs) == 1
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    """The LATERAL top-3-per-nation gate must compile to a window + hash
+    join (DecorrelateInnerQuery), never a per-outer-row nested loop or
+    cartesian product — the plan that survives a 100 TB outer table."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["rel_lateral"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "row_number" in plan
