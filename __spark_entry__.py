@@ -2479,6 +2479,45 @@ def q_rel_lateral(spark, sf_dir):
     )
 
 
+def q_rel_intersect_all(spark, sf_dir):
+    """Multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL — bag
+    semantics, kept distinct from the evt_intersect/evt_antijoin DISTINCT
+    variants): per-engine identical ANSI multiset rules on a
+    deliberately-duplicated projection."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), F.col("l_linenumber").alias("ln")
+    )
+    a = li.filter(F.col("ln") <= 4)
+    b = li.filter(F.col("ln") >= 2)
+    inter = a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n_inter"))
+    exc = a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n_except"))
+    return inter.join(exc, "k", "outer").select(
+        "k",
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        F.coalesce("n_except", F.lit(0)).alias("n_except"),
+    )
+
+
+def q_evt_rankfns(spark, sf_dir):
+    """The full ANSI rank-function family over one window (rank /
+    dense_rank / percent_rank / cume_dist) — deterministic because the
+    order (value, event_id) is total.  The fractional functions compare
+    RAW: both engines compute the same (rank-1)/(n-1) / rank/n double
+    division on identical integer inputs, so the doubles are bitwise
+    equal — rounding would ADD fragility here (k/(n-1) can land exactly
+    on a .5 rounding boundary where engines' tie rules differ)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.filter(F.col("event_id") % 17 == 0).select(
+        "event_type",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
 def q_evt_neighbor(spark, sf_dir):
     """1-D binary-dilation pattern on the events table: per (user, 10-min
     bucket), did any event in the ±1-bucket neighborhood exceed the
@@ -2584,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessions": q_evt_sessions,
         "evt_session_native": q_evt_session_native,
         "rel_lateral": q_rel_lateral,
+        "rel_intersect_all": q_rel_intersect_all,
+        "evt_rankfns": q_evt_rankfns,
         "evt_neighbor": q_evt_neighbor,
         "evt_asof": q_evt_asof,
         "evt_asof_fwd": q_evt_asof_fwd,
@@ -4220,6 +4261,34 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, session_seq, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event_id
             FROM s GROUP BY user_id, session_seq
+        """,
+        "rel_intersect_all": """
+            WITH li AS (SELECT l_suppkey AS k, l_linenumber AS ln FROM lineitem),
+            a AS (SELECT k, ln FROM li WHERE ln <= 4),
+            b AS (SELECT k, ln FROM li WHERE ln >= 2),
+            i AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_inter
+                  FROM (SELECT k, ln FROM a INTERSECT ALL SELECT k, ln FROM b)
+                  GROUP BY k),
+            e AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_except
+                  FROM (SELECT k, ln FROM a EXCEPT ALL SELECT k, ln FROM b)
+                  GROUP BY k)
+            SELECT COALESCE(i.k, e.k) AS k,
+                   COALESCE(n_inter, 0) AS n_inter,
+                   COALESCE(n_except, 0) AS n_except
+            FROM i FULL OUTER JOIN e ON i.k = e.k
+        """,
+        "evt_rankfns": """
+            WITH e AS (
+              SELECT event_type, event_id, value FROM events
+              WHERE event_id % 17 = 0
+            )
+            SELECT event_type, event_id,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk,
+                   CUME_DIST() OVER w AS cdist
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         """,
         "rel_lateral": """
             SELECT n.n_name, c.c_custkey, c.bal
