@@ -147,3 +147,34 @@ def test_interp1d_threaded_path_is_bit_exact():
         interp1d_numpy(y1, x1, xn, num_threads=8, extrapolate=True),
         interp1d_numpy(y1, x1, xn, num_threads=1, extrapolate=True),
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sampled_from([np.bool_, np.int32, np.int64, np.float16, np.float32, np.float64]),
+    st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_voxels_blobs_roundtrip_property(spark, dtype, shape, seed):
+    """voxels_to_blobs ∘ blobs_to_voxels is the identity for every logical
+    dtype (incl. bool and the fp16 f32-physical encoding) and 1-3D shape."""
+    from numpy.testing import assert_array_equal
+
+    from imops_spark.tensor_io import (
+        blobs_to_voxels,
+        decode_volume,
+        encode_volume,
+        voxels_to_blobs,
+    )
+
+    rng = np.random.default_rng(seed)
+    if dtype == np.bool_:
+        a = rng.random(shape) < 0.5
+    elif np.dtype(dtype).kind == "i":
+        a = rng.integers(-50, 50, shape).astype(dtype)
+    else:
+        a = (rng.standard_normal(shape) * 4).astype(dtype)
+    tf = encode_volume(spark, a)
+    back = blobs_to_voxels(voxels_to_blobs(tf), tf.shape, tf.dtype)
+    assert back.shape == tuple(shape) and back.dtype == np.dtype(dtype)
+    assert_array_equal(decode_volume(back), a)
