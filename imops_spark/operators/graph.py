@@ -177,7 +177,11 @@ def connected_components_df(
 
     ``driver_solve_threshold``: if the contracted star graph has at most this
     many rows it is solved on the driver (one collect of ~16 bytes/row);
-    above it, the distributed fixpoint runs on the contracted graph.
+    above it, the distributed fixpoint runs on the contracted graph.  The
+    size probe is fused into the collect (``limit(threshold+1)``) — the
+    common small case pays ONE job instead of count-then-collect, and the
+    large case's probe pull is bounded at threshold rows (~32 MB at the
+    default) before falling through to the fixpoint.
     Duplicate/parallel edges are harmless under min-aggregation — no dedup
     shuffle is ever needed.
     """
