@@ -249,14 +249,17 @@ def compact_partitions(
     **Crash safety (staged swap)**: the compacted replacement is written to
     a dot-prefixed staging directory first — Spark/Hadoop file listings
     skip ``.``-names, so readers never see it — and the original files stay
-    on disk untouched until the replacement is fully committed.  The swap
+    on disk untouched until the replacement is fully committed.  The
+    ``_MANIFEST`` file (atomically renamed into the staging directory,
+    listing the staged ``part-<uuid>`` names) is the commit point; the swap
     itself is per-file renames inside the partition directory: hide the
-    originals under a ``.orig-`` prefix, move the staged files in under a
-    ``compacted-`` prefix, then delete the hidden originals and the staging
-    directory.  The staging ``_SUCCESS`` marker is the commit point:
+    originals under a ``.orig-`` prefix (a plain-named file is an original
+    iff its name is NOT in the manifest — staged files keep their
+    ``part-<uuid>`` names), move the staged files in, then delete the
+    hidden originals and the staging directory (manifest LAST).
     :func:`_recover_partition` (run for every partition with staging debris
     before planning new work) rolls an interrupted swap BACK before the
-    marker and FORWARD after it.  A driver/app crash at any instant can
+    manifest exists and FORWARD after it.  A driver/app crash at any instant can
     therefore duplicate work or leave a transient visibility anomaly for
     concurrent readers of the partition being swapped — it can never lose
     rows (the previous localCheckpoint+dynamic-overwrite design had an
@@ -345,11 +348,20 @@ def _stage_data_names(fs, jpath):
 
 
 def _write_manifest(fs, Path, stage) -> None:
-    out = fs.create(Path(stage, _MANIFEST), True)
+    # The manifest is the COMMIT POINT, so its creation must be atomic: a
+    # crash between create() and write/close would leave a visible empty
+    # manifest, recovery would treat the swap as committed with
+    # staged_names = {} — hide every original, move nothing in, delete the
+    # hidden originals — and destroy both generations.  Write the content
+    # to a dot-prefixed temp name (invisible to listings and to
+    # _stage_data_names) and rename into place; the rename IS the commit.
+    tmp = Path(stage, "._MANIFEST.tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray("\n".join(_stage_data_names(fs, stage)).encode()))
     finally:
         out.close()
+    fs.rename(tmp, Path(stage, _MANIFEST))
 
 
 def _read_manifest(jvm, fs, Path, stage) -> set:

@@ -677,12 +677,13 @@ def test_compact_partitions_crash_exhaustive(spark, tmp_path):
         )
 
     def stage_copy(p):
+        # staged parquet only — the manifest write itself is part of the
+        # crash sweep below (its non-atomic first implementation had a
+        # visible-empty-manifest loss window a review caught)
         stage = os.path.join(p, ".compact_staging", part)
         spark.read.parquet(os.path.join(p, part)).repartition(2).write.mode(
             "overwrite"
         ).parquet(stage)
-        fs = jvm_fs(p)
-        _write_manifest(fs, Path, Path(stage))
         return stage
 
     k = 0
@@ -695,6 +696,7 @@ def test_compact_partitions_crash_exhaustive(spark, tmp_path):
         jdir, jstage = Path(p, part), Path(stage)
         crashed = False
         try:
+            _write_manifest(crasher, Path, jstage)
             _swap_in_staged(jvm, crasher, Path, jdir, jstage)
             _cleanup_stage(crasher, Path, jstage)
         except CrashError:

@@ -1227,18 +1227,26 @@ def test_contamination_stream_matches_batch(spark, tmp_path):
 
 
 def test_winnow_fp_set_rowlocal_equivalence(spark):
-    """winnow_fp_set_df (row-local distinct fps) ≡ the distinct (doc, fp)
-    projection of the batch winnowing chain, for default and non-default
-    (k, window)."""
-    from imops_spark.functions.text import winnow_fingerprints_df, winnow_fp_set_df
+    """Both row-local winnowing builders ≡ the batch winnowing chain:
+    winnow_fingerprints_local_df matches the full (doc, pos, fp) rows
+    (incl. the leftmost tie-break), winnow_fp_set_df the distinct
+    (doc, fp) projection — for default and non-default (k, window) and a
+    degenerate window=1."""
+    from imops_spark.functions.text import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_local_df,
+        winnow_fp_set_df,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
-    for k, w in [(8, 4), (5, 3)]:
-        a = {tuple(r) for r in winnow_fp_set_df(docs, k=k, window=w).collect()}
-        b = {
-            (r["doc_id"], r["fp"])
-            for r in winnow_fingerprints_df(docs, k=k, window=w).collect()
+    for k, w in [(8, 4), (5, 3), (8, 1)]:
+        full = {tuple(r) for r in winnow_fingerprints_df(docs, k=k, window=w).collect()}
+        local = {
+            tuple(r) for r in winnow_fingerprints_local_df(docs, k=k, window=w).collect()
         }
-        assert a == b and len(a) > 0
+        assert local == full and len(full) > 0
+        a = {tuple(r) for r in winnow_fp_set_df(docs, k=k, window=w).collect()}
+        b = {(r[0], r[2]) for r in full}
+        assert a == b
