@@ -570,3 +570,22 @@ def test_contamination_scan_and_decontaminate(spark):
 
     kept = sorted(r["doc_id"] for r in decontaminate_df(train, holdout).collect())
     assert kept == [1, 2]
+
+
+def test_testdata_documents_ascii_invariant(spark):
+    """The multimodal gates regenerate pixels/samples from document text
+    bytes via md5/ord arithmetic, which assumes ASCII (char length ==
+    byte length).  If the driver regenerates testdata with non-ASCII
+    text, fail HERE with a clear message instead of as mysterious
+    value-hash misses in mm_* gates (HANDOFF watch item)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = docs.filter(
+        F.col("text").isNotNull()
+        & (F.length("text") != F.octet_length("text"))
+    ).count()
+    assert bad == 0, (
+        f"{bad} non-ASCII documents: mm_audio/mm_image_raw oracle byte "
+        "arithmetic no longer matches — regenerate gate fixtures"
+    )
