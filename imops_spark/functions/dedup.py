@@ -480,6 +480,7 @@ def lsh_write_index(
     k: int = 3,
     num_buckets: int = 16,
     path: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the LSH band index for ``docs``: ``(doc_id, bucket_key)``
     bucketed by ``bucket_key`` (``sources.parquet.write_bucketed``) — the
@@ -497,6 +498,12 @@ def lsh_write_index(
     so the index is SELF-DESCRIBING — the parameters are stored as table
     properties at build time and ``lsh_query_index`` validates its arguments
     against them, failing loudly instead of returning an empty join.
+
+    ``mode='append'`` is the incremental-maintenance path
+    (``streaming.dedup.start_lsh_index_maintenance`` calls this per
+    micro-batch): the bucketed append validates the bucket spec against the
+    existing table, and the property re-write is idempotent — the index
+    layout contract lives in this one function for both build and maintain.
     """
     from ..sources.parquet import write_bucketed
 
@@ -504,7 +511,9 @@ def lsh_write_index(
     entries = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         "doc_id", _bucket_key_col()
     )
-    write_bucketed(entries, table, ["bucket_key"], num_buckets=num_buckets, path=path)
+    write_bucketed(
+        entries, table, ["bucket_key"], num_buckets=num_buckets, path=path, mode=mode
+    )
     props = ", ".join(
         f"'imops.lsh.{name}'='{int(v)}'"
         for name, v in [

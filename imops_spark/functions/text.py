@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import normalized_text
+
 __all__ = [
     "BPE_PRETOKEN_PATTERN",
     "bpe_pretokenize",
@@ -25,6 +27,7 @@ __all__ = [
     "winnow_fingerprints_df",
     "winnow_fingerprints_local_df",
     "winnow_fp_set_df",
+    "winnow_fp_array_df",
     "tfidf_df",
 ]
 
@@ -110,7 +113,12 @@ def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
     We use a reproducible surrogate (md5 of the first trigrams) so the DuckDB
     oracle can verify the distributed computation end-to-end.
     """
-    langs = ["en", "zh", "fr", "es", "de"][:n_langs]
+    all_langs = ["en", "zh", "fr", "es", "de"]
+    if not 1 <= n_langs <= len(all_langs):
+        # bucket is taken modulo n_langs, so a value past the list would
+        # silently yield NULL predictions (or raise under ANSI mode)
+        raise ValueError(f"n_langs must be in 1..{len(all_langs)}, got {n_langs}")
+    langs = all_langs[:n_langs]
     bucket = (
         F.conv(F.substring(F.md5(F.substring(F.col("text"), 1, 24)), 1, 8), 16, 10)
         .cast("long") % n_langs
@@ -134,7 +142,7 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     groupBy per window start -> distinct selected positions.  Everything is
     column arithmetic on md5 (cross-engine deterministic), no Python.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = normalized_text()
     # docs shorter than k have no k-grams; filter BEFORE sequence() — Spark's
     # sequence(1, 0) generates a DESCENDING [1, 0], not an empty array
     d = docs.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= k)
@@ -175,6 +183,20 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     )
 
 
+def _winnow_hash_array_sql(k: int) -> str:
+    """SQL for the per-document k-gram hash array over the normalized-text
+    column ``nt`` — the cross-formulation compatibility contract: the batch
+    chain, the row-local positional variant, and the fp-set variant (and
+    the DuckDB oracles) must all hash identically, so the recipe lives in
+    exactly one place."""
+    k = int(k)
+    return (
+        f"transform(sequence(1, length(nt) - {k - 1}),"
+        f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+
+
 def winnow_fingerprints_local_df(
     docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
 ) -> DataFrame:
@@ -194,16 +216,12 @@ def winnow_fingerprints_local_df(
     HOF py4j-latency lesson).
     """
     k, window = int(k), int(window)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = normalized_text()
     # n_grams = len - k + 1 must be >= window for any complete window
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1
     )
-    hs = (
-        f"transform(sequence(1, length(nt) - {k - 1}),"
-        f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
-        f" AS BIGINT))"
-    )
+    hs = _winnow_hash_array_sql(k)
     # hs and each window slice are bound as LAMBDA VARIABLES so they
     # materialize once (per row / per window): expressed as stacked
     # projections, CollapseProject inlines the array expression into every
@@ -243,15 +261,11 @@ def winnow_fp_array_df(
     """Per-document distinct fingerprint ARRAY ``(doc_id, fps)`` — the
     row-local core shared by :func:`winnow_fp_set_df`."""
     k, window = int(k), int(window)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = normalized_text()
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1
     )
-    hs = (
-        f"transform(sequence(1, length(nt) - {k - 1}),"
-        f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
-        f" AS BIGINT))"
-    )
+    hs = _winnow_hash_array_sql(k)
     # Bind the hash array as a LAMBDA VARIABLE (`array(hs)` + transform) so
     # it materializes exactly once per row: expressed as two stacked
     # projections instead, CollapseProject inlines the hs expression into
@@ -279,7 +293,7 @@ def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:
     fits), and the 1-row corpus count cross-joined in by broadcast.  No
     driver collection, no Python in the hot path.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = normalized_text()
     tok = docs.select(
         "doc_id", F.explode(F.split(norm, " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -304,7 +318,11 @@ def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:
 def fingerprint_df(docs: DataFrame, prefix: int = 64) -> DataFrame:
     """Document fingerprint: md5 over the lowercased, whitespace-normalized
     text plus a prefix fingerprint (cheap near-dup blocking key)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    # normalized_text() INCLUDES trim — the one inline copy here had
+    # dropped it, so ' abc' and 'abc' fingerprinted differently while
+    # exact_dup_groups_df (and the declared DuckDB oracle, which always
+    # trimmed) grouped them as identical
+    norm = normalized_text()
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp_full"),

@@ -48,6 +48,10 @@ def morton_key(coords, bits: int = 10):
     here as a pure column expression (shift/and/or, whole-stage codegen).
 
     ``bits`` bounds each coordinate (< 2**bits); bits * ndim must be <= 63.
+    A coordinate at or above 2**bits would have its high bits silently
+    DROPPED from the key — spatially scrambling the sort and gutting the
+    row-group pruning this layout exists for — so size ``bits`` from the
+    actual shape (``write_voxels`` derives it automatically).
     """
     coords = list(coords)
     nd = len(coords)
@@ -73,14 +77,18 @@ def write_voxels(
     ``layout='rowmajor'`` sorts by (image_id, i0, i1, ...): best when box
     predicates constrain the leading coordinate (and for sequential decode).
     ``layout='zorder'`` sorts by (image_id, morton_key): best when box
-    predicates may constrain ANY coordinate — see ``morton_key``.
+    predicates may constrain ANY coordinate — see ``morton_key``.  The
+    key's per-coordinate bit width is derived from ``tf.shape`` (a blind
+    default would silently drop high coordinate bits past 2**bits and
+    scramble the order for volumes >= 1024 per axis).
     Extra ``options`` pass through to the parquet writer (e.g.
     ``compression``, ``parquet.block.size`` to control row-group size).
     """
     if layout == "rowmajor":
         order = list(tf.coords)
     elif layout == "zorder":
-        order = [morton_key(tf.coords)]
+        bits = max(1, max(int(s) - 1 for s in tf.shape).bit_length())
+        order = [morton_key(tf.coords, bits=bits)]
     else:
         raise ValueError(f"unknown layout {layout!r}")
     w = (
@@ -184,12 +192,16 @@ def write_time_partitioned(
 
 
 def _event_date_expr(ts_sec_col: str, granularity: str):
-    epoch_day = (F.col(ts_sec_col) / F.lit(86400)).cast("int")
+    # FLOOR division + pmod, not cast-truncation + %: pre-1970 timestamps
+    # must land in their own day (int(-3600/86400) truncates to day 0 with
+    # hour -1; floor gives 1969-12-31 hour 23) — two writers handling
+    # historical data would otherwise shred the layout
+    epoch_day = F.floor(F.col(ts_sec_col) / F.lit(86400)).cast("int")
     day = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
     if granularity == "day":
         return day
     if granularity == "hour":
-        hour = ((F.col(ts_sec_col) % 86400) / 3600).cast("int")
+        hour = (F.pmod(F.col(ts_sec_col), F.lit(86400)) / 3600).cast("int")
         return F.concat_ws("-", day, F.lpad(hour.cast("string"), 2, "0"))
     raise ValueError(f"unknown granularity {granularity!r}")
 
@@ -339,6 +351,18 @@ _HIDDEN_ORIG = ".orig-"
 _MANIFEST = "_MANIFEST"
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop rename signals failure by RETURNING FALSE (dest exists,
+    quota, cross-scheme...); the swap protocol must stop on the spot —
+    proceeding past a failed manifest rename would hand recovery an
+    empty manifest (hide everything, restore nothing), and a silently
+    failed hide/move leaves duplicated or missing rows.  Raising leaves
+    the protocol in a recoverable state by construction: every crash
+    point is covered by the recovery preamble."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def _stage_data_names(fs, jpath):
     return [
         s.getPath().getName()
@@ -361,7 +385,7 @@ def _write_manifest(fs, Path, stage) -> None:
         out.write(bytearray("\n".join(_stage_data_names(fs, stage)).encode()))
     finally:
         out.close()
-    fs.rename(tmp, Path(stage, _MANIFEST))
+    _rename_or_raise(fs, tmp, Path(stage, _MANIFEST))
 
 
 def _read_manifest(jvm, fs, Path, stage) -> set:
@@ -392,12 +416,12 @@ def _swap_in_staged(jvm, fs, Path, jdir, stage) -> None:
     for s in list(fs.listStatus(jdir)):
         name = s.getPath().getName()
         if s.isFile() and not name.startswith(("_", ".")) and name not in staged_names:
-            fs.rename(s.getPath(), Path(jdir, _HIDDEN_ORIG + name))
+            _rename_or_raise(fs, s.getPath(), Path(jdir, _HIDDEN_ORIG + name))
     # move staged files in under their manifest names
     for s in list(fs.listStatus(stage)):
         name = s.getPath().getName()
         if s.isFile() and name in staged_names:
-            fs.rename(s.getPath(), Path(jdir, name))
+            _rename_or_raise(fs, s.getPath(), Path(jdir, name))
     # drop the hidden originals — the replacement is fully visible now
     for s in list(fs.listStatus(jdir)):
         name = s.getPath().getName()
@@ -435,5 +459,5 @@ def _recover_partition(jvm, fs, Path, root, stage) -> None:
         for s in list(fs.listStatus(jdir)):
             name = s.getPath().getName()
             if s.isFile() and name.startswith(_HIDDEN_ORIG):
-                fs.rename(s.getPath(), Path(jdir, name[len(_HIDDEN_ORIG):]))
+                _rename_or_raise(fs, s.getPath(), Path(jdir, name[len(_HIDDEN_ORIG):]))
     _cleanup_stage(fs, Path, stage) if committed else fs.delete(stage, True)

@@ -19,7 +19,6 @@ stateful operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 __all__ = ["contamination_pairs_stream"]
 
@@ -42,18 +41,14 @@ def contamination_pairs_stream(
     groupBy pair count — the single stateful operator, so the query runs
     in complete mode without watermark gymnastics.  Drained one-shot it
     equals the batch scan, which the oracle recomputes relationally.
-    """
-    from ..functions.text import winnow_fp_set_df
 
-    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
-        F.col("doc_id").alias("train_id"), "fp"
-    )
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
-        F.col("doc_id").alias("eval_id"), "fp"
-    )
-    return (
-        tf.join(ef, "fp")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= int(min_shared))
+    The batch formulation (``contamination_pairs_df``) is built from
+    exactly these streaming-legal pieces, so this function DELEGATES to
+    it — one copy of the decontamination logic, and the streaming-legality
+    argument above is the reason the delegation is valid.
+    """
+    from ..functions.curate import contamination_pairs_df
+
+    return contamination_pairs_df(
+        train_docs, eval_docs, k=k, window=window, min_shared=min_shared
     )

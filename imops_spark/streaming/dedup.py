@@ -237,10 +237,17 @@ def verified_near_dup_stream(
     not run here).  Semantics match the batch ``ngram_jaccard_df`` exactly
     (distinct word-k-shingles, ROUND(6)).
 
-    The static side is the reference corpus snapshot; in production it is
-    the same table the stream appends to (Spark re-reads static sides per
-    micro-batch).  Cluster formation (connected components) stays batch —
-    it is iterative and has no incremental formulation here.
+    **Coverage requirement**: the static side must contain BOTH documents
+    of a pair at the moment the pair's micro-batch verifies — pairs whose
+    docs are missing from the snapshot are dropped by the inner join and,
+    because the stateful operator emits each pair exactly once, NEVER
+    re-verified.  With the re-read-per-micro-batch production setup (the
+    stream appends to the same table) a new doc's own shingles can lag its
+    pair emission by one commit; pipelines that cannot tolerate that
+    window should verify against ``lsh_query_index``-style state updated
+    in the same foreachBatch, or re-verify candidates offline.  Cluster
+    formation (connected components) stays batch — it is iterative and
+    has no incremental formulation here.
     """
     pairs = lsh_pairs_stream(
         docs, num_hashes=num_hashes, k=k, bands=bands, rows_per_band=rows_per_band
@@ -281,46 +288,38 @@ def start_lsh_index_maintenance(
     the batch writer with ``mode='append'``, which validates the bucket spec
     against the existing table — the index stays probe-compatible (same
     single-column bucket key, no exchange on the index side) forever.
-    Exactly-once comes from the checkpoint's batch-id log; replays of a
-    committed batch are skipped by the streaming engine before foreachBatch
-    runs.
+    Each batch delegates to ``functions.dedup.lsh_write_index`` with
+    ``mode='append'``, so the index layout contract (bucket key, property
+    names) lives in exactly one place for build AND maintenance.
+
+    **Delivery guarantee: at-least-once, not exactly-once.**  The
+    checkpoint's batch-id log skips replays of batches it has COMMITTED,
+    but a crash between the table append and the checkpoint commit replays
+    that batch and appends its band entries a second time.  For LSH dedup
+    this degrades gracefully — duplicate index entries only duplicate
+    candidate pairs, which every downstream consumer (distinct, Jaccard
+    verification) already dedups — but an application needing an exact
+    index must dedup on (doc_id, bucket_key) at probe time or compact the
+    table.
 
     Returns the started ``StreamingQuery`` (``available_now=True`` drains
     the current backlog and stops — the test/backfill mode; ``False`` runs
     continuously).
     """
-    from ..functions.dedup import (
-        _bucket_key_col,
-        band_entries_df,
-        minhash_signatures_df,
-    )
-    from ..sources.parquet import write_bucketed
+    from ..functions.dedup import lsh_write_index
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sigs = minhash_signatures_df(batch_df, num_hashes=num_hashes, k=k)
-        entries = band_entries_df(
-            sigs, bands=bands, rows_per_band=rows_per_band
-        ).select("doc_id", _bucket_key_col())
-        write_bucketed(
-            entries,
+        lsh_write_index(
+            batch_df,
             table,
-            ["bucket_key"],
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            k=k,
             num_buckets=num_buckets,
             path=path,
             mode="append",
         )
-        # self-describing contract, same as lsh_write_index: probes validate
-        # their banding params against these (idempotent per batch)
-        props = ", ".join(
-            f"'imops.lsh.{name}'='{int(v)}'"
-            for name, v in [
-                ("num_hashes", num_hashes),
-                ("bands", bands),
-                ("rows_per_band", rows_per_band),
-                ("k", k),
-            ]
-        )
-        batch_df.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
 
     w = docs.writeStream.foreachBatch(write_batch)
     if checkpoint:

@@ -715,3 +715,31 @@ def test_compact_partitions_crash_exhaustive(spark, tmp_path):
             break  # k exceeded the total mutation count: full sweep done
         k += 1
     assert k >= 5, f"sweep only covered {k} mutations — protocol changed?"
+
+
+def test_event_date_pre1970_floor_semantics(spark):
+    """Pre-1970 timestamps must land in their own day/hour partition:
+    cast-truncation + sign-following % put ts_sec=-3600 in
+    '1970-01-01' hour '-1'; floor + pmod give 1969-12-31 hour 23 —
+    the documented UTC integer arithmetic that keeps two writers from
+    shredding the layout on historical data."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.sources.parquet import _event_date_expr
+
+    df = spark.createDataFrame(
+        [(-3600,), (-86400,), (-1,), (0,), (3600,)], "ts_sec long"
+    )
+    got = {
+        r["ts_sec"]: (r["d"], r["h"])
+        for r in df.select(
+            "ts_sec",
+            _event_date_expr("ts_sec", "day").alias("d"),
+            _event_date_expr("ts_sec", "hour").alias("h"),
+        ).collect()
+    }
+    assert got[-3600] == ("1969-12-31", "1969-12-31-23")
+    assert got[-86400] == ("1969-12-31", "1969-12-31-00")
+    assert got[-1] == ("1969-12-31", "1969-12-31-23")
+    assert got[0] == ("1970-01-01", "1970-01-01-00")
+    assert got[3600] == ("1970-01-01", "1970-01-01-01")
