@@ -2456,6 +2456,46 @@ def q_evt_session_native(spark, sf_dir):
     )
 
 
+def q_evt_session_append(spark, sf_dir):
+    """APPEND-mode native session_window stream with real watermark
+    eviction (``streaming.events.session_agg_stream``) — the production
+    shape of evt_session_native's aggregation: a session row is emitted
+    exactly once, when the event-time watermark passes its end, and its
+    state is evicted (complete mode re-emits everything per trigger and is
+    only a test harness).  To make the one-shot drain equal the FULL batch
+    result, a far-future sentinel stream (region.parquet rows re-mapped to
+    user_id=-1, ts=2100-01-01) is unioned in: the final no-data micro-batch
+    then carries the watermark past every real session's end, flushing them
+    all.  The sentinel's own session stays open forever so it never appears
+    in append output; the user_id >= 0 filter runs on the DRAINED batch —
+    an in-stream filter would be pushed below the EventTimeWatermark node
+    and erase the sentinel from the watermark stats (measured: the two
+    sessions ending within the 1h horizon of max event ts never flush).
+    Oracle: identical to evt_session_native (LAG + running-SUM islands).
+    """
+    from imops_spark.streaming.events import (
+        run_stream_to_memory,
+        session_agg_stream,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value", "ts_t")
+    region_schema = spark.read.parquet(f"{sf_dir}/region.parquet").schema
+    sentinel = (
+        spark.readStream.schema(region_schema)
+        .option("pathGlobFilter", "region.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+            F.timestamp_seconds(F.lit(4102444800)).alias("ts_t"),  # 2100-01-01
+        )
+    )
+    out = session_agg_stream(ev.unionByName(sentinel))
+    drained = run_stream_to_memory(out, "evt_session_append_gate", spark, mode="append")
+    return drained.filter("user_id >= 0")
+
+
 def q_rel_lateral(spark, sf_dir):
     """LATERAL correlated subquery (Spark DecorrelateInnerQuery path): per
     nation, the top-3 customers by balance — the per-row-subquery shape
@@ -2622,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sliding_stream": q_evt_sliding_stream,
         "evt_sessions": q_evt_sessions,
         "evt_session_native": q_evt_session_native,
+        "evt_session_append": q_evt_session_append,
         "rel_lateral": q_rel_lateral,
         "rel_intersect_all": q_rel_intersect_all,
         "evt_rankfns": q_evt_rankfns,
@@ -2925,6 +2966,9 @@ def oracle_sql() -> dict[str, str]:
     # the streaming decontamination drain must equal the batch scan —
     # same oracle, stream-static physical plan
     oracles["cur_contam_stream"] = oracles["cur_contam"]
+    # the append-mode session stream, sentinel-flushed, must equal the full
+    # batch session set — same oracle, streaming state-eviction plan
+    oracles["evt_session_append"] = oracles["evt_session_native"]
     return oracles
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import quote_carry
+
 __all__ = [
     "normalized_text",
     "exact_dup_groups_df",
@@ -45,6 +47,13 @@ __all__ = [
 
 def normalized_text(col: str = "text"):
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+# internal aliases of the shingle/signature pipelines — carry columns may not
+# shadow these (quote_carry raises); '__'-prefixed names are reserved too
+# (the per-salt digest arrays are '__d{i}').
+_SHINGLE_RESERVED = frozenset({"doc_id", "t", "shingles"})
+_BAND_RESERVED = frozenset({"doc_id", "band", "band_key", "e"})
 
 
 def _widen(docs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -91,8 +100,11 @@ def shingle_array_df(
     JVM-side.  ``distinct=True`` dedups ROW-LOCALLY with ``array_distinct``
     (shingle sets are per-document, so no shuffle is ever needed).
     ``carry`` names extra input columns to pass through unchanged (e.g. an
-    event-time column for streaming watermarks).
+    event-time column for streaming watermarks).  Names are backtick-quoted
+    before splicing into generated SQL; the internal aliases
+    ``t``/``shingles`` (and ``__``-prefixed names) are reserved.
     """
+    carry = quote_carry(carry, _SHINGLE_RESERVED)
     toks = docs.select(
         "doc_id", *carry, F.split(normalized_text(), r"\s+").alias("t")
     )
@@ -153,6 +165,11 @@ def minhash_signatures_df(
     sh = shingle_array_df(
         _widen(docs.where(F.col("text").isNotNull())), k=k, distinct=True, carry=carry
     )
+    # quote AFTER the sub-call (which quotes its own copy): mh{i} outputs and
+    # '__d{i}' digest aliases are reserved alongside the shingle aliases.
+    carry = quote_carry(
+        carry, _SHINGLE_RESERVED | {f"mh{i}" for i in range(num_hashes)}
+    )
 
     # One digest array per salt, shared by the low/high half-signatures.
     # Both stages are single-parse SQL strings instead of lambda-based
@@ -188,6 +205,7 @@ def band_entries_df(
     signature computation per branch).  Pure row-local column expressions —
     usable on batch AND streaming frames.
     """
+    carry = quote_carry(carry, _BAND_RESERVED)
     entries = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -340,6 +358,38 @@ def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
     return toks.selectExpr("doc_id", f"{sig} AS simhash")
 
 
+def _row_count_estimate(df: DataFrame) -> int:
+    """Row count for block sizing WITHOUT a Spark count job when the frame
+    is parquet-file-backed: sum the footer ``num_rows`` of its input files
+    via pyarrow (pure driver-side metadata reads — no executors, no scan).
+    Falls back to ``count()`` for non-file frames.
+
+    The estimate ignores any filters above the scan (footer counts are
+    pre-filter), which is fine here: the count only picks ``num_blocks``,
+    and the pair output is block-count-invariant (test-pinned), so an
+    overestimate costs at most some extra empty block tasks.
+    (``spark.sql.parquet.aggregatePushdown`` was tried first and does not
+    apply: it only covers the DSv2 read path and parquet defaults to V1,
+    which bucketed tables and the streaming sinks rely on.)
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.endswith(".parquet") for f in files):
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = f.removeprefix("file://").removeprefix("file:")
+                total += pq.ParquetFile(path).metadata.num_rows
+            return total
+        except Exception:
+            pass  # remote FS / unreadable footer: pay the count job
+    return df.count()
+
+
 def embedding_near_dup_df(
     embeddings: DataFrame,
     threshold: float = 0.98,
@@ -369,7 +419,7 @@ def embedding_near_dup_df(
     import pandas as pd
 
     if num_blocks is None:
-        n = embeddings.count()
+        n = _row_count_estimate(embeddings)
         num_blocks = min(max(1, math.ceil(n / 4096)), 64)
     emb = embeddings.select(
         F.col(id_col).alias("vid").cast("long"),
@@ -502,11 +552,31 @@ def lsh_write_index(
     ``mode='append'`` is the incremental-maintenance path
     (``streaming.dedup.start_lsh_index_maintenance`` calls this per
     micro-batch): the bucketed append validates the bucket spec against the
-    existing table, and the property re-write is idempotent — the index
-    layout contract lives in this one function for both build and maintain.
+    existing table, and the banding parameters are validated against the
+    stored ``imops.lsh.*`` properties — an append with mismatched
+    ``num_hashes/bands/rows_per_band/k`` would write band entries that can
+    never align with existing buckets AND (if the properties were silently
+    re-written, as before round 6) flip what ``lsh_query_index`` validates
+    against, so probes would silently return incomplete results.  Appends
+    therefore RAISE on mismatch; properties are only written on initial
+    build (overwrite, or first append to a property-less table).
     """
     from ..sources.parquet import write_bucketed
 
+    spark = docs.sparkSession
+    asked = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "rows_per_band": int(rows_per_band),
+        "k": int(k),
+    }
+    if mode == "append":
+        stored = _lsh_stored_props(spark, table)
+        if stored and stored != asked:
+            raise ValueError(
+                f"LSH index {table!r} was built with {stored}; appending with "
+                f"{asked} would corrupt the index (band keys cannot align)"
+            )
     sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
     entries = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         "doc_id", _bucket_key_col()
@@ -514,16 +584,24 @@ def lsh_write_index(
     write_bucketed(
         entries, table, ["bucket_key"], num_buckets=num_buckets, path=path, mode=mode
     )
-    props = ", ".join(
-        f"'imops.lsh.{name}'='{int(v)}'"
-        for name, v in [
-            ("num_hashes", num_hashes),
-            ("bands", bands),
-            ("rows_per_band", rows_per_band),
-            ("k", k),
-        ]
-    )
-    docs.sparkSession.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+    if mode != "append" or not _lsh_stored_props(spark, table):
+        props = ", ".join(
+            f"'imops.lsh.{name}'='{v}'" for name, v in asked.items()
+        )
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+
+
+def _lsh_stored_props(spark, table: str) -> dict:
+    """The ``imops.lsh.*`` banding parameters stored on ``table``, or ``{}``
+    when the table does not exist / carries none (e.g. built elsewhere)."""
+    try:
+        return {
+            row["key"].removeprefix("imops.lsh."): int(row["value"])
+            for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            if row["key"].startswith("imops.lsh.")
+        }
+    except Exception:
+        return {}
 
 
 def lsh_query_index(
@@ -546,14 +624,7 @@ def lsh_query_index(
     ``lsh_write_index`` (when present — tables built by other writers skip
     the check): a silent mismatch would return zero candidates.
     """
-    try:
-        stored = {
-            row["key"].removeprefix("imops.lsh."): int(row["value"])
-            for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-            if row["key"].startswith("imops.lsh.")
-        }
-    except Exception:
-        stored = {}
+    stored = _lsh_stored_props(spark, table)
     if stored:
         asked = {
             "num_hashes": int(num_hashes),

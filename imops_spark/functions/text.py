@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import quote_carry
 from .dedup import normalized_text
+
+# internal aliases of the winnowing pipelines — carry columns may not shadow
+# these (quote_carry raises); see utils.quote_carry.
+_WINNOW_RESERVED = frozenset({"doc_id", "nt", "s", "pos", "fp", "fps"})
 
 __all__ = [
     "BPE_PRETOKEN_PATTERN",
@@ -216,6 +221,7 @@ def winnow_fingerprints_local_df(
     HOF py4j-latency lesson).
     """
     k, window = int(k), int(window)
+    carry = quote_carry(carry, _WINNOW_RESERVED)
     norm = normalized_text()
     # n_grams = len - k + 1 must be >= window for any complete window
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
@@ -252,6 +258,7 @@ def winnow_fp_set_df(
     otherwise double-count pairs, and stateful dropDuplicates/countDistinct
     are restricted upstream/inside streaming aggregations)."""
     sets = winnow_fp_array_df(docs, k=k, window=window, carry=carry)
+    carry = quote_carry(carry, _WINNOW_RESERVED)
     return sets.selectExpr("doc_id", *carry, "explode(fps) AS fp")
 
 
@@ -261,6 +268,7 @@ def winnow_fp_array_df(
     """Per-document distinct fingerprint ARRAY ``(doc_id, fps)`` — the
     row-local core shared by :func:`winnow_fp_set_df`."""
     k, window = int(k), int(window)
+    carry = quote_carry(carry, _WINNOW_RESERVED)
     norm = normalized_text()
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1

@@ -78,11 +78,65 @@ def _shift(tf: TensorFrame, src: DataFrame, sign: int) -> DataFrame:
     return out
 
 
-def binary_dilation_df(tf: TensorFrame, footprint: np.ndarray | None = None) -> TensorFrame:
+def _image_boxes_df(tf: TensorFrame) -> DataFrame:
+    """Per-image tight bounding box of the true voxels:
+    ``(image_id, lo0, hi0, lo1, hi1, ...)`` (inclusive) — the distributed
+    ``box.mask_to_box`` (one map-side-combined aggregate; tiny output, one
+    row per image, broadcastable)."""
+    aggs = []
+    for k, c in enumerate(tf.coords):
+        aggs += [F.min(c).alias(f"lo{k}"), F.max(c).alias(f"hi{k}")]
+    return tf.df.filter(F.col(VAL)).groupBy(IMAGE_ID).agg(*aggs)
+
+
+def _split_grid_by_box(tf: TensorFrame, margin) -> tuple[DataFrame, DataFrame]:
+    """Split the dense grid into (inside, outside) of each image's
+    true-voxel bbox grown by ``margin`` — the TensorFrame analog of the
+    reference's boxed work-skipping (``/root/reference/imops/morphology.py:
+    118-151``): morphology output can only differ from the trivial value
+    inside the grown box, so only that subset needs to enter the join
+    shuffle; the (usually much larger) outside keeps a literal value via a
+    broadcast-join filter, no shuffle.  Images with no true voxel land
+    entirely in ``outside``.  Returns (grid_inside[id+coords],
+    grid_outside[id+coords]); the caller attaches the trivial value."""
+    boxes = _image_boxes_df(tf)
+    grid = tf.df.select(IMAGE_ID, *tf.coords).join(
+        F.broadcast(boxes), on=IMAGE_ID, how="left"
+    )
+    inside = F.col("lo0").isNotNull()
+    for k, c in enumerate(tf.coords):
+        inside = (
+            inside
+            & (F.col(c) >= F.col(f"lo{k}") - int(margin[k]))
+            & (F.col(c) <= F.col(f"hi{k}") + int(margin[k]))
+        )
+    keep = [IMAGE_ID, *tf.coords]
+    return grid.filter(inside).select(*keep), grid.filter(~inside | F.col("lo0").isNull()).select(*keep)
+
+
+def _require_center_for_boxed(footprint: np.ndarray) -> bool:
+    """Boxed pruning on the df path is exact only when the footprint
+    contains its center cell: then a position's own voxel is always an
+    in-bounds probe, so erosion can never be vacuously true outside the
+    box (the ndarray path instead falls back near borders, reference
+    ``morphology.py:140-143``)."""
+    fp = np.asarray(footprint).astype(bool)
+    return bool(fp[tuple(np.array(fp.shape) // 2)])
+
+
+def binary_dilation_df(
+    tf: TensorFrame, footprint: np.ndarray | None = None, boxed: bool = False
+) -> TensorFrame:
     """Dilation of a boolean voxel table (dense in, dense out).
 
     Voxel tables are dense by contract (one row per coordinate) so operators
     compose; the sparse true-set is only the intermediate join input.
+
+    ``boxed=True`` prunes the grid side of the output join to each image's
+    true-voxel bbox + footprint radius: dilation hits cannot exist outside
+    it, so every outside row is literally False and skips the join shuffle
+    entirely (exact for any footprint — hits are generated from the full
+    true set, never a cropped array, so no border fallback is needed).
     """
     footprint = generate_binary_structure(tf.ndim, 1) if footprint is None else footprint
     offsets = footprint_offsets(footprint)
@@ -94,14 +148,24 @@ def binary_dilation_df(tf: TensorFrame, footprint: np.ndarray | None = None) -> 
         .groupBy(IMAGE_ID, *tf.coords)
         .agg(F.lit(True).alias("__hit"))
     )
-    grid = tf.df.select(IMAGE_ID, *tf.coords)
+    if boxed:
+        delta = np.array(np.asarray(footprint).shape) // 2
+        grid, grid_out = _split_grid_by_box(tf, delta)
+    else:
+        grid, grid_out = tf.df.select(IMAGE_ID, *tf.coords), None
     out = grid.join(hits, on=[IMAGE_ID, *tf.coords], how="left").select(
         IMAGE_ID, *tf.coords, F.coalesce(F.col("__hit"), F.lit(False)).alias(VAL)
     )
+    if grid_out is not None:
+        out = out.unionByName(
+            grid_out.select(IMAGE_ID, *tf.coords, F.lit(False).alias(VAL))
+        )
     return tf.with_df(out)
 
 
-def binary_erosion_df(tf: TensorFrame, footprint: np.ndarray | None = None) -> TensorFrame:
+def binary_erosion_df(
+    tf: TensorFrame, footprint: np.ndarray | None = None, boxed: bool = False
+) -> TensorFrame:
     """Erosion of a boolean voxel table (dense in, dense out).
 
     A grid position p fails iff x[p + o] is false for some in-bounds offset o
@@ -110,20 +174,51 @@ def binary_erosion_df(tf: TensorFrame, footprint: np.ndarray | None = None) -> T
     grid-wide survivors.  Positions where x is false can still erode to True
     only if the footprint misses every false in-bounds probe; those are
     exactly the non-killed non-true positions, handled via the full grid.
+
+    ``boxed=True`` (centered footprints only — see
+    ``_require_center_for_boxed``; off-center footprints silently run
+    unboxed, mirroring the reference's border fallback) prunes BOTH join
+    sides to each image's true-voxel bbox: an eroded-true position must
+    itself be a true voxel (its center probe), so it lies inside the tight
+    box — everything outside is literally False; and only false voxels
+    within footprint-radius of that pruned grid can kill anything in it,
+    so the (huge, mostly-false) kill side shrinks to a box shell.  On a
+    sparse mask this removes almost the entire shuffle.
     """
     footprint = generate_binary_structure(tf.ndim, 1) if footprint is None else footprint
+    boxed = boxed and _require_center_for_boxed(footprint)
     offsets = footprint_offsets(footprint)
     spark = tf.df.sparkSession
     falses = tf.df.filter(~F.col(VAL)).select(IMAGE_ID, *tf.coords)
+    if boxed:
+        delta = np.array(np.asarray(footprint).shape) // 2
+        # grid pruned to the TIGHT box (margin 0): eroded-true => true voxel.
+        grid, grid_out = _split_grid_by_box(tf, np.zeros(tf.ndim, dtype=int))
+        # kills hitting the tight box come from falses within radius of it.
+        boxes = _image_boxes_df(tf)
+        fb = falses.join(F.broadcast(boxes), on=IMAGE_ID, how="inner")
+        near = F.lit(True)
+        for k, c in enumerate(tf.coords):
+            near = (
+                near
+                & (F.col(c) >= F.col(f"lo{k}") - int(delta[k]))
+                & (F.col(c) <= F.col(f"hi{k}") + int(delta[k]))
+            )
+        falses = fb.filter(near).select(IMAGE_ID, *tf.coords)
+    else:
+        grid, grid_out = tf.df.select(IMAGE_ID, *tf.coords), None
     kills = (
         _shift(tf, falses.crossJoin(F.broadcast(_offsets_df(spark, offsets, tf.ndim))), -1)
         .groupBy(IMAGE_ID, *tf.coords)
         .agg(F.lit(True).alias("__kill"))
     )
-    grid = tf.df.select(IMAGE_ID, *tf.coords)
     out = grid.join(kills, on=[IMAGE_ID, *tf.coords], how="left").select(
         IMAGE_ID, *tf.coords, F.col("__kill").isNull().alias(VAL)
     )
+    if grid_out is not None:
+        out = out.unionByName(
+            grid_out.select(IMAGE_ID, *tf.coords, F.lit(False).alias(VAL))
+        )
     return tf.with_df(out)
 
 
@@ -157,7 +252,7 @@ def _morph_wrapper(op_name, df_op):
         if output is not None:
             raise ValueError("output= (in-place) is not supported by the Spark engine")
         if isinstance(image, TensorFrame):
-            return df_op(image, footprint)
+            return df_op(image, footprint, boxed=boxed)
         image = np.asarray(image).astype(bool)
         ndim = image.ndim
         if footprint is None:
@@ -224,12 +319,16 @@ binary_dilation = _morph_wrapper("binary_dilation", binary_dilation_df)
 binary_erosion = _morph_wrapper("binary_erosion", binary_erosion_df)
 
 
-def _closing_df(tf, footprint):
-    return binary_erosion_df(binary_dilation_df(tf, footprint), footprint)
+def _closing_df(tf, footprint, boxed: bool = False):
+    return binary_erosion_df(
+        binary_dilation_df(tf, footprint, boxed=boxed), footprint, boxed=boxed
+    )
 
 
-def _opening_df(tf, footprint):
-    return binary_dilation_df(binary_erosion_df(tf, footprint), footprint)
+def _opening_df(tf, footprint, boxed: bool = False):
+    return binary_dilation_df(
+        binary_erosion_df(tf, footprint, boxed=boxed), footprint, boxed=boxed
+    )
 
 
 binary_closing = _morph_wrapper("binary_closing", _closing_df)

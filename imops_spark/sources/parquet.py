@@ -274,10 +274,23 @@ def compact_partitions(
     manifest exists and FORWARD after it.  A driver/app crash at any instant can
     therefore duplicate work or leave a transient visibility anomaly for
     concurrent readers of the partition being swapped — it can never lose
-    rows (the previous localCheckpoint+dynamic-overwrite design had an
-    unrecoverable window where the only copy of the partition lived in
-    executor storage).  One partition per job bounds cluster memory: the
-    partition, not the table, must fit.
+    rows UNDER THE SINGLE-WRITER CONTRACT below (the previous
+    localCheckpoint+dynamic-overwrite design had an unrecoverable window
+    where the only copy of the partition lived in executor storage).
+
+    **Concurrency contract: one writer, any readers.**  The no-loss
+    guarantee assumes no OTHER writer appends to a partition between the
+    pre-compaction listing and the end of its swap: the hide step treats
+    every plain-named ``part-`` file not in the manifest as an original, so
+    a file appended mid-swap (or before a crash-recovery re-run) would be
+    hidden and deleted with the originals — concurrently appended rows
+    would be lost.  Run compaction from the same maintenance loop as the
+    appender (``streaming.events.start_time_partitioned_sink`` does: its
+    foreachBatch serializes append and compact), or compact only
+    partitions the appender has sealed (e.g. past days of a
+    date-partitioned sink).  Concurrent READERS are always safe.
+    One partition per job bounds cluster memory: the partition, not the
+    table, must fit.
 
     Returns ``{partition_value: {"files_before": n, "files_after": m,
     "bytes": b}}`` for the partitions rewritten.

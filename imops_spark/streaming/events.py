@@ -24,6 +24,7 @@ __all__ = [
     "stream_events",
     "windowed_counts_stream",
     "sliding_avg_stream",
+    "session_agg_stream",
     "dedup_stream",
     "interval_join_stream",
     "sessionize_stateful_stream",
@@ -259,6 +260,45 @@ def sliding_avg_stream(events: DataFrame, length_min: int = 10, slide_min: int =
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
             "user_id",
             "avg_value",
+        )
+    )
+
+
+def session_agg_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Native ``session_window`` aggregation in APPEND mode — the shape a
+    real ingestion pipeline runs (complete mode re-emits the whole result
+    set every trigger and cannot scale past driver memory; the
+    complete-mode twin is only a drain-and-compare harness).
+
+    Append-mode semantics: a session row is emitted exactly once, when the
+    event-time watermark passes its end (``last_ts + gap``) — i.e. once no
+    in-horizon late event could extend or merge it — and its state is
+    evicted.  Sessions still open at the watermark stay buffered across
+    micro-batches; a late event BELOW the watermark is dropped, never
+    resurrecting an emitted session (exactly-once emission is the point of
+    the eviction).  State size is bounded by the number of OPEN sessions
+    inside the watermark horizon, independent of stream length.
+
+    Output schema matches the batch ``evt_session_native`` gate:
+    ``(user_id, start_sec, end_sec, n_events, sum_value)`` with the same
+    exclusive window end (``last_ts + gap``).
+    """
+    w = F.session_window("ts_t", f"{gap_minutes} minutes").alias("w")
+    return (
+        events.withWatermark("ts_t", watermark)
+        .groupBy("user_id", w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("start_sec"),
+            F.unix_timestamp("w.end").alias("end_sec"),
+            "n_events",
+            "sum_value",
         )
     )
 

@@ -22,7 +22,31 @@ __all__ = [
     "imops_num_threads",
     "broadcast_axis",
     "build_slices",
+    "quote_carry",
 ]
+
+
+def quote_carry(carry, reserved: frozenset) -> tuple:
+    """Validate ``carry`` passthrough column names and backtick-quote them
+    for splicing into generated SQL (``selectExpr`` / ``F.expr`` strings).
+
+    Raw interpolation breaks two ways: a name needing quoting (dots,
+    hyphens, spaces, reserved SQL words) fails to parse or resolves as a
+    struct-field path, and a name equal to one of the pipeline's internal
+    aliases (``t``/``nt``/``shingles``/...) silently shadows the
+    intermediate column.  Internal aliases are therefore RESERVED (raise),
+    and every name is backtick-quoted — quoted names work identically in
+    ``select`` and ``selectExpr``, so call sites use one spelling.
+    """
+    out = []
+    for name in carry:
+        if name in reserved or name.startswith("__"):
+            raise ValueError(
+                f"carry column {name!r} collides with an internal alias of "
+                f"this pipeline (reserved: {sorted(reserved)} and '__*')"
+            )
+        out.append("`" + name.replace("`", "``") + "`")
+    return tuple(out)
 
 _GLOBAL_NUM_THREADS: list[int | None] = [None]
 

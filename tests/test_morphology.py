@@ -217,3 +217,64 @@ def test_boxed_3d(spark):
     x[6, 7, 5] = True
     assert_array_equal(binary_dilation(x, boxed=True), binary_dilation(x, boxed=False))
     assert_array_equal(binary_erosion(x, boxed=True), binary_erosion(x, boxed=False))
+
+
+def test_boxed_tensorframe_parity_and_pruning(spark):
+    """boxed=True on the TensorFrame (distributed) path: identical output to
+    unboxed for dilation/erosion/closing/opening — sparse, border-touching,
+    empty, and off-center-footprint masks — and the plan actually prunes
+    (the bbox attaches via a broadcast join; the outside rows bypass the
+    shuffled hit/kill join as a literal-False union branch)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from imops_spark.operators.morphology import (
+        _opening_df,
+        _closing_df,
+        binary_dilation_df,
+        binary_erosion_df,
+    )
+    from imops_spark.tensor_io import decode_volume, encode_volume
+
+    rng = np.random.default_rng(7)
+    masks = []
+    sparse = np.zeros((20, 18), bool)
+    sparse[8:11, 7:10] = rng.random((3, 3)) > 0.3
+    sparse[9, 8] = True
+    masks.append(sparse)
+    border = np.zeros((10, 9), bool)
+    border[0, 0] = True
+    masks.append(border)
+    masks.append(np.zeros((7, 7), bool))  # empty -> all-outside branch
+    for img in masks:
+        tf = encode_volume(spark, img)
+        for op in (binary_dilation_df, binary_erosion_df, _closing_df, _opening_df):
+            a = decode_volume(op(tf, None, boxed=False), default=False)
+            b = decode_volume(op(tf, None, boxed=True), default=False)
+            assert (a == b).all(), (op.__name__, img.shape)
+
+    # off-center footprint: erosion's boxed pruning is only exact with a
+    # centered footprint, so it must silently fall back to unboxed
+    fp = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], bool)
+    tf = encode_volume(spark, sparse)
+    a = decode_volume(binary_erosion_df(tf, fp, boxed=False), default=False)
+    b = decode_volume(binary_erosion_df(tf, fp, boxed=True), default=False)
+    assert (a == b).all()
+
+    # pruning evidence: the boxed plan carries the broadcast bbox join and a
+    # bbox range filter; the join input is the box subset, not the grid
+    plan = (
+        binary_erosion_df(tf, None, boxed=True)
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "lo0" in plan and "hi0" in plan
+    unboxed_plan = (
+        binary_erosion_df(tf, None, boxed=False)
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lo0" not in unboxed_plan
