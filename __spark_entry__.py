@@ -1359,11 +1359,21 @@ def q_dd_jaccard(spark, sf_dir):
 def q_dd_editsim(spark, sf_dir):
     """Edit-distance verification (dedup.edit_similarity_df): exact
     Levenshtein over normalized texts for candidate pairs — the
-    order-sensitive complement to Jaccard verification; both engines run
-    their native integer Levenshtein kernel, one answer."""
+    order-sensitive complement to Jaccard verification.
+
+    The documented ASCII scope of edit_similarity_df is ENFORCED here, not
+    assumed: Spark's levenshtein counts codepoints but DuckDB's counts
+    BYTES (measured: 'héllo'->'hello' = 1 vs 2), so the gate filters both
+    engines to ASCII rows with the identical byte-length == codepoint-length
+    predicate.  Today's testdata is all-ASCII (the filter keeps every row);
+    if the corpus ever regenerates with multi-byte text the gate stays
+    correct by construction instead of hash-diverging.  The multi-byte
+    coverage lives in txt_utf8, whose functions agree cross-engine."""
     from imops_spark.functions.dedup import edit_similarity_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     pairs = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
     )
@@ -1460,7 +1470,13 @@ def q_mm_audio(spark, sf_dir):
     from imops_spark.functions.multimodal import audio_features_df
 
     docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.col("doc_id") < 80) & (F.length("text") >= 4)
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 4)
+        # enforced ASCII scope: the byte-regeneration oracle needs
+        # ord(char) == byte, so non-ASCII rows are excluded identically on
+        # both engines instead of assumed absent (guard-tested before r6)
+        & (F.length("text") == F.octet_length("text"))
     )
     # int16 needs an even byte count: truncate to even length (ASCII text,
     # so char length == byte length)
@@ -1498,7 +1514,12 @@ def q_mm_image_raw(spark, sf_dir):
     from imops_spark.functions.multimodal import image_features_df
 
     docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.col("doc_id") < 80) & (F.length("text") >= 60)
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 60)
+        # enforced ASCII scope: substring() counts codepoints but the
+        # oracle's pixel math counts bytes — identical exclusion on both
+        & (F.length("text") == F.octet_length("text"))
     )
     items = docs.select(
         F.col("doc_id").alias("item_id"),
@@ -1749,6 +1770,55 @@ def q_txt_winnow(spark, sf_dir):
     from imops_spark.functions.text import winnow_fingerprints_df
 
     return winnow_fingerprints_df(_t(spark, sf_dir, "documents"))
+
+
+# Multi-byte UTF-8 gate corpus (accents, CJK, Cyrillic, Greek, a non-BMP
+# emoji, and one sub-window-length row): the driver testdata is ASCII-only,
+# so this constructed corpus is what proves the text chain cross-engine on
+# real multi-byte input.  No apostrophes (rows are spliced into SQL VALUES).
+_UTF8_ROWS = [
+    (1, "Héllo wörld ça va très bien aujourd hui données préparées"),
+    (2, "中文字符 测试 数据 管道 需要 更多 的 覆盖 范围 与 验证"),
+    (3, "Ελληνικά και κυριλλικά русский текст вместе в одном документе"),
+    (4, "mixed ascii and ünïcödé tokens with a 😀 non-bmp emoji inside"),
+    (5, "  Straße   grüße   übermäßig   weiß   führt   zum   Fluß  "),
+    (6, "短文 😀"),  # < 11 codepoints: no complete winnow window
+]
+_UTF8_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _UTF8_ROWS)
+
+
+def q_txt_utf8(spark, sf_dir):
+    """Text analysis over REAL multi-byte UTF-8 (constructed corpus — the
+    driver testdata is ASCII-only): per doc the codepoint length, byte
+    length, whitespace token count, md5 fingerprint of the normalized text,
+    and the winnowing-fingerprint-set size.  Both engines verified to agree
+    codepoint-for-codepoint on length/substring/lower/trim/md5 (upper() is
+    the one that diverges — ß -> SS vs ẞ — and is avoided engine-wide);
+    md5 hashes the UTF-8 bytes, so identical substrings hash identically.
+    This is the coverage twin of dd_editsim's EXCLUSION: levenshtein counts
+    codepoints in Spark but BYTES in DuckDB, so the edit gate enforces its
+    ASCII scope instead."""
+    from imops_spark.functions.dedup import normalized_text
+    from imops_spark.functions.text import winnow_fp_set_df
+
+    docs = spark.createDataFrame(_UTF8_ROWS, "doc_id long, text string")
+    nt = normalized_text()
+    stats = docs.select(
+        "doc_id",
+        F.length(nt).cast("long").alias("n_cp"),
+        F.octet_length(nt).cast("long").alias("n_bytes"),
+        F.size(F.split(nt, " ")).cast("long").alias("n_tokens"),
+        F.md5(nt).alias("fingerprint"),
+    )
+    fps = (
+        winnow_fp_set_df(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+    )
+    return stats.join(fps, "doc_id", "left").select(
+        "doc_id", "n_cp", "n_bytes", "n_tokens", "fingerprint",
+        F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+    )
 
 
 def q_txt_tfidf(spark, sf_dir):
@@ -2650,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_winnow": q_txt_winnow,
+        "txt_utf8": q_txt_utf8,
         "txt_tfidf": q_txt_tfidf,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
@@ -3581,6 +3652,7 @@ def _oracle_sql_literals() -> dict[str, str]:
               SELECT doc_id, substr(text, 1, 60) AS t
               FROM documents
               WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 60
+                AND length(text) = strlen(text)  -- enforced ASCII scope
             ),
             px AS (
               SELECT doc_id,
@@ -3602,6 +3674,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                      substr(text, 1, CAST(floor(length(text)/2)*2 AS INT)) AS t
               FROM documents
               WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 4
+                AND length(text) = strlen(text)  -- enforced ASCII scope
             ),
             s AS (
               SELECT doc_id, u.i,
@@ -3651,9 +3724,14 @@ def _oracle_sql_literals() -> dict[str, str]:
         "dd_lsh_sjoin": _lsh_pairs_sql(),
         "dd_near_stream": _verified_pairs_sql(),
         "dd_editsim": f"""
-            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            -- ASCII scope enforced on BOTH engines (Spark levenshtein counts
+            -- codepoints, DuckDB bytes): byte-length == codepoint-length
+            WITH ad AS (
+              SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
+            ),
+            n AS (SELECT doc_id, {_NORM} AS nt FROM ad),
             p AS (
-              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM ad
               WHERE doc_id % 10 = 0
             )
             SELECT p.doc_a, p.doc_b,
@@ -3872,6 +3950,40 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT DISTINCT doc_id, pos, h AS fp
             FROM w JOIN ng USING (doc_id)
             WHERE rn = 1 AND t <= ng - 3
+        """,
+        "txt_utf8": f"""
+            WITH docs(doc_id, text) AS (VALUES {_UTF8_VALUES}),
+            d AS (SELECT doc_id, {_NORM} AS nt FROM docs),
+            g AS (
+              SELECT doc_id, pos,
+                     ('0x'||substr(md5(substr(nt, pos, 8)),1,15))::BIGINT AS h
+              FROM (SELECT * FROM d WHERE length(nt) >= 8) dd,
+                   unnest(generate_series(1, length(nt) - 7)) u(pos)
+            ),
+            ng AS (SELECT doc_id, MAX(pos) AS ng FROM g GROUP BY 1),
+            s AS (
+              SELECT doc_id, pos, h, pos - o AS t
+              FROM g, unnest(generate_series(0, 3)) v(o)
+              WHERE pos - o >= 1
+            ),
+            w AS (
+              SELECT doc_id, t, pos, h,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY h, pos) AS rn
+              FROM s
+            ),
+            fpsel AS (
+              SELECT DISTINCT doc_id, h AS fp
+              FROM w JOIN ng USING (doc_id)
+              WHERE rn = 1 AND t <= ng - 3
+            ),
+            nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fpsel GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(length(nt) AS BIGINT) AS n_cp,
+                   CAST(strlen(nt) AS BIGINT) AS n_bytes,
+                   CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+                   md5(nt) AS fingerprint,
+                   COALESCE(nf.n_fps, CAST(0 AS BIGINT)) AS n_fps
+            FROM d LEFT JOIN nf USING (doc_id)
         """,
         "txt_tfidf": f"""
             WITH tok AS (

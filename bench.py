@@ -56,6 +56,32 @@ BENCH_QUERIES = [
 ]
 
 
+def contention_stats(passes: dict[str, list[float]]) -> dict:
+    """Contention self-defense over raw per-pass timings (pure function so
+    the thresholds are unit-testable and the flag can be demoed under a real
+    busy-loop without re-deriving the logic).
+
+    Per-query cross-pass spread (max/min) is computed over the STEADY-STATE
+    passes — pass 1 is excluded because it pays each plan's
+    whole-stage-codegen compile (measured up to 9x on sub-200ms queries,
+    even idle), which would drown the signal.  Identical plans on identical
+    data repeat within noise after that; a wide steady-state spread on MANY
+    queries is the signature of external contention, not of the plans.
+    Flag thresholds (>1.5x on >=3 queries) come from the r5 poisoned-driver
+    episode (8+ such queries there, 0-1 idle — a single GC-unlucky query is
+    normal)."""
+    steady = {name: (ts[1:] if len(ts) > 2 else ts) for name, ts in passes.items()}
+    spread = {
+        name: round(max(ts) / max(min(ts), 1e-9), 2) for name, ts in steady.items()
+    }
+    n_wide = sum(1 for r in spread.values() if r > 1.5)
+    return {
+        "spread_max_over_min": spread,
+        "n_queries_spread_gt_1p5": n_wide,
+        "contended": n_wide >= 3,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from imops_spark.session import get_spark
@@ -115,7 +141,7 @@ def main() -> None:
     # in the artifact instead of spawning a cross-environment dispute.
     load_before = round(os.getloadavg()[0], 2)
 
-    # Two passes per query, keep the min: the repeat-and-take-best protocol
+    # N_PASSES passes per query, keep the min: the repeat-and-take-best protocol
     # the reference's own asv bench uses.  Pass 1 absorbs any remaining
     # first-touch effects; the min is robust to background contention on a
     # shared box (observed 3-5x noise on identical plans).
@@ -137,23 +163,10 @@ def main() -> None:
     load_after = round(os.getloadavg()[0], 2)
 
     timings = {name: min(ts) for name, ts in passes.items()}
-    # Per-query cross-pass spread (max/min) over the STEADY-STATE passes —
-    # pass 1 is excluded because it pays each plan's whole-stage-codegen
-    # compile (measured up to 9x on sub-200ms queries, even idle), which
-    # would drown the signal.  Identical plans on identical data repeat
-    # within noise after that; a wide steady-state spread on MANY queries
-    # is the signature of external contention, not of the plans.  Flag
-    # thresholds (>1.5x on >=3 queries) come from the r5 poisoned-driver
-    # episode (8+ such queries there, 0-1 idle — a single GC-unlucky query
-    # is normal).  Idle load_1m on this box is < ~1 beyond the JVM itself;
-    # values near/above the core count at start mean some OTHER process
-    # was burning cores.
-    steady = {name: (ts[1:] if len(ts) > 2 else ts) for name, ts in passes.items()}
-    spread = {
-        name: round(max(ts) / max(min(ts), 1e-9), 2) for name, ts in steady.items()
-    }
-    n_wide = sum(1 for r in spread.values() if r > 1.5)
-    contended = n_wide >= 3
+    # Contention self-defense (see contention_stats).  Idle load_1m on this
+    # box is < ~1 beyond the JVM itself; values near/above the core count at
+    # start mean some OTHER process was burning cores.
+    contention = contention_stats(passes)
 
     total = round(sum(timings.values()), 3)
     # Keep the cross-round trend line honest: round 4 added five TPC-H
@@ -171,14 +184,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                # contention self-defense (see comment above): compare
+                # contention self-defense (see contention_stats): compare
                 # cross-environment numbers ONLY when contended is false on
                 # both sides.
                 "load_1m_before": load_before,
                 "load_1m_after": load_after,
-                "spread_max_over_min": spread,
-                "n_queries_spread_gt_1p5": n_wide,
-                "contended": contended,
+                **contention,
                 "protocol": {
                     "passes": N_PASSES,
                     "aggregation": "min_of_passes",

@@ -31,6 +31,7 @@ __all__ = [
     "unique_docs_selfjoin_stream",
     "verified_near_dup_stream",
     "start_lsh_index_maintenance",
+    "start_unique_docs_update_sink",
 ]
 
 
@@ -320,6 +321,188 @@ def start_lsh_index_maintenance(
             path=path,
             mode="append",
         )
+
+    w = docs.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_unique_docs_update_sink(
+    docs: DataFrame,
+    index_table: str,
+    status_path: str,
+    log_path: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    num_buckets: int = 16,
+    n_status_buckets: int = 16,
+    index_path: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """UPDATE-mode streaming uniqueness with RETRACTIONS — the complement of
+    the append-only :func:`unique_docs_selfjoin_stream`, which can only
+    assert uniqueness after the watermark closes and can never take it
+    back.  Here a document is asserted unique IMMEDIATELY (no watermark
+    delay) and, when a near-duplicate mate arrives in a later batch, the
+    assertion is RETRACTED — a change-data stream, with corpus-LIFETIME
+    mate detection (the self-join variant only sees mates inside its time
+    horizon).
+
+    Spark cannot run a stream-stream join under an update-mode aggregation
+    (multi-stateful stacking is append-only), so this is an incremental
+    view maintained in ``foreachBatch`` over the persisted LSH index:
+
+    - probe the batch against ``index_table`` (``lsh_query_index``: no
+      exchange on the index side) + in-batch pairs
+      (``lsh_candidate_pairs_df``) -> every batch doc's mate verdict and
+      every INDEX doc newly mated by this batch;
+    - append the batch's band entries to the index
+      (``lsh_write_index(mode='append')``);
+    - upsert the STATUS table at ``status_path`` (parquet partitioned by
+      ``bucket = pmod(xxhash64(doc_id), n_status_buckets)``, dynamic
+      partition overwrite of only the touched buckets, merged with their
+      untouched rows) — one row per doc: ``(doc_id, is_unique, bucket)``;
+    - append CHANGE events to ``log_path``:
+      ``(batch_id, doc_id, is_unique)`` — ``true`` asserts, ``false``
+      retracts a previous assert (or lands a doc that arrived already
+      mated).
+
+    Per-batch cost is O(batch + touched status buckets): no corpus rescan,
+    no whole-status fold.  **Delivery: at-least-once change events** — a
+    crash between sink writes and checkpoint commit replays the batch;
+    the status upsert is idempotent (same verdicts rewrite the same rows),
+    the log may then carry duplicate events, and the index append
+    duplicates band entries (gracefully degrading to duplicate candidates,
+    as documented on :func:`start_lsh_index_maintenance`).  Consumers fold
+    the log by (doc_id, max batch_id) or read the status table, which is
+    always consistent.
+    """
+    from ..functions.dedup import (
+        lsh_candidate_pairs_df,
+        lsh_query_index,
+        lsh_write_index,
+    )
+
+    def _bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(int(n_status_buckets))).cast("int")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select("doc_id", "text").persist()
+        try:
+            have_index = spark.catalog.tableExists(index_table)
+            if have_index:
+                cross = lsh_query_index(
+                    spark, index_table, batch_df,
+                    num_hashes=num_hashes, bands=bands,
+                    rows_per_band=rows_per_band, k=k,
+                ).persist()
+            else:
+                cross = None
+            sigs = minhash_signatures_df(batch_df, num_hashes=num_hashes, k=k)
+            inbatch = lsh_candidate_pairs_df(
+                sigs, bands=bands, rows_per_band=rows_per_band
+            )
+            mated_in_batch = (
+                inbatch.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(inbatch.select(F.col("doc_b").alias("doc_id")))
+            )
+            if cross is not None:
+                mated_in_batch = mated_in_batch.unionByName(
+                    cross.select(F.col("probe_doc_id").alias("doc_id"))
+                )
+            mated_in_batch = mated_in_batch.distinct()
+            verdicts = batch_df.select("doc_id").join(
+                mated_in_batch.withColumn("__m", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id", F.coalesce("__m", F.lit(False)).alias("mated")
+            )
+            changes = verdicts.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "doc_id",
+                (~F.col("mated")).alias("is_unique"),
+            )
+
+            # retractions: previously-unique INDEX docs newly mated now
+            try:
+                status = spark.read.parquet(status_path)
+            except Exception:
+                status = None
+            if cross is not None and status is not None:
+                newly_mated = cross.select(
+                    F.col("index_doc_id").alias("doc_id")
+                ).distinct()
+                retract = (
+                    status.filter(F.col("is_unique"))
+                    .join(newly_mated, "doc_id", "inner")
+                    .select(
+                        F.lit(int(batch_id)).alias("batch_id"),
+                        "doc_id",
+                        F.lit(False).alias("is_unique"),
+                    )
+                )
+                changes = changes.unionByName(retract)
+
+            # status upsert rows: overwrite only the touched buckets,
+            # keeping their untouched rows
+            new_rows = changes.select(
+                "doc_id", "is_unique", _bucket(F.col("doc_id")).alias("bucket")
+            )
+            # one row per doc (a doc can be asserted and retracted within a
+            # replayed/merged batch; non-unique wins)
+            new_rows = new_rows.groupBy("doc_id", "bucket").agg(
+                F.min("is_unique").alias("is_unique")
+            ).select("doc_id", "is_unique", "bucket")
+            if status is not None:
+                touched = new_rows.select("bucket").distinct()
+                keep = (
+                    status.join(F.broadcast(touched), "bucket", "left_semi")
+                    .join(new_rows.select("doc_id"), "doc_id", "left_anti")
+                    .select("doc_id", "is_unique", "bucket")
+                )
+                new_rows = new_rows.unionByName(keep)
+
+            # TRUNCATE LINEAGE on both outputs BEFORE any write: changes
+            # and new_rows lazily read the status parquet, and the status
+            # write below overwrites that same path.  persist()+count() is
+            # NOT enough — a cache miss on the later log write re-plans the
+            # query and re-reads the already-overwritten status, silently
+            # dropping the retraction rows (observed intermittently).
+            # localCheckpoint(eager=True) materializes to executor storage
+            # and cuts the plan off from the status files entirely; if an
+            # executor dies the batch fails and replays from the source
+            # (consistent with the sink's at-least-once contract — unlike
+            # the compaction case, nothing irreplaceable lives only here).
+            changes = changes.localCheckpoint(eager=True)
+            new_rows = new_rows.localCheckpoint(eager=True)
+
+            # index maintenance next: a replayed batch re-probes an index
+            # that already contains it, which only re-derives the same
+            # verdicts (self-pairs are filtered).
+            lsh_write_index(
+                batch_df, index_table,
+                num_hashes=num_hashes, bands=bands,
+                rows_per_band=rows_per_band, k=k,
+                num_buckets=num_buckets, path=index_path, mode="append",
+            )
+            (
+                new_rows.repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(status_path)
+            )
+            changes.write.mode("append").parquet(log_path)
+            if cross is not None:
+                cross.unpersist()
+        finally:
+            batch_df.unpersist()
 
     w = docs.writeStream.foreachBatch(write_batch)
     if checkpoint:

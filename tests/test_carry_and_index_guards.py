@@ -241,3 +241,75 @@ def test_embedding_near_dup_no_count_job(spark):
     auto = embedding_near_dup_df(emb, threshold=0.9)
     fixed = embedding_near_dup_df(emb, threshold=0.9, num_blocks=3)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+# -------------------------------------------- update-mode uniqueness w/ CDC
+
+
+def test_unique_docs_update_sink_assert_then_retract(spark, tmp_path):
+    """start_unique_docs_update_sink: doc 1 arrives alone in batch 0 and is
+    ASSERTED unique; its near-duplicate arrives in batch 1 -> a RETRACTION
+    event for doc 1 is emitted and the status table flips it to
+    is_unique=false.  An unrelated doc stays unique throughout."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.streaming.dedup import start_unique_docs_update_sink
+
+    dup_text = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a very long tune about data pipelines and their many shuffles"
+    )
+    other = "completely different content with no overlapping shingles at all here"
+    d = tmp_path / "docs"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "text": [dup_text, other]}),
+        pd.DataFrame({"doc_id": [3], "text": [dup_text + " extra"]}),
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    table = "uniq_update_idx_test"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = start_unique_docs_update_sink(
+            stream, table,
+            status_path=str(tmp_path / "status"),
+            log_path=str(tmp_path / "log"),
+            index_path=str(tmp_path / "idx"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+        log = spark.read.parquet(str(tmp_path / "log"))
+        events = {
+            (r["batch_id"], r["doc_id"], r["is_unique"]) for r in log.collect()
+        }
+        assert (0, 1, True) in events      # asserted unique
+        assert (0, 2, True) in events
+        assert (1, 1, False) in events     # RETRACTED when the mate arrived
+        assert (1, 3, False) in events     # the mate lands already-dup
+        status = {
+            r["doc_id"]: r["is_unique"]
+            for r in spark.read.parquet(str(tmp_path / "status")).collect()
+        }
+        assert status == {1: False, 2: True, 3: False}
+        # fold-by-latest over the log equals the status table
+        folded = {
+            r["doc_id"]: r["is_unique"]
+            for r in log.orderBy("batch_id").collect()
+        }
+        assert folded == status
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

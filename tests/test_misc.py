@@ -589,3 +589,42 @@ def test_testdata_documents_ascii_invariant(spark):
         f"{bad} non-ASCII documents: mm_audio/mm_image_raw oracle byte "
         "arithmetic no longer matches — regenerate gate fixtures"
     )
+
+
+def test_bench_contention_stats_flags_loaded_run():
+    """bench.contention_stats: the r5 poisoned-driver episode must flag
+    itself (many queries with wide steady-state spread), an idle-shaped run
+    must not, and pass 1 (codegen compile) must be excluded from the
+    spread so a slow first pass alone never trips the flag."""
+    import bench
+
+    # idle shape: steady passes repeat within noise; one GC-unlucky query
+    # (1.6x) is normal and stays under the >=3-query threshold
+    idle = {
+        "q1": [0.9, 0.31, 0.30],
+        "q2": [0.5, 0.20, 0.21],
+        "q3": [0.4, 0.25, 0.40],  # the one unlucky query
+        "q4": [0.8, 0.52, 0.50],
+    }
+    s = bench.contention_stats(idle)
+    assert not s["contended"]
+    assert s["n_queries_spread_gt_1p5"] == 1
+    # pass-1 exclusion: q1's 3x first pass does not count as spread
+    assert s["spread_max_over_min"]["q1"] < 1.1
+
+    # contended shape (r5 driver episode): uniform slowdown with several
+    # multi-x steady-state outliers
+    loaded = {
+        "q1": [1.2, 0.4, 1.6],
+        "q2": [0.9, 0.3, 0.7],
+        "q3": [2.0, 0.5, 1.9],
+        "q4": [0.6, 0.21, 0.22],
+        "q5": [1.1, 0.35, 1.0],
+    }
+    s = bench.contention_stats(loaded)
+    assert s["contended"]
+    assert s["n_queries_spread_gt_1p5"] >= 3
+
+    # two-pass fallback: with no steady-state pair, both passes count
+    s = bench.contention_stats({"q1": [1.0, 0.2]})
+    assert s["spread_max_over_min"]["q1"] == 5.0

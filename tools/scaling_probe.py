@@ -262,6 +262,13 @@ def main() -> None:
         print(_MARKER + json.dumps(probe_one_size(one_size, only)), flush=True)
         return
 
+    import os
+
+    # the load stamp must be taken BEFORE the first subprocess: during and
+    # after the run the probe's own local[*] work dominates load_1m, so an
+    # at-write-time reading would always look "contended" by its own hand
+    load_start = os.getloadavg()[0]
+
     ops: dict[str, list[float]] = {}
     for n in sizes:
         # fresh interpreter + fresh JVM per size: no cross-size GC/codegen
@@ -287,7 +294,7 @@ def main() -> None:
         print(f"size {n:,} done ({len(payload)} ops)", flush=True)
 
     if only is not None:
-        _write_deep_section(sizes, ops)
+        _write_deep_section(sizes, ops, load_start)
         return
 
     lines = [
@@ -297,6 +304,8 @@ def main() -> None:
         + " / ".join(f"{n:,}" for n in sizes)
         + " rows (constant ~1% planted dup rate, 20 fixed queries); min-of-3",
         "timings, each size in a FRESH JVM/session (no cross-size GC state);",
+        f"load_1m at probe START {load_start:.2f} "
+        "(compare runs only when both started near-idle);",
         "`slope` = least-squares log-log exponent across the sizes.",
         "A quadratic plan would show slope ≈ 2; these stay ≈ 1 or below",
         "(fixed overhead still amortizing).  Probe: `python tools/scaling_probe.py`.",
@@ -358,19 +367,17 @@ def _slope(sizes, ts) -> float:
     )
 
 
-def _write_deep_section(sizes, ops) -> None:
+def _write_deep_section(sizes, ops, load_start) -> None:
     """Append/replace a '## Deep probe' section in SCALING.md: extra decades
     for the operators whose real work already dominates fixed overhead at
     80k (the main table's slope would otherwise be their last word).  Same
     protocol as the main table (min-of-3, fresh JVM per size), stamped."""
-    import os
-
     lines = [
         _DEEP_MARK + " — asymptote check for the high-slope operators",
         "",
         "Sizes " + " / ".join(f"{n:,}" for n in sizes) + " rows; protocol:",
         "min-of-3 per size, one fresh JVM+session subprocess per size,",
-        f"load_1m at write time {os.getloadavg()[0]:.2f}.  A hidden",
+        f"load_1m at probe START {load_start:.2f}.  A hidden",
         "super-linear term would push the slope UP as size grows; staying",
         "at or below ~1.0 over this range pins the asymptote as linear.",
         "",
