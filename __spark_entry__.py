@@ -1821,6 +1821,85 @@ def q_txt_utf8(spark, sf_dir):
     )
 
 
+def q_txt_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (functions.text.repetition_df) over
+    the real corpus: top-{2,3,4}-gram character fractions and the
+    duplicate-5-gram fraction — the small shared vocabulary makes every
+    metric non-trivial.  Plan: ONE scan, ONE exchange (compact docs
+    repartitioned by doc_id; explode + all three aggregations run inside
+    it, line metrics carried through as first() aggregates).  Line metrics
+    are exercised with real newlines in txt_replines."""
+    from imops_spark.functions.text import repetition_df
+
+    return repetition_df(
+        _t(spark, sf_dir, "documents"), top_ns=(2, 3, 4), dup_ns=(5,)
+    )
+
+
+# Constructed corpus for the LINE-level repetition metrics (the driver
+# testdata has no newlines): planted duplicate lines, whitespace-only and
+# empty lines, a whitespace-padded duplicate (trim applies before line
+# comparison), and an empty document.  No apostrophes (rows are spliced
+# into SQL VALUES as chr(10)-joined line concatenations).
+_REPLINE_ROWS = [
+    (1, ["the same boilerplate footer", "real content here",
+         "the same boilerplate footer", "more real content",
+         "the same boilerplate footer"]),
+    (2, ["every line unique", "another distinct line", "third line"]),
+    (3, ["dup", "dup", "  dup  ", "", "   ", "not dup"]),
+    (4, ["single line only"]),
+    (5, [""]),
+]
+
+
+def q_txt_replines(spark, sf_dir):
+    """Line-level repetition metrics over a constructed newline corpus:
+    duplicate-line fraction and duplicate-line character fraction with
+    trimmed comparison, empty-line dropping, and an all-empty document —
+    the half of repetition_df that txt_repetition cannot exercise (the
+    driver testdata is newline-free)."""
+    from imops_spark.functions.text import repetition_df
+
+    rows = [(i, "\n".join(lines)) for i, lines in _REPLINE_ROWS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return repetition_df(docs, top_ns=(2,), dup_ns=(3,))
+
+
+# Constructed PII corpus: planted emails, IPv4s, and phone numbers in
+# realistic surroundings, plus adversarial near-misses (a bare domain
+# with no local part, a dotted version string, a too-short digit run).
+# No apostrophes, no braces-sensitive characters beyond the patterns.
+_PII_ROWS = [
+    (100001, "contact us at support@example.com or sales.team@corp.co.uk today"),
+    (100002, "server 192.168.1.1 talks to 10.0.0.255 over the wire"),
+    (100003, "call +1 (555) 123-4567 or 020 7946 0958 for details"),
+    (100004, "version 1.2.3 of the lib and section 4.5 are unrelated"),
+    (100005, "visit example.com and ping 999.999.999.999 maybe"),
+    (100006, "mixed: a@b.io at 8.8.8.8 phone 555-867-5309 done"),
+    (100007, "no pii in this sentence at all just words"),
+]
+
+
+def q_txt_pii(spark, sf_dir):
+    """PII detection + redaction (functions.text.pii_df /
+    redact_pii_df): per-doc email/IPv4/phone counts and the redacted text,
+    over the real corpus (doc_id < 100 — all clean, guarding against false
+    positives) UNION a planted-PII constructed corpus.  Both engines run
+    the identical lookaround-free patterns — Java regex vs RE2, one
+    answer, including the greedy-backtrack shapes (the domain grab in
+    emails, the trailing-digit anchor in phones)."""
+    from imops_spark.functions.text import pii_df, redact_pii_df
+
+    real = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(_PII_ROWS, "doc_id long, text string")
+    docs = real.unionByName(planted)
+    return pii_df(docs).join(redact_pii_df(docs), "doc_id")
+
+
 def q_txt_tfidf(spark, sf_dir):
     from imops_spark.functions.text import tfidf_df
 
@@ -2721,6 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "txt_winnow": q_txt_winnow,
         "txt_utf8": q_txt_utf8,
+        "txt_repetition": q_txt_repetition,
+        "txt_replines": q_txt_replines,
+        "txt_pii": q_txt_pii,
         "txt_tfidf": q_txt_tfidf,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
@@ -3027,6 +3109,116 @@ def _curate_sql(bands: int = 4, rows_per_band: int = 2, thresh: float = 0.6) -> 
              CAST(len(list_distinct(b)) AS BIGINT) AS n_unique_bpe
       FROM surv s JOIN bt ON bt.doc_id = s.doc_id
     """
+
+
+def _repetition_sql(source: str, top_ns: tuple, dup_ns: tuple) -> str:
+    """DuckDB mirror of functions.text.repetition_df: identical metric
+    definitions (trimmed non-empty lines, beyond-the-first duplicate
+    counting, (cnt, len, gram) lexicographic top-gram tie-break) via
+    window functions instead of Spark's max-of-struct."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    ns_vals = ", ".join(f"({n})" for n in all_ns)
+    cases = ", ".join(
+        [f"MAX(CASE WHEN n = {n} THEN top_num END) AS t{n}" for n in top_ns]
+        + [f"MAX(CASE WHEN n = {n} THEN dupch END) AS d{n}" for n in dup_ns]
+    )
+    fracs = ", ".join(
+        [
+            f"ROUND(COALESCE(t{n}, 0)::DOUBLE / GREATEST(tk.n_chars, 1)::DOUBLE, 6)"
+            f" AS top{n}gram_char_frac"
+            for n in top_ns
+        ]
+        + [
+            f"ROUND(COALESCE(d{n}, 0)::DOUBLE / GREATEST(tk.n_chars, 1)::DOUBLE, 6)"
+            f" AS dup{n}gram_char_frac"
+            for n in dup_ns
+        ]
+    )
+    return f"""
+      WITH src AS ({source}),
+      d AS (SELECT doc_id, text, {_NORM} AS nt FROM src WHERE text IS NOT NULL),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks,
+                    CAST(length(nt) AS BIGINT) AS n_chars
+             FROM d),
+      lm AS (
+        SELECT doc_id,
+               len(ls) AS nl,
+               len(list_distinct(ls)) AS nd,
+               COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS tot,
+               COALESCE(list_sum(list_transform(list_distinct(ls),
+                   x -> (len(list_filter(ls, l -> l = x)) - 1) * length(x))), 0) AS dup
+        FROM (SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS ls
+              FROM d)
+      ),
+      g AS (
+        SELECT doc_id, n, array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
+        FROM tk, (VALUES {ns_vals}) ns(n),
+             unnest(generate_series(1, len(toks) - n + 1)) u(i)
+        WHERE len(toks) >= n
+      ),
+      c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      r AS (
+        SELECT doc_id, n, cnt, length(gram) AS glen,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn,
+               SUM((cnt - 1) * length(gram)) OVER (PARTITION BY doc_id, n) AS dupch
+        FROM c
+      ),
+      p AS (SELECT doc_id, n, cnt * glen AS top_num, dupch FROM r WHERE rn = 1),
+      w AS (SELECT doc_id, {cases} FROM p GROUP BY 1)
+      SELECT tk.doc_id, tk.n_chars,
+             CAST(lm.nl AS BIGINT) AS n_lines,
+             ROUND((lm.nl - lm.nd)::DOUBLE / GREATEST(lm.nl, 1)::DOUBLE, 6)
+               AS dup_line_frac,
+             ROUND(lm.dup::DOUBLE / GREATEST(lm.tot, 1)::DOUBLE, 6)
+               AS dup_line_char_frac,
+             {fracs}
+      FROM tk JOIN lm USING (doc_id) LEFT JOIN w USING (doc_id)
+    """
+
+
+def _replines_values() -> str:
+    """The txt_replines corpus as a DuckDB VALUES clause (lines joined with
+    chr(10) expressions — no literal newlines in the SQL)."""
+    rows = []
+    for i, lines in _REPLINE_ROWS:
+        text = " || chr(10) || ".join("'" + ln + "'" for ln in lines)
+        rows.append(f"({i}, {text})")
+    return ", ".join(rows)
+
+
+def _pii_sql() -> str:
+    """DuckDB mirror of functions.text.pii_df + redact_pii_df over the
+    txt_pii gate corpus.  Built by concatenation, not f-string — the regex
+    patterns contain literal braces.  Patterns splice verbatim: they are
+    single-quote-free and lookaround-free by construction (RE2-compatible,
+    see PII_PATTERNS)."""
+    from imops_spark.functions.text import PII_PATTERNS
+
+    pats = {name: "'" + pat + "'" for name, pat in PII_PATTERNS.items()}
+    planted = ", ".join("(%d, '%s')" % (i, t) for i, t in _PII_ROWS)
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(text, %s)) AS BIGINT) AS n_%s" % (p, name)
+        for name, p in pats.items()
+    )
+    any_pii = " OR ".join(
+        "len(regexp_extract_all(text, %s)) > 0" % p for p in pats.values()
+    )
+    red = "text"
+    for name, p in pats.items():
+        red = "regexp_replace(%s, %s, '<%s>', 'g')" % (red, p, name.upper())
+    return """
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT * FROM (VALUES %s) v(doc_id, text)
+      )
+      SELECT doc_id, %s, (%s) AS any_pii, %s AS text_redacted
+      FROM base WHERE text IS NOT NULL
+    """ % (planted, counts, any_pii, red)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3985,6 +4177,15 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COALESCE(nf.n_fps, CAST(0 AS BIGINT)) AS n_fps
             FROM d LEFT JOIN nf USING (doc_id)
         """,
+        "txt_repetition": _repetition_sql(
+            "SELECT doc_id, text FROM documents", top_ns=(2, 3, 4), dup_ns=(5,)
+        ),
+        "txt_replines": _repetition_sql(
+            f"SELECT * FROM (VALUES {_replines_values()}) v(doc_id, text)",
+            top_ns=(2,),
+            dup_ns=(3,),
+        ),
+        "txt_pii": _pii_sql(),
         "txt_tfidf": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token

@@ -34,6 +34,10 @@ __all__ = [
     "winnow_fp_set_df",
     "winnow_fp_array_df",
     "tfidf_df",
+    "repetition_df",
+    "PII_PATTERNS",
+    "pii_df",
+    "redact_pii_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -335,4 +339,217 @@ def fingerprint_df(docs: DataFrame, prefix: int = 64) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp_full"),
         F.md5(F.substring(norm, 1, prefix)).alias("fp_prefix"),
+    )
+
+
+def repetition_df(
+    docs: DataFrame,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+    line_sep: str = "\n",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, table A1's
+    repetition filters, as adopted by C4/Dolma-family pipelines): per
+    document the fraction of duplicate lines, the fraction of line
+    characters inside duplicate lines, the fraction of characters covered
+    by the single most-frequent word n-gram (``top{n}gram_char_frac`` for
+    each n in ``top_ns``), and the fraction of characters in repeated
+    occurrences of duplicated n-grams (``dup{n}gram_char_frac`` for each n
+    in ``dup_ns``).  High values on any of these are the standard
+    machine-generated / boilerplate signal a pretraining filter thresholds
+    on.
+
+    Definitions (documented because published pipelines differ in the
+    details): lines are ``line_sep``-separated, trimmed, empties dropped;
+    ``dup_line_frac = (n_lines - n_distinct) / n_lines``;
+    ``dup_line_char_frac`` counts the characters of occurrences BEYOND THE
+    FIRST of each repeated line over total line characters.  n-grams are
+    over whitespace tokens of the normalized text, their "characters" are
+    the length of the space-joined gram, and the denominator is the
+    normalized text length — overlapping occurrences are each counted, so
+    the n-gram fractions are scores that can exceed 1 on degenerate
+    repetition (exactly how the simplified published implementations
+    behave).  All fractions round to ``round_to``; docs shorter than n
+    tokens score 0 for that n.
+
+    Plan shape at 100 TB: ONE scan, ONE shuffle.  The corpus is
+    repartitioned by doc_id while rows are still compact documents (the
+    explode-first alternative would shuffle O(tokens x |ns|) gram rows
+    instead of the documents themselves); the gram explode and all three
+    downstream aggregations (keyed (doc_id, n, gram), then (doc_id, n),
+    then doc_id — every key set contains doc_id, so hash-partitioning by
+    doc_id satisfies each) run inside that single exchange.  The row-local
+    line metrics ride THROUGH the aggregation chain as first() carries —
+    joining them back instead would either re-scan the corpus (broadcast
+    join: two scan branches) or add a second full exchange (sort-merge) —
+    and a sentinel n=0 gram row keeps zero-gram documents (fewer tokens
+    than every n) in the output.  Line metrics are pure array expressions
+    with the line array bound as a lambda variable (the CollapseProject
+    re-evaluation trap — see winnow_fp_array_df).
+    """
+    import re as _re
+
+    top_ns = tuple(int(n) for n in top_ns)
+    dup_ns = tuple(int(n) for n in dup_ns)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    if not all_ns or min(all_ns) < 1:
+        raise ValueError(f"n-gram sizes must be >= 1, got {top_ns} + {dup_ns}")
+    norm = normalized_text()
+    sep_rx = _re.escape(line_sep).replace("\\", "\\\\").replace("'", "\\'")
+
+    # line metrics, row-local; `ls` is a lambda variable so the split/trim/
+    # filter chain materializes once per row, not once per distinct line
+    lm = (
+        f"transform(array(filter(transform(split(text, '{sep_rx}'),"
+        f" x -> trim(x)), x -> x != '')),"
+        f" ls -> named_struct("
+        f"   'n', size(ls),"
+        f"   'nd', size(array_distinct(ls)),"
+        f"   'tot', aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + length(x)),"
+        f"   'dup', aggregate(array_distinct(ls), CAST(0 AS BIGINT),"
+        f"     (a, x) -> a + (size(filter(ls, l -> l = x)) - 1) * length(x))"
+        f" ))[0]"
+    )
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            norm.alias("nt"),
+            F.split(norm, " ").alias("toks"),
+        )
+        .repartition("doc_id")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            "CAST(length(nt) AS BIGINT) AS n_chars",
+            f"{lm} AS lm",
+        )
+    )
+
+    # one tagged explode for every n, plus a sentinel (n=0) row so docs
+    # with no complete gram for ANY n still reach the final aggregation
+    per_n = ", ".join(
+        ["array(named_struct('n', 0, 'gram', ''))"]
+        + [
+            f"if(size(toks) >= {n},"
+            f" transform(sequence(1, size(toks) - {n - 1}),"
+            f"   i -> named_struct('n', {n}, 'gram', concat_ws(' ', slice(toks, i, {n})))),"
+            f" array())"
+            for n in all_ns
+        ]
+    )
+    grams = base.selectExpr(
+        "doc_id", "n_chars", "lm", f"explode(flatten(array({per_n}))) AS g"
+    ).selectExpr("doc_id", "n_chars", "lm", "g.n AS n", "g.gram AS gram")
+
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("n_chars").alias("n_chars"),
+        F.first("lm").alias("lm"),
+    )
+    per_doc_n = counts.groupBy("doc_id", "n").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"),
+                F.length("gram").cast("long").alias("glen"),
+                F.col("gram"),
+            )
+        ).alias("top"),
+        F.sum((F.col("cnt") - 1) * F.length("gram")).alias("dup_chars"),
+        F.first("n_chars").alias("n_chars"),
+        F.first("lm").alias("lm"),
+    )
+    wide = per_doc_n.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("top.cnt") * F.col("top.glen"))
+            ).alias(f"top{n}_num")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(
+                f"dup{n}_chars"
+            )
+            for n in dup_ns
+        ],
+        F.first("n_chars").alias("n_chars"),
+        F.first("lm").alias("lm"),
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.coalesce(num, F.lit(0)).cast("double")
+            / F.greatest(den, F.lit(1)).cast("double"),
+            round_to,
+        )
+
+    return wide.select(
+        "doc_id",
+        "n_chars",
+        F.col("lm.n").cast("long").alias("n_lines"),
+        frac(F.col("lm.n") - F.col("lm.nd"), F.col("lm.n")).alias("dup_line_frac"),
+        frac(F.col("lm.dup"), F.col("lm.tot")).alias("dup_line_char_frac"),
+        *[
+            frac(F.col(f"top{n}_num"), F.col("n_chars")).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            frac(F.col(f"dup{n}_chars"), F.col("n_chars")).alias(
+                f"dup{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+
+
+# PII surface patterns — deliberately restricted to syntax BOTH regex
+# engines (Spark's java.util.regex and the DuckDB oracle's RE2) match
+# identically: no lookaround, no backreferences, ASCII classes, \b word
+# boundaries.  Redaction replaces in DICT ORDER (emails first, then IPs,
+# then phones) — order matters because the phone pattern would otherwise
+# consume digit runs inside already-structured matches.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9() \-]{6,}[0-9]",
+}
+
+
+def pii_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII surface counts: ``(doc_id, n_email, n_ipv4,
+    n_phone, any_pii)`` — the detection half of the scrubbing step every
+    released pretraining pipeline runs (C4, Dolma, RedPajama all regex-scrub
+    emails/IPs/phones).  Pure ``regexp_extract_all`` column expressions:
+    zero shuffles, streaming-legal, whole-stage codegen."""
+    counts = [
+        F.size(F.regexp_extract_all(text_col, F.lit(pat), 0)).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.filter(F.col(text_col).isNotNull()).select("doc_id", *counts)
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("any_pii", any_pii)
+
+
+def redact_pii_df(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Redact PII in place: every match of each PII_PATTERNS entry is
+    replaced by its placeholder (``<EMAIL>``/``<IPV4>``/``<PHONE>``), in
+    dict order, yielding ``(*keep_cols, text_redacted)``.  Row-local
+    ``regexp_replace`` chain — the same zero-shuffle scale story as
+    :func:`pii_df`."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        *keep_cols, col.alias("text_redacted")
     )

@@ -1,0 +1,162 @@
+"""Differential tests for the Gopher-style repetition metrics and the PII
+detection/redaction operators: every metric re-derived in plain Python on
+the same rows, plus plan-shape and edge-case guards."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from imops_spark.functions.text import (
+    PII_PATTERNS,
+    pii_df,
+    redact_pii_df,
+    repetition_df,
+)
+
+ROWS = [
+    (1, "a b a b a b c d\nx y\nx y\nunique line"),
+    (2, "one two three four five six seven eight nine ten"),
+    (3, "spam spam spam spam spam spam"),
+    (4, None),
+    (5, "short"),
+    (6, ""),
+    (7, "dup\ndup\n  dup  \n\n   \nnot dup"),
+    (8, "The Same\nthe same\nThe Same"),  # case-sensitive line compare
+]
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _expected(text, top_ns, dup_ns):
+    nt = _norm(text)
+    toks = nt.split(" ")
+    n_chars = len(nt)
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln != ""]
+    nl, nd = len(lines), len(set(lines))
+    cnt = Counter(lines)
+    tot = sum(len(ln) for ln in lines)
+    dup = sum((c - 1) * len(ln) for ln, c in cnt.items() if c > 1)
+    out = {
+        "n_chars": n_chars,
+        "n_lines": nl,
+        "dup_line_frac": round((nl - nd) / max(nl, 1), 6),
+        "dup_line_char_frac": round(dup / max(tot, 1), 6),
+    }
+    for n in top_ns:
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        if grams:
+            # max over (count, char length, gram) — the operator's tie-break
+            c, glen, _ = max((c, len(g), g) for g, c in grams.items())
+            out[f"top{n}gram_char_frac"] = round(c * glen / max(n_chars, 1), 6)
+        else:
+            out[f"top{n}gram_char_frac"] = 0.0
+    for n in dup_ns:
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        d = sum((c - 1) * len(g) for g, c in grams.items() if c > 1)
+        out[f"dup{n}gram_char_frac"] = round(d / max(n_chars, 1), 6)
+    return out
+
+
+def test_repetition_matches_python_rederivation(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_df(df, top_ns=(2, 3), dup_ns=(2, 5)).collect()
+    }
+    expected_ids = {i for i, t in ROWS if t is not None}
+    assert set(got) == expected_ids, "null text dropped, all others kept"
+    for i, t in ROWS:
+        if t is None:
+            continue
+        exp = _expected(t, (2, 3), (2, 5))
+        row = got[i]
+        for k, v in exp.items():
+            assert row[k] == pytest.approx(v, abs=1e-9), (i, k, row[k], v)
+
+
+def test_repetition_single_exchange_single_scan(spark, tmp_path):
+    """The documented plan contract: compact-doc repartition is the ONE
+    exchange; explode and all three aggregations reuse it; no join, one
+    scan of the corpus."""
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w%d x y z w%d" % (i % 3, i % 3)) for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = repetition_df(spark.read.parquet(p))
+    out.collect()
+    # the AQE plan string repeats every node in its "== Initial Plan =="
+    # section — count only the executed final plan
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_repetition_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repetition_df(df, top_ns=(0,))
+    with pytest.raises(ValueError):
+        repetition_df(df, top_ns=(), dup_ns=())
+
+
+PII_ROWS = [
+    (1, "mail john.doe+tag@sub.example.co.uk and jane@x.io now"),
+    (2, "host 10.0.0.1 peer 255.255.255.255 v1.2.3 is not an ip"),
+    (3, "call +44 (0) 20-7946-0958 or 5551234567 yes"),
+    (4, "nothing to see here"),
+    (5, None),
+]
+
+
+def test_pii_counts_match_python_re(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_df(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i, t in PII_ROWS:
+        if t is None:
+            continue
+        for name, pat in PII_PATTERNS.items():
+            exp = len(re.findall(pat, t))
+            assert got[i][f"n_{name}"] == exp, (i, name)
+        assert got[i]["any_pii"] == any(
+            re.search(p, t) for p in PII_PATTERNS.values()
+        )
+
+
+def test_pii_redaction_matches_python_re(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_redacted"] for r in redact_pii_df(df).collect()
+    }
+    for i, t in PII_ROWS:
+        if t is None:
+            continue
+        exp = t
+        for name, pat in PII_PATTERNS.items():
+            exp = re.sub(pat, f"<{name.upper()}>", exp)
+        assert got[i] == exp, i
+    # a planted email is actually gone
+    assert "@" not in got[1]
+
+
+def test_pii_zero_shuffle(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    for out in (pii_df(df), redact_pii_df(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
