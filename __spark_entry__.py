@@ -1356,6 +1356,28 @@ def q_dd_jaccard(spark, sf_dir):
     return ngram_jaccard_df(docs, pairs)
 
 
+def q_dd_spans(spark, sf_dir):
+    """Exact substring dedup, span level (dedup.duplicate_spans_df): the
+    maximal character spans whose every 20-gram occurs in >= 2 distinct
+    documents — the Lee et al. suffix-array primitive as a hash-relational
+    plan (one gram shuffle with a window min/max distinct-doc test — no
+    join, no second scan — then island merging by doc).  The shared-vocab
+    corpus makes real cross-document spans common."""
+    from imops_spark.functions.dedup import duplicate_spans_df
+
+    return duplicate_spans_df(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_dd_span_stats(spark, sf_dir):
+    """Per-document duplicated-character coverage
+    (dedup.duplicate_span_stats_df): span count, duplicated chars, and the
+    thresholdable coverage fraction — maximal spans never overlap, so the
+    sum is exact."""
+    from imops_spark.functions.dedup import duplicate_span_stats_df
+
+    return duplicate_span_stats_df(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_dd_editsim(spark, sf_dir):
     """Edit-distance verification (dedup.edit_similarity_df): exact
     Levenshtein over normalized texts for candidate pairs — the
@@ -2777,6 +2799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_sjoin": q_dd_lsh_sjoin,
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
+        "dd_spans": q_dd_spans,
+        "dd_span_stats": q_dd_span_stats,
         "dd_editsim": q_dd_editsim,
         "dd_clusters": q_dd_clusters,
         "curate": q_curate,
@@ -3188,6 +3212,70 @@ def _replines_values() -> str:
         text = " || chr(10) || ".join("'" + ln + "'" for ln in lines)
         rows.append(f"({i}, {text})")
     return ", ".join(rows)
+
+
+def _dup_spans_core_sql(k: int) -> str:
+    """Shared WITH-chain for the duplicate-span oracles: per-position
+    k-gram hashes (the engine's exact md5 recipe), the window min!=max
+    distinct-doc test, and island numbering."""
+    return f"""
+      d AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+      g AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(substr(nt, pos, {k})), 1, 15))::BIGINT AS h
+        FROM (SELECT * FROM d WHERE length(nt) >= {k}) dd,
+             unnest(generate_series(1, length(nt) - {k - 1})) u(pos)
+      ),
+      m AS (
+        SELECT doc_id, pos
+        FROM (SELECT doc_id, pos,
+                     MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY h) AS mx
+              FROM g) x
+        WHERE mn <> mx
+      ),
+      r AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM m
+      )
+    """
+
+
+def _dup_spans_sql(k: int = 20) -> str:
+    return f"""
+      WITH {_dup_spans_core_sql(k)}
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM r GROUP BY doc_id, grp
+    """
+
+
+def _dup_span_stats_sql(k: int = 20) -> str:
+    return f"""
+      WITH {_dup_spans_core_sql(k)},
+      sp AS (
+        SELECT doc_id, MAX(pos) - MIN(pos) + {k} AS span_len
+        FROM r GROUP BY doc_id, grp
+      ),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_len) AS BIGINT) AS dup_span_chars
+        FROM sp GROUP BY 1
+      ),
+      base AS (
+        SELECT doc_id, length({_NORM}) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT base.doc_id,
+             COALESCE(n_spans, 0) AS n_spans,
+             COALESCE(dup_span_chars, 0) AS dup_span_chars,
+             ROUND(COALESCE(dup_span_chars, 0)::DOUBLE
+                   / GREATEST(n_chars, 1)::DOUBLE, 6) AS dup_span_char_frac
+      FROM base LEFT JOIN agg USING (doc_id)
+    """
 
 
 def _pii_sql() -> str:
@@ -3937,6 +4025,8 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN n a ON p.doc_a = a.doc_id
             JOIN n b ON p.doc_b = b.doc_id
         """,
+        "dd_spans": _dup_spans_sql(20),
+        "dd_span_stats": _dup_span_stats_sql(20),
         "dd_jaccard": f"""
             WITH {_SHINGLES},
             pairs AS (

@@ -21,7 +21,7 @@ cross-engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..utils import quote_carry
@@ -40,6 +40,8 @@ __all__ = [
     "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
+    "duplicate_spans_df",
+    "duplicate_span_stats_df",
     "lsh_write_index",
     "lsh_query_index",
 ]
@@ -649,4 +651,110 @@ def lsh_query_index(
         .filter(F.col("index_doc_id") != F.col("probe_doc_id"))
         .select("index_doc_id", "probe_doc_id")
         .distinct()
+    )
+
+
+def duplicate_spans_df(
+    docs: DataFrame, k: int = 20, min_docs: int = 2
+) -> DataFrame:
+    """Exact substring deduplication, span-level (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" primitive,
+    re-expressed relationally): per document the MAXIMAL character spans
+    whose every ``k``-gram also occurs in at least ``min_docs`` distinct
+    documents — ``(doc_id, span_start, span_len, n_grams)``, 1-based
+    start over the normalized text.
+
+    The reference C++ implementation builds a corpus suffix array; the
+    Spark-native equivalent is hash-relational: every position's k-gram
+    hash (the winnowing/md5 recipe — cross-engine deterministic),
+    ``groupBy(hash)`` for the distinct-document count, a semi-join back to
+    positions, then per-document island merging (``pos - row_number``)
+    into maximal runs.  A span of length L >= k appears iff all its
+    L - k + 1 gram starts are duplicated, which is exactly the suffix-array
+    criterion for shared substrings of length >= k.
+
+    Plan shape at 100 TB: two linear exchanges, one scan.  For the default
+    ``min_docs=2``, "appears in >= 2 distinct documents" is exactly
+    ``min(doc_id) != max(doc_id)`` over the hash partition — a window pair
+    on the ONE gram shuffle, with no join and no second scan (the
+    groupBy-count + semi-join formulation plans the gram subtree twice:
+    column pruning makes the two branches differ, defeating
+    ReusedExchange, so the corpus would be hashed twice).  The island
+    window then shuffles only the matched positions (a filtered subset) by
+    doc_id.  ``min_docs > 2`` falls back to the countDistinct + semi-join
+    formulation (three exchanges, still linear and still one window-free
+    aggregate side).  Hash collisions (60-bit) can merge unrelated grams —
+    at corpus scale that admits a rare false-positive gram into a span,
+    the standard trade of every hashed-substring formulation.
+    """
+    k, min_docs = int(k), int(min_docs)
+    if k < 1 or min_docs < 1:
+        raise ValueError(f"k and min_docs must be >= 1, got {k}, {min_docs}")
+    d = docs.select("doc_id", normalized_text().alias("nt")).filter(
+        F.length("nt") >= k
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
+        F.col("nt"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    if min_docs == 2:
+        w_h = Window.partitionBy("h")
+        hits = (
+            grams.withColumn("__mn", F.min("doc_id").over(w_h))
+            .withColumn("__mx", F.max("doc_id").over(w_h))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("doc_id", "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h")
+        )
+        hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).drop("grp")
+
+
+def duplicate_span_stats_df(
+    docs: DataFrame, k: int = 20, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicate-span summary: ``(doc_id, n_spans,
+    dup_span_chars, dup_span_char_frac)`` — the thresholdable curation
+    signal ("drop documents that are mostly copied").  Maximal spans never
+    overlap, so summed span lengths are the exact duplicated-character
+    coverage of the normalized text.  Documents with no duplicated span
+    (including those shorter than ``k``) report zeros."""
+    spans = duplicate_spans_df(docs, k=k, min_docs=min_docs)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").alias("dup_span_chars"),
+    )
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.length(normalized_text()).cast("long").alias("n_chars")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_span_chars", F.lit(0)).alias("dup_span_chars"),
+        F.round(
+            F.coalesce("dup_span_chars", F.lit(0)).cast("double")
+            / F.greatest("n_chars", F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_span_char_frac"),
     )

@@ -1,0 +1,135 @@
+"""Differential tests for exact-substring (duplicate-span) dedup: brute
+force re-derivation in Python, path equivalence (window vs join
+formulations), plan shape, and edge cases."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from imops_spark.functions.dedup import (
+    duplicate_span_stats_df,
+    duplicate_spans_df,
+)
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river today"),
+    (2, "unrelated words entirely different content nothing shared here"),
+    (3, "prefix the quick brown fox jumps over the lazy dog suffix words"),
+    (4, "short"),
+    (5, None),
+    (6, "near the river today is also where doc one ends near the river today"),
+]
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _brute_spans(rows, k, min_docs=2):
+    """Re-derive maximal duplicated spans from raw substring counting."""
+    norm = {i: _norm(t) for i, t in rows if t is not None and len(_norm(t)) >= k}
+    # gram -> set of docs
+    docs_of = {}
+    for i, nt in norm.items():
+        for p in range(len(nt) - k + 1):
+            docs_of.setdefault(nt[p : p + k], set()).add(i)
+    out = set()
+    for i, nt in norm.items():
+        dup_pos = [
+            p + 1  # 1-based
+            for p in range(len(nt) - k + 1)
+            if len(docs_of[nt[p : p + k]]) >= min_docs
+        ]
+        # merge consecutive runs
+        run = []
+        for p in dup_pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((i, run[0], run[-1] - run[0] + k, len(run)))
+                run = [p]
+        if run:
+            out.add((i, run[0], run[-1] - run[0] + k, len(run)))
+    return out
+
+
+def test_spans_match_brute_force(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["n_grams"])
+        for r in duplicate_spans_df(df, k=12).collect()
+    }
+    assert got == _brute_spans(ROWS, 12)
+    assert got, "corpus was constructed to contain cross-doc spans"
+    # doc 6's self-repeat is NOT a span (min_docs counts distinct docs)
+    within_only = {r for r in got if r[0] == 6}
+    brute = _brute_spans(ROWS, 12)
+    assert within_only == {r for r in brute if r[0] == 6}
+
+
+def test_min_docs_paths_agree(spark):
+    """The min_docs=2 window formulation and the general countDistinct +
+    semi-join formulation must produce identical spans; min_docs=3 needs a
+    gram shared by three docs."""
+    rows = ROWS + [(7, "xx the quick brown fox jumps over the lazy dog zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    win = sorted(map(tuple, duplicate_spans_df(df, k=12, min_docs=2).collect()))
+    # force the join path for the same semantics by asking for min_docs=2
+    # via the general formulation: monkeypatch-free — compare min_docs=3
+    # against brute force instead, and 2-vs-brute covers the window path
+    assert win == sorted(_brute_spans(rows, 12, 2))
+    j3 = sorted(map(tuple, duplicate_spans_df(df, k=12, min_docs=3).collect()))
+    assert j3 == sorted(_brute_spans(rows, 12, 3))
+    assert j3, "three docs share the fox sentence"
+
+
+def test_span_stats(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_stats_df(df, k=12).collect()
+    }
+    # every non-null doc present, zero rows for span-free docs
+    assert set(stats) == {1, 2, 3, 4, 6}
+    assert stats[2]["n_spans"] == 0 and stats[2]["dup_span_char_frac"] == 0.0
+    assert stats[4]["n_spans"] == 0  # shorter than k
+    spans = _brute_spans(ROWS, 12)
+    for i in (1, 3):
+        mine = [s for s in spans if s[0] == i]
+        assert stats[i]["n_spans"] == len(mine)
+        assert stats[i]["dup_span_chars"] == sum(s[2] for s in mine)
+        nt = _norm(dict(ROWS)[i])
+        assert stats[i]["dup_span_char_frac"] == pytest.approx(
+            round(sum(s[2] for s in mine) / len(nt), 6)
+        )
+
+
+def test_spans_plan_shape(spark, tmp_path):
+    """min_docs=2 contract: ONE scan, TWO exchanges (gram hash window +
+    island window), no join."""
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "shared boilerplate sentence here plus doc %d tail" % i) for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = duplicate_spans_df(spark.read.parquet(p), k=12)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_spans_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_spans_df(df, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans_df(df, min_docs=0)
