@@ -1736,6 +1736,22 @@ def q_emb_near_dup(spark, sf_dir):
     return embedding_near_dup_df(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.semdedup_df): k-means clusters + within-cluster
+    cosine near-dup pruning.  Gated in the SATURATED configuration
+    (n_clusters=1 — every pair examined), where the answer is
+    centroid-free: keep iff no lower-id vector is cosine-similar above
+    threshold — the sim_ivf/sim_pq gating recipe.  The clustered path
+    (n_clusters>1: sample-trained spherical k-means, window-derived
+    per-cluster block counts, one exchange end-to-end) is pinned against
+    a full numpy re-derivation in tests/test_semdedup.py."""
+    from imops_spark.functions.dedup import semdedup_df
+
+    return semdedup_df(
+        _t(spark, sf_dir, "embeddings"), n_clusters=1, threshold=0.35
+    )
+
+
 def q_txt_tokens(spark, sf_dir):
     from imops_spark.functions.text import token_count_df
 
@@ -2817,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_hof": q_rel_hof,
         "dd_simhash": q_dd_simhash,
         "emb_near_dup": q_emb_near_dup,
+        "emb_semdedup": q_emb_semdedup,
         "txt_tokens": q_txt_tokens,
         "txt_bpe": q_txt_bpe,
         "txt_quality": q_txt_quality,
@@ -4158,6 +4175,18 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "dd_simhash": _simhash_sql(),
+        "emb_semdedup": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) >= 0.35
+            ),
+            d AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM p GROUP BY 1)
+            SELECT e.vec_id, CAST(0 AS INT) AS centroid_id, d.dup_of,
+                   d.dup_of IS NULL AS keep
+            FROM embeddings e LEFT JOIN d USING (vec_id)
+        """,
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -40,6 +40,7 @@ __all__ = [
     "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
+    "semdedup_df",
     "duplicate_spans_df",
     "duplicate_span_stats_df",
     "lsh_write_index",
@@ -418,8 +419,6 @@ def embedding_near_dup_df(
     """
     import math
 
-    import pandas as pd
-
     if num_blocks is None:
         n = _row_count_estimate(embeddings)
         num_blocks = min(max(1, math.ceil(n / 4096)), 64)
@@ -427,22 +426,37 @@ def embedding_near_dup_df(
         F.col(id_col).alias("vid").cast("long"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
+        F.lit(int(num_blocks)).alias("nblk"),
     )
-    as_left = F.transform(
-        F.sequence(F.col("blk"), F.lit(num_blocks - 1)),
-        lambda j: F.struct(
-            F.col("blk").alias("bi"), j.alias("bj"), F.lit(0).alias("side")
-        ),
+    return _pair_replicated(emb).groupBy("bi", "bj").applyInPandas(
+        _cosine_pairs_compute(threshold), schema="id_a long, id_b long, cosine double"
     )
-    as_right = F.transform(
-        F.sequence(F.lit(0), F.col("blk")),
-        lambda i: F.struct(
-            i.alias("bi"), F.col("blk").alias("bj"), F.lit(1).alias("side")
-        ),
+
+
+def _pair_replicated(emb: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """The row-local pair-replication explode shared by the block-GEMM
+    similarity operators: each vector in block ``blk`` (of a per-row
+    ``nblk`` total — constant for the global near-dup join, per-cluster
+    for semdedup) becomes the LEFT side of block pairs (blk, j >= blk)
+    and the RIGHT side of (i <= blk, blk).  One scan, no join."""
+    pairs = (
+        "explode(concat("
+        " transform(sequence(blk, nblk - 1),"
+        "   j -> named_struct('bi', blk, 'bj', j, 'side', 0)),"
+        " transform(sequence(0, blk),"
+        "   i -> named_struct('bi', i, 'bj', blk, 'side', 1))"
+        ")) AS p"
     )
-    both = emb.select(
-        F.explode(F.concat(as_left, as_right)).alias("p"), "vid", "vec"
-    ).select(F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"), F.col("p.side").alias("side"), "vid", "vec")
+    return emb.selectExpr(*group_cols, pairs, "vid", "vec").selectExpr(
+        *group_cols, "p.bi AS bi", "p.bj AS bj", "p.side AS side", "vid", "vec"
+    )
+
+
+def _cosine_pairs_compute(threshold: float):
+    """The per-block-pair Arrow task: one numpy GEMM over the (left, right)
+    sides, rounded cosines thresholded, diagonal blocks deduped to
+    id_a < id_b."""
+    import pandas as pd
 
     thr = float(threshold)
 
@@ -475,8 +489,94 @@ def embedding_near_dup_df(
             ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
 
-    return both.groupBy("bi", "bj").applyInPandas(
-        compute, schema="id_a long, id_b long, cosine double"
+    return compute
+
+
+def semdedup_df(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    n_iter: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_target: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then prune near-duplicates WITHIN each cluster — ``(id_col,
+    centroid_id, dup_of, keep)``.  A vector is dropped (``keep = false``,
+    ``dup_of`` = its lowest-id in-cluster neighbor above ``threshold``)
+    iff a lower-id vector in the same cluster is cosine-similar above
+    ``threshold``; cross-cluster near-dups are deliberately not examined —
+    clustering is what bounds the pair problem to per-cluster blocks
+    instead of corpus x corpus.  ``n_clusters = 1`` degenerates to exact
+    global near-dup pruning (how the driver gate verifies it).
+
+    Plan shape at 100 TB: centroids train on a deterministic driver-side
+    sample (``similarity.ivf_centroids`` — the IVF recipe); assignment is
+    one Arrow GEMM pass, NO shuffle; then ONE exchange on centroid_id
+    serves everything downstream — the per-cluster size (a window count,
+    so no driver collect and no second assignment pass) that derives each
+    cluster's block count ``ceil(n_c / block_target)``, the pair-replicate
+    explode (narrow), and the (centroid, block-pair) Arrow GEMM groups,
+    whose partitioning requirement the centroid_id exchange already
+    satisfies.  The drop rule then aggregates pairs by id_b and left-joins
+    assignments.  A severely skewed cluster concentrates its window count
+    on one partition (WindowExec spills); its GEMM work still fans out
+    across that cluster's block pairs.
+    """
+    from .similarity import ivf_assign_df, ivf_centroids
+
+    cents = ivf_centroids(
+        embeddings,
+        n_centroids=int(n_clusters),
+        n_iter=n_iter,
+        sample_size=sample_size,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assign = ivf_assign_df(
+        embeddings, cents, n_probe=1, id_col=id_col, vec_col=vec_col
+    )
+    w_c = Window.partitionBy("centroid_id")
+    emb = (
+        assign.withColumn("__n", F.count(F.lit(1)).over(w_c))
+        .select(
+            "centroid_id",
+            F.col("vec_id").alias("vid").cast("long"),
+            F.col("vec").cast("array<double>").alias("vec"),
+            F.least(
+                F.ceil(F.col("__n") / F.lit(int(block_target))), F.lit(64)
+            )
+            .cast("int")
+            .alias("nblk"),
+        )
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("vid"), F.col("nblk")).cast("int")
+        )
+    )
+    pairs = (
+        _pair_replicated(emb, group_cols=("centroid_id",))
+        .groupBy("centroid_id", "bi", "bj")
+        .applyInPandas(
+            _cosine_pairs_compute(threshold),
+            schema="id_a long, id_b long, cosine double",
+        )
+    )
+    dup = pairs.groupBy(F.col("id_b").alias("vid")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        assign.select(
+            F.col("vec_id").alias("vid").cast("long"), "centroid_id"
+        )
+        .join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
     )
 
 

@@ -55,10 +55,14 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             spark_rows = row_set(sdf.collect(), sdf.columns)
             if name in oracles:
-                odf = con.execute(oracles[name]).fetchdf()
-                oracle_rows = row_set(
-                    list(odf.itertuples(index=False)), list(odf.columns)
-                )
+                # fetchall keeps SQL NULLs as python None — fetchdf would
+                # widen nullable integer columns to float64 and turn NULL
+                # into NaN, which canon() renders differently ("nan" vs
+                # "NULL") and would false-flag any gate with a nullable
+                # numeric column (first hit: emb_semdedup.dup_of)
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                oracle_rows = row_set(res.fetchall(), ocols)
                 status = "ok" if spark_rows == oracle_rows else "MISMATCH"
             else:
                 status = "ok(rows-only)" if len(spark_rows) >= 0 else "??"
