@@ -1938,6 +1938,106 @@ def q_txt_pii(spark, sf_dir):
     return pii_df(docs).join(redact_pii_df(docs), "doc_id")
 
 
+# Constructed C4-rule corpus (the driver testdata has no punctuation or
+# newlines, so every line/content rule needs planted rows; the real docs
+# ride along as the false-positive guard).  No apostrophes.
+_C4_ROWS = [
+    (200001, ["This is a good sentence with many words.",
+              "Another fine long sentence right here!",
+              "Does this line have enough words too?",
+              "short one."]),
+    (200002, ["only two kept lines here today.",
+              "and the second such line is this one.",
+              "no terminal punct line with many words"]),
+    (200003, ["contains lorem ipsum dolor sit amet today.",
+              "second good line with enough words here.",
+              "third good line with enough words also.",
+              "fourth good line with enough words indeed."]),
+    (200004, ["a brace { appears in this long line today.",
+              "second good line with enough words here!",
+              "third good line with enough words also?",
+              "fourth proper line with enough words too."]),
+    (200005, ["the forbidden word appears in this sentence.",
+              "second good line with enough words here.",
+              "third good line with enough words also.",
+              "one more long enough sentence right here."]),
+    (200006, ['a quote terminated line with enough words"',
+              "second good line with enough words here.",
+              "third good line with enough words also."]),
+]
+
+
+def q_txt_c4(spark, sf_dir):
+    """C4 cleaning rules (functions.text.c4_rules_df): line keeping
+    (terminal punctuation + min words) and the document flags (lorem
+    ipsum / curly brace / bad-word list) — the Raffel et al. 2020 rule
+    set as zero-shuffle column expressions, over the real corpus (all
+    rules trivially clean — the false-positive guard) UNION a constructed
+    corpus that trips each rule exactly once."""
+    from imops_spark.functions.text import c4_rules_df
+
+    real = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in _C4_ROWS],
+        "doc_id long, text string",
+    )
+    return c4_rules_df(real.unionByName(planted), bad_words=("forbidden",))
+
+
+# Constructed URL corpus: blocklisted, clean, uppercased, and trailing
+# URLs plus a bare domain (not extracted — no scheme).  No apostrophes.
+_URL_ROWS = [
+    (300001, "see https://evil.example.com/path?q=1 and http://ok.org today"),
+    (300002, "mixed https://SPAM.io/x https://good.net/a/b plain example.com"),
+    (300003, "no urls at all in this document"),
+    (300004, "trailing https://good.net"),
+]
+
+
+def q_txt_urls(spark, sf_dir):
+    """URL extraction (functions.text.urls_df): one row per URL mention
+    with the lowercased host — scheme-anchored regex in the
+    Java-regex/RE2 common subset (bare domains without a scheme are
+    deliberately NOT URLs).  Real docs contribute zero rows (guard), the
+    constructed corpus covers path/query/port-free hosts, case folding,
+    and end-of-string URLs."""
+    from imops_spark.functions.text import urls_df
+
+    real = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(_URL_ROWS, "doc_id long, text string")
+    return urls_df(real.unionByName(planted))
+
+
+def q_txt_domfilter(spark, sf_dir):
+    """Domain blocklist filtering (functions.text.filter_by_domain_df):
+    drop every document mentioning a blocklisted domain — broadcast
+    semi-join on the URL explode, anti join back on doc_id.  Output is the
+    surviving doc_ids (real docs survive — no URLs; the two planted
+    blocklist hitters drop, case-insensitively)."""
+    from imops_spark.functions.text import filter_by_domain_df
+
+    real = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(_URL_ROWS, "doc_id long, text string")
+    block = spark.createDataFrame(
+        [("evil.example.com",), ("Spam.IO",)], "domain string"
+    )
+    return filter_by_domain_df(real.unionByName(planted), block).select(
+        "doc_id"
+    )
+
+
 def q_txt_tfidf(spark, sf_dir):
     from imops_spark.functions.text import tfidf_df
 
@@ -2844,6 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": q_txt_repetition,
         "txt_replines": q_txt_replines,
         "txt_pii": q_txt_pii,
+        "txt_c4": q_txt_c4,
+        "txt_urls": q_txt_urls,
+        "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
@@ -3293,6 +3396,91 @@ def _dup_span_stats_sql(k: int = 20) -> str:
                    / GREATEST(n_chars, 1)::DOUBLE, 6) AS dup_span_char_frac
       FROM base LEFT JOIN agg USING (doc_id)
     """
+
+
+def _c4_values() -> str:
+    rows = []
+    for i, lines in _C4_ROWS:
+        text = " || chr(10) || ".join("'" + ln.replace('"', '"') + "'" for ln in lines)
+        rows.append(f"({i}, {text})")
+    return ", ".join(rows)
+
+
+def _c4_sql() -> str:
+    """DuckDB mirror of functions.text.c4_rules_df over the txt_c4 gate
+    corpus.  Built with %-formatting (the SQL contains literal braces)."""
+    return """
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT * FROM (VALUES %(values)s) v(doc_id, text)
+      ),
+      t AS (SELECT doc_id, text FROM base WHERE text IS NOT NULL),
+      lm AS (
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               len(list_filter(ls, x ->
+                   list_contains(['.', '!', '?', '"'], substr(x, -1, 1))
+                   AND len(string_split_regex(x, ' +')) >= 5)) AS n_kept
+        FROM (SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS ls
+              FROM t)
+      ),
+      flags AS (
+        SELECT doc_id,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{') AS has_brace,
+               len(list_intersect(string_split(%(norm)s, ' '),
+                                  ['forbidden'])) > 0 AS has_bad_word
+        FROM t
+      )
+      SELECT t.doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(n_kept AS BIGINT) AS n_kept_lines,
+             has_lorem_ipsum, has_brace, has_bad_word,
+             (n_kept >= 3 AND NOT has_lorem_ipsum AND NOT has_brace
+              AND NOT has_bad_word) AS keep
+      FROM t JOIN lm USING (doc_id) JOIN flags USING (doc_id)
+    """ % {"values": _c4_values(), "norm": _NORM}
+
+
+def _urls_base_sql() -> str:
+    planted = ", ".join("(%d, '%s')" % (i, t) for i, t in _URL_ROWS)
+    return (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+        "UNION ALL SELECT * FROM (VALUES %s) v(doc_id, text)" % planted
+    )
+
+
+def _urls_sql() -> str:
+    return r"""
+      WITH base AS (%s)
+      SELECT doc_id, url,
+             lower(regexp_replace(url, 'https?://([^/:?#\s]+).*', '\1')) AS domain
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+            FROM base WHERE text IS NOT NULL)
+    """ % _urls_base_sql()
+
+
+def _domfilter_sql() -> str:
+    return r"""
+      WITH base AS (%s),
+      u AS (
+        SELECT doc_id,
+               lower(regexp_replace(url, 'https?://([^/:?#\s]+).*', '\1')) AS domain
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+              FROM base WHERE text IS NOT NULL)
+      ),
+      bad AS (
+        SELECT DISTINCT doc_id FROM u
+        WHERE domain IN (lower('evil.example.com'), lower('Spam.IO'))
+      )
+      SELECT doc_id FROM base ANTI JOIN bad USING (doc_id)
+    """ % _urls_base_sql()
 
 
 def _pii_sql() -> str:
@@ -4305,6 +4493,9 @@ def _oracle_sql_literals() -> dict[str, str]:
             dup_ns=(3,),
         ),
         "txt_pii": _pii_sql(),
+        "txt_c4": _c4_sql(),
+        "txt_urls": _urls_sql(),
+        "txt_domfilter": _domfilter_sql(),
         "txt_tfidf": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token

@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "txt_fingerprint",
     "sim_topk",
     "emb_near_dup",
+    # round-6 additions (totals not comparable to BENCH_r05 and earlier;
+    # value_shared25 / per-query timings are): the new curation surface
+    "dd_spans",
+    "txt_repetition",
+    "txt_pii",
+    "emb_semdedup",
 ]
 
 
@@ -170,10 +176,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Keep the cross-round trend line honest: round 4 added five TPC-H
-    # heavies mid-series, so the full total is not comparable to BENCH_r03
-    # and earlier — also publish the shared original-25 subtotal.
+    # heavies mid-series and round 6 added four curation ops, so the full
+    # total is only comparable within a round-set — also publish the shared
+    # original-25 subtotal, the stable cross-round trend line.
     added_r4 = {"tpch_q9", "tpch_q13", "tpch_q18", "tpch_q21", "tpch_q21_1scan"}
-    shared25 = round(sum(v for k, v in timings.items() if k not in added_r4), 3)
+    added_r6 = {"dd_spans", "txt_repetition", "txt_pii", "emb_semdedup"}
+    shared25 = round(
+        sum(v for k, v in timings.items() if k not in added_r4 | added_r6), 3
+    )
+    # the r4/r5-comparable 30-query subtotal
+    shared30 = round(
+        sum(v for k, v in timings.items() if k not in added_r6), 3
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -181,6 +195,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "value_shared25": shared25,
+                "value_shared30": shared30,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),

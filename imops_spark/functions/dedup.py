@@ -312,28 +312,72 @@ def ngram_jaccard_df(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame
     )
 
 
-def simhash_df(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash signature per document: ``(doc_id, simhash)``.
+def simhash_df(
+    docs: DataFrame, bits: int = 32, strategy: str | None = None
+) -> DataFrame:
+    """SimHash signature per document: ``(doc_id, simhash)``.  Bit b of the
+    signature is set when ones out-vote zeros among the distinct tokens'
+    hash bits (2*ones > n).  Two value-identical strategies:
 
-    ZERO shuffles: the distinct token set is a row-local array, each token's
-    60-bit md5 hash is a ``transform``, and all ``bits`` vote counters
-    accumulate in ONE ``aggregate`` pass over the hash array (zip_with of
-    the counter array against each hash's bit vector).  Bit b of the
-    signature is set when ones out-vote zeros (2*ones > n).
+    - ``'agg'`` (batch default): explode distinct tokens, one md5 hash
+      column, ``groupBy(doc_id)`` with ``bits`` conditional-sum vote
+      counters, signature assembled from the votes.  Every stage is
+      WHOLE-STAGE-CODEGEN (hash aggregate with long buffers) — immune to
+      the interpreted-HOF JIT pathology below — at the cost of ONE small
+      exchange (one row per doc of ``bits`` longs; tokens combine
+      map-side because a document's tokens never span partitions).
+    - ``'local'`` (streaming default): ZERO shuffles — the vote fold runs
+      row-locally in one ``aggregate`` pass over the hash array (zip_with
+      against each hash's bit vector).  No aggregation operator anywhere,
+      so it composes under stream-stream joins and further stateful ops.
+      CAVEAT (measured, round 6): higher-order functions evaluate on the
+      INTERPRETED expression path, and in a JVM that has run other
+      workloads the shared Expression.eval call sites go megamorphic —
+      the same pass flips between ~1 s and ~15 s at 80k docs (GC logs
+      clean, bimodal per execution).  That JIT-profile hazard is why
+      'local' is no longer the batch default.
 
-    The one-pass fold replaced ``bits`` separate filter-size expressions:
-    each ``F.filter`` materializes a fresh array per row, so 32 of them cost
-    ~3x this formulation at sf0.1 (measured 1.11s -> 0.37s).  Bit b is read
-    with pure integer arithmetic ``h % 2p >= p`` because the shift builtins
-    only take literal shift amounts inside lambdas.  Streaming-legal for the
-    same reason as the minhash signatures: no aggregation anywhere.
+    ``strategy=None`` picks 'local' for streaming inputs (a pre-join
+    groupBy is illegal there) and 'agg' otherwise.
+
+    The 'local' fold keeps the lambda-bound struct form: expressed as
+    stacked projections, CollapseProject inlines ``n = size(tok)`` into
+    the per-bit lambda and the tokenization re-evaluates once per bit —
+    the winnow_fp_array_df optimizer trap.
     """
+    if strategy is None:
+        strategy = "local" if docs.isStreaming else "agg"
+    if strategy not in ("agg", "local"):
+        raise ValueError(f"strategy must be 'agg' or 'local', got {strategy!r}")
     # scan-level guard: NULL-text docs produced no rows on the old explode
     # path, and a size(null) comparison would silently emit sig=0 instead
     toks = _widen(docs.where(F.col("text").isNotNull())).select(
         "doc_id",
         F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
     )
+    if strategy == "agg":
+        h = toks.select(
+            "doc_id", F.explode("tok").alias("x")
+        ).select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.concat(F.lit("0|"), F.col("x"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        # integer bit read: `/` would be DOUBLE division (60-bit hashes
+        # exceed the 53-bit mantissa); shiftright keeps it exact
+        votes = [
+            F.sum(F.shiftright("h", b) % 2).alias(f"s{b}")
+            for b in range(int(bits))
+        ]
+        agg = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+        sig = None
+        for b in range(int(bits)):
+            term = F.when(F.col(f"s{b}") * 2 > F.col("n"), F.lit(2 ** b)).otherwise(
+                F.lit(0)
+            ).cast("long")
+            sig = term if sig is None else sig + term
+        return agg.select("doc_id", sig.alias("simhash"))
     # Single-parse SQL string for the whole HOF pipeline (vs lambda-based
     # F.transform/F.aggregate: ~25 py4j round-trips EACH at build time),
     # with the token hashes and count LAMBDA-BOUND in one struct: expressed

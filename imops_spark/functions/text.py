@@ -38,6 +38,11 @@ __all__ = [
     "PII_PATTERNS",
     "pii_df",
     "redact_pii_df",
+    "C4_TERMINAL_PUNCT",
+    "c4_rules_df",
+    "URL_PATTERN",
+    "urls_df",
+    "filter_by_domain_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -553,3 +558,120 @@ def redact_pii_df(
     return docs.filter(F.col(text_col).isNotNull()).select(
         *keep_cols, col.alias("text_redacted")
     )
+
+
+# C4 (Raffel et al. 2020) cleaning heuristics — the published line/document
+# rule set, as pure column expressions.  Line rules mirror the paper: keep
+# lines that end in terminal punctuation and have >= min_words words;
+# document rules: no "lorem ipsum", no curly brace, no bad word, and at
+# least min_kept_lines surviving lines.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_rules_df(
+    docs: DataFrame,
+    bad_words: tuple = ("badword",),
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style cleaning verdicts per document: ``(doc_id, n_lines,
+    n_kept_lines, has_lorem_ipsum, has_brace, has_bad_word, keep)``.
+
+    A line is KEPT iff it ends in terminal punctuation (``. ! ? "``) and
+    has at least ``min_words`` whitespace words; the document is kept iff
+    it has >= ``min_kept_lines`` kept lines and none of the content flags
+    fire (the paper's "lorem ipsum" / curly-brace / word-list rules —
+    ``bad_words`` matches whole lowercase tokens, not substrings, so
+    "assess" never trips a list containing shorter words; the flip side is
+    that attached punctuation defeats it — "badword." is a different
+    token — strip punctuation upstream if the list must catch those).
+
+    Zero shuffles: line classification is an array expression with the
+    line array bound as a lambda variable (the CollapseProject
+    re-evaluation trap — see winnow_fp_array_df), flags are plain string
+    predicates; streaming-legal at scan cost.
+    """
+    import re as _re
+
+    min_words, min_kept_lines = int(min_words), int(min_kept_lines)
+    sep_rx = _re.escape(line_sep).replace("\\", "\\\\").replace("'", "\\'")
+    punct = ", ".join("'\\" + p + "'" if p == '"' else f"'{p}'" for p in C4_TERMINAL_PUNCT)
+    kept = (
+        f"transform(array(filter(transform(split(text, '{sep_rx}'),"
+        f" x -> trim(x)), x -> x != '')),"
+        f" ls -> named_struct("
+        f"   'n', size(ls),"
+        f"   'k', size(filter(ls, x ->"
+        f"     array_contains(array({punct}), substring(x, -1, 1))"
+        f"     AND size(split(x, ' +')) >= {min_words}))"
+        f" ))[0]"
+    )
+    bw = F.array(*[F.lit(w) for w in bad_words]) if bad_words else F.array()
+    toks = F.split(normalized_text(), " ")
+    has_bad = (
+        F.arrays_overlap(toks, bw) if bad_words else F.lit(False)
+    )
+    out = (
+        docs.filter(F.col("text").isNotNull())
+        .selectExpr("doc_id", "text", f"{kept} AS __lm")
+        .select(
+            "doc_id",
+            F.col("__lm.n").cast("long").alias("n_lines"),
+            F.col("__lm.k").cast("long").alias("n_kept_lines"),
+            F.lower("text").contains("lorem ipsum").alias("has_lorem_ipsum"),
+            F.col("text").contains("{").alias("has_brace"),
+            has_bad.alias("has_bad_word"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+        & ~F.col("has_bad_word"),
+    )
+
+
+# URL extraction: scheme-anchored, whitespace-delimited; the domain strips
+# scheme, credentials-free authority up to the first / : ? #.  Both
+# patterns are Java-regex/RE2-common (no lookaround).
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_FROM_URL = r"https?://([^/:?#\s]+).*"
+
+
+def urls_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exploded URL mentions: ``(doc_id, url, domain)`` — one row per URL
+    occurrence, with the lowercased registrable host.  Zero-shuffle
+    (regexp_extract_all + explode), the substrate for domain-level corpus
+    stats and blocklist filtering."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(URL_PATTERN), 0)
+            ).alias("url"),
+        )
+        .withColumn(
+            "domain", F.lower(F.regexp_replace("url", _DOMAIN_FROM_URL, "$1"))
+        )
+    )
+
+
+def filter_by_domain_df(
+    docs: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop every document that mentions a blocklisted domain (the C4
+    badlist step): broadcast LEFT ANTI join of documents against the
+    distinct doc_ids whose URLs hit the blocklist.  ``blocklist`` is a
+    1-column ``domain`` DataFrame (tiny — broadcast); the fact side
+    streams, one shuffle-free semi-join pass over the URL explode plus the
+    anti join back on doc_id."""
+    bad_docs = (
+        urls_df(docs, text_col=text_col)
+        .join(F.broadcast(blocklist.select(F.lower("domain").alias("domain"))), "domain", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(bad_docs, "doc_id", "left_anti")

@@ -133,3 +133,30 @@ def test_spans_rejects_bad_params(spark):
         duplicate_spans_df(df, k=0)
     with pytest.raises(ValueError):
         duplicate_spans_df(df, min_docs=0)
+
+
+def test_simhash_strategies_identical(spark):
+    """simhash_df 'agg' (codegen groupBy votes — the JIT-robust batch
+    default) and 'local' (zero-shuffle HOF fold — the streaming default)
+    must produce bit-identical signatures; unknown strategies raise."""
+    from imops_spark.functions.dedup import simhash_df
+
+    rows = [(i, "tok%d alpha beta gamma delta tok%d" % (i % 7, (i * 3) % 5))
+            for i in range(60)] + [(99, ""), (100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["simhash"] for r in simhash_df(df, strategy="agg").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_df(df, strategy="local").collect()}
+    assert a == b and len(a) == 61  # null text dropped, empty kept
+    with pytest.raises(ValueError):
+        simhash_df(df, strategy="nope")
+    # batch default is the codegen'd agg path (one exchange);
+    # the local path stays exchange-free (streaming-legal)
+    agg_plan = simhash_df(df)._jdf.queryExecution().executedPlan().toString()
+    loc_plan = (
+        simhash_df(df, strategy="local")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in agg_plan
+    assert "Exchange" not in loc_plan

@@ -94,9 +94,11 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         split_by_hash_df,
     )
     from imops_spark.functions.dedup import (
+        duplicate_spans_df,
         exact_dup_groups_df,
         lsh_candidate_pairs_df,
         minhash_signatures_df,
+        semdedup_df,
         simhash_df,
     )
     from imops_spark.functions.events import asof_join_df
@@ -115,7 +117,12 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         distinct_sketch_by,
         merge_distinct_sketches,
     )
-    from imops_spark.functions.text import bpe_token_count_df, tfidf_df
+    from imops_spark.functions.text import (
+        bpe_token_count_df,
+        pii_df,
+        repetition_df,
+        tfidf_df,
+    )
     from imops_spark.operators.graph import connected_components_df
     from imops_spark.plans import salted_join
     from imops_spark.session import get_spark
@@ -132,7 +139,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
 
         emb_ops = (
             "sim_lsh_topk sim_ivf_topk sim_exact_topk pq_encode asof_join "
-            "ivfpq_encode ivfpq_topk salted_join"
+            "ivfpq_encode ivfpq_topk salted_join emb_semdedup"
         ).split()
         docs = synth_docs(spark, n).persist()
         docs.count()
@@ -171,6 +178,14 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             "dd_exact": lambda: exact_dup_groups_df(docs),
             "dd_lsh_pairs": lambda: lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=2),
             "dd_simhash": lambda: simhash_df(docs),
+            # gram window + island merge: two linear exchanges
+            "dd_spans": lambda: duplicate_spans_df(docs, k=20),
+            # one compact-doc repartition; explode + 3 aggs inside it
+            "txt_repetition": lambda: repetition_df(docs),
+            # pure regexp column expressions: must stay at scan cost
+            "txt_pii": lambda: pii_df(docs),
+            # sample k-means (driver) + assignment GEMM + per-cluster blocks
+            "emb_semdedup": lambda: semdedup_df(emb, n_clusters=8, threshold=0.95),
             "txt_tfidf": lambda: tfidf_df(docs),
             "sim_lsh_topk": lambda: lsh_topk_df(emb, queries, k=3, planes=6),
             "sim_ivf_topk": lambda: ivf_topk_df(emb, queries, k=3, n_centroids=16, n_probe=2),
@@ -302,7 +317,7 @@ def main() -> None:
         "",
         "Synthetic corpora generated executor-side at "
         + " / ".join(f"{n:,}" for n in sizes)
-        + " rows (constant ~1% planted dup rate, 20 fixed queries); min-of-3",
+        + f" rows (constant ~1% planted dup rate, {len(ops)} fixed queries); min-of-3",
         "timings, each size in a FRESH JVM/session (no cross-size GC state);",
         f"load_1m at probe START {load_start:.2f} "
         "(compare runs only when both started near-idle);",
@@ -349,8 +364,18 @@ def main() -> None:
         "  design measured in bench.py) and its pair count is held constant by",
         "  the planted dup rate, isolating the join machinery's scaling.",
     ]
+    # a full regeneration must not destroy the deep-probe section (extra
+    # decades for the high-slope operators, measured separately via --ops)
+    deep = ""
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            doc = f.read()
+        if _DEEP_MARK in doc:
+            deep = "\n" + doc[doc.index(_DEEP_MARK):].rstrip() + "\n"
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + deep)
     print("\n".join(lines))
 
 
