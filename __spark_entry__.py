@@ -2044,6 +2044,18 @@ def q_txt_tfidf(spark, sf_dir):
     return tfidf_df(_t(spark, sf_dir, "documents"))
 
 
+def q_txt_lm(spark, sf_dir):
+    """Bigram-LM cross-entropy scorer (CCNet-style perplexity filter),
+    self-trained on the corpus.  Hash-gated end-to-end: the per-bigram
+    log-probs are snapped to an integer micro-nat grid before the
+    per-document sum, so the summed column is exact integer arithmetic on
+    both engines (order-independent — a double sum would be partial-agg
+    order-sensitive)."""
+    from imops_spark.functions.text import ngram_lm_df
+
+    return ngram_lm_df(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_topk(spark, sf_dir):
     from imops_spark.functions.similarity import cosine_topk_df
 
@@ -2948,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_urls": q_txt_urls,
         "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
+        "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
         "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
@@ -4510,6 +4523,51 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, token, tf, df,
                    ROUND(tf * LN(n_docs::DOUBLE / df), 6) AS tfidf
             FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        """,
+        "txt_lm": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            seq AS (
+              SELECT doc_id, list_prepend('<s>', toks) AS s, len(toks) AS nb
+              FROM d WHERE len(toks) > 0
+            ),
+            big AS (
+              SELECT doc_id, s[i] AS prev, s[i + 1] AS cur
+              FROM seq, unnest(generate_series(1, nb)) u(i)
+            ),
+            c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT cur) AS v FROM c2),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(ROUND(LN((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) * 1000000)
+                          AS BIGINT) AS lpm
+              FROM big b
+              JOIN c2 USING (prev, cur)
+              JOIN c1 USING (prev)
+              CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(lpm) AS BIGINT) AS lp_micro_sum
+              FROM scored GROUP BY doc_id
+            ),
+            -- tie-proof integer round-half-up of |sum|/n micro-nats: a double
+            -- ROUND at 6 lands ON the half-grid ~1/n of the time, where the
+            -- engines' rounding implementations may disagree
+            x AS (
+              SELECT doc_id, n_bigrams, lp_micro_sum,
+                     (((-lp_micro_sum) * 2 + n_bigrams) // (2 * n_bigrams))::DOUBLE
+                       / 1000000.0 AS xent
+              FROM agg
+            )
+            SELECT doc_id, n_bigrams, lp_micro_sum, xent,
+                   ROUND(EXP(xent), 4) AS ppl
+            FROM x
         """,
         "sim_topk": """
             SELECT query_id, neighbor_id, rank, cosine FROM (

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "txt_repetition",
     "txt_pii",
     "emb_semdedup",
+    "txt_lm",
 ]
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "winnow_fp_set_df",
     "winnow_fp_array_df",
     "tfidf_df",
+    "ngram_lm_df",
     "repetition_df",
     "PII_PATTERNS",
     "pii_df",
@@ -329,6 +330,119 @@ def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_to
             ).alias("tfidf"),
         )
+    )
+
+
+def ngram_lm_df(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the relational
+    core of the CCNet-style "LM perplexity" quality filter (Wenzek et al.
+    2020 score with a KenLM 5-gram; the engine-level shape is identical,
+    only the model order and estimator differ): train add-``add_k``
+    (Laplace) bigram counts on ``train_docs`` (default: the scored corpus
+    itself), then score every document's average negative log-likelihood.
+    Output: ``(doc_id, n_bigrams, lp_micro_sum, xent, ppl)`` where ``xent``
+    is in nats per bigram and ``ppl = exp(xent)``.
+
+    Model: per document the token sequence is ``['<s>'] + tokens`` of the
+    normalized text;  ``P(cur | prev) = (c2(prev,cur) + a) /
+    (c1(prev) + a*V)`` with ``c2`` the train bigram count, ``c1(prev) =
+    sum_cur c2(prev,cur)`` (the CONTEXT count, so probabilities normalize),
+    and ``V`` the number of distinct predicted-token types.  Unseen events
+    (scoring off-train corpora) back off to the same formula with zero
+    counts.  Zero-token documents have no bigrams and are not scored.
+
+    Cross-engine determinism (this is hash-gated against DuckDB): each
+    bigram's ``ln P`` is snapped to an integer micro-nat grid
+    (``round(lp * 1e6)`` as BIGINT) BEFORE the per-document sum, so the
+    sum is exact integer arithmetic — order-independent under Spark's
+    arbitrary partial-aggregation order, where a double sum would drift in
+    the last ULPs.  ``xent`` is the micro-nat MEAN computed entirely in
+    integers — ``(2*|sum| + n) DIV (2*n)``, i.e. exact round-half-up of
+    ``|sum|/n`` — because a double ``ROUND(sum/(n*1e6), 6)`` lands exactly
+    ON the half-grid whenever ``n`` divides ``2*sum`` oddly (~1/n of
+    documents), and there Spark's decimal-string HALF_UP and DuckDB's
+    binary ``std::round`` are free to disagree.  ``ppl`` exponentiates the
+    tie-free xent so both engines exp() the identical double.
+
+    Plan shape at 100 TB: one explode of the scored corpus feeding both
+    the count side and the scoring side (two scans of the gram subtree
+    when self-trained — column pruning differentiates the branches, the
+    dd_spans ReusedExchange caveat), ``c2`` one shuffle keyed (prev, cur),
+    ``c1``/``V`` derived from ``c2`` (strictly smaller), scoring join on
+    (prev, cur) + broadcast of the 1-row V, final groupBy(doc_id).  At
+    real scale train on a ``hash_sample_df`` slice so the count tables
+    AQE-broadcast, exactly as CCNet trains its LM on a Wikipedia-sized
+    sample rather than the corpus being scored.
+    """
+    a = float(add_k)
+    if a <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+
+    def _bigrams(d: DataFrame) -> DataFrame:
+        # `toks` is re-bound as the outer lambda's variable `t` so element
+        # accesses inside the inner lambda touch a bound array, not the
+        # inlined array_remove(split(..)) chain (the CollapseProject
+        # lambda-CSE trap: an expression column referenced inside a lambda
+        # body is re-evaluated PER INVOCATION — see winnow_fp_array_df).
+        # A HOF's top-level ARGUMENT is evaluated once, which is what the
+        # transform(array(toks), t -> ..)[0] binding exploits.
+        norm = normalized_text()
+        return (
+            d.filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.array_remove(F.split(norm, " "), "").alias("toks"),
+            )
+            .filter(F.size("toks") > 0)
+            .select(
+                "doc_id",
+                F.expr(
+                    "explode(transform(array(toks), t ->"
+                    " transform(sequence(1, size(t)), i -> named_struct("
+                    "   'prev', if(i = 1, '<s>', t[i - 2]),"
+                    "   'cur', t[i - 1])))[0])"
+                ).alias("g"),
+            )
+            .select("doc_id", "g.prev", "g.cur")
+        )
+
+    big = _bigrams(docs)
+    train_big = big if train_docs is None else _bigrams(train_docs)
+    c2 = train_big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.countDistinct("cur").alias("v"))
+    scored = (
+        big.join(c2, ["prev", "cur"], "left")
+        .join(c1, ["prev"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(ROUND(LN((coalesce(c2, 0) + {a!r})"
+                f" / (coalesce(c1, 0) + {a!r} * v)) * 1000000) AS BIGINT)"
+            ).alias("lpm"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lpm").alias("lp_micro_sum"),
+    )
+    # exact integer round-half-up of |sum|/n micro-nats (tie-proof; see
+    # docstring) — lp_micro_sum <= 0 always since every P <= 1
+    xent = F.expr(
+        "CAST(((-lp_micro_sum) * 2 + n_bigrams) DIV (2 * n_bigrams)"
+        " AS DOUBLE) / 1000000.0"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "lp_micro_sum",
+        xent.alias("xent"),
+        F.round(F.exp(xent), 4).alias("ppl"),
     )
 
 

@@ -119,6 +119,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     )
     from imops_spark.functions.text import (
         bpe_token_count_df,
+        ngram_lm_df,
         pii_df,
         repetition_df,
         tfidf_df,
@@ -187,6 +188,8 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             # sample k-means (driver) + assignment GEMM + per-cluster blocks
             "emb_semdedup": lambda: semdedup_df(emb, n_clusters=8, threshold=0.95),
             "txt_tfidf": lambda: tfidf_df(docs),
+            # self-trained bigram LM: count shuffle + scoring join + doc agg
+            "txt_lm": lambda: ngram_lm_df(docs),
             "sim_lsh_topk": lambda: lsh_topk_df(emb, queries, k=3, planes=6),
             "sim_ivf_topk": lambda: ivf_topk_df(emb, queries, k=3, n_centroids=16, n_probe=2),
             "sim_exact_topk": lambda: cosine_topk_df(emb, queries, k=3),
