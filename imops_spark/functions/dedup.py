@@ -799,7 +799,7 @@ def lsh_query_index(
 
 
 def duplicate_spans_df(
-    docs: DataFrame, k: int = 20, min_docs: int = 2
+    docs: DataFrame, k: int = 20, min_docs: int = 2, hash_fn: str = "md5"
 ) -> DataFrame:
     """Exact substring deduplication, span-level (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" primitive,
@@ -827,29 +827,38 @@ def duplicate_spans_df(
     window then shuffles only the matched positions (a filtered subset) by
     doc_id.  ``min_docs > 2`` falls back to the countDistinct + semi-join
     formulation (three exchanges, still linear and still one window-free
-    aggregate side).  Hash collisions (60-bit) can merge unrelated grams —
+    aggregate side).  Hash collisions (60- or 64-bit) can merge unrelated grams —
     at corpus scale that admits a rare false-positive gram into a span,
     the standard trade of every hashed-substring formulation.
+
+    ``hash_fn``: ``'md5'`` (default) is the cross-engine hash every gate
+    and oracle reproduces; ``'xxhash64'`` is the production fast path —
+    the per-position md5 is the largest CPU term of this operator and
+    xxhash64 is a JVM-intrinsic non-cryptographic hash with the same span
+    semantics (span membership depends only on hash equality) — measured
+    ~1.5x end-to-end at 80k x 1kB docs (24.2s -> 16.3s warm, local[32]).
+    Test-pinned equal spans; not DuckDB-reproducible, so the oracle stays
+    on md5.
     """
     k, min_docs = int(k), int(min_docs)
     if k < 1 or min_docs < 1:
         raise ValueError(f"k and min_docs must be >= 1, got {k}, {min_docs}")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     d = docs.select("doc_id", normalized_text().alias("nt")).filter(
         F.length("nt") >= k
+    )
+    gram = F.substring("nt", F.col("pos"), k)
+    h = (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        if hash_fn == "md5"
+        else F.xxhash64(gram)
     )
     grams = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
         F.col("nt"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(
-            F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15), 16, 10
-        )
-        .cast("long")
-        .alias("h"),
-    )
+    ).select("doc_id", "pos", h.alias("h"))
     if min_docs == 2:
         w_h = Window.partitionBy("h")
         hits = (
@@ -876,7 +885,7 @@ def duplicate_spans_df(
 
 
 def duplicate_span_stats_df(
-    docs: DataFrame, k: int = 20, min_docs: int = 2
+    docs: DataFrame, k: int = 20, min_docs: int = 2, hash_fn: str = "md5"
 ) -> DataFrame:
     """Per-document duplicate-span summary: ``(doc_id, n_spans,
     dup_span_chars, dup_span_char_frac)`` — the thresholdable curation
@@ -884,7 +893,7 @@ def duplicate_span_stats_df(
     overlap, so summed span lengths are the exact duplicated-character
     coverage of the normalized text.  Documents with no duplicated span
     (including those shorter than ``k``) report zeros."""
-    spans = duplicate_spans_df(docs, k=k, min_docs=min_docs)
+    spans = duplicate_spans_df(docs, k=k, min_docs=min_docs, hash_fn=hash_fn)
     agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("span_len").alias("dup_span_chars"),

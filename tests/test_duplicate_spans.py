@@ -133,6 +133,20 @@ def test_spans_rejects_bad_params(spark):
         duplicate_spans_df(df, k=0)
     with pytest.raises(ValueError):
         duplicate_spans_df(df, min_docs=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        duplicate_spans_df(df, hash_fn="sha1")
+
+
+def test_spans_xxhash64_fast_path_identical(spark):
+    """The production hash_fn='xxhash64' (JVM-intrinsic, several times
+    cheaper than the per-position md5 that dominates this operator) must
+    produce the exact span set of the gated md5 path — span semantics
+    depend only on hash EQUALITY, so any collision-free hash agrees."""
+    rows = ROWS + [(7, "xx the quick brown fox jumps over the lazy dog zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = sorted(map(tuple, duplicate_spans_df(df, k=12).collect()))
+    xx = sorted(map(tuple, duplicate_spans_df(df, k=12, hash_fn="xxhash64").collect()))
+    assert md5 == xx and md5
 
 
 def test_simhash_strategies_identical(spark):
