@@ -1600,6 +1600,30 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_contam_bloom(spark, sf_dir):
+    """Bloom-prefiltered contamination scan
+    (curate.contamination_pairs_bloom_df): a Bloom filter built over the
+    holdout fingerprints (bounded-cardinality bit_or exchange — <=
+    num_bits/64 rows however large the holdout, functions/bloom.py) is
+    broadcast and probed ROW-LOCALLY against every train fingerprint
+    before the exact equi-join.  No false negatives keeps every truly
+    shared fp; the exact join kills the filter's false positives, so the
+    output is bit-identical to cur_contam — same oracle.  This is the
+    plan for the regime where the train side is the 100 TB one: the join
+    input shrinks to true matches + fpr * n_train_fps without shuffling
+    the train corpus.  The gate deliberately undersizes the filter
+    (2^14 bits for ~37k holdout fps => fpr ~1) so the verify join is
+    exercised for real, not vacuously."""
+    from imops_spark.functions.curate import contamination_pairs_bloom_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_pairs_bloom_df(
+        train, holdout, min_shared=30, num_bits=1 << 14, num_hashes=3
+    )
+
+
 def q_cur_contam_stream(spark, sf_dir):
     """Ingestion-time decontamination: the TRAIN side arrives as a stream and
     is checked against the static holdout as it lands — row-locally distinct
@@ -2938,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
+        "cur_contam_bloom": q_cur_contam_bloom,
         "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
         "rel_unpivot": q_rel_unpivot,
@@ -3535,6 +3560,8 @@ def oracle_sql() -> dict[str, str]:
     # the streaming decontamination drain must equal the batch scan —
     # same oracle, stream-static physical plan
     oracles["cur_contam_stream"] = oracles["cur_contam"]
+    # bloom prefilter + exact verify == exact scan (no false negatives)
+    oracles["cur_contam_bloom"] = oracles["cur_contam"]
     # the append-mode session stream, sentinel-flushed, must equal the full
     # batch session set — same oracle, streaming state-eviction plan
     oracles["evt_session_append"] = oracles["evt_session_native"]

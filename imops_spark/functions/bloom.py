@@ -1,0 +1,207 @@
+"""Distributed Bloom filters from native column expressions: the broadcast
+membership prefilter for 100 TB semi-joins.
+
+The scale problem this solves: "drop every row of a huge table whose key
+appears in set S" is a semi-join, and at cluster scale the join shuffles
+(or broadcasts) ALL of S's keys and repartitions the probe side.  When S
+has 10^8..10^9 keys it no longer broadcasts, so the probe side — the 100 TB
+one — pays a full shuffle.  A Bloom filter compresses S to a user-chosen
+number of BITS (~14.4 bits/key at 1e-4 false-positive rate), which stays
+broadcastable long after the key set itself stops being so; probing is
+row-local bit arithmetic with NO shuffle of the big side.  Bloom filters
+have no false negatives, so using one as a PREFILTER in front of an exact
+join keeps the final answer bit-identical while shrinking the join input
+to (true matches + fpr * n).
+
+Spark's own ``BloomFilterAggregate`` exists but is not SQL-registered (it
+is internal to AQE runtime filtering), and ``DataFrame.stat.bloomFilter``
+returns a driver-side JVM object unusable inside column expressions.  This
+module therefore builds the filter out of registered primitives only —
+``xxhash64`` (seeded, 64-bit), ``bit_or`` aggregation, ``getbit`` tests —
+so both the build and the probe stay inside whole-stage codegen.
+
+Plan shape, and why it scales:
+
+- BUILD: each key row derives its ``num_hashes`` bit positions row-locally
+  (``xxhash64(key, i)`` for i in 0..k-1), explodes to ``(word_idx,
+  bit_mask)`` and aggregates ``bit_or`` per 64-bit word.  The shuffle
+  cardinality is bounded by ``num_bits / 64`` — the FILTER's size, never
+  the key count — and map-side partial ``bit_or`` collapses each upstream
+  partition to at most that many rows before the exchange.  The final
+  densification (map -> fixed-length array<bigint>) is a single-row scalar
+  aggregate, the same shape as any global agg.  No driver-side data pass:
+  the bits never leave the JVM.
+- PROBE: ``crossJoin(broadcast(one_row_bloom))`` + ``getbit`` tests per
+  hash — row-local, zero shuffle, codegen'd.
+
+Sizing: for ``n`` keys and target false-positive rate ``p``, the classic
+optimum is ``m = -n ln p / (ln 2)^2`` bits and ``k = (m/n) ln 2`` hashes;
+:func:`bloom_size` computes both.  The reference engine has no Bloom
+surface (membership checks there are exact in-memory ``isin`` —
+``/root/reference/imops/utils.py`` scale assumptions); this module is part
+of the large-scale curation family layered on top of the ported surface.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BloomFilter",
+    "bloom_size",
+    "bloom_fpr",
+    "bloom_build",
+    "bloom_from_df",
+    "bloom_filter_df",
+    "with_bloom_contains",
+]
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built Bloom filter: a ONE-ROW DataFrame (``bits array<bigint>``,
+    ``num_bits``, ``num_hashes``) plus its parameters mirrored python-side
+    so probe expressions can be constructed without a driver collect.
+
+    The frame is self-describing (params ride as columns), so it can be
+    persisted with a plain ``df.write.parquet`` and rehydrated with
+    :func:`bloom_from_df`.
+    """
+
+    df: DataFrame
+    num_bits: int
+    num_hashes: int
+
+
+def bloom_size(n_items: int, fpp: float = 1e-4) -> tuple[int, int]:
+    """Optimal ``(num_bits, num_hashes)`` for ``n_items`` keys at target
+    false-positive rate ``fpp`` — ``m = -n ln p / (ln 2)^2`` rounded up to
+    a multiple of 64, ``k = (m/n) ln 2``."""
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round((m / n_items) * math.log(2)))
+    return m, int(k)
+
+
+def bloom_fpr(num_bits: int, num_hashes: int, n_items: int) -> float:
+    """Expected false-positive rate after inserting ``n_items`` keys:
+    ``(1 - e^{-kn/m})^k``."""
+    if n_items <= 0:
+        return 0.0
+    return (1.0 - math.exp(-num_hashes * n_items / num_bits)) ** num_hashes
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of a key: ``pmod(xxhash64(key, i), m)``.
+
+    ``xxhash64`` chains its arguments (each value hashed with the running
+    result as seed), so varying the trailing literal yields k independent
+    64-bit streams from one registered, codegen'd primitive.  NOTE the
+    hashes are TYPED — xxhash64 hashes the column's physical bytes, so a
+    filter built over BIGINT keys must be probed with BIGINT keys (same
+    rule as joining on mismatched types, but silent: document at call
+    sites, asserted in :func:`with_bloom_contains`).
+    """
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits).cast("long"))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 20, num_hashes: int = 5
+) -> BloomFilter:
+    """Build a Bloom filter over ``df[col]`` distributedly.
+
+    One exchange whose cardinality is ``<= num_bits/64`` REGARDLESS of the
+    input row count (map-side partial ``bit_or`` caps each input partition
+    at that many rows), then a single-row densification aggregate.  NULL
+    keys are skipped (NULL is not a member).  Memory at the final task is
+    ``num_bits/8`` bytes plus map overhead — bounded by the caller-chosen
+    filter size, not the data.
+    """
+    num_bits, num_hashes = int(num_bits), int(num_hashes)
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError("num_bits must be a positive multiple of 64")
+    if num_hashes <= 0:
+        raise ValueError("num_hashes must be positive")
+    n_words = num_bits // 64
+    src = df.filter(F.col(col).isNotNull())
+    pos = F.array(*_positions(F.col(col), num_bits, num_hashes))
+    words = (
+        src.select(F.explode(pos).alias("pos"))
+        .select(
+            F.expr("pos DIV 64").cast("int").alias("word_idx"),
+            # F.shiftleft only takes a python-int shift; the per-row shift
+            # needs the SQL form
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            f" i -> coalesce(element_at(m, CAST(i AS INT)), 0L))"
+        ).alias("bits"),
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+    )
+    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)
+
+
+def bloom_from_df(df: DataFrame) -> BloomFilter:
+    """Rehydrate a persisted Bloom filter frame (one driver read of the two
+    scalar params — the bits array stays JVM-side)."""
+    row = df.select("num_bits", "num_hashes").first()
+    if row is None:
+        raise ValueError("empty bloom filter frame")
+    return BloomFilter(df=df, num_bits=int(row[0]), num_hashes=int(row[1]))
+
+
+def with_bloom_contains(
+    df: DataFrame, col: str, bloom: BloomFilter, out: str = "might_contain"
+) -> DataFrame:
+    """Add a boolean ``out`` column: may ``df[col]`` be in the filter?
+
+    ``crossJoin(broadcast(1-row bits))`` then k ``getbit`` tests — all
+    row-local codegen'd expressions; the big side is never shuffled.
+    ``True`` may be wrong at the filter's fpr; ``False`` is always right
+    (no false negatives), which is what makes this safe as an exact-join
+    prefilter.  NULL keys probe as ``False``.
+    """
+    dtype = dict(df.dtypes).get(col)
+    # typed-hash contract (see _positions); catch the silent cross-type case
+    bloom_cols = set(bloom.df.columns)
+    if not {"bits", "num_bits", "num_hashes"} <= bloom_cols:
+        raise ValueError("bloom frame missing bits/num_bits/num_hashes columns")
+    if dtype is None:
+        raise ValueError(f"no column {col!r} in frame")
+    probed = df.crossJoin(F.broadcast(bloom.df.select("bits")))
+    tests = []
+    for p in _positions(F.col(col), bloom.num_bits, bloom.num_hashes):
+        # p is non-negative (pmod), so floor-division is integer division
+        word = F.element_at(F.col("bits"), F.floor(p / F.lit(64)).cast("int") + 1)
+        tests.append(F.getbit(word, (p % 64).cast("int")) == 1)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return probed.withColumn(out, F.coalesce(cond, F.lit(False))).drop("bits")
+
+
+def bloom_filter_df(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
+    """Keep only rows whose ``col`` MAY be in the filter (the semi-join
+    prefilter: guaranteed superset of the exact match set)."""
+    flagged = with_bloom_contains(df, col, bloom, out="__bloom_hit")
+    return flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")

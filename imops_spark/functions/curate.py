@@ -42,7 +42,9 @@ __all__ = [
     "mixture_sample_df",
     "pack_documents_df",
     "contamination_pairs_df",
+    "contamination_pairs_bloom_df",
     "decontaminate_df",
+    "decontaminate_bloom_df",
 ]
 
 
@@ -296,6 +298,55 @@ def contamination_pairs_df(
     )
 
 
+def contamination_pairs_bloom_df(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`contamination_pairs_df` with a Bloom-filter prefilter on the
+    train side — BIT-IDENTICAL output, built for the regime where the TRAIN
+    corpus is the 100 TB side.
+
+    Why the exact plan stops scaling first: the fp equi-join shuffles (or
+    at best broadcasts the eval set against) EVERY train fingerprint —
+    tens of fps per doc, so a 10^10-doc corpus pushes ~10^11 rows into the
+    exchange even though almost none of them match anything.  The fix:
+    build a Bloom filter over the EVAL fingerprints (one bounded-cardinality
+    exchange — <= num_bits/64 rows — however large the eval set is, see
+    ``bloom.bloom_build``), broadcast its bits, and drop non-matching train
+    fps ROW-LOCALLY before the join.  No false negatives means every truly
+    shared fp survives; surviving false positives (at
+    ``bloom_fpr(num_bits, num_hashes, n_eval_fps)``) are killed by the
+    exact equi-join that follows, so the pair counts — and therefore the
+    decontamination decisions — are exactly those of the exact plan, while
+    the join input shrinks to ``true matches + fpr * n_train_fps``.
+
+    Size ``num_bits`` with ``bloom.bloom_size(n_eval_fps, fpp)`` — at the
+    default 2^20 bits / 5 hashes a ~60k-fp holdout probes at fpr ~2e-3.
+    """
+    from .bloom import bloom_build, bloom_filter_df
+    from .text import winnow_fp_set_df
+
+    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
+        F.col("doc_id").alias("eval_id"), "fp"
+    )
+    bloom = bloom_build(ef, "fp", num_bits=num_bits, num_hashes=num_hashes)
+    tf_pruned = bloom_filter_df(tf, "fp", bloom)
+    return (
+        tf_pruned.join(ef, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
 def decontaminate_df(
     train_docs: DataFrame,
     eval_docs: DataFrame,
@@ -317,6 +368,35 @@ def decontaminate_df(
     bad = contamination_pairs_df(
         train_docs, eval_docs, k=k, window=window, min_shared=min_shared
     ).select(F.col("train_id").alias("doc_id")).dropDuplicates()
+    return train_docs.join(bad, "doc_id", "left_anti")
+
+
+def decontaminate_bloom_df(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate_df` through the Bloom-prefiltered scan —
+    identical survivors (the prefilter changes the join INPUT, never the
+    join RESULT; see :func:`contamination_pairs_bloom_df`), built for
+    100 TB train corpora."""
+    bad = (
+        contamination_pairs_bloom_df(
+            train_docs,
+            eval_docs,
+            k=k,
+            window=window,
+            min_shared=min_shared,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .dropDuplicates()
+    )
     return train_docs.join(bad, "doc_id", "left_anti")
 
 

@@ -1,0 +1,169 @@
+"""Bloom filter primitives (functions/bloom.py) and the bloom-prefiltered
+decontamination path (curate.contamination_pairs_bloom_df): the membership
+prefilter must be a guaranteed superset, and the prefiltered exact join
+must be bit-identical to the exact plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imops_spark.functions.bloom import (
+    bloom_build,
+    bloom_filter_df,
+    bloom_fpr,
+    bloom_from_df,
+    bloom_size,
+    with_bloom_contains,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _keys(spark, n=2000, stride=7, offset=3):
+    return spark.range(0, n).select((F.col("id") * stride + offset).alias("k"))
+
+
+def test_no_false_negatives(spark):
+    keys = _keys(spark)
+    bloom = bloom_build(keys, "k", num_bits=1 << 15, num_hashes=5)
+    probed = with_bloom_contains(keys, "k", bloom)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_fpr_envelope(spark):
+    """Observed false-positive rate on a disjoint key set stays within 3x
+    of the analytic expectation (a loose envelope — the estimate itself is
+    the mean of a concentrated distribution)."""
+    n, m, k = 1000, 1 << 14, 5
+    keys = _keys(spark, n=n)
+    bloom = bloom_build(keys, "k", num_bits=m, num_hashes=k)
+    # stride-7 keys with offset 3 never hit stride-1 keys >= 100000
+    other = spark.range(100_000, 140_000).select(F.col("id").alias("k"))
+    observed = bloom_filter_df(other, "k", bloom).count() / 40_000
+    expected = bloom_fpr(m, k, n)
+    assert observed <= max(3 * expected, 0.01)
+    assert observed > 0  # a zero-FP filter of this density means a broken probe
+
+
+def test_build_matches_numpy_rederivation(spark):
+    """The distributed bit_or build equals a driver-side numpy re-derivation
+    from the same per-key xxhash64 positions (independent accumulation
+    path: explode+groupBy vs np.bitwise_or.reduceat-free loop)."""
+    m, k = 1 << 12, 4
+    keys = _keys(spark, n=500)
+    bloom = bloom_build(keys, "k", num_bits=m, num_hashes=k)
+    got = np.array(bloom.df.collect()[0]["bits"], dtype=np.int64)
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(m).cast("long")).alias(f"p{i}")
+        for i in range(k)
+    ]
+    rows = keys.select(*pos_cols).collect()
+    want = np.zeros(m // 64, dtype=np.uint64)
+    for r in rows:
+        for i in range(k):
+            p = r[i]
+            want[p // 64] |= np.uint64(1) << np.uint64(p % 64)
+    assert np.array_equal(got.view(np.uint64), want)
+
+
+def test_null_keys_skipped_and_probe_false(spark):
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    bloom = bloom_build(keys, "k", num_bits=1 << 10, num_hashes=3)
+    probed = with_bloom_contains(keys, "k", bloom)
+    rows = {r["k"]: r["might_contain"] for r in probed.collect()}
+    assert rows[1] and rows[2]
+    assert rows[None] is False
+
+
+def test_roundtrip_through_parquet(spark, tmp_path):
+    keys = _keys(spark, n=300)
+    bloom = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    path = str(tmp_path / "bloom")
+    bloom.df.write.parquet(path)
+    rehydrated = bloom_from_df(spark.read.parquet(path))
+    assert rehydrated.num_bits == 1 << 12 and rehydrated.num_hashes == 4
+    probed = with_bloom_contains(keys, "k", rehydrated)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_param_validation(spark):
+    keys = _keys(spark, n=10)
+    with pytest.raises(ValueError):
+        bloom_build(keys, "k", num_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(keys, "k", num_bits=1 << 10, num_hashes=0)
+    with pytest.raises(ValueError):
+        bloom_size(0)
+    with pytest.raises(ValueError):
+        bloom_size(10, fpp=1.5)
+
+
+def test_bloom_size_hits_target_fpr():
+    for n, p in [(1000, 1e-2), (60_000, 1e-3), (10**6, 1e-4)]:
+        m, k = bloom_size(n, p)
+        assert m % 64 == 0
+        # the optimum rounds; realized fpr must stay within 2x of target
+        assert bloom_fpr(m, k, n) <= 2 * p
+        # and the sizing is the textbook optimum within rounding
+        assert abs(m - (-n * math.log(p) / math.log(2) ** 2)) <= 64
+
+
+def test_contamination_bloom_identical_to_exact(spark):
+    """The bloom-prefiltered contamination scan returns bit-identical pairs
+    to the exact scan — the no-false-negative guarantee composed with the
+    exact verify join."""
+    from imops_spark.functions.curate import (
+        contamination_pairs_bloom_df,
+        contamination_pairs_df,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = sorted(map(tuple, contamination_pairs_df(train, holdout, min_shared=5).collect()))
+    # deliberately undersized filter (high fpr) to stress the verify join
+    bloom = sorted(
+        map(
+            tuple,
+            contamination_pairs_bloom_df(
+                train, holdout, min_shared=5, num_bits=1 << 12, num_hashes=3
+            ).collect(),
+        )
+    )
+    assert exact == bloom and len(exact) > 0
+
+
+def test_decontaminate_bloom_identical_to_exact(spark):
+    from imops_spark.functions.curate import decontaminate_bloom_df, decontaminate_df
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = sorted(r["doc_id"] for r in decontaminate_df(train, holdout, min_shared=5).collect())
+    blm = sorted(
+        r["doc_id"]
+        for r in decontaminate_bloom_df(
+            train, holdout, min_shared=5, num_bits=1 << 14
+        ).collect()
+    )
+    assert exact == blm
+    assert len(exact) < train.count()  # something was actually dropped
+
+
+def test_probe_plan_has_no_shuffle(spark):
+    """The probe side must stay shuffle-free: broadcast of the 1-row bits
+    frame, row-local bit tests — no Exchange above the probe scan."""
+    keys = _keys(spark, n=100)
+    bloom = bloom_build(keys, "k", num_bits=1 << 10, num_hashes=3)
+    bits_df = bloom.df.cache()
+    bits_df.count()  # materialize so the probe plan below is just the probe
+    from imops_spark.functions.bloom import BloomFilter
+
+    cached = BloomFilter(df=bits_df, num_bits=bloom.num_bits, num_hashes=bloom.num_hashes)
+    plan = with_bloom_contains(keys, "k", cached)._jdf.queryExecution().executedPlan().toString()
+    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in probe_side
+    bits_df.unpersist()
