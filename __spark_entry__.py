@@ -2525,6 +2525,27 @@ def q_evt_stats(spark, sf_dir):
     )
 
 
+def q_evt_heavy(spark, sf_dir):
+    """Heavy hitters per group (sketch.top_items_df): the most frequent
+    user buckets per event type via the native approx_top_k aggregate — a
+    bounded-memory frequent-items summary that map-side combines (the
+    exchange carries one candidate table per partition, never per-value
+    counts; at 100 TB this replaces the full groupBy count whose key
+    cardinality is the data's, not the summary's).  Gated in the SATURATED
+    regime — 97 buckets < k=200 <= max_tracked, so nothing is evicted or
+    cut and the counts are exact — against the plain GROUP BY oracle; the
+    sub-saturation tie/eviction caveat is documented on the operator and
+    exercised in tests."""
+    from imops_spark.functions.sketch import top_items_df
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 97).alias("bucket")
+    )
+    return top_items_df(ev, "bucket", k=200, by=["event_type"]).select(
+        "event_type", F.col("item").alias("bucket"), "est_count"
+    )
+
+
 def q_cur_pack_text(spark, sf_dir):
     """Pack materialization: per pack, the documents' texts concatenated in
     the packing order (shard-local md5 order) and md5-hashed — proves the
@@ -2965,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_contam_bloom": q_cur_contam_bloom,
         "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
+        "evt_heavy": q_evt_heavy,
         "rel_unpivot": q_rel_unpivot,
         "rel_explode": q_rel_explode,
         "rel_hof": q_rel_hof,
@@ -4401,6 +4423,10 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope_vu,
                    COUNT(1) AS n
             FROM events GROUP BY 1
+        """,
+        "evt_heavy": """
+            SELECT event_type, user_id % 97 AS bucket, COUNT(1) AS est_count
+            FROM events GROUP BY 1, 2
         """,
         "dd_simhash": _simhash_sql(),
         "emb_semdedup": """

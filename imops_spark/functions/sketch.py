@@ -37,6 +37,10 @@ __all__ = [
     "theta_set_cardinalities",
     "quantile_sketch_by",
     "merge_quantile_sketches",
+    "freq_sketch_by",
+    "cms_merge",
+    "cms_estimate",
+    "top_items_df",
 ]
 
 
@@ -112,6 +116,97 @@ def theta_set_cardinalities(
             F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
         ).alias("n_intersection"),
         rnd(F.theta_sketch_estimate(F.theta_difference("sa", "sb"))).alias("n_only_a"),
+    )
+
+
+def freq_sketch_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Count-Min frequency sketch of ``col``: ``(*keys,
+    freq_sketch, n_rows)`` — point-frequency estimates ("how often did
+    THIS url/token/user appear") in ``O(1/eps)`` memory per group with a
+    one-sided error: estimates NEVER undercount, and overcount by at most
+    ``eps * n_rows`` with probability ``confidence``.
+
+    This is the persistable PARTIAL (one row per day/shard); fold partials
+    with :func:`cms_merge` and read estimates with :func:`cms_estimate`.
+    Merging requires identical ``eps``/``confidence``/``seed`` — Spark's
+    ``count_min_sketch`` aggregate is JVM-native and map-side combined, so
+    the exchange carries one ``~(2/eps) * depth * 8``-byte blob per
+    upstream partition, never the raw rows.
+    """
+    keys = list(keys)
+    agg = [
+        F.expr(
+            f"count_min_sketch({col}, {float(eps)}d, {float(confidence)}d, {int(seed)})"
+        ).alias("freq_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*agg)
+    return df.agg(*agg)
+
+
+def _cms_read(spark, blob: bytes):
+    return spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
+
+
+def cms_merge(spark, sketches: Sequence[bytes]) -> bytes:
+    """Merge Count-Min partials (elementwise table addition — associative
+    and EXACT, so merged estimates equal a single-pass sketch over the
+    union).  Driver-side over the collected partial blobs: the partial
+    count is bounded by design (one per shard/day), not by data size —
+    the same contract as persisting any sketch family's partials.  Raises
+    on incompatible parameters (different eps/confidence/seed)."""
+    if not sketches:
+        raise ValueError("no sketches to merge")
+    acc = _cms_read(spark, sketches[0])
+    for blob in sketches[1:]:
+        acc.mergeInPlace(_cms_read(spark, blob))
+    out = spark._jvm.java.io.ByteArrayOutputStream()
+    acc.writeTo(out)
+    return bytes(out.toByteArray())
+
+
+def cms_estimate(spark, sketch: bytes, items: Sequence) -> list[int]:
+    """Point-frequency estimates for ``items`` from a serialized Count-Min
+    sketch.  Estimates are upper bounds: ``true <= est <= true +
+    eps * total`` w.p. ``confidence``.  Items must match the sketched
+    column's type family (integral types hash identically via their long
+    value; strings hash their UTF-8 bytes)."""
+    cms = _cms_read(spark, sketch)
+    return [int(cms.estimateCount(it)) for it in items]
+
+
+def top_items_df(
+    df: DataFrame, col: str, k: int, max_tracked: int | None = None, by: Sequence[str] = ()
+) -> DataFrame:
+    """Heavy hitters: the ``k`` most frequent ``col`` values (per ``by``
+    group), ``(*by, item, est_count)`` via the native ``approx_top_k``
+    aggregate — a bounded-memory frequent-items summary (tracks
+    ``max_tracked`` candidates, default 10000) that map-side combines, so
+    the exchange carries summaries, never value counts.
+
+    EXACTNESS REGIME: counts are exact whenever the number of distinct
+    values is <= ``max_tracked`` (nothing is ever evicted); beyond that,
+    tail counts can be over-estimated and a near-boundary item can
+    displace another — the standard frequent-items trade.  Ties at rank k
+    are broken by the aggregate's internal order; re-sort on
+    ``(est_count DESC, item)`` like the output here does before treating
+    the cut as deterministic."""
+    by = list(by)
+    args = f"{col}, {int(k)}" + (f", {int(max_tracked)}" if max_tracked else "")
+    agg = F.expr(f"approx_top_k({args})").alias("tk")
+    base = df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return (
+        base.select(*by, F.explode("tk").alias("e"))
+        .select(*by, F.col("e.item").alias("item"), F.col("e.count").alias("est_count"))
+        .orderBy(*by, F.col("est_count").desc(), "item")
     )
 
 

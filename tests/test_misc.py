@@ -312,6 +312,81 @@ def test_kll_quantile_partials_merge_within_rank_error(spark):
         assert abs(rank - p) < 0.02, (p, est, rank)
 
 
+def test_cms_freq_partials_merge_and_envelope(spark):
+    """Count-Min partial-then-merge: merged shard partials must estimate
+    like a single global sketch, estimates never undercount, and the
+    overcount stays within eps * total at the sketch's confidence."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import cms_estimate, cms_merge, freq_sketch_by
+
+    n = 50_000
+    # zipf-ish: value v appears ~ n/(v+1) times via modular skew
+    df = spark.range(n).select(
+        (F.col("id") % 8).alias("shard"),
+        F.expr("CAST(id % (1 + id % 100) AS BIGINT)").alias("v"),
+    )
+    eps = 1e-3
+    partials = freq_sketch_by(df, ["shard"], "v", eps=eps)
+    blobs = [r["freq_sketch"] for r in partials.collect()]
+    merged = cms_merge(spark, blobs)
+
+    (whole,) = freq_sketch_by(df, [], "v", eps=eps).collect()
+    truth = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    items = sorted(truth)[:50]
+    est_merged = cms_estimate(spark, merged, items)
+    est_whole = cms_estimate(spark, bytes(whole["freq_sketch"]), items)
+    # merge is exact table addition: merged partials == global sketch
+    assert est_merged == est_whole
+    for it, est in zip(items, est_merged):
+        assert est >= truth[it]  # one-sided error
+        assert est <= truth[it] + eps * n * 3  # loose envelope
+
+    # incompatible params must refuse to merge
+    other = freq_sketch_by(df, [], "v", eps=eps, seed=7).collect()[0]["freq_sketch"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        cms_merge(spark, [blobs[0], bytes(other)])
+
+
+def test_cms_string_items(spark):
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import cms_estimate, freq_sketch_by
+
+    df = spark.range(1000).select(F.expr("CAST(id % 10 AS STRING)").alias("s"))
+    (row,) = freq_sketch_by(df, [], "s", eps=1e-3).collect()
+    est = cms_estimate(spark, bytes(row["freq_sketch"]), ["0", "9", "missing"])
+    assert est[0] == 100 and est[1] == 100
+    assert est[2] <= 1e-3 * 1000 * 3  # absent item ~0 (within envelope)
+
+
+def test_top_items_exact_when_saturated(spark):
+    """approx_top_k with k >= n_distinct is exact: nothing is evicted or
+    cut, so after the (count DESC, item) re-sort the output equals a plain
+    GROUP BY.  (At k < n_distinct the rank-k TIE-break is the aggregate's
+    internal order — the docstring's documented caveat — so the
+    deterministic claim is only made for the saturated regime.)"""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import top_items_df
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("g"), F.expr("CAST(id % (1 + id % 37) AS BIGINT)").alias("v")
+    )
+    got = [tuple(r) for r in top_items_df(df, "v", k=50, by=["g"]).collect()]
+    want = [
+        tuple(r)
+        for r in df.groupBy("g", "v")
+        .agg(F.count("*").alias("est_count"))
+        .select("g", F.col("v").alias("item"), "est_count")
+        .orderBy("g", F.col("est_count").desc(), "item")
+        .collect()
+    ]
+    assert got == want
+
+
 def test_curate_documents_pipeline(spark):
     """curate_documents: quality rejects garbage, exact dup collapses,
     near-dup cluster keeps its canonical, survivors carry token budgets —
