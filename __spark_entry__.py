@@ -1600,6 +1600,21 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_profile(spark, sf_dir):
+    """Corpus data card (curate.corpus_profile_df): per-predicted-language
+    volumes, mean quality ratios, and short-doc counts — ONE scan, every
+    per-doc metric row-local, ONE groupBy(lang) exchange (the fused form of
+    txt_tokens + txt_quality + txt_langid; composing those operators with
+    doc_id joins would triple the scan and shuffle the corpus).  Ratios
+    round per-doc at the 4-decimal grain before averaging, averages at 6
+    (repo determinism recipe); the oracle recomputes everything from the
+    same SQL chains the three standalone gates use."""
+    from imops_spark.functions.curate import corpus_profile_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_profile_df(docs, min_tokens=60)
+
+
 def q_cur_contam_bloom(spark, sf_dir):
     """Bloom-prefiltered contamination scan
     (curate.contamination_pairs_bloom_df): a Bloom filter built over the
@@ -2983,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
+        "cur_profile": q_cur_profile,
         "cur_contam_bloom": q_cur_contam_bloom,
         "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
@@ -4427,6 +4443,37 @@ def _oracle_sql_literals() -> dict[str, str]:
         "evt_heavy": """
             SELECT event_type, user_id % 97 AS bucket, COUNT(1) AS est_count
             FROM events GROUP BY 1, 2
+        """,
+        "cur_profile": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS toks,
+                     (['en','zh','fr','es','de'])[
+                       CAST((('0x' || substr(md5(substr(text, 1, 24)), 1, 8))::BIGINT % 5) AS INT) + 1
+                     ] AS lang_pred
+              FROM documents
+            ),
+            p AS (
+              SELECT lang_pred,
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     ROUND(length(text)::DOUBLE / len(toks), 4) AS cpt,
+                     ROUND(len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to','in','is','it','data','value'], x)))::DOUBLE
+                         / len(toks), 4) AS stop_r,
+                     ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr
+              FROM t
+            )
+            SELECT lang_pred,
+                   COUNT(1) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   ROUND(AVG(n_tok), 4) AS avg_tokens,
+                   ROUND(AVG(cpt), 6) AS avg_chars_per_token,
+                   ROUND(AVG(stop_r), 6) AS avg_stopword_ratio,
+                   ROUND(AVG(ttr), 6) AS avg_type_token_ratio,
+                   CAST(SUM(CASE WHEN n_tok < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+            FROM p GROUP BY 1
         """,
         "dd_simhash": _simhash_sql(),
         "emb_semdedup": """

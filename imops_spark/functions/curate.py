@@ -45,6 +45,7 @@ __all__ = [
     "contamination_pairs_bloom_df",
     "decontaminate_df",
     "decontaminate_bloom_df",
+    "corpus_profile_df",
 ]
 
 
@@ -398,6 +399,58 @@ def decontaminate_bloom_df(
         .dropDuplicates()
     )
     return train_docs.join(bad, "doc_id", "left_anti")
+
+
+def corpus_profile_df(docs: DataFrame, min_tokens: int = 5, n_langs: int = 5) -> DataFrame:
+    """Per-language corpus data card — the summary table a training-mix
+    owner reads before touching the mixture weights: document/token/char
+    volumes, mean quality ratios, and the short-document fraction, grouped
+    by predicted language.
+
+    Plan shape (the whole point at 100 TB): every per-document metric —
+    token counts, quality ratios (the ``text.quality_df`` arithmetic), and
+    the language bucket (the ``text.langid_df`` vote) — is computed
+    ROW-LOCALLY in one projection over ONE scan, then a single
+    map-side-combined ``groupBy(lang_pred)`` aggregation produces the
+    card.  Composing the standalone operators with joins instead would
+    re-scan the corpus per metric family and shuffle on doc_id; this is
+    the fused form.  Per-doc ratios are rounded to the 4-decimal grain
+    BEFORE averaging (the repo's cross-engine determinism recipe) and the
+    averages to 6.
+    """
+    from .text import STOPWORDS, with_tokens
+
+    all_langs = ["en", "zh", "fr", "es", "de"]
+    if not 1 <= n_langs <= len(all_langs):
+        raise ValueError(f"n_langs must be in 1..{len(all_langs)}, got {n_langs}")
+    lang_arr = F.array(*[F.lit(x) for x in all_langs[:n_langs]])
+    bucket = (
+        F.conv(F.substring(F.md5(F.substring(F.col("text"), 1, 24)), 1, 8), 16, 10)
+        .cast("long") % n_langs
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = with_tokens(docs).select(
+        F.element_at(lang_arr, (bucket + 1).cast("int")).alias("lang_pred"),
+        F.size("tokens").alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / F.size("tokens"), 4).alias("cpt"),
+        F.round(
+            F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x)))
+            / F.size("tokens"),
+            4,
+        ).alias("stop_r"),
+        F.round(F.size(F.array_distinct("tokens")) / F.size("tokens"), 4).alias("ttr"),
+    )
+    return t.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("cpt"), 6).alias("avg_chars_per_token"),
+        F.round(F.avg("stop_r"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("ttr"), 6).alias("avg_type_token_ratio"),
+        F.sum((F.col("n_tok") < int(min_tokens)).cast("bigint")).alias("n_short"),
+    )
 
 
 def curate_documents(

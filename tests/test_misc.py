@@ -387,6 +387,36 @@ def test_top_items_exact_when_saturated(spark):
     assert got == want
 
 
+def test_corpus_profile_single_scan_one_exchange(spark):
+    """The fused data card must stay one scan + one aggregation exchange —
+    the reason it exists instead of joining the standalone metric ops —
+    and its totals must be consistent with the unfused operators."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import corpus_profile_df
+    from imops_spark.functions.text import token_count_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prof = corpus_profile_df(docs, min_tokens=60)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # AQE wraps the plan; count only shuffle exchanges
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    rows = prof.collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    assert total_docs == docs.count()
+    exact_tokens = token_count_df(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_tokens == exact_tokens
+
+    with _pytest.raises(ValueError):
+        corpus_profile_df(docs, n_langs=9)
+
+
 def test_curate_documents_pipeline(spark):
     """curate_documents: quality rejects garbage, exact dup collapses,
     near-dup cluster keeps its canonical, survivors carry token budgets —
