@@ -1600,6 +1600,38 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_mix_temp(spark, sf_dir):
+    """Temperature mixture weights (curate.temperature_fractions_df):
+    alpha-sampling rates per predicted language — raw share, temperature
+    share at alpha=0.5, and the capped per-group keep rate realizing the
+    mix.  alpha=0.5 routes through sqrt (IEEE-correctly-rounded, so both
+    engines produce bit-identical powed sizes; generic pow's last-ulp
+    cross-libm drift is why the gate pins the sqrt path).  Two bounded
+    aggregations: group counts + a 1-row broadcast total."""
+    from imops_spark.functions.curate import temperature_fractions_df
+    from imops_spark.functions.text import langid_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    langs = langid_df(docs)
+    return temperature_fractions_df(langs, "lang_pred", alpha=0.5, target_rate=0.5)
+
+
+def q_txt_vocab(spark, sf_dir):
+    """Corpus vocabulary with cumulative coverage (text.vocab_df): top-200
+    tokens by occurrence count with exact document frequency and the
+    running corpus-coverage fraction — tokenizer-budget planning surface.
+    Plan: explode -> two-level aggregate (the (token, doc_id) partial
+    map-side combines, so exact doc frequency costs no COUNT(DISTINCT)
+    storm) -> distributed TakeOrderedAndProject top-k -> a running-sum
+    window over ONLY the surviving top_k rows (single task bounded by the
+    parameter, not the data).  Ties break by token text so the rank-200
+    cut is deterministic; coverage divisions are exact-integer/total."""
+    from imops_spark.functions.text import vocab_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_df(docs, top_k=200)
+
+
 def q_cur_profile(spark, sf_dir):
     """Corpus data card (curate.corpus_profile_df): per-predicted-language
     volumes, mean quality ratios, and short-doc counts — ONE scan, every
@@ -2999,6 +3031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
         "cur_profile": q_cur_profile,
+        "txt_vocab": q_txt_vocab,
+        "cur_mix_temp": q_cur_mix_temp,
         "cur_contam_bloom": q_cur_contam_bloom,
         "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
@@ -4443,6 +4477,48 @@ def _oracle_sql_literals() -> dict[str, str]:
         "evt_heavy": """
             SELECT event_type, user_id % 97 AS bucket, COUNT(1) AS est_count
             FROM events GROUP BY 1, 2
+        """,
+        "cur_mix_temp": """
+            WITH l AS (
+              SELECT (['en','zh','fr','es','de'])[
+                CAST((('0x' || substr(md5(substr(text, 1, 24)), 1, 8))::BIGINT % 5) AS INT) + 1
+              ] AS lang_pred
+              FROM documents
+            ),
+            g AS (SELECT lang_pred, COUNT(1) AS n_rows FROM l GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS N, SUM(sqrt(n_rows)) AS S FROM g)
+            SELECT lang_pred, n_rows,
+                   ROUND(n_rows::DOUBLE / N, 6) AS p_raw,
+                   ROUND(sqrt(n_rows) / S, 6) AS p_temp,
+                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                         CAST(0.5 AS DOUBLE) * N * (sqrt(n_rows) / S) / n_rows), 6)
+                       AS sampling_frac
+            FROM g, t
+        """,
+        "txt_vocab": """
+            WITH tok AS (
+              SELECT doc_id, t AS token FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+              ) WHERE length(t) > 0
+            ),
+            c AS (
+              SELECT token, COUNT(1) AS n_occurrences,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM tok GROUP BY 1
+            ),
+            g AS (SELECT COUNT(1) AS total FROM tok),
+            top AS (
+              SELECT * FROM c ORDER BY n_occurrences DESC, token LIMIT 200
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+                   token, n_occurrences, n_docs,
+                   ROUND(n_occurrences::DOUBLE / total, 6) AS coverage,
+                   ROUND(CAST(SUM(n_occurrences) OVER (
+                       ORDER BY n_occurrences DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / total, 6) AS cum_coverage
+            FROM top, g
         """,
         "cur_profile": """
             WITH t AS (

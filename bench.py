@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "txt_pii",
     "emb_semdedup",
     "txt_lm",
+    "cur_profile",
+    "evt_heavy",
 ]
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "split_by_hash_df",
     "cap_per_group_df",
     "mixture_sample_df",
+    "temperature_fractions_df",
+    "temperature_mixture_sample_df",
     "pack_documents_df",
     "contamination_pairs_df",
     "contamination_pairs_bloom_df",
@@ -201,6 +203,77 @@ def mixture_sample_df(
     thresholds = F.create_map(*pairs)
     bucket = _hash_bucket(key_col, salt)
     return df.where(bucket < F.coalesce(thresholds[F.col(group_col)], F.lit(0)))
+
+
+def temperature_fractions_df(
+    df: DataFrame, group_col: str, alpha: float = 0.5, target_rate: float = 1.0
+) -> DataFrame:
+    """Temperature-scaled mixture weights from observed group sizes — the
+    alpha-sampling recipe (multilingual/UniMax style): a group holding raw
+    share ``p_i = n_i/N`` gets target share ``q_i = n_i^alpha / sum_j
+    n_j^alpha``, flattening the head and boosting the tail as ``alpha``
+    drops from 1 (proportional) toward 0 (uniform).
+
+    Returns one row per group: ``(group, n_rows, p_raw, p_temp,
+    sampling_frac)`` where ``sampling_frac = min(1, target_rate * N * q_i
+    / n_i)`` is the per-group keep rate that realizes the temperature mix
+    by downsampling (rates are capped at 1 — boosting a tail group beyond
+    its size needs repetition, which sampling cannot provide; the cap is
+    the standard epoch-1 behavior).  Feed the collected rows to
+    :func:`mixture_sample_df` (or use
+    :func:`temperature_mixture_sample_df`).
+
+    Two bounded aggregations: per-group counts (one exchange, key domain =
+    the group vocabulary) and a 1-row total broadcast back.  ``alpha=0.5``
+    computes via ``sqrt`` (IEEE-correctly-rounded, hence bit-identical
+    across engines — the gate pins this); other alphas use ``pow``.
+    """
+    a = float(alpha)
+    if not 0.0 <= a <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    powed = (
+        F.sqrt(F.col("n_rows"))
+        if a == 0.5
+        else F.pow(F.col("n_rows"), F.lit(a))
+    )
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    g = g.withColumn("_pw", powed)
+    tot = g.agg(
+        F.sum("n_rows").alias("_N"), F.sum("_pw").alias("_S")
+    )
+    rate = F.lit(float(target_rate)) * F.col("_N") * (F.col("_pw") / F.col("_S")) / F.col(
+        "n_rows"
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_N"), 6).alias("p_raw"),
+            F.round(F.col("_pw") / F.col("_S"), 6).alias("p_temp"),
+            F.round(F.least(F.lit(1.0), rate), 6).alias("sampling_frac"),
+        )
+    )
+
+
+def temperature_mixture_sample_df(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_rate: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """One-call temperature mixture: derive per-group keep rates from the
+    observed sizes (:func:`temperature_fractions_df` — the collect is one
+    row per GROUP, bounded by the group vocabulary, not the data) and apply
+    them with the deterministic md5-bucket sampler
+    (:func:`mixture_sample_df`) — reproducible, subset-stable, no RNG."""
+    rows = temperature_fractions_df(
+        df, group_col, alpha=alpha, target_rate=target_rate
+    ).collect()
+    fractions = {r[group_col]: float(r["sampling_frac"]) for r in rows}
+    return mixture_sample_df(df, group_col, fractions, key_col, salt=salt)
 
 
 def pack_documents_df(

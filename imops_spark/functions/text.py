@@ -44,6 +44,7 @@ __all__ = [
     "URL_PATTERN",
     "urls_df",
     "filter_by_domain_df",
+    "vocab_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -789,3 +790,58 @@ def filter_by_domain_df(
         .distinct()
     )
     return docs.join(bad_docs, "doc_id", "left_anti")
+
+
+def vocab_df(docs: DataFrame, top_k: int = 1000, bpe: bool = False) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent tokens with document
+    frequency and CUMULATIVE corpus coverage — the table a tokenizer-budget
+    or stopword decision reads ("how many tokens does a 32k vocab actually
+    cover?").  ``(rank, token, n_occurrences, n_docs, coverage, cum_coverage)``;
+    ties break by token text, so the cut at ``top_k`` is deterministic.
+
+    Plan shape at 100 TB: explode -> ONE map-side-combined groupBy(token)
+    (the key domain is the VOCABULARY, not the corpus — the exchange
+    carries one partial count per token per partition), then a distributed
+    top-k sort-limit (TakeOrderedAndProject, never a full sort), and only
+    the surviving ``top_k`` rows enter the single-task running-sum window —
+    bounded by the parameter, not the data.  The corpus total rides in as a
+    1-row broadcast (scalar aggregate cross join).
+    """
+    from pyspark.sql.window import Window
+
+    token_col = "bpe_tokens" if bpe else "tokens"
+    tokens = (
+        (bpe_pretokenize(docs) if bpe else with_tokens(docs))
+        .select("doc_id", F.explode(token_col).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    # exact doc frequency without a COUNT(DISTINCT) shuffle storm: two-level
+    # aggregate — (token, doc_id) partial first (map-side combined), then
+    # per-token totals; occurrence counts fall out of the same partials
+    per_doc = tokens.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("n_in_doc").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    grand = tokens.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(int(top_k))
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(grand))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n_occurrences").desc(), "token"))
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+            "n_docs",
+            F.round(F.col("n_occurrences") / F.col("_total"), 6).alias("coverage"),
+            F.round(F.sum("n_occurrences").over(w) / F.col("_total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+    )

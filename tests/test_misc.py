@@ -387,6 +387,84 @@ def test_top_items_exact_when_saturated(spark):
     assert got == want
 
 
+def test_vocab_df_counts_and_coverage(spark):
+    """vocab_df's counts must equal a hand aggregation, cum_coverage must
+    be monotone and end at the kept mass, and the top-k cut must follow
+    the (count DESC, token) order."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.text import vocab_df
+
+    rows = [(1, "a b b c c c"), (2, "c d d a"), (3, "e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: r for r in vocab_df(docs, top_k=3).collect()}
+    # counts: c=4 (docs 1,2), d=2 (doc 2), b=2 (doc 1), a=2 (docs 1,2)
+    # order: c(4), then ties at 2 break alphabetically: a, b -> top3 = c,a,b
+    assert set(got) == {"c", "a", "b"}
+    assert got["c"]["n_occurrences"] == 4 and got["c"]["n_docs"] == 2
+    assert got["a"]["n_occurrences"] == 2 and got["a"]["n_docs"] == 2
+    assert [got[t]["rank"] for t in ("c", "a", "b")] == [1, 2, 3]
+    total = 11
+    assert got["c"]["coverage"] == round(4 / total, 6)
+    assert got["b"]["cum_coverage"] == round(8 / total, 6)
+    # monotone
+    ranks = sorted(got.values(), key=lambda r: r["rank"])
+    assert all(
+        ranks[i]["cum_coverage"] <= ranks[i + 1]["cum_coverage"]
+        for i in range(len(ranks) - 1)
+    )
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha<1 must move realized shares from the raw distribution toward
+    uniform, the fractions must realize the temperature mix (rate*n ~
+    target share), and the sampler must stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import (
+        temperature_fractions_df,
+        temperature_mixture_sample_df,
+    )
+
+    # skewed groups: 8000 / 1500 / 500
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 8000, "big")
+        .when(F.col("id") < 9500, "mid")
+        .otherwise("small")
+        .alias("g"),
+    )
+    fr = {r["g"]: r for r in temperature_fractions_df(df, "g", alpha=0.5, target_rate=0.5).collect()}
+    assert fr["big"]["p_temp"] < fr["big"]["p_raw"]  # head flattened
+    assert fr["small"]["p_temp"] > fr["small"]["p_raw"]  # tail boosted
+    assert abs(sum(r["p_temp"] for r in fr.values()) - 1.0) < 1e-5
+    # kept counts realize the temperature shares (hash sampler ~ binomial)
+    kept = (
+        temperature_mixture_sample_df(df, "g", "k", alpha=0.5, target_rate=0.5)
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    kept = {r["g"]: r["count"] for r in kept}
+    total_kept = sum(kept.values())
+    for g in fr:
+        expect = fr[g]["p_temp"]
+        assert abs(kept[g] / total_kept - expect) < 0.05
+    # determinism: second run identical
+    again = (
+        temperature_mixture_sample_df(df, "g", "k", alpha=0.5, target_rate=0.5)
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert {r["g"]: r["count"] for r in again} == kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_fractions_df(df, "g", alpha=1.5)
+
+
 def test_corpus_profile_single_scan_one_exchange(spark):
     """The fused data card must stay one scan + one aggregation exchange —
     the reason it exists instead of joining the standalone metric ops —
