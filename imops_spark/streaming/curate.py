@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["contamination_pairs_stream"]
+__all__ = ["contamination_pairs_stream", "start_bloom_index_maintenance"]
 
 
 def contamination_pairs_stream(
@@ -52,3 +52,53 @@ def contamination_pairs_stream(
     return contamination_pairs_df(
         train_docs, eval_docs, k=k, window=window, min_shared=min_shared
     )
+
+
+def start_bloom_index_maintenance(
+    keys: DataFrame,
+    col: str,
+    path: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Keep a persisted Bloom membership index current as keys stream in:
+    each micro-batch's sparse words are APPENDED to the word log at
+    ``path`` via ``foreachBatch`` (``functions.bloom.bloom_write_index``
+    with ``mode='append'``, so the layout contract and the
+    parameter-mismatch guard live in one place for build AND maintenance);
+    ``bloom_read_index`` then always answers for the corpus ingested so
+    far.  Use case: the eval/holdout fingerprint set of a continuously
+    re-decontaminated pipeline, or any "have we ever seen this key" guard.
+
+    **Delivery guarantee: exactly-once SEMANTICS from at-least-once
+    plumbing.**  A crash between the append and the checkpoint commit
+    replays the batch — but a Bloom filter is a monotone OR-accumulator,
+    so re-appending the same words leaves every future membership answer
+    IDENTICAL (unlike the LSH band index, whose replays duplicate
+    candidate pairs and need downstream dedup).  This is the strongest
+    delivery story of the streaming sinks here, and it costs nothing.
+
+    Deletion is out of scope by construction: Bloom filters cannot unset
+    bits, so a key ingested once answers "maybe" forever — retention
+    policies need a fresh index build, not maintenance.
+
+    Returns the started ``StreamingQuery`` (``available_now=True`` drains
+    the backlog and stops — test/backfill mode; ``False`` runs
+    continuously).
+    """
+    from ..functions.bloom import bloom_write_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_write_index(
+            batch_df, col, path, num_bits=num_bits, num_hashes=num_hashes,
+            mode="append",
+        )
+
+    w = keys.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -167,3 +167,109 @@ def test_probe_plan_has_no_shuffle(spark):
     probe_side = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Exchange" not in probe_side
     bits_df.unpersist()
+
+
+def _bits(bloom):
+    return list(bloom.df.collect()[0]["bits"])
+
+
+def test_index_roundtrip_equals_build(spark, tmp_path):
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    keys = _keys(spark, n=400)
+    path = str(tmp_path / "idx")
+    bloom_write_index(keys, "k", path, num_bits=1 << 12, num_hashes=4)
+    idx = bloom_read_index(spark, path)
+    built = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    assert _bits(idx) == _bits(built)
+    assert (idx.num_bits, idx.num_hashes) == (1 << 12, 4)
+
+
+def test_index_append_merges_and_guards(spark, tmp_path):
+    """Appended generations must merge to the union build; appending with
+    different parameters must refuse (the self-describing-storage guard)."""
+    import pytest as _pytest
+
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    a = _keys(spark, n=200, offset=3)
+    b = _keys(spark, n=200, offset=100_001)
+    path = str(tmp_path / "idx")
+    bloom_write_index(a, "k", path, num_bits=1 << 12, num_hashes=4)
+    bloom_write_index(b, "k", path, num_bits=1 << 12, num_hashes=4, mode="append")
+    merged = bloom_read_index(spark, path)
+    union_built = bloom_build(a.union(b), "k", num_bits=1 << 12, num_hashes=4)
+    assert _bits(merged) == _bits(union_built)
+
+    with _pytest.raises(ValueError, match="refusing to append"):
+        bloom_write_index(b, "k", path, num_bits=1 << 13, num_hashes=4, mode="append")
+    with _pytest.raises(ValueError, match="refusing to append"):
+        bloom_write_index(b, "k", path, num_bits=1 << 12, num_hashes=3, mode="append")
+
+
+def test_index_replay_is_idempotent(spark, tmp_path):
+    """Appending the SAME input twice must leave the merged bits unchanged —
+    the OR-idempotence that gives the streaming maintenance sink
+    exactly-once semantics under at-least-once delivery."""
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    keys = _keys(spark, n=300)
+    path = str(tmp_path / "idx")
+    bloom_write_index(keys, "k", path, num_bits=1 << 12, num_hashes=4)
+    once = _bits(bloom_read_index(spark, path))
+    bloom_write_index(keys, "k", path, num_bits=1 << 12, num_hashes=4, mode="append")
+    twice = _bits(bloom_read_index(spark, path))
+    assert once == twice
+
+
+def test_streaming_maintenance_equals_batch_build(spark, tmp_path):
+    """Drain a key stream through the maintenance sink; the persisted index
+    must answer exactly like a batch build over the same keys, and a second
+    drain of NEW keys must extend it (incremental maintenance)."""
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.bloom import bloom_read_index
+    from imops_spark.streaming.curate import start_bloom_index_maintenance
+
+    src1 = str(tmp_path / "in1")
+    src2 = str(tmp_path / "in2")
+    _keys(spark, n=250).write.parquet(src1)
+    _keys(spark, n=250, offset=200_001).write.parquet(src2)
+    idx_path = str(tmp_path / "idx")
+
+    schema = "k long"
+    q = start_bloom_index_maintenance(
+        spark.readStream.schema(schema).parquet(src1),
+        "k",
+        idx_path,
+        num_bits=1 << 12,
+        num_hashes=4,
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    first = bloom_read_index(spark, idx_path)
+    want_first = bloom_build(
+        spark.read.parquet(src1), "k", num_bits=1 << 12, num_hashes=4
+    )
+    assert _bits(first) == _bits(want_first)
+
+    q2 = start_bloom_index_maintenance(
+        spark.readStream.schema(schema).parquet(src2),
+        "k",
+        idx_path,
+        num_bits=1 << 12,
+        num_hashes=4,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    both = bloom_read_index(spark, idx_path)
+    want_both = bloom_build(
+        spark.read.parquet(src1).union(spark.read.parquet(src2)),
+        "k",
+        num_bits=1 << 12,
+        num_hashes=4,
+    )
+    assert _bits(both) == _bits(want_both)
+    # the maintained index must also answer membership with no false negatives
+    probed = with_bloom_contains(spark.read.parquet(src2), "k", both)
+    assert probed.filter(~F.col("might_contain")).count() == 0

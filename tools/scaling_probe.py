@@ -88,7 +88,9 @@ def timed(df_builder, repeat: int = 3) -> float:
 
 
 def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
+    from imops_spark.functions.bloom import BloomFilter, bloom_build, bloom_filter_df
     from imops_spark.functions.curate import (
+        corpus_profile_df,
         mixture_sample_df,
         pack_documents_df,
         split_by_hash_df,
@@ -117,12 +119,14 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         distinct_sketch_by,
         merge_distinct_sketches,
     )
+    from imops_spark.functions.sketch import top_items_df
     from imops_spark.functions.text import (
         bpe_token_count_df,
         ngram_lm_df,
         pii_df,
         repetition_df,
         tfidf_df,
+        vocab_df,
     )
     from imops_spark.operators.graph import connected_components_df
     from imops_spark.plans import salted_join
@@ -170,6 +174,19 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         if want("ivfpq_topk"):
             ivfpq_index = ivfpq_encode_df(emb, cents, rbooks).persist()
             ivfpq_index.count()
+        bloom = None
+        if want("bloom_probe"):
+            # build once outside the timed lambda: the probe row measures the
+            # row-local broadcast bit tests, the build row the bounded bit_or
+            bf = bloom_build(
+                docs.select((F.col("doc_id") * 31).alias("k")),
+                "k",
+                num_bits=1 << 20,
+                num_hashes=5,
+            )
+            bdf = bf.df.persist()
+            bdf.count()
+            bloom = BloomFilter(df=bdf, num_bits=bf.num_bits, num_hashes=bf.num_hashes)
         right = left = None
         if want("asof_join"):
             right = emb.select((F.col("vec_id") * 7919 % 100_000).alias("ts_sec"), F.col("vec_id").alias("rv"))
@@ -234,6 +251,28 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             )
             .groupBy("user_id", F.session_window("ts_t", "30 minutes"))
             .agg(F.count(F.lit(1)).alias("n")),
+            # exchange cardinality bounded by num_bits/64, not the input
+            "bloom_build": lambda: bloom_build(
+                docs.select(F.col("doc_id").alias("k")), "k", num_bits=1 << 20
+            ).df,
+            # row-local broadcast bit tests: must stay at scan cost
+            "bloom_probe": lambda: bloom_filter_df(
+                docs.select(F.col("doc_id").alias("k")), "k", bloom
+            ),
+            # fused data card: one scan, one lang-key exchange
+            "cur_profile": lambda: corpus_profile_df(docs),
+            # explode -> two-level token aggregate -> bounded top-k window
+            "txt_vocab": lambda: vocab_df(docs, top_k=500),
+            # approx_top_k: summary-sized exchange, never per-value counts
+            "evt_heavy": lambda: top_items_df(
+                docs.select(
+                    F.pmod("doc_id", F.lit(5)).alias("g"),
+                    F.pmod("doc_id", F.lit(97)).alias("bucket"),
+                ),
+                "bucket",
+                k=200,
+                by=["g"],
+            ),
             # 90% of the fact on one key: full salting must stay linear
             "salted_join": lambda: salted_join(
                 emb.select(
@@ -250,7 +289,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         for name, b in rows.items():
             if want(name):
                 record(name, timed(b))
-        for cached in (sigs, ivfpq_index, docs, emb):
+        for cached in (sigs, ivfpq_index, docs, emb, bloom.df if bloom else None):
             if cached is not None:
                 cached.unpersist()
 
