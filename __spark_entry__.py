@@ -1667,6 +1667,32 @@ def q_cur_profile_stream(spark, sf_dir):
     return run_stream_to_memory(out, "cur_profile_stream_gate", spark, mode="complete")
 
 
+def q_cur_dsir(spark, sf_dir):
+    """DSIR importance resampling (curate.dsir_sample_df, Xie et al. 2023):
+    score every document by the log-ratio of hashed-unigram+bigram
+    likelihoods under a TARGET model (here: the corpus's 'en' slice) vs the
+    RAW model (the whole corpus), then draw the top-25 by deterministic
+    Gumbel top-k — sampling without replacement proportional to the
+    importance weights, reproducible because each doc's Gumbel variate
+    derives from md5(doc_id), not an RNG.  Cross-engine exactness: integer
+    bucket counts -> identical doubles -> identical LN (the 1.0D suffix
+    guards against Spark's SQL-text DECIMAL-literal division trap) ->
+    per-feature micro-nat snap BEFORE the per-doc integer sum.  Plan: two
+    <= 1024-row broadcast model tables; the corpus shuffles once, compact,
+    by doc_id; the top-k is TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    from imops_spark.functions.curate import dsir_sample_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_sample_df(
+        docs.select("doc_id", "text"),
+        target.select("doc_id", "text"),
+        k=25,
+        num_buckets=1024,
+    )
+
+
 def q_cur_contam_bloom(spark, sf_dir):
     """Bloom-prefiltered contamination scan
     (curate.contamination_pairs_bloom_df): a Bloom filter built over the
@@ -3052,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_contam": q_cur_contam,
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
+        "cur_dsir": q_cur_dsir,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
         "cur_contam_bloom": q_cur_contam_bloom,
@@ -4542,6 +4569,51 @@ def _oracle_sql_literals() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS DOUBLE) / total, 6) AS cum_coverage
             FROM top, g
+        """,
+        "cur_dsir": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks,
+                     lang
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END)) AS feat
+              FROM d
+            ),
+            b AS (SELECT doc_id, lang, {_mh_hash(100, "feat")} % 1024 AS bucket FROM f),
+            tgt AS (SELECT bucket, COUNT(*)::BIGINT AS tc FROM b
+                    WHERE lang = 'en' GROUP BY 1),
+            raw AS (SELECT bucket, COUNT(*)::BIGINT AS rc FROM b GROUP BY 1),
+            tt AS (SELECT SUM(tc)::BIGINT AS tt FROM tgt),
+            rt AS (SELECT SUM(rc)::BIGINT AS rt FROM raw),
+            sc AS (
+              SELECT b.doc_id,
+                     CAST(ROUND(LN(
+                       ((COALESCE(tc, 0)::DOUBLE + 1.0) / (tt::DOUBLE + 1024.0))
+                       / ((COALESCE(rc, 0)::DOUBLE + 1.0) / (rt::DOUBLE + 1024.0))
+                     ) * 1000000) AS BIGINT) AS lrm
+              FROM b LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+              CROSS JOIN tt CROSS JOIN rt
+            ),
+            w AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+                     SUM(lrm)::BIGINT AS logw_micro
+              FROM sc GROUP BY 1
+            )
+            SELECT doc_id, n_feats, logw_micro,
+                   logw_micro + CAST(ROUND(-LN(-LN(
+                     (({_mh_hash(102, "CAST(doc_id AS VARCHAR)")} % 1000000)::DOUBLE
+                      + 0.5) / 1000000.0
+                   )) * 1000000) AS BIGINT) AS key
+            FROM w
+            ORDER BY key DESC, doc_id
+            LIMIT 25
         """,
         "cur_profile": """
             WITH t AS (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "txt_lm",
     "cur_profile",
     "evt_heavy",
+    "cur_dsir",
 ]
 
 

@@ -48,6 +48,8 @@ __all__ = [
     "decontaminate_df",
     "decontaminate_bloom_df",
     "corpus_profile_df",
+    "dsir_logweights_df",
+    "dsir_sample_df",
 ]
 
 
@@ -557,4 +559,182 @@ def curate_documents(
     budgets = bpe_token_count_df(survivors)
     return survivors.join(budgets, "doc_id").select(
         "doc_id", "text", "n_words", "n_bpe", "n_unique_bpe"
+    )
+
+
+def _dsir_features(d: DataFrame, by_doc: bool = False) -> DataFrame:
+    """Exploded hashed-n-gram feature stream ``(doc_id, feat)``: unigrams
+    plus space-joined bigrams of the normalized whitespace tokens — the
+    feature space of Xie et al. 2023 (DSIR), which hashes exactly these
+    into a bounded bucket table.  Row-local explode, no shuffle.
+
+    ``by_doc=True`` repartitions by doc_id while rows are still COMPACT
+    documents (the repetition_df recipe) so the caller's final
+    ``groupBy(doc_id)`` is satisfied without exploded-row shuffling.  The
+    bigram builder binds ``toks`` as a lambda variable (``transform(array
+    (toks), t -> ..)[0]``) — referencing an expression column inside a
+    lambda body re-evaluates it per invocation otherwise (the
+    CollapseProject trap, see text.winnow_fp_array_df)."""
+    from .dedup import normalized_text
+
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.array_remove(F.split(normalized_text(), " "), "").alias("toks")
+    )
+    if by_doc:
+        base = base.repartition("doc_id")
+    return base.selectExpr(
+        "doc_id",
+        "explode(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
+        " transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
+        " array()))[0])) AS feat",
+    )
+
+
+def dsir_logweights_df(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: int = 50,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights: score every document in
+    ``docs`` by how much more likely its hashed-n-gram features are under
+    the TARGET distribution (fit on ``target_docs``) than under the RAW
+    distribution (fit on ``docs``) — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023).  This is the published recipe
+    for skewing a web-scale crawl toward a quality domain (Wikipedia,
+    books, a curated eval-adjacent corpus) without training a classifier.
+
+    Model: features are unigrams + bigrams hashed into ``num_buckets``
+    buckets (``md5(salt|feat) % B`` — the repo's cross-engine hash); each
+    corpus induces an add-``add_k``-smoothed multinomial over buckets;
+
+        log w(doc) = sum_{feature occurrences} [ log p_tgt(b) - log p_raw(b) ]
+
+    Output: ``(doc_id, n_feats, logw_micro)`` where ``logw_micro`` is the
+    integer micro-nat sum — each feature's log-ratio is snapped to
+    ``round(lr * 1e6)`` BEFORE summation so the per-document total is
+    exact integer arithmetic, order-independent under Spark's partial
+    aggregation (the ngram_lm_df determinism recipe).  Documents with no
+    tokens produce no features and are absent.  An EMPTY ``target_docs``
+    degrades to the uniform smoothing prior (every bucket scores
+    ``log((a/aB) / p_raw)``) — callers own validating their target
+    sample.
+
+    Plan shape at 100 TB: BOTH bucket distributions come out of ONE tagged
+    aggregation — the target and raw feature streams union with a source
+    flag, one map-side-combined ``groupBy(bucket)`` produces ``(bucket,
+    tc, rc)``, and the totals ride along as unpartitioned window sums over
+    the ``<= B``-row aggregate (no re-planned total branches: a separate
+    ``agg(sum)`` re-scans the whole feature subtree, because column
+    pruning differentiates the branches and defeats ReusedExchange — the
+    dd_spans lesson).  The scoring side then takes the single model table
+    as ONE broadcast join; the corpus itself shuffles exactly once, by
+    doc_id, while rows are still compact documents — explode, hash, join
+    and the final ``groupBy(doc_id)`` all run inside that one exchange.
+    Scoring ``docs`` against itself still plans the raw feature subtree
+    twice (model branch + score branch) — same accepted trade as
+    self-trained ``text.ngram_lm_df``; at real scale fit the raw model on
+    a ``hash_sample_df`` slice instead and the model branch shrinks to a
+    sample scan.
+    """
+    B = int(num_buckets)
+    a = float(add_k)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if a <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    from pyspark.sql import Window
+
+    from .dedup import _md5_hash_col
+
+    def bucketed(d: DataFrame, by_doc: bool = False) -> DataFrame:
+        f = _dsir_features(d, by_doc=by_doc)
+        return f.select(
+            "doc_id", (_md5_hash_col(F.col("feat"), salt) % F.lit(B)).alias("bucket")
+        )
+
+    tagged = bucketed(target_docs).select(
+        "bucket", F.lit(1).alias("is_tgt")
+    ).unionAll(bucketed(docs).select("bucket", F.lit(0).alias("is_tgt")))
+    everything = Window.partitionBy()  # <= B rows: single-partition sums
+    model = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.sum("is_tgt").cast("long").alias("tc"),
+            F.sum(F.lit(1) - F.col("is_tgt")).cast("long").alias("rc"),
+        )
+        .withColumn("tt", F.sum("tc").over(everything))
+        .withColumn("rt", F.sum("rc").over(everything))
+    )
+    # textual twin of the oracle's formula: integer inputs -> identical
+    # doubles -> identical LN -> identical micro grid in both engines.
+    # The D suffix is load-bearing: a bare `1.0` in Spark SQL TEXT is a
+    # DECIMAL literal, and decimal division rounds at ~7 significant
+    # digits BEFORE the LN — measured 1e-7-relative drift vs the oracle's
+    # ::DOUBLE arithmetic (the Column-API F.lit(1.0) doesn't have this
+    # trap; only parsed SQL does).  Every scored bucket is present in the
+    # model by construction (the raw stream IS the scored corpus), so the
+    # inner-shaped left join never manufactures NULL tt/rt.
+    lrm = (
+        f"CAST(ROUND(LN(((coalesce(tc, 0) + {a!r}D) / (tt + {a * B!r}D))"
+        f" / ((coalesce(rc, 0) + {a!r}D) / (rt + {a * B!r}D))) * 1000000) AS BIGINT)"
+    )
+    return (
+        bucketed(docs, by_doc=True)
+        .join(F.broadcast(model), "bucket", "left")
+        .selectExpr("doc_id", f"{lrm} AS lrm")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lrm").alias("logw_micro"),
+        )
+    )
+
+
+def dsir_sample_df(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: int = 50,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Select ``k`` documents by DSIR importance resampling: Gumbel
+    top-``k`` over the :func:`dsir_logweights_df` log-weights — the exact
+    sampling-without-replacement the paper prescribes (top-k of
+    ``log w + Gumbel noise`` draws k docs proportionally to ``w`` without
+    replacement), made REPRODUCIBLE by deriving each document's Gumbel
+    variate from its key hash instead of an RNG: ``u = (md5(salt+1|doc_id)
+    % 1e6 + 0.5) / 1e6``, ``g = -ln(-ln(u))`` — deterministic across
+    reruns, engines, and partitionings, like every sampler in this module.
+    ``gumbel=False`` degrades to plain top-``k`` by weight (the paper's
+    "top-k" ablation; favors the mode, loses diversity).
+
+    Output: ``(doc_id, n_feats, logw_micro, key)``, the selected rows.
+    ``key`` is in integer micro-nats (``logw_micro`` plus the micro-snapped
+    Gumbel), so ordering is exact and ties break on doc_id.
+
+    Plan: the global top-k compiles to TakeOrderedAndProject — per-partition
+    heaps + a driver merge of k rows, never a full sort shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from .dedup import _md5_hash_col
+
+    w = dsir_logweights_df(
+        docs, target_docs, num_buckets=num_buckets, add_k=add_k, salt=salt
+    )
+    if gumbel:
+        h = _md5_hash_col(F.col("doc_id").cast("string"), salt + 1)
+        u = (h % F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
+        key = F.col("logw_micro") + F.round(-F.log(-F.log(u)) * 1_000_000).cast(
+            "long"
+        )
+    else:
+        key = F.col("logw_micro")
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(int(k))
     )

@@ -91,6 +91,8 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     from imops_spark.functions.bloom import BloomFilter, bloom_build, bloom_filter_df
     from imops_spark.functions.curate import (
         corpus_profile_df,
+        dsir_logweights_df,
+        hash_sample_df,
         mixture_sample_df,
         pack_documents_df,
         split_by_hash_df,
@@ -261,6 +263,13 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             ),
             # fused data card: one scan, one lang-key exchange
             "cur_profile": lambda: corpus_profile_df(docs),
+            # one fused <= B-row model aggregation + one compact doc_id
+            # exchange on the scoring side: must stay ~linear
+            "cur_dsir": lambda: dsir_logweights_df(
+                docs.select("doc_id", "text"),
+                hash_sample_df(docs.select("doc_id", "text"), "doc_id", 0.1),
+                num_buckets=1024,
+            ),
             # explode -> two-level token aggregate -> bounded top-k window
             "txt_vocab": lambda: vocab_df(docs, top_k=500),
             # approx_top_k: summary-sized exchange, never per-value counts
