@@ -1356,6 +1356,27 @@ def q_dd_jaccard(spark, sf_dir):
     return ngram_jaccard_df(docs, pairs)
 
 
+def q_dd_snapshot(spark, sf_dir):
+    """Incremental corpus diff (dedup.snapshot_diff_df): old snapshot vs a
+    deterministically-derived new one (doc_id%5==0 removed, %3==0 edited,
+    %7==0 re-added under shifted ids), classified added/removed/changed/
+    unchanged by md5-of-normalized-text.  Fingerprints are row-local and
+    pushed below the full outer join, so only (id, fp) pairs shuffle —
+    never document bodies.  NULL-text docs carry a sentinel fp (both
+    engines), keeping the status CASE two-valued."""
+    from imops_spark.functions.dedup import snapshot_diff_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter("doc_id % 5 != 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text",
+    )
+    added = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text"
+    )
+    return snapshot_diff_df(docs, kept.unionAll(added))
+
+
 def q_dd_spans(spark, sf_dir):
     """Exact substring dedup, span level (dedup.duplicate_spans_df): the
     maximal character spans whose every 20-gram occurs in >= 2 distinct
@@ -1691,6 +1712,25 @@ def q_cur_dsir(spark, sf_dir):
         k=25,
         num_buckets=1024,
     )
+
+
+def q_txt_classify(spark, sf_dir):
+    """fastText-style hashed linear classifier APPLY at scale
+    (curate.classifier_score_df): broadcast (bucket, weight) model joined
+    to the DSIR unigram+bigram feature stream, mean weight + bias through
+    the integer micro-unit pipeline (snap weights once, exact integer doc
+    sums, signed round-half-away mean), sigmoid of the tie-free logit.
+    The gate's weight table is analytic (a Knuth-hash ramp over buckets)
+    so both engines derive the identical model without shipping floats."""
+    from imops_spark.functions.curate import classifier_score_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(512).selectExpr(
+        "id AS bucket",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
+        " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
+    )
+    return classifier_score_df(docs, weights, num_buckets=512, bias=0.1)
 
 
 def q_cur_contam_bloom(spark, sf_dir):
@@ -2181,6 +2221,24 @@ def q_sim_topk(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk_df(emb, queries, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def q_sim_int8(spark, sf_dir):
+    """Int8-quantized similarity serving (similarity.quantize_int8_df +
+    int8_topk_df): symmetric per-vector quantization (scale = amax/127,
+    row-local, zero-shuffle), then exact top-3 cosine over the QUANTIZED
+    vectors — per-vector scales cancel out of cosine, so scoring is
+    integer-exact (partial sums < 2^53) and hence order/engine-independent.
+    The oracle re-derives the identical quantization from the raw floats in
+    SQL and ranks with the same rounded-cosine + id tie-break, gating the
+    whole quantize -> score pipeline end to end."""
+    from imops_spark.functions.similarity import int8_topk_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return int8_topk_df(emb, queries, k=3).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )
 
@@ -3065,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_sjoin": q_dd_lsh_sjoin,
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
+        "dd_snapshot": q_dd_snapshot,
         "dd_spans": q_dd_spans,
         "dd_span_stats": q_dd_span_stats,
         "dd_editsim": q_dd_editsim,
@@ -3079,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
         "cur_dsir": q_cur_dsir,
+        "txt_classify": q_txt_classify,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
         "cur_contam_bloom": q_cur_contam_bloom,
@@ -3107,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": q_txt_tfidf,
         "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
+        "sim_int8": q_sim_int8,
         "sim_ivf": q_sim_ivf,
         "sim_lsh": q_sim_lsh,
         "sim_pq": q_sim_pq,
@@ -4392,6 +4453,34 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN n a ON p.doc_a = a.doc_id
             JOIN n b ON p.doc_b = b.doc_id
         """,
+        "dd_snapshot": f"""
+            WITH oldd AS (
+              SELECT doc_id,
+                     COALESCE(md5({_NORM}), '<null-text>') AS old_fp
+              FROM documents
+            ),
+            newsrc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            newd AS (
+              SELECT doc_id,
+                     COALESCE(md5({_NORM}), '<null-text>') AS new_fp
+              FROM newsrc
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        """,
         "dd_spans": _dup_spans_sql(20),
         "dd_span_stats": _dup_span_stats_sql(20),
         "dd_jaccard": f"""
@@ -4614,6 +4703,48 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM w
             ORDER BY key DESC, doc_id
             LIMIT 25
+        """,
+        "txt_classify": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+              SELECT doc_id, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END)) AS feat
+              FROM d
+            ),
+            b AS (SELECT doc_id, {_mh_hash(100, "feat")} % 512 AS bucket FROM f),
+            w AS (
+              SELECT i AS bucket,
+                     CAST(ROUND((CAST((i * 2654435761) % 1000003 AS DOUBLE)
+                       / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                       * 1000000) AS BIGINT) AS w_micro
+              FROM generate_series(0, 511) t(i)
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+                     SUM(COALESCE(w_micro, 0))::BIGINT AS s
+              FROM b LEFT JOIN w USING (bucket) GROUP BY 1
+            ),
+            lg AS (
+              SELECT doc_id, n_feats,
+                     CAST(100000 AS BIGINT) + CASE WHEN s >= 0
+                       THEN (2 * s + n_feats) // (2 * n_feats)
+                       ELSE -((2 * (-s) + n_feats) // (2 * n_feats)) END
+                       AS logit_micro
+              FROM agg
+            )
+            SELECT doc_id, n_feats, logit_micro,
+                   ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                     + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)
+                     AS prob
+            FROM lg
         """,
         "cur_profile": """
             WITH t AS (
@@ -4839,6 +4970,32 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, n_bigrams, lp_micro_sum, xent,
                    ROUND(EXP(xent), 4) AS ppl
             FROM x
+        """,
+        "sim_int8": """
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                       / CAST(127 AS DOUBLE) AS s
+              FROM embeddings
+            ),
+            qv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(ROUND(CASE WHEN s = 0 THEN 0 ELSE x::DOUBLE / s END)
+                            AS BIGINT)) AS q
+              FROM base
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 6) DESC,
+                                b.vec_id ASC
+                     ) AS rank
+              FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 20
+            ) WHERE rank <= 3
         """,
         "sim_topk": """
             SELECT query_id, neighbor_id, rank, cosine FROM (

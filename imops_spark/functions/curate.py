@@ -50,6 +50,7 @@ __all__ = [
     "corpus_profile_df",
     "dsir_logweights_df",
     "dsir_sample_df",
+    "classifier_score_df",
 ]
 
 
@@ -737,4 +738,75 @@ def dsir_sample_df(
         w.withColumn("key", key)
         .orderBy(F.desc("key"), F.asc("doc_id"))
         .limit(int(k))
+    )
+
+
+def classifier_score_df(
+    docs: DataFrame,
+    weights: DataFrame,
+    num_buckets: int = 1024,
+    bias: float = 0.0,
+    salt: int = 50,
+) -> DataFrame:
+    """Apply a linear hashed-bag-of-n-grams classifier at corpus scale —
+    the fastText-style quality scorer of the CCNet / LLaMA pipelines
+    ("does this page look like a Wikipedia reference?"), split the way a
+    100 TB pipeline actually splits it: the model TRAINS offline on a
+    sample, and this operator does the scale part, scoring every document
+    with a broadcast weight table.
+
+    ``weights`` is a ``(bucket int, weight double)`` frame (``<=
+    num_buckets`` rows; missing buckets weigh 0).  Features are the DSIR
+    unigram+bigram space under the SAME ``salt``/``num_buckets`` hashing —
+    train the model on :func:`dsir_logweights_df`-compatible features and
+    the bucket ids line up by construction.
+
+    Output: ``(doc_id, n_feats, logit_micro, prob)`` where
+    ``logit_micro = bias_micro + round_half_away(sum(w_micro)/n)`` — the
+    MEAN feature weight plus bias, in integer micro-units end to end:
+    weights snap to the micro grid once (B rows), the per-doc sum is exact
+    integer arithmetic (order-independent under partial aggregation), and
+    the mean uses the signed integer round-half-away division (a double
+    ROUND lands exactly ON the half grid whenever n divides 2*sum oddly —
+    the txt_lm lesson).  ``prob = round(sigmoid(logit), 6)`` exponentiates
+    the tie-free micro value, so both engines exp() the identical double.
+    Zero-token documents have no features and are absent.
+
+    Plan: broadcast weight join + ONE compact doc_id exchange (the
+    :func:`dsir_logweights_df` shape minus the model-fit branch).
+    """
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    from .dedup import _md5_hash_col
+
+    bias_micro = round(float(bias) * 1_000_000)
+    wm = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+    )
+    feats = _dsir_features(docs, by_doc=True).select(
+        "doc_id", (_md5_hash_col(F.col("feat"), salt) % F.lit(B)).alias("bucket")
+    )
+    agg = (
+        feats.join(F.broadcast(wm), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.coalesce("w_micro", F.lit(0))).alias("s"),
+        )
+    )
+    return agg.selectExpr(
+        "doc_id",
+        "n_feats",
+        f"CAST({bias_micro} AS BIGINT) + CASE WHEN s >= 0"
+        " THEN (2 * s + n_feats) DIV (2 * n_feats)"
+        " ELSE -((2 * (-s) + n_feats) DIV (2 * n_feats)) END AS logit_micro",
+    ).selectExpr(
+        "doc_id",
+        "n_feats",
+        "logit_micro",
+        "ROUND(CAST(1 AS DOUBLE) /"
+        " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
+        " AS prob",
     )

@@ -157,3 +157,98 @@ def test_validation_and_plan(spark):
     splan = s._jdf.queryExecution().executedPlan().toString()
     # global top-k must be per-partition heaps + driver merge, not a sort
     assert "TakeOrderedAndProject" in splan
+
+
+# --- snapshot diff (dedup.snapshot_diff_df) ---
+
+
+def test_snapshot_diff_statuses(spark):
+    from imops_spark.functions.dedup import snapshot_diff_df, snapshot_diff_stats_df
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "to be removed"),
+            (3, "will change"),
+            (4, "  Alpha\t Beta  "),  # same as 5's new text modulo whitespace/case
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (3, "has changed"),
+            (4, "alpha beta"),  # normalization: reflow is 'unchanged'
+            (5, None),  # NULL -> sentinel fp -> 'unchanged', not 3VL surprise
+            (6, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff_df(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "removed",
+        3: "changed",
+        4: "unchanged",
+        5: "unchanged",
+        6: "added",
+    }
+    stats = {
+        r["status"]: r["n_docs"]
+        for r in snapshot_diff_stats_df(old, new).collect()
+    }
+    assert stats == {"unchanged": 3, "removed": 1, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_fp_pushed_below_join(spark):
+    """Only (id, fp) pairs may shuffle: the md5 projection must sit under
+    the join, not above it (document bodies never cross the exchange)."""
+    from imops_spark.functions.dedup import snapshot_diff_df
+
+    old = spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    new = spark.range(5).selectExpr("id AS doc_id", "CAST(id + 1 AS STRING) AS text")
+    plan = snapshot_diff_df(old, new)._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    assert join_pos != -1
+    # every md5 evaluation appears below the (outer) join in the plan tree
+    assert "md5" not in plan[:join_pos].lower()
+
+
+# --- hashed linear classifier apply (curate.classifier_score_df) ---
+
+
+def test_classifier_score_matches_python(spark):
+    from imops_spark.functions.curate import classifier_score_df
+
+    docs = _corpus(spark)
+    B = 64
+    wmap = {b: (b % 7 - 3) / 10.0 for b in range(B)}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, weight double"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logit_micro"], r["prob"])
+        for r in classifier_score_df(docs, weights, num_buckets=B, bias=0.25).collect()
+    }
+    for did, t in enumerate(TARGETY + RAWY):
+        fs = _py_feats(t)
+        wm = [round(wmap[_py_h60(f, 50) % B] * 1e6) for f in fs]
+        s, n = sum(wm), len(wm)
+        mean = (2 * s + n) // (2 * n) if s >= 0 else -((2 * -s + n) // (2 * n))
+        logit = 250000 + mean
+        prob = round(1.0 / (1.0 + math.exp(-logit / 1e6)), 6)
+        assert got[did] == (n, logit, prob)
+    assert 90 not in got and 91 not in got  # featureless docs absent
+
+
+def test_classifier_missing_buckets_weigh_zero(spark):
+    from imops_spark.functions.curate import classifier_score_df
+
+    docs = _corpus(spark, with_empty=False)
+    empty_w = spark.createDataFrame([], "bucket long, weight double")
+    rows = classifier_score_df(docs, empty_w, num_buckets=64, bias=-0.4).collect()
+    assert rows  # every doc scored
+    for r in rows:
+        assert r["logit_micro"] == -400000  # bias only
+        assert r["prob"] == round(1.0 / (1.0 + math.exp(0.4)), 6)

@@ -479,3 +479,54 @@ def test_minhash_sql_build_matches_lambda_build(spark, num_hashes, k):
         for r in minhash_signatures_df(docs, num_hashes=num_hashes, k=k).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_quantize_int8_roundtrip_and_props(spark):
+    from imops_spark.functions.similarity import quantize_int8_df
+
+    df, m = _vectors(spark, 30, 77)
+    rows = {r["vec_id"]: r for r in quantize_int8_df(df).collect()}
+    for i in range(30):
+        v = m[i]
+        scale = float(np.max(np.abs(v))) / 127.0
+        assert rows[i]["scale"] == pytest.approx(scale, rel=0, abs=0)
+        q = np.asarray(rows[i]["qvec"], dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        # the max-magnitude component quantizes to exactly +-127
+        assert np.max(np.abs(q)) == 127
+        # per-element reconstruction error bounded by half a step
+        assert np.max(np.abs(v - q * scale)) <= scale / 2 + 1e-12
+        # bit-exact vs the numpy re-derivation (round-half-even matches
+        # Java HALF_UP except exactly ON .5, measure-zero for real data)
+        assert np.array_equal(q, np.round(v / scale).astype(np.int64))
+
+
+def test_quantize_int8_zero_vector(spark):
+    from imops_spark.functions.similarity import quantize_int8_df
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8_df(df).collect()}
+    assert rows[0]["scale"] == 0.0 and list(rows[0]["qvec"]) == [0, 0, 0]
+    assert list(rows[1]["qvec"]) == [64, -127, 32]
+
+
+def test_int8_topk_matches_numpy_int8_oracle(spark):
+    from imops_spark.functions.similarity import int8_topk_df
+
+    df, m = _vectors(spark, 40, 93)
+    queries = df.filter("vec_id < 6")
+    got = int8_topk_df(df, queries, k=4).collect()
+    scales = np.max(np.abs(m), axis=1) / 127.0
+    qm = np.round(m / scales[:, None]).astype(np.int64).astype(np.float64)
+    want = _np_topk(qm, qm[:6], range(6), 4)
+    got_map = {}
+    for r in got:
+        got_map.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cosine"], r["neighbor_id"])
+        )
+    for qi in range(6):
+        ranked = sorted(got_map[qi])
+        assert [(c, n) for _, c, n in ranked] == want[qi]
