@@ -1733,6 +1733,33 @@ def q_txt_classify(spark, sf_dir):
     return classifier_score_df(docs, weights, num_buckets=512, bias=0.1)
 
 
+def q_txt_classify_stream(spark, sf_dir):
+    """Ingestion-time classifier scoring (curate.classifier_score_local_df):
+    the ZERO-SHUFFLE twin of txt_classify — the weight table densifies into
+    one broadcast array row and each document folds its own features
+    against it with O(1) element_at lookups, so scoring is a pure row-local
+    projection: append-mode streaming-legal with no state or watermark
+    (stream-static cross join + arithmetic).  Same oracle as txt_classify;
+    the batch/local twins are additionally differential-tested."""
+    from imops_spark.functions.curate import classifier_score_local_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    weights = spark.range(512).selectExpr(
+        "id AS bucket",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
+        " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
+    )
+    out = classifier_score_local_df(stream, weights, num_buckets=512, bias=0.1)
+    return run_stream_to_memory(out, "txt_classify_stream_gate", spark, mode="append")
+
+
 def q_cur_contam_bloom(spark, sf_dir):
     """Bloom-prefiltered contamination scan
     (curate.contamination_pairs_bloom_df): a Bloom filter built over the
@@ -2697,6 +2724,51 @@ def q_evt_heavy(spark, sf_dir):
     )
 
 
+def q_sk_distinct_stream(spark, sf_dir):
+    """Streaming HLL maintenance (streaming.sketch): per-micro-batch
+    distinct-user sketches land in a (writer_id, batch_id)-partitioned
+    parquet log via dynamic partition overwrite — replays overwrite their
+    own partition, so the log is exactly-once under at-least-once
+    foreachBatch delivery — and the reader merges the log's partials per
+    event type.  Gated in HLL's exact sparse regime (user_id % 128 -> <=
+    128 distinct per group stays in coupon mode at lg_k=12) against exact
+    COUNT(DISTINCT); the merged-log-equals-batch-sketch identity and the
+    replay/namespace mechanics are differential-tested.  The tiny merged
+    card is re-materialized in memory so the scratch log can be deleted."""
+    import shutil
+    import tempfile
+
+    from imops_spark.streaming.events import stream_events
+    from imops_spark.streaming.sketch import (
+        read_distinct_sketch_log,
+        start_distinct_sketch_maintenance,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="imops_sk_gate_")
+    try:
+        ev = stream_events(spark, sf_dir).select(
+            "event_type", (F.col("user_id") % 128).alias("ub")
+        )
+        q = start_distinct_sketch_maintenance(
+            ev,
+            ["event_type"],
+            "ub",
+            f"{tmp}/log",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(120)
+        rows = (
+            read_distinct_sketch_log(spark, f"{tmp}/log", keys=["event_type"])
+            .select("event_type", "approx_distinct", "n_rows")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, approx_distinct bigint, n_rows bigint"
+    )
+
+
 def q_cur_pack_text(spark, sf_dir):
     """Pack materialization: per pack, the documents' texts concatenated in
     the packing order (shard-local md5 order) and md5-hashed — proves the
@@ -3139,12 +3211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_profile_stream": q_cur_profile_stream,
         "cur_dsir": q_cur_dsir,
         "txt_classify": q_txt_classify,
+        "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
         "cur_contam_bloom": q_cur_contam_bloom,
         "cur_contam_stream": q_cur_contam_stream,
         "evt_stats": q_evt_stats,
         "evt_heavy": q_evt_heavy,
+        "sk_distinct_stream": q_sk_distinct_stream,
         "rel_unpivot": q_rel_unpivot,
         "rel_explode": q_rel_explode,
         "rel_hof": q_rel_hof,
@@ -3745,6 +3819,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["cur_contam_bloom"] = oracles["cur_contam"]
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
+    # zero-shuffle streamed scoring must equal the batch classifier apply
+    oracles["txt_classify_stream"] = oracles["txt_classify"]
     # the append-mode session stream, sentinel-flushed, must equal the full
     # batch session set — same oracle, streaming state-eviction plan
     oracles["evt_session_append"] = oracles["evt_session_native"]
@@ -4616,6 +4692,12 @@ def _oracle_sql_literals() -> dict[str, str]:
         "evt_heavy": """
             SELECT event_type, user_id % 97 AS bucket, COUNT(1) AS est_count
             FROM events GROUP BY 1, 2
+        """,
+        "sk_distinct_stream": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id % 128) AS BIGINT) AS approx_distinct,
+                   CAST(COUNT(1) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
         """,
         "cur_mix_temp": """
             WITH l AS (

@@ -51,6 +51,8 @@ __all__ = [
     "dsir_logweights_df",
     "dsir_sample_df",
     "classifier_score_df",
+    "classifier_score_local_df",
+    "classifier_train_df",
 ]
 
 
@@ -810,3 +812,190 @@ def classifier_score_df(
         " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
         " AS prob",
     )
+
+
+def classifier_score_local_df(
+    docs: DataFrame,
+    weights: DataFrame,
+    num_buckets: int = 1024,
+    bias: float = 0.0,
+    salt: int = 50,
+) -> DataFrame:
+    """ZERO-SHUFFLE, streaming-legal twin of :func:`classifier_score_df`
+    (value-identical, differential-tested): the weight table is densified
+    into ONE broadcast row holding a ``num_buckets``-long micro-weight
+    array, and each document folds its own feature array against it with
+    O(1) ``element_at`` lookups — no explode, no join key, no doc_id
+    exchange, so the score is a pure row-local projection that runs at
+    scan speed on 100 TB and composes into any Structured Streaming
+    pipeline in append mode (stream-static cross join of a 1-row static
+    side + per-row arithmetic: no state, no watermark needed).
+
+    This is the plan you actually want for model APPLY: the groupBy
+    formulation exists because it shares the exploded feature stream with
+    model FITTING (:func:`dsir_logweights_df`); once weights are fixed,
+    grouping by doc_id only re-assembles rows the fold never needed to
+    take apart.  Density is the trick that makes it legal: ``element_at``
+    on an ARRAY is O(1), where a ``map_from_entries`` lookup is a linear
+    scan per feature (Spark maps are entry arrays — the bloom _densify
+    lesson, measured 30x there).
+
+    Featureless documents (no tokens after normalization) are dropped,
+    matching the explode semantics of the groupBy twin.
+    """
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    spark = docs.sparkSession
+    bias_micro = round(float(bias) * 1_000_000)
+    wm = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+    )
+    idx = spark.range(B).select(F.col("id").alias("bucket"))
+    warr = (
+        idx.join(F.broadcast(wm), "bucket", "left")
+        .select("bucket", F.coalesce("w_micro", F.lit(0)).alias("w_micro"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("bucket", "w_micro"))).alias("e")
+        )
+        .selectExpr("transform(e, x -> x.w_micro) AS __w")
+    )
+    from .dedup import normalized_text
+
+    # feature array bound as `fs`, weight array `__w` is a plain attribute
+    # (safe inside lambdas); the md5 bucket hash mirrors _md5_hash_col
+    fold = (
+        f"transform(array(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
+        f" transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
+        f" array()))[0])), fs -> named_struct("
+        f" 'n', CAST(size(fs) AS BIGINT),"
+        f" 's', aggregate(fs, CAST(0 AS BIGINT), (a, f) -> a + element_at(__w,"
+        f"   CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
+        f"        AS BIGINT) % {B} + 1 AS INT)))"
+        f"))[0]"
+    )
+    scored = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.array_remove(F.split(normalized_text(), " "), "").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .crossJoin(F.broadcast(warr))
+        .selectExpr("doc_id", f"{fold} AS st")
+        .selectExpr("doc_id", "st.n AS n_feats", "st.s AS s")
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_feats",
+        f"CAST({bias_micro} AS BIGINT) + CASE WHEN s >= 0"
+        " THEN (2 * s + n_feats) DIV (2 * n_feats)"
+        " ELSE -((2 * (-s) + n_feats) DIV (2 * n_feats)) END AS logit_micro",
+    ).selectExpr(
+        "doc_id",
+        "n_feats",
+        "logit_micro",
+        "ROUND(CAST(1 AS DOUBLE) /"
+        " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
+        " AS prob",
+    )
+
+
+
+def classifier_train_df(
+    docs: DataFrame,
+    label_col: str = "label",
+    num_buckets: int = 1024,
+    salt: int = 50,
+    steps: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[DataFrame, float]:
+    """Train the fastText-style hashed-bag logistic classifier at corpus
+    scale: full-batch gradient descent on ``p = sigmoid(bias + mean_f
+    w[bucket(f)])`` over the DSIR unigram+bigram feature space — the
+    TRAINING half whose APPLY half is :func:`classifier_score_df` /
+    :func:`classifier_score_local_df` (same ``salt``/``num_buckets``
+    hashing, so the learned weights feed them directly).
+
+    Returns ``(weights_df, bias)``: a ``(bucket, weight)`` frame and the
+    scalar intercept.
+
+    Distribution shape per step (``steps`` jobs, each ONE pass over the
+    persisted feature frame): the current weights ship as one broadcast
+    dense-array row (the score_local mechanism — O(1) ``element_at``
+    lookups, no join key); each document computes its probability
+    ROW-LOCALLY, then explodes its feature buckets carrying the residual
+    share ``(p - y)/n_feats`` and a map-side-combined ``groupBy(bucket)``
+    reduces the gradient to ``<= B`` rows collected on the driver.  The
+    corpus is feature-hashed ONCE up front and persisted as compact
+    ``(y, fb array<int>)`` rows; driver state is the B-float weight
+    vector — the model, never the data (MLlib's LogisticRegression loop
+    has the same shape).  Nothing quadratic, no per-row Python.
+
+    Determinism note: gradient sums are float reductions in shuffle
+    order, so trained weights are run-to-run identical only up to float
+    association — this is a TRAINING op (tested by loss descent +
+    held-out accuracy), not a hash-gated one; APPLY stays exactly
+    deterministic given fixed weights.  NULL-label, NULL-text, and
+    zero-token rows are excluded.
+    """
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    import numpy as np
+
+    spark = docs.sparkSession
+    from .dedup import normalized_text
+
+    lab = (
+        docs.filter(F.col("text").isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("double").alias("y"),
+            F.array_remove(F.split(normalized_text(), " "), "").alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    feat = (
+        f"transform(concat(toks, transform(array(toks), t ->"
+        f" if(size(t) >= 2, transform(sequence(1, size(t) - 1),"
+        f" i -> concat(t[i - 1], ' ', t[i])), array()))[0]), f ->"
+        f" CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {B} AS INT))"
+    )
+    base = lab.selectExpr("y", f"{feat} AS fb").persist()
+    try:
+        n_docs = base.count()  # also materializes the persisted features
+        if n_docs == 0:
+            raise ValueError("classifier_train_df: no labeled, tokenized rows")
+        w = np.zeros(B)
+        bias = 0.0
+        for _ in range(int(steps)):
+            wdf = spark.createDataFrame(
+                [([float(x) for x in w],)], "__w array<double>"
+            )
+            resid = base.crossJoin(F.broadcast(wdf)).selectExpr(
+                "fb",
+                f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE)"
+                f" - ({bias!r}D + aggregate(fb, CAST(0 AS DOUBLE),"
+                f" (a, b) -> a + element_at(__w, b + 1)) / size(fb)))) - y AS r",
+            )
+            grad = (
+                resid.selectExpr(
+                    "explode(fb) AS bucket", "r / CAST(size(fb) AS DOUBLE) AS g"
+                )
+                .groupBy("bucket")
+                .agg(F.sum("g").alias("g"))
+            )
+            bias_g = resid.agg(F.sum("r").alias("bg")).collect()[0]["bg"]
+            gvec = np.zeros(B)
+            for row in grad.collect():
+                gvec[row["bucket"]] = row["g"]
+            w -= float(lr) * (gvec / n_docs + float(l2) * w)
+            bias -= float(lr) * float(bias_g) / n_docs
+    finally:
+        base.unpersist()
+    weights_df = spark.createDataFrame(
+        [(int(b), float(w[b])) for b in range(B)], "bucket long, weight double"
+    )
+    return weights_df, float(bias)

@@ -252,3 +252,148 @@ def test_classifier_missing_buckets_weigh_zero(spark):
     for r in rows:
         assert r["logit_micro"] == -400000  # bias only
         assert r["prob"] == round(1.0 / (1.0 + math.exp(0.4)), 6)
+
+
+def test_classifier_local_twin_is_value_identical(spark):
+    from imops_spark.functions.curate import (
+        classifier_score_df,
+        classifier_score_local_df,
+    )
+
+    docs = _corpus(spark)
+    B = 64
+    weights = spark.createDataFrame(
+        [(b, (b % 9 - 4) / 7.0) for b in range(0, B, 2)],  # holes: missing->0
+        "bucket long, weight double",
+    )
+    a = {
+        r["doc_id"]: (r["n_feats"], r["logit_micro"], r["prob"])
+        for r in classifier_score_df(docs, weights, num_buckets=B, bias=-0.2).collect()
+    }
+    local = classifier_score_local_df(docs, weights, num_buckets=B, bias=-0.2)
+    b = {
+        r["doc_id"]: (r["n_feats"], r["logit_micro"], r["prob"])
+        for r in local.collect()
+    }
+    assert a == b
+    # the corpus side must be exchange-free: the only allowed shuffle is
+    # the bounded single-partition densify of the <= B-row weight table
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
+    ]
+    assert ex == []
+
+
+def test_classifier_local_is_streaming_legal(spark, tmp_path):
+    from imops_spark.functions.curate import (
+        classifier_score_df,
+        classifier_score_local_df,
+    )
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    src = str(tmp_path / "docs")
+    _corpus(spark, with_empty=False).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    weights = spark.createDataFrame(
+        [(b, (b % 5 - 2) / 3.0) for b in range(32)], "bucket long, weight double"
+    )
+    out = classifier_score_local_df(stream, weights, num_buckets=32, bias=0.3)
+    assert out.isStreaming
+    got = run_stream_to_memory(out, "clf_stream_t", spark, mode="append")
+    want = classifier_score_df(
+        spark.read.parquet(src), weights, num_buckets=32, bias=0.3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- distributed classifier training (curate.classifier_train_df) ---
+
+
+def _labeled_corpus(spark):
+    good = [
+        "solid factual prose with careful analysis and clear structure",
+        "careful clear analysis of factual structure in prose form",
+        "the analysis remains factual careful and clear throughout",
+    ]
+    bad = [
+        "click here buy now cheap deal free offer win prize",
+        "free prize win now buy cheap click offer deal here",
+        "cheap free deal buy prize click now win here offer",
+    ]
+    rows, did = [], 0
+    for rep in range(8):
+        for t in good:
+            rows.append((did, f"{t} variant {rep}", 1.0))
+            did += 1
+        for t in bad:
+            rows.append((did, f"{t} variant {rep}", 0.0))
+            did += 1
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string, label double"),
+        {d: y for d, _, y in rows},
+    )
+
+
+def test_train_then_apply_separates_classes(spark):
+    from imops_spark.functions.curate import (
+        classifier_score_local_df,
+        classifier_train_df,
+    )
+
+    docs, labels = _labeled_corpus(spark)
+    wdf, bias = classifier_train_df(docs, num_buckets=256, steps=20, lr=2.0)
+    scored = classifier_score_local_df(
+        docs.select("doc_id", "text"), wdf, num_buckets=256, bias=bias
+    )
+    got = {r["doc_id"]: r["prob"] for r in scored.collect()}
+    acc = sum((got[d] > 0.5) == (labels[d] > 0.5) for d in got) / len(got)
+    assert acc == 1.0  # linearly separable vocabularies
+    # and the classes are cleanly separated (margins widen only
+    # logarithmically for the mean-feature parameterization — the decision
+    # gap, not its absolute width, is the convergence signal)
+    goods = [p for d, p in got.items() if labels[d] == 1.0]
+    bads = [p for d, p in got.items() if labels[d] == 0.0]
+    assert min(goods) > 0.53 and max(bads) < 0.47
+    assert min(goods) - max(bads) > 0.08
+
+
+def test_train_more_steps_decreases_loss(spark):
+    import math as m
+
+    from imops_spark.functions.curate import (
+        classifier_score_local_df,
+        classifier_train_df,
+    )
+
+    docs, labels = _labeled_corpus(spark)
+
+    def loss(steps):
+        wdf, bias = classifier_train_df(docs, num_buckets=256, steps=steps, lr=1.0)
+        got = {
+            r["doc_id"]: r["prob"]
+            for r in classifier_score_local_df(
+                docs.select("doc_id", "text"), wdf, num_buckets=256, bias=bias
+            ).collect()
+        }
+        eps = 1e-9
+        return -sum(
+            m.log(max(got[d], eps)) if labels[d] == 1.0 else m.log(max(1 - got[d], eps))
+            for d in got
+        ) / len(got)
+
+    assert loss(8) < loss(2) < m.log(2) + 1e-9  # both below the w=0 start
+
+
+def test_train_validation(spark):
+    from imops_spark.functions.curate import classifier_train_df
+
+    docs, _ = _labeled_corpus(spark)
+    with pytest.raises(ValueError, match="steps"):
+        classifier_train_df(docs, steps=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        classifier_train_df(docs, num_buckets=0)
+    empty = spark.createDataFrame([], "doc_id long, text string, label double")
+    with pytest.raises(ValueError, match="no labeled"):
+        classifier_train_df(empty, num_buckets=16, steps=1)

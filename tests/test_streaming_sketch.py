@@ -1,0 +1,120 @@
+"""Streaming sketch maintenance (streaming/sketch.py): streamed-log merges
+must equal batch sketches, and replayed batches must not change anything
+(the partition-overwrite exactly-once mechanism)."""
+
+from pyspark.sql import functions as F
+
+from imops_spark.functions.sketch import (
+    cms_estimate,
+    cms_merge,
+    distinct_sketch_by,
+    freq_sketch_by,
+    merge_distinct_sketches,
+)
+from imops_spark.streaming.sketch import (
+    freq_log_estimates,
+    read_distinct_sketch_log,
+    start_distinct_sketch_maintenance,
+    start_freq_sketch_maintenance,
+)
+
+
+def _src(spark, tmp_path, name, lo, hi):
+    path = str(tmp_path / name)
+    (
+        spark.range(lo, hi)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 41).alias("v"),
+        )
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_streamed_distinct_log_equals_batch(spark, tmp_path):
+    src1 = _src(spark, tmp_path, "in1", 0, 400)
+    src2 = _src(spark, tmp_path, "in2", 400, 900)
+    log = str(tmp_path / "log")
+    schema = "g string, v long"
+    for i, src in enumerate((src1, src2)):
+        q = start_distinct_sketch_maintenance(
+            spark.readStream.schema(schema).parquet(src),
+            ["g"],
+            "v",
+            log,
+            checkpoint=str(tmp_path / f"ck{i}"),
+        )
+        q.awaitTermination(120)
+    got = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    both = spark.read.parquet(src1).union(spark.read.parquet(src2))
+    want = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in merge_distinct_sketches(
+            distinct_sketch_by(both, ["g"], "v"), keys=["g"]
+        ).collect()
+    }
+    assert got == want
+    # 41 distinct values per group: HLL sparse regime -> exact
+    exact = {
+        r["g"]: r["d"]
+        for r in both.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    assert {g: d for g, (d, _) in got.items()} == exact
+
+
+def test_replayed_batch_changes_nothing(spark, tmp_path):
+    """Re-invoking the foreachBatch writer with the same (batch, id) must
+    leave the log's merged answer identical — partition overwrite, not
+    append.  For Count-Min this is the difference between correct counts
+    and double counts."""
+    src = _src(spark, tmp_path, "in", 0, 500)
+    batch = spark.read.parquet(src)
+    log = str(tmp_path / "freqlog")
+
+    def write_once(bid):
+        partials = (
+            freq_sketch_by(batch, ["g"], "v", eps=0.001)
+            .withColumn("writer_id", F.lit("w0"))
+            .withColumn("batch_id", F.lit(bid))
+        )
+        (
+            partials.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("writer_id", "batch_id")
+            .parquet(log)
+        )
+
+    write_once(0)
+    first = freq_log_estimates(spark, log, items=[0, 1, 7], keys=["g"])
+    write_once(0)  # the replay
+    assert freq_log_estimates(spark, log, items=[0, 1, 7], keys=["g"]) == first
+
+
+def test_streamed_freq_log_equals_batch(spark, tmp_path):
+    src1 = _src(spark, tmp_path, "in1", 0, 300)
+    src2 = _src(spark, tmp_path, "in2", 300, 800)
+    log = str(tmp_path / "log")
+    schema = "g string, v long"
+    for i, src in enumerate((src1, src2)):
+        q = start_freq_sketch_maintenance(
+            spark.readStream.schema(schema).parquet(src),
+            [],
+            "v",
+            log,
+            eps=0.001,
+            checkpoint=str(tmp_path / f"ck{i}"),
+        )
+        q.awaitTermination(120)
+    items = list(range(41))
+    got = freq_log_estimates(spark, log, items=items)
+    both = spark.read.parquet(src1).union(spark.read.parquet(src2))
+    blob = freq_sketch_by(both, [], "v", eps=0.001).collect()[0]["freq_sketch"]
+    want = list(zip(items, cms_estimate(spark, blob, items)))
+    assert got == want
+    # eps*n bound with few distinct values: estimates are the exact counts
+    exact = {r["v"]: r["c"] for r in both.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert dict(got) == exact
