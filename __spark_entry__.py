@@ -1714,6 +1714,19 @@ def q_cur_dsir(spark, sf_dir):
     )
 
 
+def q_txt_chunks(spark, sf_dir):
+    """Overlapping fixed-size chunking (text.chunk_documents_df): 120-char
+    chunks at stride 100 (20 overlap), last chunk short, 0-based chunk
+    index + 1-based start offset + per-doc chunk count.  Pure row-local
+    explode + substring arithmetic — zero shuffles, streaming-legal; both
+    engines count codepoints for length/substr, so the oracle recomputes
+    chunks verbatim."""
+    from imops_spark.functions.text import chunk_documents_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents_df(docs, chunk_chars=120, overlap=20)
+
+
 def q_txt_classify(spark, sf_dir):
     """fastText-style hashed linear classifier APPLY at scale
     (curate.classifier_score_df): broadcast (bucket, weight) model joined
@@ -2085,6 +2098,45 @@ def q_txt_replines(spark, sf_dir):
     rows = [(i, "\n".join(lines)) for i, lines in _REPLINE_ROWS]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     return repetition_df(docs, top_ns=(2,), dup_ns=(3,))
+
+
+# Constructed corpus for cross-corpus boilerplate removal: a banner and a
+# footer shared across documents (one whitespace-padded — trim applies
+# before comparison), a fully-boilerplate document, whitespace-only and
+# empty lines that must never count as boilerplate, and unique content
+# that must survive untouched.  No apostrophes (SQL VALUES splicing).
+_BOILER_ROWS = [
+    (1, ["cookie banner", "real content one", "shared footer"]),
+    (2, ["cookie banner", "unique text two", "shared footer"]),
+    (3, ["  cookie banner  ", "only unique content"]),
+    (4, ["cookie banner", "shared footer"]),
+    (5, ["nothing shared here", "", "   ", "another line"]),
+]
+
+
+def q_txt_boiler(spark, sf_dir):
+    """Cross-corpus boilerplate line removal
+    (text.remove_boilerplate_lines_df): lines whose TRIMMED form appears in
+    >= 2 distinct documents are stripped from every document (CCNet's
+    paragraph dedup — the nav-bar/footer deletion per-document repetition
+    metrics cannot see).  The corpus repartitions once by doc_id: line
+    explode, broadcast anti-join against the bounded hot-line table,
+    collect_list reassembly, and the carry-join all share that exchange.
+    Whitespace-only lines are kept verbatim; a fully-boilerplate document
+    survives as the empty string."""
+    from imops_spark.functions.text import remove_boilerplate_lines_df
+
+    rows = [(i, "\n".join(lines)) for i, lines in _BOILER_ROWS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return remove_boilerplate_lines_df(docs, min_docs=2)
+
+
+def _boiler_values() -> str:
+    rows = []
+    for i, lines in _BOILER_ROWS:
+        text = " || chr(10) || ".join("'" + ln + "'" for ln in lines)
+        rows.append(f"({i}, {text})")
+    return ", ".join(rows)
 
 
 # Constructed PII corpus: planted emails, IPv4s, and phone numbers in
@@ -3210,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
         "cur_dsir": q_cur_dsir,
+        "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
@@ -3234,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_utf8": q_txt_utf8,
         "txt_repetition": q_txt_repetition,
         "txt_replines": q_txt_replines,
+        "txt_boiler": q_txt_boiler,
         "txt_pii": q_txt_pii,
         "txt_c4": q_txt_c4,
         "txt_urls": q_txt_urls,
@@ -4786,6 +4840,19 @@ def _oracle_sql_literals() -> dict[str, str]:
             ORDER BY key DESC, doc_id
             LIMIT 25
         """,
+        "txt_chunks": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CAST(1 + (GREATEST(length(text) - 120, 0) + 99) // 100 AS INT)
+                       AS n_chunks
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+                   CAST(1 + i * 100 AS INT) AS start_char,
+                   substr(text, CAST(1 + i * 100 AS INT), 120) AS chunk,
+                   n_chunks
+            FROM d, unnest(generate_series(0, n_chunks - 1)) u(i)
+        """,
         "txt_classify": f"""
             WITH d AS (
               SELECT doc_id,
@@ -4989,6 +5056,35 @@ def _oracle_sql_literals() -> dict[str, str]:
             top_ns=(2,),
             dup_ns=(3,),
         ),
+        "txt_boiler": f"""
+            WITH src AS (SELECT * FROM (VALUES {_boiler_values()}) v(doc_id, text)),
+            d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+                  WHERE text IS NOT NULL),
+            l AS (
+              SELECT doc_id, i AS pos, ls[i] AS line, trim(ls[i]) AS t,
+                     len(ls) AS n_lines
+              FROM d, unnest(generate_series(1, len(ls))) u(i)
+            ),
+            hot AS (
+              SELECT t FROM l WHERE t <> ''
+              GROUP BY t HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT doc_id, pos, line FROM l
+              WHERE t = '' OR t NOT IN (SELECT t FROM hot)
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text,
+                     COUNT(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d0.doc_id,
+                   COALESCE(r.text, '') AS text,
+                   CAST(len(d0.ls) AS BIGINT) AS n_lines,
+                   CAST(len(d0.ls) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM d d0 LEFT JOIN rebuilt r ON d0.doc_id = r.doc_id
+        """,
         "txt_pii": _pii_sql(),
         "txt_c4": _c4_sql(),
         "txt_urls": _urls_sql(),

@@ -45,6 +45,8 @@ __all__ = [
     "urls_df",
     "filter_by_domain_df",
     "vocab_df",
+    "remove_boilerplate_lines_df",
+    "chunk_documents_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -843,5 +845,139 @@ def vocab_df(docs: DataFrame, top_k: int = 1000, bpe: bool = False) -> DataFrame
             F.round(F.sum("n_occurrences").over(w) / F.col("_total"), 6).alias(
                 "cum_coverage"
             ),
+        )
+    )
+
+
+
+def remove_boilerplate_lines_df(
+    docs: DataFrame,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Strip CROSS-CORPUS boilerplate lines: any line whose trimmed form
+    appears in >= ``min_docs`` DISTINCT documents is removed from every
+    document (CCNet's paragraph-level dedup, the step that deletes nav
+    bars, cookie banners, and shared footers that per-document repetition
+    metrics cannot see).  Output: ``(doc_id, text, n_lines, n_removed)``
+    with surviving lines rejoined in their original order and ORIGINAL
+    (untrimmed) form; comparison is on trimmed lines; whitespace-only
+    lines are never boilerplate (kept verbatim); NULL-text rows are
+    excluded; a fully-boilerplate document survives with ``text = ''``.
+
+    Plan at 100 TB — TWO corpus scans, ONE doc_id exchange, one bounded
+    line-key exchange:
+
+    - The hot-line table is its own scan branch (inherent: a line's
+      corpus-wide document count must exist before any document can be
+      rebuilt), aggregated on the trimmed line with HAVING >= min_docs —
+      only repeated lines survive, so the table is orders of magnitude
+      smaller than the corpus and ``broadcast_hot=True`` (default) ships
+      it to the anti-join; set False only if your boilerplate table
+      genuinely exceeds broadcast range.
+    - The rebuild branch repartitions compact documents by doc_id once;
+      the positional explode carries a SENTINEL (pos=-1, NULL line) row
+      per document so the reassembly aggregation never loses
+      fully-stripped documents — which lets line totals ride through as
+      ``first()`` carries instead of a third scan branch + join (the
+      naive totals-join form plans the corpus subtree three times; the
+      repetition_df sentinel lesson).  NULL-keyed sentinel rows pass the
+      anti-join by definition (NULL matches nothing) and vanish in
+      ``array_compact`` before the join of lines.
+    """
+    import re as _re
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    sep_rx = _re.escape(line_sep)
+    sep_lit = line_sep.replace("\\", "\\\\").replace("'", "\\'")
+
+    def lines_of(d: DataFrame, by_doc: bool) -> DataFrame:
+        base = d.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.split("text", sep_rx).alias("ls")
+        )
+        if by_doc:
+            base = base.repartition("doc_id")
+        return base.select(
+            "doc_id",
+            F.size("ls").alias("n_lines"),
+            F.expr(
+                "explode(concat("
+                " array(named_struct('pos', -1, 'line', CAST(NULL AS STRING))),"
+                " transform(ls, (x, i) -> named_struct('pos', i, 'line', x))"
+                ")) AS e"
+            ),
+        ).select(
+            "doc_id", "n_lines", F.col("e.pos").alias("pos"),
+            F.col("e.line").alias("line"), F.trim("e.line").alias("t"),
+        )
+
+    hot = (
+        lines_of(docs, by_doc=False)
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("t")
+    )
+    kept = lines_of(docs, by_doc=True).join(
+        F.broadcast(hot) if broadcast_hot else hot, "t", "left_anti"
+    )
+    return kept.groupBy("doc_id").agg(
+        F.expr(
+            f"concat_ws('{sep_lit}', array_compact(transform("
+            f"array_sort(collect_list(struct(pos, line))), x -> x.line))) AS text"
+        ),
+        F.first("n_lines").cast("long").alias("n_lines"),
+        (F.first("n_lines") - F.count("line")).cast("long").alias("n_removed"),
+    ).select("doc_id", "text", "n_lines", "n_removed")
+
+
+def chunk_documents_df(
+    docs: DataFrame, chunk_chars: int = 1000, overlap: int = 0
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with optional
+    overlap — the context-window prep step of RAG ingestion and
+    long-document training pipelines.  Output: one row per chunk,
+    ``(doc_id, chunk_ix, start_char, chunk, n_chunks)`` with 0-based
+    ``chunk_ix``, 1-based ``start_char`` (substring convention), stride
+    ``chunk_chars - overlap``, and the final chunk allowed to run short
+    (never empty: a start position past the text yields no chunk).
+    ``n_chunks = 1 + ceil(max(len - chunk_chars, 0) / stride)`` — every
+    character belongs to at least one chunk and consecutive chunks share
+    exactly ``overlap`` characters except possibly the last.
+
+    Pure row-local explode + substring arithmetic: ZERO shuffles, no
+    state — scan-speed on 100 TB and streaming-legal in append mode as-is.
+    NULL-text and empty documents produce no chunks.
+    """
+    c = int(chunk_chars)
+    o = int(overlap)
+    if c <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not 0 <= o < c:
+        raise ValueError(f"overlap must be in [0, chunk_chars), got {overlap}")
+    stride = c - o
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .selectExpr(
+            "doc_id",
+            "text",
+            f"CAST(1 + (GREATEST(length(text) - {c}, 0) + {stride} - 1)"
+            f" DIV {stride} AS INT) AS n_chunks",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chunks",
+            "posexplode(transform(sequence(0, n_chunks - 1),"
+            f" i -> substring(text, 1 + i * {stride}, {c}))) AS (chunk_ix, chunk)",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_ix AS INT) AS chunk_ix",
+            f"CAST(1 + chunk_ix * {stride} AS INT) AS start_char",
+            "chunk",
+            "n_chunks",
         )
     )

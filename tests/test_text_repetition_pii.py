@@ -160,3 +160,119 @@ def test_pii_zero_shuffle(spark):
     for out in (pii_df(df), redact_pii_df(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# --- cross-corpus boilerplate removal (text.remove_boilerplate_lines_df) ---
+
+
+def _boiler_docs(spark):
+    rows = [
+        (1, "cookie banner\nreal content one\nshared footer"),
+        (2, "cookie banner\nunique text two\nshared footer"),
+        (3, "  cookie banner  \nonly unique content"),
+        (4, "cookie banner\nshared footer"),
+        (5, "nothing shared here\n\n   \nanother line"),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_removed_across_docs(spark):
+    from imops_spark.functions.text import remove_boilerplate_lines_df
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines_df(_boiler_docs(spark)).collect()
+    }
+    assert out == {
+        1: ("real content one", 3, 2),
+        2: ("unique text two", 3, 2),
+        3: ("only unique content", 2, 1),  # padded dup trimmed-matches
+        4: ("", 2, 2),  # fully boilerplate survives as empty
+        5: ("nothing shared here\n\n   \nanother line", 4, 0),  # blanks kept
+    }
+    # NULL text excluded entirely
+    assert 6 not in out
+
+
+def test_boilerplate_threshold(spark):
+    from imops_spark.functions.text import remove_boilerplate_lines_df
+
+    docs = spark.createDataFrame(
+        [(1, "twice\nunique a"), (2, "twice\nunique b"), (3, "thrice only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_lines_df(docs, min_docs=3).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}  # shared by 2 < min_docs=3: kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines_df(docs, min_docs=1)
+
+
+def test_boilerplate_plan_shape(spark):
+    """One compact doc_id repartition for the corpus; the hot-line branch
+    owns the only other shuffles; the anti-join must be broadcast."""
+    from imops_spark.functions.text import remove_boilerplate_lines_df
+
+    out = remove_boilerplate_lines_df(_boiler_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    doc_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    # the reassembly groupBy and the carry-join ride the single repartition
+    assert len(doc_exchanges) == 1
+
+
+# --- overlapping chunking (text.chunk_documents_df) ---
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    from imops_spark.functions.text import chunk_documents_df
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None), (5, "abcdefghijk")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, chunk_documents_df(docs, chunk_chars=4, overlap=1).collect())
+    )
+    assert rows == [
+        (1, 0, 1, "abcd", 3),
+        (1, 1, 4, "defg", 3),
+        (1, 2, 7, "ghij", 3),
+        (2, 0, 1, "abc", 1),
+        (5, 0, 1, "abcd", 4),
+        (5, 1, 4, "defg", 4),
+        (5, 2, 7, "ghij", 4),
+        (5, 3, 10, "jk", 4),
+    ]
+    # reconstruction: dropping each chunk's first `overlap` chars (except
+    # chunk 0) and concatenating in order restores the document
+    text = {1: "abcdefghij", 2: "abc", 5: "abcdefghijk"}
+    by_doc = {}
+    for d, ix, _, ch, _ in rows:
+        by_doc.setdefault(d, []).append((ix, ch))
+    for d, chunks in by_doc.items():
+        rec = "".join(ch if ix == 0 else ch[1:] for ix, ch in sorted(chunks))
+        assert rec == text[d]
+
+
+def test_chunking_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from imops_spark.functions.text import chunk_documents_df
+
+    docs = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_chars"):
+        chunk_documents_df(docs, chunk_chars=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents_df(docs, chunk_chars=4, overlap=4)
+    out = chunk_documents_df(docs, chunk_chars=4, overlap=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: zero shuffles
