@@ -1688,6 +1688,18 @@ def q_cur_profile_stream(spark, sf_dir):
     return run_stream_to_memory(out, "cur_profile_stream_gate", spark, mode="complete")
 
 
+def q_cur_topfrac(spark, sf_dir):
+    """Per-group dynamic quality threshold (curate.keep_top_fraction_df):
+    keep the top 30% of each source by n_chars — a PER-GROUP quantile
+    cutoff, not a global absolute one (which over-prunes low-resource
+    groups).  Quota is ceil(frac*n) in exact integer micro arithmetic;
+    rank order (score desc, doc_id) is total; one window shuffle."""
+    from imops_spark.functions.curate import keep_top_fraction_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return keep_top_fraction_df(docs, "source", "n_chars", 0.3, "doc_id")
+
+
 def q_cur_dsir(spark, sf_dir):
     """DSIR importance resampling (curate.dsir_sample_df, Xie et al. 2023):
     score every document by the log-ratio of hashed-unigram+bigram
@@ -3261,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_contam": q_cur_contam,
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
+        "cur_topfrac": q_cur_topfrac,
         "cur_dsir": q_cur_dsir,
         "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
@@ -4794,6 +4807,16 @@ def _oracle_sql_literals() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS DOUBLE) / total, 6) AS cum_coverage
             FROM top, g
+        """,
+        "cur_topfrac": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ) WHERE rk <= (n * 300000 + 999999) // 1000000
         """,
         "cur_dsir": f"""
             WITH d AS (

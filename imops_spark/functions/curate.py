@@ -53,6 +53,7 @@ __all__ = [
     "classifier_score_df",
     "classifier_score_local_df",
     "classifier_train_df",
+    "keep_top_fraction_df",
 ]
 
 
@@ -999,3 +1000,50 @@ def classifier_train_df(
         [(int(b), float(w[b])) for b in range(B)], "bucket long, weight double"
     )
     return weights_df, float(bias)
+
+
+def keep_top_fraction_df(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows PER GROUP by score — the dynamic
+    quality threshold a mixture owner actually wants ("best 30% of each
+    language by quality score"), as opposed to a global absolute cutoff
+    that over-prunes low-resource groups and under-prunes high-resource
+    ones.  Deterministic: rank order is ``(score, id_col)`` with the id as
+    total tie-break (the cap_per_group_df uniqueness contract), and the
+    per-group quota is ``ceil(fraction * n)`` — every non-empty group
+    keeps at least one row, and both engines compute the same integer
+    quota.
+
+    One shuffle (window over ``group_col``); the rank and the group count
+    come from the SAME window partition, so no second pass or join.
+    Skewed giant groups are expected — AQE rebalances, and the filter
+    discards past the quota."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    order = [
+        F.desc(score_col) if descending else F.asc(score_col),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wg = Window.partitionBy(group_col)
+    frac_micro = int(round(float(fraction) * 1_000_000))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        # quota = ceil(frac * n) in exact integer arithmetic: both engines
+        # agree on (n * fm + 999999) DIV 1000000, no float boundary (the
+        # Column-API `/` would be a double division and can misround past
+        # 2^53 at extreme group sizes)
+        .where(
+            F.expr(f"_rk <= (_n * CAST({frac_micro} AS BIGINT) + 999999) DIV 1000000")
+        )
+        .drop("_rk", "_n")
+    )

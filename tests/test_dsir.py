@@ -397,3 +397,37 @@ def test_train_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label double")
     with pytest.raises(ValueError, match="no labeled"):
         classifier_train_df(empty, num_buckets=16, steps=1)
+
+
+# --- per-group top-fraction filter (curate.keep_top_fraction_df) ---
+
+
+def test_keep_top_fraction(spark):
+    from imops_spark.functions.curate import keep_top_fraction_df
+
+    rows = [(i, "a" if i < 10 else "b", i * 7 % 13) for i in range(13)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, score long")
+    kept = keep_top_fraction_df(df, "g", "score", 0.4, "doc_id").collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r["g"], []).append((r["score"], r["doc_id"]))
+    # group a: 10 rows -> ceil(4.0) = 4 kept; group b: 3 rows -> ceil(1.2) = 2
+    assert len(by_g["a"]) == 4 and len(by_g["b"]) == 2
+    # exactly the top scores, doc_id tie-break
+    want_a = sorted(((i * 7 % 13, i) for i in range(10)), key=lambda t: (-t[0], t[1]))[:4]
+    assert sorted(by_g["a"], key=lambda t: (-t[0], t[1])) == want_a
+    # every non-empty group keeps at least one row even at tiny fractions
+    tiny = keep_top_fraction_df(df, "g", "score", 0.01, "doc_id").collect()
+    assert {r["g"] for r in tiny} == {"a", "b"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        keep_top_fraction_df(df, "g", "score", 0.0, "doc_id")
+    # ascending mode: keeps the LOWEST scores (e.g. perplexity filters)
+    asc = keep_top_fraction_df(df, "g", "score", 0.2, "doc_id", descending=False)
+    a_rows = [r for r in asc.collect() if r["g"] == "a"]
+    assert len(a_rows) == 2
+    assert {r["score"] for r in a_rows} == set(
+        sorted(i * 7 % 13 for i in range(10))[:2]
+    )

@@ -124,8 +124,10 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     from imops_spark.functions.sketch import top_items_df
     from imops_spark.functions.text import (
         bpe_token_count_df,
+        chunk_documents_df,
         ngram_lm_df,
         pii_df,
+        remove_boilerplate_lines_df,
         repetition_df,
         tfidf_df,
         vocab_df,
@@ -269,6 +271,14 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
                 docs.select("doc_id", "text"),
                 hash_sample_df(docs.select("doc_id", "text"), "doc_id", 0.1),
                 num_buckets=1024,
+            ),
+            # two corpus scans (hot table + rebuild), one doc_id exchange
+            "txt_boiler": lambda: remove_boilerplate_lines_df(
+                docs.select("doc_id", F.replace(F.col("text"), F.lit(" w"), F.lit("\nw")).alias("text"))
+            ),
+            # row-local explode + substring: pure scan cost
+            "txt_chunks": lambda: chunk_documents_df(
+                docs.select("doc_id", "text"), chunk_chars=120, overlap=20
             ),
             # explode -> two-level token aggregate -> bounded top-k window
             "txt_vocab": lambda: vocab_df(docs, top_k=500),
