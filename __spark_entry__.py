@@ -1726,6 +1726,32 @@ def q_cur_dsir(spark, sf_dir):
     )
 
 
+def q_cur_dsir_stream(spark, sf_dir):
+    """Ingestion-time DSIR scoring (curate.dsir_score_local_df): the model
+    fits ONCE on the static snapshot (dsir_model_df, <= 1024 rows), then
+    densifies into one broadcast micro-nat array and every streamed
+    document folds its own features against it row-locally — zero
+    shuffles, append mode, no state: a crawl importance-scored as it
+    lands.  Value-identical to the batch join formulation
+    (differential-tested); unseen buckets score the smoothing prior.
+    Oracle: the weights half of cur_dsir's SQL."""
+    from imops_spark.functions.curate import dsir_model_df, dsir_score_local_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = static.select("doc_id", "text")
+    target = static.filter(F.col("lang") == "en").select("doc_id", "text")
+    model = dsir_model_df(docs, target, num_buckets=1024)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = dsir_score_local_df(stream, model, num_buckets=1024)
+    return run_stream_to_memory(out, "cur_dsir_stream_gate", spark, mode="append")
+
+
 def q_txt_chunks(spark, sf_dir):
     """Overlapping fixed-size chunking (text.chunk_documents_df): 120-char
     chunks at stride 100 (20 overlap), last chunk short, 0-based chunk
@@ -3275,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_profile_stream": q_cur_profile_stream,
         "cur_topfrac": q_cur_topfrac,
         "cur_dsir": q_cur_dsir,
+        "cur_dsir_stream": q_cur_dsir_stream,
         "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
@@ -4862,6 +4889,41 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM w
             ORDER BY key DESC, doc_id
             LIMIT 25
+        """,
+        "cur_dsir_stream": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks,
+                     lang
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END)) AS feat
+              FROM d
+            ),
+            b AS (SELECT doc_id, lang, {_mh_hash(100, "feat")} % 1024 AS bucket FROM f),
+            tgt AS (SELECT bucket, COUNT(*)::BIGINT AS tc FROM b
+                    WHERE lang = 'en' GROUP BY 1),
+            raw AS (SELECT bucket, COUNT(*)::BIGINT AS rc FROM b GROUP BY 1),
+            tt AS (SELECT SUM(tc)::BIGINT AS tt FROM tgt),
+            rt AS (SELECT SUM(rc)::BIGINT AS rt FROM raw),
+            sc AS (
+              SELECT b.doc_id,
+                     CAST(ROUND(LN(
+                       ((COALESCE(tc, 0)::DOUBLE + 1.0) / (tt::DOUBLE + 1024.0))
+                       / ((COALESCE(rc, 0)::DOUBLE + 1.0) / (rt::DOUBLE + 1024.0))
+                     ) * 1000000) AS BIGINT) AS lrm
+              FROM b LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+              CROSS JOIN tt CROSS JOIN rt
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+                   SUM(lrm)::BIGINT AS logw_micro
+            FROM sc GROUP BY 1
         """,
         "txt_chunks": """
             WITH d AS (

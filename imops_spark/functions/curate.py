@@ -50,6 +50,8 @@ __all__ = [
     "corpus_profile_df",
     "dsir_logweights_df",
     "dsir_sample_df",
+    "dsir_model_df",
+    "dsir_score_local_df",
     "classifier_score_df",
     "classifier_score_local_df",
     "classifier_train_df",
@@ -643,6 +645,67 @@ def dsir_logweights_df(
     sample scan.
     """
     B = int(num_buckets)
+    model = dsir_model_df(
+        docs, target_docs, num_buckets=num_buckets, add_k=add_k, salt=salt
+    )
+    return (
+        _dsir_bucketed(docs, B, salt, by_doc=True)
+        .join(F.broadcast(model.select("bucket", "lrm")), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            # every scored bucket is in the model by construction (the raw
+            # stream IS the scored corpus), so lrm is never NULL here
+            F.sum("lrm").alias("logw_micro"),
+        )
+    )
+
+
+def _dsir_bucketed(d: DataFrame, B: int, salt: int, by_doc: bool = False) -> DataFrame:
+    from .dedup import _md5_hash_col
+
+    f = _dsir_features(d, by_doc=by_doc)
+    return f.select(
+        "doc_id", (_md5_hash_col(F.col("feat"), salt) % F.lit(B)).alias("bucket")
+    )
+
+
+def _dsir_lrm_sql(a: float, aB: float, tc: str = "tc", rc: str = "rc") -> str:
+    # textual twin of the oracle's formula: integer inputs -> identical
+    # doubles -> identical LN -> identical micro grid in both engines.
+    # The D suffix is load-bearing: a bare `1.0` in Spark SQL TEXT is a
+    # DECIMAL literal, and decimal division rounds at ~7 significant
+    # digits BEFORE the LN — measured 1e-7-relative drift vs the oracle's
+    # ::DOUBLE arithmetic (the Column-API F.lit(1.0) doesn't have this
+    # trap; only parsed SQL does).
+    return (
+        f"CAST(ROUND(LN((({tc} + {a!r}D) / (tt + {aB!r}D))"
+        f" / (({rc} + {a!r}D) / (rt + {aB!r}D))) * 1000000) AS BIGINT)"
+    )
+
+
+def dsir_model_df(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: int = 50,
+) -> DataFrame:
+    """The fitted DSIR model as data: ``(bucket, tc, rc, tt, rt, lrm)``,
+    one row per hashed-feature bucket observed in either corpus (``<=
+    num_buckets`` rows) — target count, raw count, the two totals, and
+    the micro-nat log-ratio each feature occurrence of that bucket
+    contributes.  Fit once on a batch (persist it like any small table),
+    apply anywhere: :func:`dsir_logweights_df` joins it, and
+    :func:`dsir_score_local_df` folds it row-locally over a STREAM.
+
+    Plan: BOTH distributions come out of ONE tagged union aggregation —
+    one map-side-combined ``groupBy(bucket)`` produces ``(bucket, tc,
+    rc)`` and the totals ride along as unpartitioned window sums over the
+    ``<= B``-row aggregate (separate ``agg(sum)`` branches would re-plan
+    and re-scan the whole feature subtree: column pruning differentiates
+    the branches and defeats ReusedExchange — the dd_spans lesson)."""
+    B = int(num_buckets)
     a = float(add_k)
     if B <= 0:
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
@@ -650,19 +713,13 @@ def dsir_logweights_df(
         raise ValueError(f"add_k must be > 0, got {add_k}")
     from pyspark.sql import Window
 
-    from .dedup import _md5_hash_col
-
-    def bucketed(d: DataFrame, by_doc: bool = False) -> DataFrame:
-        f = _dsir_features(d, by_doc=by_doc)
-        return f.select(
-            "doc_id", (_md5_hash_col(F.col("feat"), salt) % F.lit(B)).alias("bucket")
-        )
-
-    tagged = bucketed(target_docs).select(
+    tagged = _dsir_bucketed(target_docs, B, salt).select(
         "bucket", F.lit(1).alias("is_tgt")
-    ).unionAll(bucketed(docs).select("bucket", F.lit(0).alias("is_tgt")))
+    ).unionAll(
+        _dsir_bucketed(docs, B, salt).select("bucket", F.lit(0).alias("is_tgt"))
+    )
     everything = Window.partitionBy()  # <= B rows: single-partition sums
-    model = (
+    return (
         tagged.groupBy("bucket")
         .agg(
             F.sum("is_tgt").cast("long").alias("tc"),
@@ -670,28 +727,76 @@ def dsir_logweights_df(
         )
         .withColumn("tt", F.sum("tc").over(everything))
         .withColumn("rt", F.sum("rc").over(everything))
+        .selectExpr(
+            "bucket", "tc", "rc", "tt", "rt",
+            f"{_dsir_lrm_sql(a, a * B)} AS lrm",
+        )
     )
-    # textual twin of the oracle's formula: integer inputs -> identical
-    # doubles -> identical LN -> identical micro grid in both engines.
-    # The D suffix is load-bearing: a bare `1.0` in Spark SQL TEXT is a
-    # DECIMAL literal, and decimal division rounds at ~7 significant
-    # digits BEFORE the LN — measured 1e-7-relative drift vs the oracle's
-    # ::DOUBLE arithmetic (the Column-API F.lit(1.0) doesn't have this
-    # trap; only parsed SQL does).  Every scored bucket is present in the
-    # model by construction (the raw stream IS the scored corpus), so the
-    # inner-shaped left join never manufactures NULL tt/rt.
-    lrm = (
-        f"CAST(ROUND(LN(((coalesce(tc, 0) + {a!r}D) / (tt + {a * B!r}D))"
-        f" / ((coalesce(rc, 0) + {a!r}D) / (rt + {a * B!r}D))) * 1000000) AS BIGINT)"
+
+
+def dsir_score_local_df(
+    data: DataFrame,
+    model: DataFrame,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: int = 50,
+) -> DataFrame:
+    """ZERO-SHUFFLE, streaming-legal DSIR scoring against a pre-fit
+    :func:`dsir_model_df`: the model densifies into ONE broadcast
+    ``num_buckets``-long micro-nat array and each document folds its own
+    feature array against it with O(1) ``element_at`` lookups — no
+    explode, no join key, no doc_id exchange (the
+    ``classifier_score_local_df`` mechanism).  Output ``(doc_id, n_feats,
+    logw_micro)``, value-identical to :func:`dsir_logweights_df` on the
+    fitting corpus (differential-tested) and append-mode streaming-legal,
+    so a crawl can be importance-scored AS IT LANDS against a model fit
+    on yesterday's snapshot.
+
+    Buckets the model never saw (possible only for NEW documents, e.g.
+    streamed arrivals with novel vocabulary) score the smoothing-prior
+    log-ratio ``ln((a/(tt+aB)) / (a/(rt+aB)))`` — exactly what the join
+    formulation would produce had the bucket carried zero counts."""
+    B = int(num_buckets)
+    a = float(add_k)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if a <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    spark = model.sparkSession
+    from .dedup import normalized_text
+
+    fill = model.agg(F.max("tt").alias("tt"), F.max("rt").alias("rt")).selectExpr(
+        f"{_dsir_lrm_sql(a, a * B, tc='0', rc='0')} AS fill"
+    )
+    idx = spark.range(B).select(F.col("id").alias("bucket"))
+    arr = (
+        idx.join(F.broadcast(model.select("bucket", "lrm")), "bucket", "left")
+        .crossJoin(F.broadcast(fill))
+        .select("bucket", F.coalesce("lrm", F.col("fill")).alias("lrm"))
+        .agg(F.array_sort(F.collect_list(F.struct("bucket", "lrm"))).alias("e"))
+        .selectExpr("transform(e, x -> x.lrm) AS __lrm")
+    )
+    fold = (
+        f"transform(array(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
+        f" transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
+        f" array()))[0])), fs -> named_struct("
+        f" 'n', CAST(size(fs) AS BIGINT),"
+        f" 's', aggregate(fs, CAST(0 AS BIGINT), (acc, f) -> acc + element_at(__lrm,"
+        f"   CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
+        f"        AS BIGINT) % {B} + 1 AS INT)))"
+        f"))[0]"
     )
     return (
-        bucketed(docs, by_doc=True)
-        .join(F.broadcast(model), "bucket", "left")
-        .selectExpr("doc_id", f"{lrm} AS lrm")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("lrm").alias("logw_micro"),
+        data.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.array_remove(F.split(normalized_text(), " "), "").alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .crossJoin(F.broadcast(arr))
+        .selectExpr("doc_id", f"{fold} AS st")
+        .selectExpr(
+            "doc_id", "st.n AS n_feats", "st.s AS logw_micro"
         )
     )
 

@@ -431,3 +431,77 @@ def test_keep_top_fraction(spark):
     assert {r["score"] for r in a_rows} == set(
         sorted(i * 7 % 13 for i in range(10))[:2]
     )
+
+
+# --- model-as-data + streaming DSIR scoring (curate.dsir_score_local_df) ---
+
+
+def test_dsir_local_twin_matches_join_path(spark):
+    from imops_spark.functions.curate import dsir_model_df, dsir_score_local_df
+
+    docs = _corpus(spark)
+    tgt = _target(spark)
+    a = {
+        r["doc_id"]: (r["n_feats"], r["logw_micro"])
+        for r in dsir_logweights_df(docs, tgt, num_buckets=128).collect()
+    }
+    model = dsir_model_df(docs, tgt, num_buckets=128)
+    local = dsir_score_local_df(docs, model, num_buckets=128)
+    b = {
+        r["doc_id"]: (r["n_feats"], r["logw_micro"]) for r in local.collect()
+    }
+    assert a == b
+    # the scored side is exchange-free (model densify owns the only
+    # bounded shuffles)
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
+    ]
+    # model-fit branch shuffles on bucket (bounded <= B rows after
+    # map-side combine); nothing shuffles on doc_id
+    assert not any("doc_id" in ln for ln in ex)
+
+
+def test_dsir_local_unseen_bucket_scores_prior(spark):
+    from imops_spark.functions.curate import dsir_model_df, dsir_score_local_df
+
+    docs = _corpus(spark, with_empty=False)
+    tgt = _target(spark)
+    B = 4096  # large B: novel tokens land in buckets no corpus feature hit
+    model = dsir_model_df(docs, tgt, num_buckets=B)
+    novel = spark.createDataFrame(
+        [(999, "zzzqqqxx wwvvuutt")], "doc_id long, text string"
+    )
+    r = dsir_score_local_df(novel, model, num_buckets=B).collect()[0]
+    # all 3 features (2 unigrams + 1 bigram) unseen -> 3x the prior ratio
+    rows = model.select("tt", "rt").first()
+    tt, rt = rows["tt"], rows["rt"]
+    prior = round(
+        math.log((1.0 / (tt + float(B))) / (1.0 / (rt + float(B)))) * 1e6
+    )
+    # guard: the novel features genuinely miss every model bucket
+    feats = ["zzzqqqxx", "wwvvuutt", "zzzqqqxx wwvvuutt"]
+    hit = {_py_h60(f, 50) % B for f in feats}
+    model_buckets = {x["bucket"] for x in model.select("bucket").collect()}
+    assert not (hit & model_buckets)
+    assert (r["n_feats"], r["logw_micro"]) == (3, 3 * prior)
+
+
+def test_dsir_local_is_streaming_legal(spark, tmp_path):
+    from imops_spark.functions.curate import dsir_model_df, dsir_score_local_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    src = str(tmp_path / "docs")
+    _corpus(spark, with_empty=False).write.parquet(src)
+    model = dsir_model_df(
+        spark.read.parquet(src), _target(spark), num_buckets=128
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = dsir_score_local_df(stream, model, num_buckets=128)
+    assert out.isStreaming
+    got = run_stream_to_memory(out, "dsir_stream_t", spark, mode="append")
+    want = dsir_logweights_df(
+        spark.read.parquet(src), _target(spark), num_buckets=128
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
