@@ -1726,6 +1726,48 @@ def q_cur_dsir(spark, sf_dir):
     )
 
 
+def q_cur_select2(spark, sf_dir):
+    """Composition gate for the round-6 selection family — the modern
+    data-selection chain run END TO END on one frame: (1) hashed linear
+    classifier scoring with the analytic weight ramp, keep prob >= 0.5;
+    (2) DSIR fit on the SURVIVORS (target = surviving 'en' docs) and
+    deterministic Gumbel top-50; (3) chunk budgeting (how many 120/20
+    chunks each selected doc will produce) joined on.  Every stage is
+    individually hash-gated (txt_classify, cur_dsir, txt_chunks); this
+    gate proves they COMPOSE — filters feeding model fits feeding
+    selection, one plan, no materialization between stages."""
+    from imops_spark.functions.curate import classifier_score_df, dsir_sample_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    weights = spark.range(512).selectExpr(
+        "id AS bucket",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
+        " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
+    )
+    scored = classifier_score_df(
+        d.select("doc_id", "text"), weights, num_buckets=512, bias=0.1
+    )
+    keep = scored.filter(F.col("prob") >= 0.5).select("doc_id", "prob")
+    survivors = d.join(keep, "doc_id")
+    selected = dsir_sample_df(
+        survivors.select("doc_id", "text"),
+        survivors.filter(F.col("lang") == "en").select("doc_id", "text"),
+        k=50,
+        num_buckets=1024,
+    )
+    # chunk budget per selected doc: n_chunks at the txt_chunks grain
+    budget = d.selectExpr(
+        "doc_id",
+        "CAST(1 + (GREATEST(length(text) - 120, 0) + 99) DIV 100 AS INT)"
+        " AS n_chunks",
+    )
+    return (
+        selected.join(keep, "doc_id")
+        .join(budget, "doc_id")
+        .select("doc_id", "n_feats", "logw_micro", "key", "prob", "n_chunks")
+    )
+
+
 def q_cur_dsir_stream(spark, sf_dir):
     """Ingestion-time DSIR scoring (curate.dsir_score_local_df): the model
     fits ONCE on the static snapshot (dsir_model_df, <= 1024 rows), then
@@ -3302,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_topfrac": q_cur_topfrac,
         "cur_dsir": q_cur_dsir,
         "cur_dsir_stream": q_cur_dsir_stream,
+        "cur_select2": q_cur_select2,
         "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
@@ -4924,6 +4967,106 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
                    SUM(lrm)::BIGINT AS logw_micro
             FROM sc GROUP BY 1
+        """,
+        "cur_select2": f"""
+            WITH feats0 AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f0 AS (
+              SELECT doc_id, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END)) AS feat
+              FROM feats0
+            ),
+            cb AS (SELECT doc_id, {_mh_hash(100, "feat")} % 512 AS bucket FROM f0),
+            wtab AS (
+              SELECT i AS bucket,
+                     CAST(ROUND((CAST((i * 2654435761) % 1000003 AS DOUBLE)
+                       / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                       * 1000000) AS BIGINT) AS w_micro
+              FROM generate_series(0, 511) t(i)
+            ),
+            cagg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS nf,
+                     SUM(COALESCE(w_micro, 0))::BIGINT AS s
+              FROM cb LEFT JOIN wtab USING (bucket) GROUP BY 1
+            ),
+            clog AS (
+              SELECT doc_id,
+                     CAST(100000 AS BIGINT) + CASE WHEN s >= 0
+                       THEN (2 * s + nf) // (2 * nf)
+                       ELSE -((2 * (-s) + nf) // (2 * nf)) END AS logit_micro
+              FROM cagg
+            ),
+            keep AS (
+              SELECT doc_id,
+                     ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                       + EXP(CAST(0 AS DOUBLE) - logit_micro
+                             / CAST(1000000 AS DOUBLE))), 6) AS prob
+              FROM clog
+              WHERE ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                       + EXP(CAST(0 AS DOUBLE) - logit_micro
+                             / CAST(1000000 AS DOUBLE))), 6) >= 0.5
+            ),
+            surv AS (
+              SELECT d.doc_id, d.text, d.lang
+              FROM documents d JOIN keep USING (doc_id)
+            ),
+            d2 AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+              FROM surv WHERE text IS NOT NULL
+            ),
+            f2 AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END)) AS feat
+              FROM d2
+            ),
+            b2 AS (SELECT doc_id, lang, {_mh_hash(100, "feat")} % 1024 AS bucket FROM f2),
+            tgt2 AS (SELECT bucket, COUNT(*)::BIGINT AS tc FROM b2
+                     WHERE lang = 'en' GROUP BY 1),
+            raw2 AS (SELECT bucket, COUNT(*)::BIGINT AS rc FROM b2 GROUP BY 1),
+            tt2 AS (SELECT SUM(tc)::BIGINT AS tt FROM tgt2),
+            rt2 AS (SELECT SUM(rc)::BIGINT AS rt FROM raw2),
+            sc2 AS (
+              SELECT b2.doc_id,
+                     CAST(ROUND(LN(
+                       ((COALESCE(tc, 0)::DOUBLE + 1.0) / (tt::DOUBLE + 1024.0))
+                       / ((COALESCE(rc, 0)::DOUBLE + 1.0) / (rt::DOUBLE + 1024.0))
+                     ) * 1000000) AS BIGINT) AS lrm
+              FROM b2 LEFT JOIN tgt2 USING (bucket) LEFT JOIN raw2 USING (bucket)
+              CROSS JOIN tt2 CROSS JOIN rt2
+            ),
+            w2 AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_feats,
+                     SUM(lrm)::BIGINT AS logw_micro
+              FROM sc2 GROUP BY 1
+            ),
+            sel AS (
+              SELECT doc_id, n_feats, logw_micro,
+                     logw_micro + CAST(ROUND(-LN(-LN(
+                       (({_mh_hash(102, "CAST(doc_id AS VARCHAR)")} % 1000000)::DOUBLE
+                        + 0.5) / 1000000.0
+                     )) * 1000000) AS BIGINT) AS key
+              FROM w2
+              ORDER BY key DESC, doc_id
+              LIMIT 50
+            )
+            SELECT s.doc_id, s.n_feats, s.logw_micro, s.key, k.prob,
+                   CAST(1 + (GREATEST(length(d.text) - 120, 0) + 99) // 100 AS INT)
+                     AS n_chunks
+            FROM sel s
+            JOIN keep k ON k.doc_id = s.doc_id
+            JOIN documents d ON d.doc_id = s.doc_id
         """,
         "txt_chunks": """
             WITH d AS (

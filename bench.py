@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "cur_profile",
     "evt_heavy",
     "cur_dsir",
+    "sim_int8",
+    "txt_boiler",
+    "cur_select2",
 ]
 
 

@@ -276,3 +276,46 @@ def test_chunking_validation_and_plan(spark):
     out = chunk_documents_df(docs, chunk_chars=4, overlap=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local: zero shuffles
+
+
+def test_chunking_counts_codepoints_not_bytes(spark):
+    """Multi-byte text: chunk boundaries must fall on CODEPOINTS (Spark
+    length/substring are codepoint-based; a byte-based engine would split
+    inside a character).  Python strings are the codepoint oracle."""
+    from imops_spark.functions.text import chunk_documents_df
+
+    text = "héllo wörld 你好世界 🚀 end"  # accents, CJK, non-BMP emoji
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_ix"], r["start_char"], r["chunk"], r["n_chunks"])
+        for r in chunk_documents_df(docs, chunk_chars=5, overlap=2).collect()
+    )
+    stride, c = 3, 5
+    n = 1 + -(-max(len(text) - c, 0) // stride)
+    want = [
+        (i, 1 + i * stride, text[i * stride : i * stride + c], n)
+        for i in range(n)
+    ]
+    assert rows == want
+
+
+def test_boilerplate_handles_multibyte_lines(spark):
+    from imops_spark.functions.text import remove_boilerplate_lines_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "共有页脚\nunique α content"),
+            (2, "共有页脚\nдругой текст"),
+            (3, "  共有页脚  \n🚀 only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_boilerplate_lines_df(docs).collect()
+    }
+    assert out == {
+        1: ("unique α content", 1),
+        2: ("другой текст", 1),
+        3: ("🚀 only here", 1),  # trim matches the padded multi-byte dup
+    }
