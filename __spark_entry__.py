@@ -1794,6 +1794,20 @@ def q_cur_dsir_stream(spark, sf_dir):
     return run_stream_to_memory(out, "cur_dsir_stream_gate", spark, mode="append")
 
 
+def q_txt_embed(spark, sf_dir):
+    """Model-free hashed text embeddings (text.hashed_embedding_df): each
+    document's distinct tokens vote +-1 per md5 bit (the pre-sign SimHash
+    accumulator kept real-valued = a random sign projection of the hashed
+    bag-of-words), L2-normalized to an embedding column that feeds the
+    whole similarity family — text-only near-dup/ANN with no model.
+    Integer votes, integer squared norm, one division + ROUND(6) per
+    component: both engines divide identical doubles."""
+    from imops_spark.functions.text import hashed_embedding_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_embedding_df(docs, dim=16)
+
+
 def q_txt_chunks(spark, sf_dir):
     """Overlapping fixed-size chunking (text.chunk_documents_df): 120-char
     chunks at stride 100 (20 overlap), last chunk short, 0-based chunk
@@ -3345,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dsir": q_cur_dsir,
         "cur_dsir_stream": q_cur_dsir_stream,
         "cur_select2": q_cur_select2,
+        "txt_embed": q_txt_embed,
         "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
@@ -5067,6 +5082,19 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM sel s
             JOIN keep k ON k.doc_id = s.doc_id
             JOIN documents d ON d.doc_id = s.doc_id
+        """,
+        "txt_embed": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                    FROM documents WHERE text IS NOT NULL)
+            ),
+            hashed AS (SELECT doc_id, {_mh_hash(0, "tok")} AS h FROM toks),
+            votes AS (SELECT doc_id, SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0, SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1, SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2, SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3, SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4, SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5, SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6, SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7, SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8, SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9, SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10, SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11, SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12, SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13, SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14, SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15
+                      FROM hashed GROUP BY doc_id),
+            n AS (SELECT *, SQRT(CAST(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15 AS DOUBLE)) AS nn FROM votes)
+            SELECT doc_id, [ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v0 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v1 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v2 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v3 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v4 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v5 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v6 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v7 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v8 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v9 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v10 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v11 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v12 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v13 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v14 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v15 / nn END, 6)] AS embedding
+            FROM n
         """,
         "txt_chunks": """
             WITH d AS (

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "cur_dsir",
     "sim_int8",
     "txt_boiler",
+    "txt_embed",
     "cur_select2",
 ]
 
@@ -182,19 +183,27 @@ def main() -> None:
     contention = contention_stats(passes)
 
     total = round(sum(timings.values()), 3)
-    # Keep the cross-round trend line honest: round 4 added five TPC-H
-    # heavies mid-series and round 6 added four curation ops, so the full
-    # total is only comparable within a round-set — also publish the shared
-    # original-25 subtotal, the stable cross-round trend line.
-    added_r4 = {"tpch_q9", "tpch_q13", "tpch_q18", "tpch_q21", "tpch_q21_1scan"}
-    added_r6 = {"dd_spans", "txt_repetition", "txt_pii", "emb_semdedup"}
-    shared25 = round(
-        sum(v for k, v in timings.items() if k not in added_r4 | added_r6), 3
-    )
-    # the r4/r5-comparable 30-query subtotal
-    shared30 = round(
-        sum(v for k, v in timings.items() if k not in added_r6), 3
-    )
+    # Keep the cross-round trend line honest: the query list grows every
+    # round, so the full total is only comparable within a round-set.  The
+    # shared subtotals are FIXED, EXPLICIT lists — the original 25 and the
+    # r4/r5-comparable 30 — never complements of "recently added" sets: a
+    # complement silently absorbs every future addition into the trend
+    # line (caught in round 6: four part-1 additions leaked ~4.2 s into
+    # value_shared25, manufacturing a phantom 40% regression while the
+    # per-query timings showed ~5% noise).
+    SHARED25 = frozenset({
+        "tpch_q1", "tpch_q3", "tpch_q5", "center_of_mass", "isin",
+        "pointwise", "radon_raysum", "top1_nn", "interp1d", "dilation",
+        "erosion", "sliding_window", "zoom_1d", "edt_1d", "graph_cc",
+        "evt_window", "evt_sessions", "dd_exact", "dd_minhash",
+        "dd_lsh_pairs", "dd_simhash", "txt_quality", "txt_fingerprint",
+        "sim_topk", "emb_near_dup",
+    })
+    SHARED30 = SHARED25 | {
+        "tpch_q9", "tpch_q13", "tpch_q18", "tpch_q21", "tpch_q21_1scan",
+    }
+    shared25 = round(sum(v for k, v in timings.items() if k in SHARED25), 3)
+    shared30 = round(sum(v for k, v in timings.items() if k in SHARED30), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

@@ -47,6 +47,7 @@ __all__ = [
     "vocab_df",
     "remove_boilerplate_lines_df",
     "chunk_documents_df",
+    "hashed_embedding_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -981,3 +982,52 @@ def chunk_documents_df(
             "n_chunks",
         )
     )
+
+
+def hashed_embedding_df(docs: DataFrame, dim: int = 32) -> DataFrame:
+    """Model-free document embeddings by hashed random projection:
+    ``(doc_id, embedding array<double>)``, L2-normalized.  Component ``d``
+    is the sum over the document's DISTINCT tokens of ``+1/-1`` according
+    to bit ``d`` of ``md5(token)`` — the pre-sign SimHash accumulator kept
+    real-valued, which is exactly a random projection of the hashed
+    bag-of-words onto ``dim`` ±1 directions (Achlioptas-style sign
+    projections).  Cosine between two such vectors estimates the angular
+    similarity of the token sets, so the output column feeds the ENTIRE
+    similarity family — ``embedding_near_dup_df``, IVF/PQ indexes, exact
+    top-k — giving text-only near-dup and clustering in embedding space
+    with no trained model anywhere (and a drop-in upgrade path: swap this
+    column for real model embeddings, keep every downstream operator).
+
+    Cross-engine exactness: integer vote sums (codegen hash aggregate, one
+    doc_id-partitioned exchange via the signature-stage widen), an integer
+    squared-norm, and one division + ROUND(6) per component — both engines
+    divide identical doubles.  An all-zero vector (possible only when
+    every bit's votes tie) is returned as zeros rather than NaN.
+    ``dim <= 60`` (one md5 yields 60 usable bits).
+    """
+    from .dedup import _widen, normalized_text
+
+    d = int(dim)
+    if not 1 <= d <= 60:
+        raise ValueError(f"dim must be in 1..60, got {dim}")
+    toks = _widen(docs.where(F.col("text").isNotNull())).select(
+        "doc_id",
+        F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
+    )
+    h = toks.select("doc_id", F.explode("tok").alias("x")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat(F.lit("0|"), F.col("x"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = [
+        F.sum(F.shiftright("h", b) % 2 * 2 - 1).alias(f"v{b}") for b in range(d)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sq = " + ".join(f"v{b} * v{b}" for b in range(d))
+    comps = ", ".join(
+        f"ROUND(IF(__n = 0D, 0D, v{b} / __n), 6)" for b in range(d)
+    )
+    return agg.selectExpr(
+        "doc_id", f"SQRT(CAST({sq} AS DOUBLE)) AS __n", *[f"v{b}" for b in range(d)]
+    ).selectExpr("doc_id", f"array({comps}) AS embedding")

@@ -319,3 +319,60 @@ def test_boilerplate_handles_multibyte_lines(spark):
         2: ("другой текст", 1),
         3: ("🚀 only here", 1),  # trim matches the padded multi-byte dup
     }
+
+
+# --- hashed text embeddings (text.hashed_embedding_df) ---
+
+
+def test_hashed_embedding_bridges_to_similarity(spark):
+    """Identical texts embed identically (cosine 1); unrelated texts stay
+    apart; the output column feeds embedding_near_dup_df directly."""
+    import numpy as np
+
+    from imops_spark.functions.dedup import embedding_near_dup_df
+    from imops_spark.functions.text import hashed_embedding_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brown fox jumps high"),
+            (3, "completely different words entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding_df(docs, dim=32)
+    rows = {r["doc_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 2e-5 for v in rows.values())
+    assert np.allclose(rows[1], rows[2])
+    assert abs(float(rows[1] @ rows[3])) < 0.7  # random signs: far from 1
+    pairs = embedding_near_dup_df(
+        emb.selectExpr("doc_id AS vec_id", "CAST(embedding AS array<float>) AS embedding"),
+        threshold=0.9,
+    )
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_hashed_embedding_matches_python(spark):
+    import hashlib
+
+    import numpy as np
+
+    from imops_spark.functions.text import hashed_embedding_df
+
+    docs = spark.createDataFrame(
+        [(7, "Alpha  beta   GAMMA alpha")], "doc_id long, text string"
+    )
+    got = np.array(hashed_embedding_df(docs, dim=12).collect()[0]["embedding"])
+    toks = {"alpha", "beta", "gamma"}  # normalized distinct
+    v = np.zeros(12)
+    for t in toks:
+        h = int(hashlib.md5(f"0|{t}".encode()).hexdigest()[:15], 16)
+        for b in range(12):
+            v[b] += 1 if (h >> b) & 1 else -1
+    want = np.round(v / np.linalg.norm(v), 6)
+    assert np.array_equal(got, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        hashed_embedding_df(docs, dim=61)
