@@ -5086,7 +5086,9 @@ def _oracle_sql_literals() -> dict[str, str]:
         "txt_embed": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, tok
-              FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split({_NORM}, ' '),
+                                              x -> x <> '')) AS tok
                     FROM documents WHERE text IS NOT NULL)
             ),
             hashed AS (SELECT doc_id, {_mh_hash(0, "tok")} AS h FROM toks),

@@ -269,20 +269,35 @@ def bloom_write_index(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if mode == "append":
-        try:
-            existing = df.sparkSession.read.parquet(path).select(
-                "num_bits", "num_hashes"
-            ).first()
-        except Exception:
-            existing = None  # first write: nothing to validate against
-        if existing is not None and (
-            int(existing[0]) != num_bits or int(existing[1]) != num_hashes
-        ):
-            raise ValueError(
-                f"bloom index at {path} was built with num_bits={existing[0]}, "
-                f"num_hashes={existing[1]}; refusing to append "
-                f"num_bits={num_bits}, num_hashes={num_hashes}"
+        # Only a MISSING log means "first write".  Any other read failure
+        # (transient IO, an unrelated dataset at the path) must propagate —
+        # swallowing it would disable this guard exactly when it matters
+        # and let a mismatched append corrupt the log.  Validation reads
+        # EVERY generation's parameters (distinct over the bounded log),
+        # not one sampled row: a log that is already mixed must refuse
+        # further appends no matter which generation a .first() would hit.
+        spark = df.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            params = (
+                spark.read.parquet(path)
+                .select("num_bits", "num_hashes")
+                .distinct()
+                .collect()
             )
+            bad = [
+                (int(p[0]), int(p[1]))
+                for p in params
+                if int(p[0]) != num_bits or int(p[1]) != num_hashes
+            ]
+            if bad:
+                raise ValueError(
+                    f"bloom index at {path} holds generations with "
+                    f"(num_bits, num_hashes) in {sorted(bad)}; refusing to "
+                    f"append num_bits={num_bits}, num_hashes={num_hashes}"
+                )
     words = bloom_words(df, col, num_bits, num_hashes).select(
         "word_idx",
         "word",
@@ -298,7 +313,13 @@ def bloom_read_index(spark, path: str) -> BloomFilter:
     one bounded exchange), densify, and return the probe-ready filter."""
     log = spark.read.parquet(path)
     params = log.select("num_bits", "num_hashes").distinct().collect()
-    if len(params) != 1:
+    if len(params) == 0:
+        raise ValueError(
+            f"bloom index at {path} is empty (no generations written yet); "
+            "parameters are unknowable — build it with bloom_write_index "
+            "over a non-empty key frame first"
+        )
+    if len(params) > 1:
         raise ValueError(
             f"bloom index at {path} holds {len(params)} parameter sets; "
             "the log is corrupt (mixed-parameter appends)"

@@ -568,6 +568,68 @@ def curate_documents(
     )
 
 
+def _feature_array_sql(toks: str = "toks") -> str:
+    """The SINGLE owner of the unigram+bigram feature-array SQL (row-local,
+    ``toks`` bound as a lambda variable against the CollapseProject
+    re-evaluation trap).  Every fit/apply/train path MUST build features
+    from this string — four hand-maintained copies had already drifted in
+    lambda naming, and any real divergence silently breaks the
+    "bucket ids line up by construction" contract between fit and apply."""
+    return (
+        f"concat({toks}, transform(array({toks}), t -> if(size(t) >= 2,"
+        f" transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
+        f" array()))[0])"
+    )
+
+
+def _bucket_hash_sql(expr: str, salt: int, B: int, plus_one: bool = False) -> str:
+    """md5 feature-bucket hash as SQL text (mirrors dedup._md5_hash_col);
+    ``plus_one=True`` yields the 1-based form element_at wants."""
+    tail = " + 1" if plus_one else ""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat('{int(salt)}|', {expr})), 1, 15),"
+        f" 16, 10) AS BIGINT) % {int(B)}{tail} AS INT)"
+    )
+
+
+def _logit_prob_df(agg: DataFrame, bias_micro: int) -> DataFrame:
+    """Shared tail of both classifier scorers: signed round-half-away mean
+    of the micro-weight sum plus bias, then the sigmoid of the tie-free
+    micro logit, rounded at 6 (see classifier_score_df for the rationale).
+    ``agg`` is ``(doc_id, n_feats, s)``."""
+    return agg.selectExpr(
+        "doc_id",
+        "n_feats",
+        f"CAST({bias_micro} AS BIGINT) + CASE WHEN s >= 0"
+        " THEN (2 * s + n_feats) DIV (2 * n_feats)"
+        " ELSE -((2 * (-s) + n_feats) DIV (2 * n_feats)) END AS logit_micro",
+    ).selectExpr(
+        "doc_id",
+        "n_feats",
+        "logit_micro",
+        "ROUND(CAST(1 AS DOUBLE) /"
+        " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
+        " AS prob",
+    )
+
+
+def _assert_unique_buckets(weights: DataFrame, val_col: str, what: str) -> DataFrame:
+    """Collapse a ``(bucket, <val>)`` table to unique buckets with a LOUD
+    runtime guard: duplicate bucket rows raise instead of silently
+    corrupting scores (the dense-array twin would shift every later
+    weight by a slot; the join twin would double-count features — the
+    worst kind of divergence, both wrong and different)."""
+    g = weights.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_c"), F.max(val_col).alias(val_col)
+    )
+    return g.selectExpr(
+        "bucket",
+        f"{val_col} + coalesce(CAST(assert_true(_c = 1,"
+        f" '{what}: duplicate bucket rows in the weight/model table')"
+        f" AS BIGINT), CAST(0 AS BIGINT)) AS {val_col}",
+    )
+
+
 def _dsir_features(d: DataFrame, by_doc: bool = False) -> DataFrame:
     """Exploded hashed-n-gram feature stream ``(doc_id, feat)``: unigrams
     plus space-joined bigrams of the normalized whitespace tokens — the
@@ -590,9 +652,7 @@ def _dsir_features(d: DataFrame, by_doc: bool = False) -> DataFrame:
         base = base.repartition("doc_id")
     return base.selectExpr(
         "doc_id",
-        "explode(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
-        " transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
-        " array()))[0])) AS feat",
+        f"explode({_feature_array_sql()}) AS feat",
     )
 
 
@@ -769,22 +829,22 @@ def dsir_score_local_df(
         f"{_dsir_lrm_sql(a, a * B, tc='0', rc='0')} AS fill"
     )
     idx = spark.range(B).select(F.col("id").alias("bucket"))
+    unique = _assert_unique_buckets(
+        model.select("bucket", "lrm"), "lrm", "dsir_score_local_df"
+    )
     arr = (
-        idx.join(F.broadcast(model.select("bucket", "lrm")), "bucket", "left")
+        idx.join(F.broadcast(unique), "bucket", "left")
         .crossJoin(F.broadcast(fill))
         .select("bucket", F.coalesce("lrm", F.col("fill")).alias("lrm"))
         .agg(F.array_sort(F.collect_list(F.struct("bucket", "lrm"))).alias("e"))
         .selectExpr("transform(e, x -> x.lrm) AS __lrm")
     )
     fold = (
-        f"transform(array(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
-        f" transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
-        f" array()))[0])), fs -> named_struct("
+        f"transform(array({_feature_array_sql()}), fs -> named_struct("
         f" 'n', CAST(size(fs) AS BIGINT),"
         f" 's', aggregate(fs, CAST(0 AS BIGINT), (acc, f) -> acc + element_at(__lrm,"
-        f"   CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
-        f"        AS BIGINT) % {B} + 1 AS INT)))"
-        f"))[0]"
+        f"   {_bucket_hash_sql('f', salt, B, plus_one=True)})))"
+        f")[0]"
     )
     return (
         data.filter(F.col("text").isNotNull())
@@ -889,9 +949,13 @@ def classifier_score_df(
     from .dedup import _md5_hash_col
 
     bias_micro = round(float(bias) * 1_000_000)
-    wm = weights.select(
-        F.col("bucket").cast("long").alias("bucket"),
-        F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+    wm = _assert_unique_buckets(
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+        ),
+        "w_micro",
+        "classifier_score_df",
     )
     feats = _dsir_features(docs, by_doc=True).select(
         "doc_id", (_md5_hash_col(F.col("feat"), salt) % F.lit(B)).alias("bucket")
@@ -904,20 +968,7 @@ def classifier_score_df(
             F.sum(F.coalesce("w_micro", F.lit(0))).alias("s"),
         )
     )
-    return agg.selectExpr(
-        "doc_id",
-        "n_feats",
-        f"CAST({bias_micro} AS BIGINT) + CASE WHEN s >= 0"
-        " THEN (2 * s + n_feats) DIV (2 * n_feats)"
-        " ELSE -((2 * (-s) + n_feats) DIV (2 * n_feats)) END AS logit_micro",
-    ).selectExpr(
-        "doc_id",
-        "n_feats",
-        "logit_micro",
-        "ROUND(CAST(1 AS DOUBLE) /"
-        " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
-        " AS prob",
-    )
+    return _logit_prob_df(agg, bias_micro)
 
 
 def classifier_score_local_df(
@@ -954,9 +1005,13 @@ def classifier_score_local_df(
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
     spark = docs.sparkSession
     bias_micro = round(float(bias) * 1_000_000)
-    wm = weights.select(
-        F.col("bucket").cast("long").alias("bucket"),
-        F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+    wm = _assert_unique_buckets(
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+        ),
+        "w_micro",
+        "classifier_score_local_df",
     )
     idx = spark.range(B).select(F.col("id").alias("bucket"))
     warr = (
@@ -972,14 +1027,11 @@ def classifier_score_local_df(
     # feature array bound as `fs`, weight array `__w` is a plain attribute
     # (safe inside lambdas); the md5 bucket hash mirrors _md5_hash_col
     fold = (
-        f"transform(array(concat(toks, transform(array(toks), t -> if(size(t) >= 2,"
-        f" transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])),"
-        f" array()))[0])), fs -> named_struct("
+        f"transform(array({_feature_array_sql()}), fs -> named_struct("
         f" 'n', CAST(size(fs) AS BIGINT),"
-        f" 's', aggregate(fs, CAST(0 AS BIGINT), (a, f) -> a + element_at(__w,"
-        f"   CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
-        f"        AS BIGINT) % {B} + 1 AS INT)))"
-        f"))[0]"
+        f" 's', aggregate(fs, CAST(0 AS BIGINT), (acc, f) -> acc + element_at(__w,"
+        f"   {_bucket_hash_sql('f', salt, B, plus_one=True)})))"
+        f")[0]"
     )
     scored = (
         docs.filter(F.col("text").isNotNull())
@@ -989,20 +1041,7 @@ def classifier_score_local_df(
         .selectExpr("doc_id", f"{fold} AS st")
         .selectExpr("doc_id", "st.n AS n_feats", "st.s AS s")
     )
-    return scored.selectExpr(
-        "doc_id",
-        "n_feats",
-        f"CAST({bias_micro} AS BIGINT) + CASE WHEN s >= 0"
-        " THEN (2 * s + n_feats) DIV (2 * n_feats)"
-        " ELSE -((2 * (-s) + n_feats) DIV (2 * n_feats)) END AS logit_micro",
-    ).selectExpr(
-        "doc_id",
-        "n_feats",
-        "logit_micro",
-        "ROUND(CAST(1 AS DOUBLE) /"
-        " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
-        " AS prob",
-    )
+    return _logit_prob_df(scored, bias_micro)
 
 
 
@@ -1026,7 +1065,9 @@ def classifier_train_df(
     scalar intercept.
 
     Distribution shape per step (``steps`` jobs, each ONE pass over the
-    persisted feature frame): the current weights ship as one broadcast
+    persisted feature frame — the bias gradient rides the weight-gradient
+    aggregation on a sentinel bucket, never a second corpus pass): the
+    current weights ship as one broadcast
     dense-array row (the score_local mechanism — O(1) ``element_at``
     lookups, no join key); each document computes its probability
     ROW-LOCALLY, then explodes its feature buckets carrying the residual
@@ -1063,11 +1104,8 @@ def classifier_train_df(
         .filter(F.size("toks") > 0)
     )
     feat = (
-        f"transform(concat(toks, transform(array(toks), t ->"
-        f" if(size(t) >= 2, transform(sequence(1, size(t) - 1),"
-        f" i -> concat(t[i - 1], ' ', t[i])), array()))[0]), f ->"
-        f" CAST(CAST(conv(substring(md5(concat('{int(salt)}|', f)), 1, 15), 16, 10)"
-        f" AS BIGINT) % {B} AS INT))"
+        f"transform({_feature_array_sql()}, f ->"
+        f" {_bucket_hash_sql('f', salt, B, plus_one=False)})"
     )
     base = lab.selectExpr("y", f"{feat} AS fb").persist()
     try:
@@ -1086,17 +1124,28 @@ def classifier_train_df(
                 f" - ({bias!r}D + aggregate(fb, CAST(0 AS DOUBLE),"
                 f" (a, b) -> a + element_at(__w, b + 1)) / size(fb)))) - y AS r",
             )
+            # ONE action per step: a sentinel bucket -1 rides the explode
+            # carrying the undivided residual, so the bias gradient comes
+            # out of the same aggregation as the weight gradients (a
+            # separate agg(sum(r)) would re-run the sigmoid fold over the
+            # whole corpus — 2x passes per step, measured by review)
             grad = (
                 resid.selectExpr(
-                    "explode(fb) AS bucket", "r / CAST(size(fb) AS DOUBLE) AS g"
+                    "explode(concat(fb, array(-1))) AS bucket",
+                    "r",
+                    "CAST(size(fb) AS DOUBLE) AS nf",
                 )
+                .selectExpr("bucket", "IF(bucket = -1, r, r / nf) AS g")
                 .groupBy("bucket")
                 .agg(F.sum("g").alias("g"))
             )
-            bias_g = resid.agg(F.sum("r").alias("bg")).collect()[0]["bg"]
             gvec = np.zeros(B)
+            bias_g = 0.0
             for row in grad.collect():
-                gvec[row["bucket"]] = row["g"]
+                if row["bucket"] == -1:
+                    bias_g = row["g"]
+                else:
+                    gvec[row["bucket"]] = row["g"]
             w -= float(lr) * (gvec / n_docs + float(l2) * w)
             bias -= float(lr) * float(bias_g) / n_docs
     finally:

@@ -1010,9 +1010,21 @@ def hashed_embedding_df(docs: DataFrame, dim: int = 32) -> DataFrame:
     d = int(dim)
     if not 1 <= d <= 60:
         raise ValueError(f"dim must be in 1..60, got {dim}")
-    toks = _widen(docs.where(F.col("text").isNotNull())).select(
-        "doc_id",
-        F.array_distinct(F.split(normalized_text(), r"\s+")).alias("tok"),
+    # empty tokens are removed and zero-token docs dropped, matching the
+    # dsir/classifier family (a blank doc must NOT get a phantom embedding
+    # hashed from the empty string — it would make every blank doc a
+    # perfect near-duplicate of a vector encoding no content, and its
+    # presence here vs absence in dsir/classifier outputs would silently
+    # break doc_id joins across the selection family)
+    toks = (
+        _widen(docs.where(F.col("text").isNotNull()))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.array_remove(F.split(normalized_text(), r"\s+"), "")
+            ).alias("tok"),
+        )
+        .filter(F.size("tok") > 0)
     )
     h = toks.select("doc_id", F.explode("tok").alias("x")).select(
         "doc_id",

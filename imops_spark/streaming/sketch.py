@@ -61,14 +61,23 @@ def _start(stream: DataFrame, partial_fn, path: str, checkpoint, available_now):
     # checkpoint keeps exactly the right equivalence: a RESTART from the
     # same checkpoint replays the same (writer_id, batch_id) and
     # idempotently overwrites its own partition; a NEW checkpoint is a new
-    # namespace whose partials merge alongside the old ones.
+    # namespace whose partials merge alongside the old ones.  Two
+    # subtleties both bite in production: the checkpoint must be
+    # NORMALIZED before hashing ('ckpt' vs './ckpt' vs the absolute path
+    # must be the SAME writer — a restart that spells it differently would
+    # fork the namespace and double-count its replayed batches), and a
+    # checkpoint-LESS stream has no replay semantics at all, so it gets a
+    # fresh RANDOM namespace per start (a shared constant would let two
+    # ad-hoc drains overwrite each other's batch-0 partials).
     import hashlib
+    import os
+    import uuid
 
-    writer_id = (
-        hashlib.md5(str(checkpoint).encode()).hexdigest()[:12]
-        if checkpoint
-        else "default"
-    )
+    if checkpoint:
+        norm = os.path.abspath(checkpoint) if "://" not in checkpoint else checkpoint
+        writer_id = hashlib.md5(norm.encode()).hexdigest()[:12]
+    else:
+        writer_id = f"anon-{uuid.uuid4().hex[:12]}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         partials = (
@@ -179,13 +188,21 @@ def freq_log_estimates(
     log = spark.read.parquet(path)
     rows = log.select(*keys, "freq_sketch").collect()
     if not keys:
+        if not rows:  # never-fired stream: every count is provably zero
+            return [(item, 0) for item in items]
         merged = cms_merge(spark, [r["freq_sketch"] for r in rows])
         return list(zip(items, cms_estimate(spark, merged, items)))
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(tuple(r[k] for k in keys), []).append(r["freq_sketch"])
     out = []
-    for kv, blobs in sorted(by_key.items()):
+    # NULL group keys are data (freq_sketch_by groups them like any other
+    # value); sort them deterministically FIRST — a plain sorted() raises
+    # TypeError on None-vs-value comparisons
+    def _null_safe(kv):
+        return tuple((x is not None, x) for x in kv[0])
+
+    for kv, blobs in sorted(by_key.items(), key=_null_safe):
         merged = cms_merge(spark, blobs)
         for item, est in zip(items, cms_estimate(spark, merged, items)):
             out.append((*kv, item, est))

@@ -273,3 +273,32 @@ def test_streaming_maintenance_equals_batch_build(spark, tmp_path):
     # the maintained index must also answer membership with no false negatives
     probed = with_bloom_contains(spark.read.parquet(src2), "k", both)
     assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_read_empty_log_says_empty_not_corrupt(spark, tmp_path):
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "k long")
+    bloom_write_index(empty, "k", path, num_bits=1 << 12, num_hashes=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="is empty"):
+        bloom_read_index(spark, path)
+
+
+def test_append_guard_does_not_swallow_real_errors(spark, tmp_path):
+    """A dataset at the path that is not a bloom log must propagate its
+    error, not be treated as 'first write' (which would then corrupt the
+    path with mixed schemas)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from imops_spark.functions.bloom import bloom_write_index
+
+    path = str(tmp_path / "notbloom")
+    spark.range(5).write.parquet(path)  # unrelated schema at the path
+    keys = _keys(spark, n=10)
+    import pytest as _pytest
+
+    with _pytest.raises(AnalysisException):
+        bloom_write_index(keys, "k", path, num_bits=1 << 12, mode="append")

@@ -276,14 +276,16 @@ def test_classifier_local_twin_is_value_identical(spark):
         for r in local.collect()
     }
     assert a == b
-    # the corpus side must be exchange-free: the only allowed shuffle is
-    # the bounded single-partition densify of the <= B-row weight table
+    # the corpus side must be exchange-free: the only allowed shuffles are
+    # on the <= B-row weight table (the uniqueness-guard groupBy(bucket)
+    # and the single-partition densify) — never on doc_id
     plan = local._jdf.queryExecution().executedPlan().toString()
     ex = [
         ln for ln in plan.splitlines()
         if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
     ]
-    assert ex == []
+    assert all("bucket" in ln for ln in ex)
+    assert not any("doc_id" in ln for ln in ex)
 
 
 def test_classifier_local_is_streaming_legal(spark, tmp_path):
@@ -505,3 +507,21 @@ def test_dsir_local_is_streaming_legal(spark, tmp_path):
         spark.read.parquet(src), _target(spark), num_buckets=128
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_classifier_duplicate_bucket_rows_raise(spark):
+    """A weight table with duplicate bucket rows must fail LOUDLY in both
+    scorers — silently, the dense twin would shift every later weight by a
+    slot while the join twin double-counts (wrong AND different)."""
+    from imops_spark.functions.curate import (
+        classifier_score_df,
+        classifier_score_local_df,
+    )
+
+    docs = _corpus(spark, with_empty=False)
+    dup = spark.createDataFrame(
+        [(5, 0.1), (5, 0.2), (6, 0.3)], "bucket long, weight double"
+    )
+    for fn in (classifier_score_df, classifier_score_local_df):
+        with pytest.raises(Exception, match="duplicate bucket rows"):
+            fn(docs, dup, num_buckets=64).collect()
