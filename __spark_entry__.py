@@ -1546,6 +1546,44 @@ def q_mm_audio(spark, sf_dir):
     )
 
 
+def q_mm_resample(spark, sf_dir):
+    """Audio resampling gate (multimodal.resample_audio_df): the same
+    ASCII-byte PCM16 clips as mm_audio, linearly resampled 16k -> 24k in
+    the row-local Arrow kernel; the oracle regenerates every OUTPUT sample
+    relationally — integer position split (idx = j*sr DIV target, frac =
+    (j*sr MOD target)/target, exactly the kernel's arithmetic, never a
+    floating division of positions), one lerp multiply over integer
+    samples, micro-snap, ordered string_agg md5.  The 3/2 rate ratio makes
+    every micro value provably >= 1/6 from a rounding boundary, so the
+    kernel's half-even np.round and the oracle's half-away ROUND agree
+    everywhere."""
+    from imops_spark.functions.multimodal import resample_audio_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 4)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    even = F.expr("substring(text, 1, CAST(floor(length(text)/2)*2 AS INT))")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("audio").alias("modality"),
+        F.encode(even, "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("pcm16").alias("format"),
+        ).alias("meta"),
+    )
+    return resample_audio_df(items, target_rate=24000).select(
+        "item_id", "n_in", "n_out", "samples_hash"
+    )
+
+
 def q_mm_image_raw(spark, sf_dir):
     """REAL image decode gate (raw_u8): 4x5x3 uint8 images cut from
     document bytes run through image_features_df(decode='real') — the
@@ -3299,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "mm_frame_dedup": q_mm_frame_dedup,
         "mm_audio": q_mm_audio,
+        "mm_resample": q_mm_resample,
         "mm_image_raw": q_mm_image_raw,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
@@ -4636,6 +4675,47 @@ def _oracle_sql_literals() -> dict[str, str]:
                                    AND ((sv < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
                          / CAST(COUNT(prev) AS DOUBLE), 9) AS zcr
             FROM w GROUP BY doc_id
+        """,
+        "mm_resample": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, CAST(floor(length(text)/2)*2 AS INT)) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 4
+                AND length(text) = strlen(text)
+            ),
+            s AS (
+              SELECT doc_id, u.i,
+                     ord(substr(t, CAST(2*u.i-1 AS INT), 1))
+                       + 256 * ord(substr(t, CAST(2*u.i AS INT), 1)) AS v
+              FROM d, unnest(generate_series(1, length(t) // 2)) u(i)
+            ),
+            sg AS (
+              SELECT doc_id, i,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+              FROM s
+            ),
+            nn AS (SELECT doc_id, COUNT(1)::BIGINT AS n FROM sg GROUP BY 1),
+            pos AS (
+              SELECT nn.doc_id, nn.n, u.j,
+                     (u.j * 16000) // 24000 AS idx,
+                     (u.j * 16000) % 24000 AS rem
+              FROM nn, unnest(generate_series(0, (nn.n - 1) * 24000 // 16000)) u(j)
+            ),
+            vals AS (
+              SELECT p.doc_id, p.n, p.j,
+                     CAST(ROUND((s0.sv + (COALESCE(s1.sv, s0.sv) - s0.sv)
+                         * (p.rem / CAST(24000 AS DOUBLE))) * 1000000) AS BIGINT)
+                       AS micro
+              FROM pos p
+              JOIN sg s0 ON s0.doc_id = p.doc_id AND s0.i = p.idx + 1
+              LEFT JOIN sg s1 ON s1.doc_id = p.doc_id AND s1.i = p.idx + 2
+            )
+            SELECT doc_id AS item_id,
+                   CAST(MAX(n) AS BIGINT) AS n_in,
+                   CAST(COUNT(1) AS BIGINT) AS n_out,
+                   md5(string_agg(micro, ',' ORDER BY j)) AS samples_hash
+            FROM vals GROUP BY doc_id
         """,
         "mm_frame_dedup": """
             WITH f AS (

@@ -30,6 +30,7 @@ __all__ = [
     "resize_images_df",
     "sample_frames_df",
     "audio_features_df",
+    "resample_audio_df",
     "fake_decode_image",
     "real_decode_image",
 ]
@@ -238,4 +239,87 @@ def sample_frames_df(items: DataFrame, every_n: int = 2) -> DataFrame:
 
     return items.filter(items.modality == "video").mapInPandas(
         run, schema="item_id long, frame_index int, frame_data binary"
+    )
+
+
+def resample_audio_df(items: DataFrame, target_rate: int) -> DataFrame:
+    """Linear-interpolation resampling of PCM16 clips to ``target_rate``:
+    ``(item_id, sr_in, sr_out, n_in, n_out, data, samples_hash)`` with
+    ``data`` the little-endian int16 buffer at the new rate and
+    ``samples_hash`` an md5 content fingerprint of the resampled samples
+    (micro-snapped, the clip-dedup key — two clips that resample to the
+    same waveform hash identically).
+
+    Math contract (what the ``mm_resample`` gate pins cross-engine):
+    output sample ``j`` sits at source position ``p = j*sr/target``,
+    split EXACTLY as integers — ``idx = (j*sr) DIV target``,
+    ``frac = ((j*sr) MOD target) / target`` — then
+    ``val = s[idx] + (s[idx+1] - s[idx]) * frac`` (one correctly-rounded
+    multiply over integer samples, identical in any IEEE engine; a
+    floating ``j*sr/target`` position would round differently from the
+    oracle's integer split).  ``n_out = (n_in-1)*target DIV sr + 1`` —
+    the last output lands on or before the last input sample, so no
+    extrapolation.  This is ``operators.interp1d``'s gather+lerp shape
+    run ROW-LOCALLY per clip: the samples of one clip live in one Arrow
+    row, so resampling is embarrassingly parallel over clips with no
+    joins at all.
+
+    Arrow-batched numpy kernel (vectorized gathers); non-pcm16 formats
+    raise like every audio path here.  Clips shorter than 2 samples pass
+    through unchanged (nothing to interpolate between).
+    """
+    import hashlib
+
+    sr_out = int(target_rate)
+    if sr_out <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "item_id": [], "sr_in": [], "sr_out": [], "n_in": [],
+                "n_out": [], "data": [], "samples_hash": [],
+            }
+            for _, row in pdf.iterrows():
+                fmt = (row["meta"]["format"] or "").lower()
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"audio format {fmt or 'unknown'}: only pcm16 decodes natively"
+                    )
+                sr = int(row["meta"]["sample_rate"])
+                x = np.frombuffer(row["data"], dtype="<i2").astype(np.float64)
+                n = len(x)
+                if n < 2:
+                    vals = x
+                else:
+                    m = (n - 1) * sr_out // sr + 1
+                    pn = np.arange(m, dtype=np.int64) * sr
+                    idx = pn // sr_out
+                    frac = (pn % sr_out).astype(np.float64) / float(sr_out)
+                    xp = np.append(x, x[-1])  # idx+1 gather pad (frac=0 there)
+                    vals = x[idx] + (xp[idx + 1] - x[idx]) * frac
+                micro = np.round(vals * 1_000_000).astype(np.int64)
+                out["item_id"].append(row["item_id"])
+                out["sr_in"].append(sr)
+                out["sr_out"].append(sr_out)
+                out["n_in"].append(n)
+                out["n_out"].append(len(vals))
+                out["data"].append(
+                    np.clip(np.round(vals), -32768, 32767)
+                    .astype("<i2")
+                    .tobytes()
+                )
+                out["samples_hash"].append(
+                    hashlib.md5(
+                        ",".join(str(int(v)) for v in micro).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return items.filter(items.modality == "audio").mapInPandas(
+        run,
+        schema=(
+            "item_id long, sr_in int, sr_out int, n_in long, n_out long,"
+            " data binary, samples_hash string"
+        ),
     )

@@ -1250,3 +1250,72 @@ def test_winnow_fp_set_rowlocal_equivalence(spark):
         a = {tuple(r) for r in winnow_fp_set_df(docs, k=k, window=w).collect()}
         b = {(r[0], r[2]) for r in full}
         assert a == b
+
+
+def test_resample_audio_linear_interp(spark):
+    """16k -> 24k (3/2): output samples must match the exact integer-split
+    lerp re-derivation; the bytes must be the clipped int16 of those values;
+    identity rate is a pass-through of the waveform."""
+    import hashlib
+
+    from imops_spark.functions.multimodal import make_items, resample_audio_df
+
+    rng = np.random.default_rng(17)
+    sr = 16000
+    pcm = (rng.standard_normal(101) * 9000).clip(-32768, 32767).astype(np.int16)
+    items = [
+        {"item_id": 1, "modality": "audio", "data": pcm.tobytes(),
+         "sample_rate": sr, "format": "pcm16"},
+    ]
+    (row,) = resample_audio_df(make_items(spark, items), target_rate=24000).collect()
+    n = len(pcm)
+    m = (n - 1) * 24000 // sr + 1
+    assert (row["n_in"], row["n_out"], row["sr_in"], row["sr_out"]) == (
+        n, m, sr, 24000,
+    )
+    x = pcm.astype(np.float64)
+    pn = np.arange(m, dtype=np.int64) * sr
+    idx = pn // 24000
+    frac = (pn % 24000).astype(np.float64) / 24000.0
+    xp = np.append(x, x[-1])
+    vals = x[idx] + (xp[idx + 1] - x[idx]) * frac
+    micro = np.round(vals * 1_000_000).astype(np.int64)
+    want_hash = hashlib.md5(
+        ",".join(str(int(v)) for v in micro).encode()
+    ).hexdigest()
+    assert row["samples_hash"] == want_hash
+    got = np.frombuffer(row["data"], dtype="<i2")
+    assert np.array_equal(
+        got, np.clip(np.round(vals), -32768, 32767).astype(np.int16)
+    )
+    # every 3rd output sample (frac == 0 at j = 3k) is EXACTLY input
+    # sample 2k: j*16000/24000 = 2j/3
+    assert np.array_equal(got[::3], pcm[::2][: len(got[::3])])
+
+    # identity rate: the waveform round-trips byte-identically
+    (same,) = resample_audio_df(make_items(spark, items), target_rate=sr).collect()
+    assert np.array_equal(np.frombuffer(same["data"], dtype="<i2"), pcm)
+
+
+def test_resample_audio_edges(spark):
+    import pytest as _pytest
+
+    from imops_spark.functions.multimodal import make_items, resample_audio_df
+
+    one = [
+        {"item_id": 1, "modality": "audio",
+         "data": np.int16([1234]).tobytes(), "sample_rate": 8000,
+         "format": "pcm16"},
+    ]
+    (row,) = resample_audio_df(make_items(spark, one), target_rate=16000).collect()
+    assert row["n_out"] == 1  # < 2 samples: pass-through, no interpolation
+    assert np.frombuffer(row["data"], dtype="<i2").tolist() == [1234]
+
+    bad = [
+        {"item_id": 2, "modality": "audio", "data": b"xx",
+         "sample_rate": 8000, "format": "mp3"},
+    ]
+    with _pytest.raises(Exception, match="only pcm16"):
+        resample_audio_df(make_items(spark, bad), target_rate=16000).collect()
+    with _pytest.raises(ValueError, match="target_rate"):
+        resample_audio_df(make_items(spark, one), target_rate=0)
