@@ -1377,6 +1377,36 @@ def q_dd_snapshot(spark, sf_dir):
     return snapshot_diff_df(docs, kept.unionAll(added))
 
 
+def q_dd_snapshot_stream(spark, sf_dir):
+    """Streaming snapshot diff (dedup.snapshot_diff_stream_df): the NEW
+    snapshot (same derived fixture as dd_snapshot) arrives as a stream and
+    each document is classified added/changed/unchanged against the static
+    old fingerprints on arrival — row-local md5 + stream-static LEFT join,
+    zero state, append mode.  'removed' is inherently unknowable from a
+    stream (absence needs end-of-stream); the oracle is the batch diff
+    minus its removed rows."""
+    from imops_spark.functions.dedup import snapshot_diff_stream_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = static.select("doc_id", "text")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    kept = stream.filter("doc_id % 5 != 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text",
+    )
+    added = stream.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text"
+    )
+    out = snapshot_diff_stream_df(kept.unionAll(added), old)
+    return run_stream_to_memory(out, "dd_snapshot_stream_gate", spark, mode="append")
+
+
 def q_dd_spans(spark, sf_dir):
     """Exact substring dedup, span level (dedup.duplicate_spans_df): the
     maximal character spans whose every 20-gram occurs in >= 2 distinct
@@ -3381,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_near_stream": q_dd_near_stream,
         "dd_jaccard": q_dd_jaccard,
         "dd_snapshot": q_dd_snapshot,
+        "dd_snapshot_stream": q_dd_snapshot_stream,
         "dd_spans": q_dd_spans,
         "dd_span_stats": q_dd_span_stats,
         "dd_editsim": q_dd_editsim,
@@ -4788,6 +4819,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                         ELSE 'changed' END AS status,
                    o.old_fp, n.new_fp
             FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        """,
+        "dd_snapshot_stream": f"""
+            WITH oldd AS (
+              SELECT doc_id,
+                     COALESCE(md5({_NORM}), '<null-text>') AS old_fp
+              FROM documents
+            ),
+            newsrc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            newd AS (
+              SELECT doc_id,
+                     COALESCE(md5({_NORM}), '<null-text>') AS new_fp
+              FROM newsrc
+            )
+            SELECT n.doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM newd n LEFT JOIN oldd o ON o.doc_id = n.doc_id
         """,
         "dd_spans": _dup_spans_sql(20),
         "dd_span_stats": _dup_span_stats_sql(20),

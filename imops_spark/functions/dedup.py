@@ -47,6 +47,7 @@ __all__ = [
     "lsh_query_index",
     "snapshot_diff_df",
     "snapshot_diff_stats_df",
+    "snapshot_diff_stream_df",
 ]
 
 
@@ -964,4 +965,32 @@ def snapshot_diff_stats_df(
         snapshot_diff_df(old_docs, new_docs, id_col=id_col)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def snapshot_diff_stream_df(
+    new_docs: DataFrame, old_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming half of :func:`snapshot_diff_df`: classify a NEW snapshot
+    AS IT ARRIVES against the static previous snapshot — each landing
+    document is 'added' (id unseen before), 'changed', or 'unchanged',
+    row-locally fingerprinted and LEFT-joined against the old (id, fp)
+    set (stream-static joins are append-legal with zero state; the full
+    outer join of the batch diff is not a streamable shape).  'removed'
+    is inherently NOT emittable from a stream — absence is only knowable
+    once the stream is declared complete; run the batch diff (or an anti
+    join) at snapshot close for the removal set.  Identical status
+    semantics otherwise (normalized-text md5, NULL-text sentinel), gated
+    streamed == the batch diff minus its 'removed' rows."""
+    fp = F.coalesce(F.md5(normalized_text()), F.lit("<null-text>"))
+    o = old_docs.select(F.col(id_col), fp.alias("old_fp"))
+    n = new_docs.select(F.col(id_col), fp.alias("new_fp"))
+    return n.join(o, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
     )

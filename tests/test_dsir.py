@@ -525,3 +525,25 @@ def test_classifier_duplicate_bucket_rows_raise(spark):
     for fn in (classifier_score_df, classifier_score_local_df):
         with pytest.raises(Exception, match="duplicate bucket rows"):
             fn(docs, dup, num_buckets=64).collect()
+
+
+def test_snapshot_diff_stream_matches_batch_minus_removed(spark, tmp_path):
+    from imops_spark.functions.dedup import snapshot_diff_df, snapshot_diff_stream_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    old_rows = [(1, "same"), (2, "gone"), (3, "before"), (4, None)]
+    new_rows = [(1, "same"), (3, "after"), (4, None), (9, "fresh")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    src = str(tmp_path / "new")
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = snapshot_diff_stream_df(stream, old)
+    assert out.isStreaming
+    got = run_stream_to_memory(out, "snapdiff_stream_t", spark, mode="append")
+    want = snapshot_diff_df(
+        old, spark.read.parquet(src)
+    ).filter("status <> 'removed'")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and the statuses themselves are right
+    st = {r["doc_id"]: r["status"] for r in got.collect()}
+    assert st == {1: "unchanged", 3: "changed", 4: "unchanged", 9: "added"}
