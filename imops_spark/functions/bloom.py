@@ -68,8 +68,16 @@ __all__ = [
 @dataclass(frozen=True)
 class BloomFilter:
     """A built Bloom filter: a ONE-ROW DataFrame (``bits array<bigint>``,
-    ``num_bits``, ``num_hashes``) plus its parameters mirrored python-side
-    so probe expressions can be constructed without a driver collect.
+    ``num_bits``, ``num_hashes``, ``key_type``) plus its parameters
+    mirrored python-side so probe expressions can be constructed without a
+    driver collect.
+
+    ``key_type`` records the HASH CLASS of the build column
+    (:func:`_hash_type_class`) — xxhash64 hashes physical bytes, so probing
+    a BIGINT-built filter with STRING keys would silently return all-false,
+    i.e. FALSE NEGATIVES, breaking the guarantee every prefilter caller
+    relies on.  :func:`with_bloom_contains` raises on mismatch.  ``None``
+    means unknown (a frame persisted before the stamp existed).
 
     The frame is self-describing (params ride as columns), so it can be
     persisted with a plain ``df.write.parquet`` and rehydrated with
@@ -79,6 +87,18 @@ class BloomFilter:
     df: DataFrame
     num_bits: int
     num_hashes: int
+    key_type: str | None = None
+
+
+def _hash_type_class(dtype: str) -> str:
+    """The xxhash64 EQUIVALENCE CLASS of a Spark SQL dtype string: Spark's
+    hash expressions fold tinyint/smallint/int to one 4-byte hash — but
+    BIGINT hashes 8 bytes and differs (measured: xxhash64(7::int) !=
+    xxhash64(7::bigint)), and string/float/double/binary each hash their
+    own physical layout.  Only widths measured hash-identical collapse."""
+    if dtype in ("tinyint", "smallint", "int"):
+        return "int"
+    return dtype
 
 
 def bloom_size(n_items: int, fpp: float = 1e-4) -> tuple[int, int]:
@@ -133,9 +153,15 @@ def bloom_build(
     filter size, not the data.
     """
     num_bits, num_hashes = _check_params(num_bits, num_hashes)
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"no column {col!r} in frame")
+    key_type = _hash_type_class(dtype)
     words = bloom_words(df, col, num_bits, num_hashes)
-    dense = _densify(df.sparkSession, words, num_bits, num_hashes)
-    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)
+    dense = _densify(df.sparkSession, words, num_bits, num_hashes, key_type)
+    return BloomFilter(
+        df=dense, num_bits=num_bits, num_hashes=num_hashes, key_type=key_type
+    )
 
 
 def _check_params(num_bits: int, num_hashes: int) -> tuple[int, int]:
@@ -169,7 +195,13 @@ def bloom_words(df: DataFrame, col: str, num_bits: int, num_hashes: int) -> Data
     )
 
 
-def _densify(spark, words: DataFrame, num_bits: int, num_hashes: int) -> DataFrame:
+def _densify(
+    spark,
+    words: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    key_type: str | None = None,
+) -> DataFrame:
     """Sparse words -> the 1-row dense ``(bits, num_bits, num_hashes)``
     frame: left-join the full word-index range against the sparse set and
     collect in index order.  (NOT element_at over a map_from_entries —
@@ -187,16 +219,26 @@ def _densify(spark, words: DataFrame, num_bits: int, num_hashes: int) -> DataFra
         F.expr("transform(e, x -> x.word)").alias("bits"),
         F.lit(num_bits).alias("num_bits"),
         F.lit(num_hashes).alias("num_hashes"),
+        F.lit(key_type).cast("string").alias("key_type"),
     )
 
 
 def bloom_from_df(df: DataFrame) -> BloomFilter:
-    """Rehydrate a persisted Bloom filter frame (one driver read of the two
-    scalar params — the bits array stays JVM-side)."""
-    row = df.select("num_bits", "num_hashes").first()
+    """Rehydrate a persisted Bloom filter frame (one driver read of the
+    scalar params — the bits array stays JVM-side).  Frames persisted
+    before the ``key_type`` stamp existed rehydrate with
+    ``key_type=None`` (probe type unenforced)."""
+    has_kt = "key_type" in df.columns
+    cols = ["num_bits", "num_hashes"] + (["key_type"] if has_kt else [])
+    row = df.select(*cols).first()
     if row is None:
         raise ValueError("empty bloom filter frame")
-    return BloomFilter(df=df, num_bits=int(row[0]), num_hashes=int(row[1]))
+    return BloomFilter(
+        df=df,
+        num_bits=int(row[0]),
+        num_hashes=int(row[1]),
+        key_type=(str(row[2]) if has_kt and row[2] is not None else None),
+    )
 
 
 def with_bloom_contains(
@@ -217,6 +259,20 @@ def with_bloom_contains(
         raise ValueError("bloom frame missing bits/num_bits/num_hashes columns")
     if dtype is None:
         raise ValueError(f"no column {col!r} in frame")
+    if bloom.key_type is not None:
+        probe_type = _hash_type_class(dtype)
+        if probe_type != bloom.key_type:
+            raise TypeError(
+                f"bloom filter was built over {bloom.key_type} keys but the "
+                f"probe column {col!r} is {dtype}; xxhash64 is typed, so a "
+                "cross-type probe silently returns false for true members "
+                "(false negatives) — cast the probe column to match"
+            )
+    if "bits" in df.columns:
+        raise ValueError(
+            "probe frame already has a 'bits' column — the broadcast join "
+            "would make it ambiguous; rename it before probing"
+        )
     probed = df.crossJoin(F.broadcast(bloom.df.select("bits")))
     tests = []
     for p in _positions(F.col(col), bloom.num_bits, bloom.num_hashes):
@@ -266,8 +322,13 @@ def bloom_write_index(
     contract as ``sources.parquet.compact_partitions``.
     """
     num_bits, num_hashes = _check_params(num_bits, num_hashes)
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"no column {col!r} in frame")
+    key_type = _hash_type_class(dtype)
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    stamp_kt = True
     if mode == "append":
         # Only a MISSING log means "first write".  Any other read failure
         # (transient IO, an unrelated dataset at the path) must propagate —
@@ -281,29 +342,37 @@ def bloom_write_index(
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
-            params = (
-                spark.read.parquet(path)
-                .select("num_bits", "num_hashes")
-                .distinct()
-                .collect()
-            )
+            log = spark.read.parquet(path)
+            has_kt = "key_type" in log.columns
+            # appending a wider schema to a pre-stamp log would make reads
+            # schema-dependent on which file gets sampled; keep the log's
+            # own shape (the stamp only ever applies to whole generations)
+            stamp_kt = has_kt
+            sel = ["num_bits", "num_hashes"] + (["key_type"] if has_kt else [])
+            params = log.select(*sel).distinct().collect()
             bad = [
-                (int(p[0]), int(p[1]))
+                tuple(p)
                 for p in params
-                if int(p[0]) != num_bits or int(p[1]) != num_hashes
+                if int(p[0]) != num_bits
+                or int(p[1]) != num_hashes
+                or (has_kt and p[2] is not None and str(p[2]) != key_type)
             ]
             if bad:
                 raise ValueError(
                     f"bloom index at {path} holds generations with "
-                    f"(num_bits, num_hashes) in {sorted(bad)}; refusing to "
-                    f"append num_bits={num_bits}, num_hashes={num_hashes}"
+                    f"(num_bits, num_hashes, key_type) in {sorted(bad)}; "
+                    f"refusing to append num_bits={num_bits}, "
+                    f"num_hashes={num_hashes}, key_type={key_type}"
                 )
-    words = bloom_words(df, col, num_bits, num_hashes).select(
-        "word_idx",
-        "word",
+    out_cols = [
+        F.col("word_idx"),
+        F.col("word"),
         F.lit(num_bits).alias("num_bits"),
         F.lit(num_hashes).alias("num_hashes"),
-    )
+    ]
+    if stamp_kt:
+        out_cols.append(F.lit(key_type).alias("key_type"))
+    words = bloom_words(df, col, num_bits, num_hashes).select(*out_cols)
     words.write.mode(mode).parquet(path)
 
 
@@ -312,7 +381,9 @@ def bloom_read_index(spark, path: str) -> BloomFilter:
     consistent, merge all appended generations (``bit_or`` per word index —
     one bounded exchange), densify, and return the probe-ready filter."""
     log = spark.read.parquet(path)
-    params = log.select("num_bits", "num_hashes").distinct().collect()
+    has_kt = "key_type" in log.columns
+    sel = ["num_bits", "num_hashes"] + (["key_type"] if has_kt else [])
+    params = log.select(*sel).distinct().collect()
     if len(params) == 0:
         raise ValueError(
             f"bloom index at {path} is empty (no generations written yet); "
@@ -325,6 +396,11 @@ def bloom_read_index(spark, path: str) -> BloomFilter:
             "the log is corrupt (mixed-parameter appends)"
         )
     num_bits, num_hashes = int(params[0][0]), int(params[0][1])
+    key_type = (
+        str(params[0][2]) if has_kt and params[0][2] is not None else None
+    )
     merged = log.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
-    dense = _densify(spark, merged, num_bits, num_hashes)
-    return BloomFilter(df=dense, num_bits=num_bits, num_hashes=num_hashes)
+    dense = _densify(spark, merged, num_bits, num_hashes, key_type)
+    return BloomFilter(
+        df=dense, num_bits=num_bits, num_hashes=num_hashes, key_type=key_type
+    )

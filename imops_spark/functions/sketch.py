@@ -200,7 +200,20 @@ def top_items_df(
     ``(est_count DESC, item)`` like the output here does before treating
     the cut as deterministic."""
     by = list(by)
-    args = f"{col}, {int(k)}" + (f", {int(max_tracked)}" if max_tracked else "")
+    if int(k) <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_tracked is not None:
+        max_tracked = int(max_tracked)
+        # `if max_tracked` would silently ignore an explicit 0 and fall
+        # back to the 10000 default; validate instead of splicing garbage
+        # into the generated SQL
+        if max_tracked < int(k):
+            raise ValueError(
+                f"max_tracked ({max_tracked}) must be >= k ({k})"
+            )
+    args = f"{col}, {int(k)}" + (
+        f", {max_tracked}" if max_tracked is not None else ""
+    )
     agg = F.expr(f"approx_top_k({args})").alias("tk")
     base = df.groupBy(*by).agg(agg) if by else df.agg(agg)
     return (

@@ -429,10 +429,20 @@ def start_unique_docs_update_sink(
                 (~F.col("mated")).alias("is_unique"),
             )
 
-            # retractions: previously-unique INDEX docs newly mated now
-            try:
+            # retractions: previously-unique INDEX docs newly mated now.
+            # Only a MISSING status table means "first batch" — any other
+            # read failure (transient IO, corrupt footer) must PROPAGATE so
+            # the batch retries.  A swallowed error here would silently skip
+            # retractions AND skip the keep-merge of untouched rows while
+            # the dynamic partition overwrite below still runs, permanently
+            # deleting prior status rows in the touched buckets (the
+            # bloom_write_index guard, applied to this sink).
+            jvm = spark._jvm
+            jstatus = jvm.org.apache.hadoop.fs.Path(status_path)
+            status_fs = jstatus.getFileSystem(spark._jsc.hadoopConfiguration())
+            if status_fs.exists(jstatus):
                 status = spark.read.parquet(status_path)
-            except Exception:
+            else:
                 status = None
             if cross is not None and status is not None:
                 newly_mated = cross.select(

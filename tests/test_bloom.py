@@ -302,3 +302,73 @@ def test_append_guard_does_not_swallow_real_errors(spark, tmp_path):
 
     with _pytest.raises(AnalysisException):
         bloom_write_index(keys, "k", path, num_bits=1 << 12, mode="append")
+
+
+def test_key_type_stamp_rejects_cross_type_probe(spark):
+    """xxhash64 is typed: probing a BIGINT-built filter with STRING keys
+    silently returns all-false (FALSE NEGATIVES).  The key_type stamp must
+    turn that silent corruption into a raise — including after a
+    parquet roundtrip and through the persisted index path."""
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    keys = _keys(spark, n=200)
+    bloom = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    assert bloom.key_type == "bigint"
+    as_str = keys.select(F.col("k").cast("string").alias("k"))
+    with pytest.raises(TypeError, match="built over bigint"):
+        with_bloom_contains(as_str, "k", bloom)
+    # INT does not share BIGINT's xxhash64 layout (4- vs 8-byte hash):
+    # the probe that silently returned all-false before must raise too
+    as_int = keys.select(F.col("k").cast("int").alias("k"))
+    with pytest.raises(TypeError, match="built over bigint"):
+        with_bloom_contains(as_int, "k", bloom)
+    # but the measured-identical widths DO collapse: an int-built filter
+    # probes fine with smallint keys
+    small = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    bloom_i = bloom_build(small, "k", num_bits=1 << 12, num_hashes=4)
+    assert bloom_i.key_type == "int"
+    as_small = small.select(F.col("k").cast("smallint").alias("k"))
+    probed = with_bloom_contains(as_small, "k", bloom_i)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_key_type_survives_roundtrip_and_index(spark, tmp_path):
+    from imops_spark.functions.bloom import bloom_read_index, bloom_write_index
+
+    keys = _keys(spark, n=200)
+    bloom = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    path = str(tmp_path / "bloom_frame")
+    bloom.df.write.parquet(path)
+    rehydrated = bloom_from_df(spark.read.parquet(path))
+    assert rehydrated.key_type == "bigint"
+
+    idx = str(tmp_path / "bloom_index")
+    bloom_write_index(keys, "k", idx, num_bits=1 << 12, num_hashes=4)
+    loaded = bloom_read_index(spark, idx)
+    assert loaded.key_type == "bigint"
+    # appending a different key TYPE must raise like a param mismatch does
+    strs = keys.select(F.col("k").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="key_type"):
+        bloom_write_index(
+            strs, "k", idx, num_bits=1 << 12, num_hashes=4, mode="append"
+        )
+
+
+def test_pre_stamp_frames_rehydrate_unenforced(spark, tmp_path):
+    """Frames persisted before the key_type stamp existed (no key_type
+    column) must still load, with key_type=None and no probe enforcement."""
+    keys = _keys(spark, n=100)
+    bloom = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    path = str(tmp_path / "legacy")
+    bloom.df.drop("key_type").write.parquet(path)
+    legacy = bloom_from_df(spark.read.parquet(path))
+    assert legacy.key_type is None
+    probed = with_bloom_contains(keys, "k", legacy)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_probe_frame_with_bits_column_raises(spark):
+    keys = _keys(spark, n=50).withColumn("bits", F.lit(1))
+    bloom = bloom_build(_keys(spark, n=50), "k", num_bits=1 << 12, num_hashes=4)
+    with pytest.raises(ValueError, match="'bits' column"):
+        with_bloom_contains(keys, "k", bloom)
