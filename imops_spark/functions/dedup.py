@@ -801,8 +801,15 @@ def lsh_query_index(
     )
 
 
+_GRAM_ROWS_PER_TASK = 2_000_000  # ~64 MB of (doc_id, pos, h) unsafe rows
+
+
 def duplicate_spans_df(
-    docs: DataFrame, k: int = 20, min_docs: int = 2, hash_fn: str = "md5"
+    docs: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    hash_fn: str = "md5",
+    strategy: str = "window",
 ) -> DataFrame:
     """Exact substring deduplication, span-level (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" primitive,
@@ -820,19 +827,45 @@ def duplicate_spans_df(
     L - k + 1 gram starts are duplicated, which is exactly the suffix-array
     criterion for shared substrings of length >= k.
 
-    Plan shape at 100 TB: two linear exchanges, one scan.  For the default
-    ``min_docs=2``, "appears in >= 2 distinct documents" is exactly
-    ``min(doc_id) != max(doc_id)`` over the hash partition — a window pair
-    on the ONE gram shuffle, with no join and no second scan (the
-    groupBy-count + semi-join formulation plans the gram subtree twice:
-    column pruning makes the two branches differ, defeating
-    ReusedExchange, so the corpus would be hashed twice).  The island
-    window then shuffles only the matched positions (a filtered subset) by
-    doc_id.  ``min_docs > 2`` falls back to the countDistinct + semi-join
-    formulation (three exchanges, still linear and still one window-free
-    aggregate side).  Hash collisions (60- or 64-bit) can merge unrelated grams —
-    at corpus scale that admits a rare false-positive gram into a span,
-    the standard trade of every hashed-substring formulation.
+    Plan shape at 100 TB (``strategy='window'``, the default): one scan,
+    one SIZE-AWARE gram exchange, ``min/max(doc_id) OVER (PARTITION BY
+    h)`` on it, then the island merge.  The gram exchange carries one row
+    per character of corpus, so BOTH of its sides must be sized to
+    execution memory or they spill — and the spill, not the sort, is the
+    superlinear term (profiled at 1.28M docs / 418M grams, local[32]:
+    the 32-task map side alone spilled 9.1 GB and burned 2,845 s of CPU;
+    pre-widening the map side and sizing the reducer count dropped the
+    operator 122 s -> 74 s with ZERO spill).  A cheap pre-pass sums
+    ``length(text)`` (columnar scan, no regex) to estimate the gram
+    count, then both the pre-explode document repartition and the gram
+    exchange's reducer count are set to ``~3M gram rows (~100 MB) per
+    task``.  This is the partition-sizing discipline every 100 TB plan
+    needs, applied from inside the operator because the gram explosion
+    multiplies row width by ~character count — no session-level
+    ``spark.sql.shuffle.partitions`` can be right for both this exchange
+    and everything else in the job.
+
+    ``strategy='agg'`` (kept for the A/B equivalence test, NOT the
+    default) replaces the window with a map-side-combined ``groupBy(h)``
+    min/max + shuffle-hash semi-join back to the grams.  When the
+    pre-explode widen triggers, its exchange doubles as a shared
+    materialization point (both gram branches consume it via
+    ReusedExchange — one scan); otherwise the branches scan twice.  Each
+    branch re-derives explode + hash, and measured at 320k docs the form
+    is ~2x SLOWER than the sized window (36 s vs 17 s): grams are mostly
+    unique, so partial aggregation reduces nothing and builds two giant
+    per-task hash maps (partial + final) that lose to one Tungsten radix
+    sort.  Kept because it is the sort-free shape and the right base if
+    a counting prefilter ever prunes the unique grams before the
+    exchange.
+
+    The island window then shuffles only the matched positions (a
+    filtered subset) by doc_id.  ``min_docs > 2`` uses a two-phase
+    ``countDistinct(doc_id)`` + semi-join under either strategy (window
+    functions cannot COUNT DISTINCT).  Hash collisions (60- or 64-bit)
+    can merge unrelated grams — at corpus scale that admits a rare
+    false-positive gram into a span, the standard trade of every
+    hashed-substring formulation.
 
     ``hash_fn``: ``'md5'`` (default) is the cross-engine hash every gate
     and oracle reproduces; ``'xxhash64'`` is the production fast path —
@@ -848,9 +881,30 @@ def duplicate_spans_df(
         raise ValueError(f"k and min_docs must be >= 1, got {k}, {min_docs}")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    if strategy not in ("agg", "window"):
+        raise ValueError(f"strategy must be 'agg' or 'window', got {strategy!r}")
+    # Size the gram exchange BEFORE building it: sum(length(text)) is a
+    # cheap columnar pre-pass (no regex, no explode) and upper-bounds the
+    # gram count (normalization only shrinks text).  ~3M (doc_id, pos, h)
+    # unsafe rows ~= 100 MB per task keeps every task of both exchange
+    # sides inside its execution-memory share — the profiled alternative
+    # is map- AND reduce-side spill, and the spill is superlinear.
+    raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
+    default_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_parts = max(default_parts, -(-int(raw_chars) // _GRAM_ROWS_PER_TASK))
     d = docs.select("doc_id", normalized_text().alias("nt")).filter(
         F.length("nt") >= k
     )
+    # widen the MAP side only when it is genuinely narrow (the full-text
+    # round-robin shuffle is not free): each map task buffers its whole
+    # gram output in the shuffle writer, so per-task gram volume must fit
+    # the execution-memory share — profiled at 1.28M docs, 32 fat map
+    # tasks spilled 9.1 GB / 2,845 s CPU where 136 sized tasks spilled
+    # nothing (122 s -> 74 s end-to-end)
+    if n_parts >= 2 * d.rdd.getNumPartitions():
+        d = d.repartition(n_parts)
     gram = F.substring("nt", F.col("pos"), k)
     h = (
         F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
@@ -862,22 +916,37 @@ def duplicate_spans_df(
         F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
         F.col("nt"),
     ).select("doc_id", "pos", h.alias("h"))
-    if min_docs == 2:
+    if min_docs == 2 and strategy == "window":
+        g = grams.repartition(n_parts, "h")
         w_h = Window.partitionBy("h")
         hits = (
-            grams.withColumn("__mn", F.min("doc_id").over(w_h))
+            g.withColumn("__mn", F.min("doc_id").over(w_h))
             .withColumn("__mx", F.max("doc_id").over(w_h))
             .filter(F.col("__mn") != F.col("__mx"))
             .select("doc_id", "pos")
         )
+    elif min_docs == 2:
+        dup = (
+            grams.groupBy("h")
+            .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+            .filter(F.col("__mn") != F.col("__mx"))
+            .select("h")
+        )
+        # shuffle_hash: a sort-merge pick would re-sort the gram side —
+        # the exact cost the agg formulation exists to avoid
+        hits = grams.join(dup.hint("shuffle_hash"), "h", "left_semi").select(
+            "doc_id", "pos"
+        )
     else:
         dup = (
             grams.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= min_docs)
+            .agg(F.countDistinct("doc_id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
             .select("h")
         )
-        hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+        hits = grams.join(dup.hint("shuffle_hash"), "h", "left_semi").select(
+            "doc_id", "pos"
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return runs.groupBy("doc_id", "grp").agg(
@@ -888,7 +957,11 @@ def duplicate_spans_df(
 
 
 def duplicate_span_stats_df(
-    docs: DataFrame, k: int = 20, min_docs: int = 2, hash_fn: str = "md5"
+    docs: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    hash_fn: str = "md5",
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-document duplicate-span summary: ``(doc_id, n_spans,
     dup_span_chars, dup_span_char_frac)`` — the thresholdable curation
@@ -896,7 +969,9 @@ def duplicate_span_stats_df(
     overlap, so summed span lengths are the exact duplicated-character
     coverage of the normalized text.  Documents with no duplicated span
     (including those shorter than ``k``) report zeros."""
-    spans = duplicate_spans_df(docs, k=k, min_docs=min_docs, hash_fn=hash_fn)
+    spans = duplicate_spans_df(
+        docs, k=k, min_docs=min_docs, hash_fn=hash_fn, strategy=strategy
+    )
     agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("span_len").alias("dup_span_chars"),
@@ -969,7 +1044,7 @@ def snapshot_diff_stats_df(
 
 
 def snapshot_diff_stream_df(
-    new_docs: DataFrame, old_docs: DataFrame, id_col: str = "doc_id"
+    new_docs: DataFrame, *, old_docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Streaming half of :func:`snapshot_diff_df`: classify a NEW snapshot
     AS IT ARRIVES against the static previous snapshot — each landing
@@ -981,7 +1056,12 @@ def snapshot_diff_stream_df(
     once the stream is declared complete; run the batch diff (or an anti
     join) at snapshot close for the removal set.  Identical status
     semantics otherwise (normalized-text md5, NULL-text sentinel), gated
-    streamed == the batch diff minus its 'removed' rows."""
+    streamed == the batch diff minus its 'removed' rows.
+
+    ``old_docs`` is KEYWORD-ONLY: this function naturally leads with the
+    streaming frame while :func:`snapshot_diff_df` takes (old, new) —
+    swapped positional args would still run and silently invert
+    added/changed, so positional misuse is made impossible instead."""
     fp = F.coalesce(F.md5(normalized_text()), F.lit("<null-text>"))
     o = old_docs.select(F.col(id_col), fp.alias("old_fp"))
     n = new_docs.select(F.col(id_col), fp.alias("new_fp"))

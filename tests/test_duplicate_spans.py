@@ -107,14 +107,40 @@ def test_span_stats(spark):
 
 
 def test_spans_plan_shape(spark, tmp_path):
-    """min_docs=2 contract: ONE scan, TWO exchanges (gram hash window +
-    island window), no join."""
+    """Plan contracts of both strategies.
+
+    'window' (default): ONE scan, no join; the gram exchange is
+    SIZE-AWARE (explicit pre-explode widen + explicit reducer count, both
+    derived from a sum(length(text)) pre-pass) so neither exchange side
+    spills — the profiled superlinear term at the deep-probe sizes.
+
+    'agg': the sort-free shape — dup hashes from a map-side-combined
+    groupBy, positions pruned via a SHUFFLE-HASH left-semi join (never
+    sort-merge), the only Sort being the island window's over the
+    FILTERED hits.  The pre-explode widen exchange doubles as a shared
+    materialization point: BOTH gram branches read it via ReusedExchange,
+    so the corpus is scanned once (each branch still re-derives its own
+    explode + hash above the reuse)."""
     p = str(tmp_path / "docs")
     spark.createDataFrame(
         [(i, "shared boilerplate sentence here plus doc %d tail" % i) for i in range(40)],
         "doc_id long, text string",
     ).write.parquet(p)
-    out = duplicate_spans_df(spark.read.parquet(p), k=12)
+    win = duplicate_spans_df(spark.read.parquet(p), k=12)
+    win.collect()
+    wplan = (
+        win._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert wplan.count("Scan parquet") == 1
+    assert "Join" not in wplan
+    # the gram exchange must be the explicit sized repartition, not an
+    # EnsureRequirements default-width one
+    assert "REPARTITION_BY_NUM" in wplan
+
+    out = duplicate_spans_df(spark.read.parquet(p), k=12, strategy="agg")
     out.collect()
     plan = (
         out._jdf.queryExecution()
@@ -122,9 +148,36 @@ def test_spans_plan_shape(spark, tmp_path):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Exchange") == 2
-    assert "Join" not in plan
+    # one scan via ReusedExchange when the pre-explode widen triggers;
+    # two scans (documented trade) when the corpus is already wide
+    assert plan.count("Scan parquet") == 1 or "ReusedExchange" not in plan
+    assert plan.count("Scan parquet") <= 2
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one Sort: the island window's — never a sort keyed on h
+    sort_lines = [l for l in plan.splitlines() if " Sort [" in l]
+    assert len(sort_lines) == 1 and "doc_id" in sort_lines[0]
+
+
+def test_spans_strategies_identical(spark):
+    """'agg' (no-sort groupBy + shuffle-hash semi-join, the batch default)
+    and 'window' (one-scan h-window) must produce identical spans on both
+    min_docs paths; unknown strategies raise."""
+    rows = ROWS + [(7, "xx the quick brown fox jumps over the lazy dog zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for md in (2, 3):
+        a = sorted(map(tuple, duplicate_spans_df(df, k=12, min_docs=md).collect()))
+        w = sorted(
+            map(
+                tuple,
+                duplicate_spans_df(
+                    df, k=12, min_docs=md, strategy="window"
+                ).collect(),
+            )
+        )
+        assert a == w and a
+    with pytest.raises(ValueError, match="strategy"):
+        duplicate_spans_df(df, strategy="nope")
 
 
 def test_spans_rejects_bad_params(spark):
