@@ -1403,7 +1403,7 @@ def q_dd_snapshot_stream(spark, sf_dir):
     added = stream.filter("doc_id % 7 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
     )
-    out = snapshot_diff_stream_df(kept.unionAll(added), old)
+    out = snapshot_diff_stream_df(kept.unionAll(added), old_docs=old)
     return run_stream_to_memory(out, "dd_snapshot_stream_gate", spark, mode="append")
 
 
@@ -1795,43 +1795,58 @@ def q_cur_dsir(spark, sf_dir):
 
 
 def q_cur_select2(spark, sf_dir):
-    """Composition gate for the round-6 selection family — the modern
-    data-selection chain run END TO END on one frame: (1) hashed linear
-    classifier scoring with the analytic weight ramp, keep prob >= 0.5;
-    (2) DSIR fit on the SURVIVORS (target = surviving 'en' docs) and
-    deterministic Gumbel top-50; (3) chunk budgeting (how many 120/20
-    chunks each selected doc will produce) joined on.  Every stage is
-    individually hash-gated (txt_classify, cur_dsir, txt_chunks); this
-    gate proves they COMPOSE — filters feeding model fits feeding
-    selection, one plan, no materialization between stages."""
-    from imops_spark.functions.curate import classifier_score_df, dsir_sample_df
+    """Composition gate for the selection family — the modern
+    data-selection chain run END TO END from ONE shared feature frame:
+    (1) hashed linear classifier scoring with the analytic weight ramp,
+    keep prob >= 0.5; (2) DSIR fit on the SURVIVORS (target = surviving
+    'en' docs) and deterministic Gumbel top-50; (3) chunk budgeting (how
+    many 120/20 chunks each selected doc will produce) joined on.  Every
+    stage is individually hash-gated (txt_classify, cur_dsir,
+    txt_chunks); this gate proves they COMPOSE — and that they can all
+    feed off one materialized `dsir_feature_frame_df` (lang and the chunk
+    budget ride as carry columns), so `documents` is scanned and
+    featurized ONCE where the round-6 formulation re-planned the corpus
+    subtree ~3x.  The frame is localCheckpoint-ed, not persist()-ed: a
+    cacheManager entry would survive this query and hand the bench's
+    second pass a warm cache (cross-pass state, the r5 lesson), while a
+    local checkpoint dies with the DataFrame."""
+    from imops_spark.functions.curate import (
+        classifier_score_from_features_df,
+        dsir_feature_frame_df,
+        dsir_sample_from_features_df,
+    )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text",
+        "lang",
+        # chunk budget per doc at the txt_chunks grain, derived on the
+        # ONE pass over the corpus
+        "CAST(1 + (GREATEST(length(text) - 120, 0) + 99) DIV 100 AS INT)"
+        " AS n_chunks",
+    )
     weights = spark.range(512).selectExpr(
         "id AS bucket",
         "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
         " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
     )
-    scored = classifier_score_df(
-        d.select("doc_id", "text"), weights, num_buckets=512, bias=0.1
+    frame = dsir_feature_frame_df(d, carry=("lang", "n_chunks")).localCheckpoint(
+        eager=False
+    )
+    scored = classifier_score_from_features_df(
+        frame, weights, num_buckets=512, bias=0.1
     )
     keep = scored.filter(F.col("prob") >= 0.5).select("doc_id", "prob")
-    survivors = d.join(keep, "doc_id")
-    selected = dsir_sample_df(
-        survivors.select("doc_id", "text"),
-        survivors.filter(F.col("lang") == "en").select("doc_id", "text"),
+    survivors = frame.join(keep.select("doc_id"), "doc_id", "left_semi")
+    selected = dsir_sample_from_features_df(
+        survivors,
+        survivors.filter(F.col("lang") == "en"),
         k=50,
         num_buckets=1024,
     )
-    # chunk budget per selected doc: n_chunks at the txt_chunks grain
-    budget = d.selectExpr(
-        "doc_id",
-        "CAST(1 + (GREATEST(length(text) - 120, 0) + 99) DIV 100 AS INT)"
-        " AS n_chunks",
-    )
     return (
         selected.join(keep, "doc_id")
-        .join(budget, "doc_id")
+        .join(frame.select("doc_id", "n_chunks"), "doc_id")
         .select("doc_id", "n_feats", "logw_micro", "key", "prob", "n_chunks")
     )
 
@@ -1874,6 +1889,29 @@ def q_txt_embed(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return hashed_embedding_df(docs, dim=16)
+
+
+def q_txt_embed_stream(spark, sf_dir):
+    """Ingestion-time hashed embeddings (text.hashed_embedding_local_df):
+    the ZERO-SHUFFLE twin of txt_embed — per-bit votes come from the
+    row-local distinct-token hash array (filter-size counts, the simhash
+    'local' recipe kept real-valued), so every document embeds itself in
+    one projection: append-mode streaming-legal, no state, no watermark.
+    A crawl gets an embedding column AS IT LANDS, feeding the streaming
+    near-dup and ANN maintenance sinks.  Same oracle as txt_embed; the
+    batch/local twins are additionally differential-tested."""
+    from imops_spark.functions.text import hashed_embedding_local_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = hashed_embedding_local_df(stream, dim=16)
+    return run_stream_to_memory(out, "txt_embed_stream_gate", spark, mode="append")
 
 
 def q_txt_chunks(spark, sf_dir):
@@ -3430,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_dsir_stream": q_cur_dsir_stream,
         "cur_select2": q_cur_select2,
         "txt_embed": q_txt_embed,
+        "txt_embed_stream": q_txt_embed_stream,
         "txt_chunks": q_txt_chunks,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
@@ -4041,6 +4080,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cur_contam_bloom"] = oracles["cur_contam"]
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
+    oracles["txt_embed_stream"] = oracles["txt_embed"]
     # zero-shuffle streamed scoring must equal the batch classifier apply
     oracles["txt_classify_stream"] = oracles["txt_classify"]
     # the append-mode session stream, sentinel-flushed, must equal the full
@@ -5319,7 +5359,9 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(AVG(cpt), 6) AS avg_chars_per_token,
                    ROUND(AVG(stop_r), 6) AS avg_stopword_ratio,
                    ROUND(AVG(ttr), 6) AS avg_type_token_ratio,
-                   CAST(SUM(CASE WHEN n_tok < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+                   CAST(SUM(CASE WHEN n_tok < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   ROUND(CAST(SUM(CASE WHEN n_tok < 60 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(1), 6) AS short_frac
             FROM p GROUP BY 1
         """,
         "dd_simhash": _simhash_sql(),

@@ -52,9 +52,15 @@ __all__ = [
     "dsir_sample_df",
     "dsir_model_df",
     "dsir_score_local_df",
+    "dsir_feature_frame_df",
+    "dsir_model_from_features_df",
+    "dsir_logweights_from_features_df",
+    "dsir_sample_from_features_df",
     "classifier_score_df",
+    "classifier_score_from_features_df",
     "classifier_score_local_df",
     "classifier_train_df",
+    "classifier_train_early_stop_df",
     "keep_top_fraction_df",
 ]
 
@@ -485,8 +491,9 @@ def decontaminate_bloom_df(
 def corpus_profile_df(docs: DataFrame, min_tokens: int = 5, n_langs: int = 5) -> DataFrame:
     """Per-language corpus data card — the summary table a training-mix
     owner reads before touching the mixture weights: document/token/char
-    volumes, mean quality ratios, and the short-document fraction, grouped
-    by predicted language.
+    volumes, mean quality ratios, and the short-document count (``n_short``)
+    plus fraction (``short_frac = n_short / n_docs``), grouped by predicted
+    language.
 
     Plan shape (the whole point at 100 TB): every per-document metric —
     token counts, quality ratios (the ``text.quality_df`` arithmetic), and
@@ -531,6 +538,11 @@ def corpus_profile_df(docs: DataFrame, min_tokens: int = 5, n_langs: int = 5) ->
         F.round(F.avg("stop_r"), 6).alias("avg_stopword_ratio"),
         F.round(F.avg("ttr"), 6).alias("avg_type_token_ratio"),
         F.sum((F.col("n_tok") < int(min_tokens)).cast("bigint")).alias("n_short"),
+    ).withColumn(
+        # the FRACTION the docstring promises, next to the absolute count;
+        # a ratio of two bigints is the same double on every engine
+        "short_frac",
+        F.round(F.col("n_short") / F.col("n_docs"), 6),
     )
 
 
@@ -730,6 +742,210 @@ def _dsir_bucketed(d: DataFrame, B: int, salt: int, by_doc: bool = False) -> Dat
     )
 
 
+def _raw_hash_sql(expr: str, salt: int) -> str:
+    """The 60-bit md5 feature hash as SQL text BEFORE the bucket modulus
+    (the `% B`-free prefix of :func:`_bucket_hash_sql`) — what the shared
+    feature frame stores so ONE frame serves consumers with different
+    bucket counts."""
+    return (
+        f"CAST(conv(substring(md5(concat('{int(salt)}|', {expr})), 1, 15),"
+        f" 16, 10) AS BIGINT)"
+    )
+
+
+def dsir_feature_frame_df(
+    docs: DataFrame, salt: int = 50, by_doc: bool = True, carry: tuple = ()
+) -> DataFrame:
+    """The SHARED hashed-feature frame of the selection family:
+    ``(doc_id, fh array<long>)``, one COMPACT row per document holding the
+    60-bit md5 hashes of its unigram+bigram features (pre-modulus, so one
+    frame serves any ``num_buckets``).  Derive it ONCE, ``persist()`` it,
+    and feed every ``*_from_features`` twin — classifier apply, DSIR model
+    fit, DSIR scoring/sampling — from the same materialization.
+
+    Why this exists: a selection pipeline (classifier filter -> DSIR fit
+    on survivors -> importance sampling) otherwise re-derives the same
+    normalize/tokenize/bigram/md5 work per stage — at sf0.1 the composed
+    ``cur_select2`` plan scanned and re-featurized ``documents`` three
+    times, and at 100 TB the duplicated feature extraction dominates the
+    job.  The compact array form keeps the persisted footprint at ~8
+    bytes per feature occurrence (no per-row doc_id repetition), and
+    ``by_doc=True`` pre-partitions by doc_id so every consumer's final
+    ``groupBy(doc_id)`` is satisfied by the persisted partitioning —
+    explode preserves partitioning, so scoring needs ZERO further
+    exchanges of the wide feature stream.
+
+    Zero-token documents keep an empty array here and vanish on the
+    consumers' explode — identical absence semantics to the inline paths
+    (differential-tested).
+
+    ``carry`` names extra input columns to ride along (e.g. a language
+    tag, a precomputed chunk budget): they let a whole selection pipeline
+    derive EVERYTHING from this one frame instead of re-scanning the
+    corpus for metadata.  Consumers prune them automatically."""
+    from ..utils import quote_carry
+    from .dedup import normalized_text
+
+    carry = quote_carry(carry, frozenset({"doc_id", "toks", "fh"}))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        *carry,
+        F.array_remove(F.split(normalized_text(), " "), "").alias("toks"),
+    )
+    if by_doc:
+        base = base.repartition("doc_id")
+    return base.selectExpr(
+        "doc_id",
+        *carry,
+        f"transform({_feature_array_sql()}, f -> {_raw_hash_sql('f', salt)}) AS fh",
+    )
+
+
+def _explode_bucketed(frame: DataFrame, B: int) -> DataFrame:
+    """Shared-frame -> exploded ``(doc_id, bucket)`` stream (the
+    :func:`_dsir_bucketed` shape, minus the re-derivation): explode the
+    persisted hash arrays and apply this consumer's modulus.  The stored
+    hash is non-negative, so ``%`` equals pmod."""
+    return frame.select("doc_id", F.explode("fh").alias("__fh")).select(
+        "doc_id", (F.col("__fh") % F.lit(int(B))).alias("bucket")
+    )
+
+
+def dsir_model_from_features_df(
+    raw_frame: DataFrame,
+    target_frame: DataFrame,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """:func:`dsir_model_df` fed from persisted
+    :func:`dsir_feature_frame_df` frames instead of raw documents — same
+    output, same tagged-union single-aggregation plan, no re-featurizing.
+    Both frames must share the salt they were built with."""
+    B = int(num_buckets)
+    a = float(add_k)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if a <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    from pyspark.sql import Window
+
+    tagged = _explode_bucketed(target_frame, B).select(
+        "bucket", F.lit(1).alias("is_tgt")
+    ).unionAll(
+        _explode_bucketed(raw_frame, B).select("bucket", F.lit(0).alias("is_tgt"))
+    )
+    everything = Window.partitionBy()  # <= B rows: single-partition sums
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.sum("is_tgt").cast("long").alias("tc"),
+            F.sum(F.lit(1) - F.col("is_tgt")).cast("long").alias("rc"),
+        )
+        .withColumn("tt", F.sum("tc").over(everything))
+        .withColumn("rt", F.sum("rc").over(everything))
+        .selectExpr(
+            "bucket", "tc", "rc", "tt", "rt",
+            f"{_dsir_lrm_sql(a, a * B)} AS lrm",
+        )
+    )
+
+
+def dsir_logweights_from_features_df(
+    frame: DataFrame, model: DataFrame, num_buckets: int = 1024
+) -> DataFrame:
+    """:func:`dsir_logweights_df`'s scoring half over a persisted feature
+    frame and a pre-fit model: broadcast model join + one ``groupBy
+    (doc_id)`` that the frame's doc_id partitioning already satisfies.
+    Buckets absent from the model score NULL — fit the model on (a
+    superset of) the scored corpus, or use :func:`dsir_score_local_df`
+    whose dense array fills unseen buckets with the smoothing prior."""
+    B = int(num_buckets)
+    return (
+        _explode_bucketed(frame, B)
+        .join(F.broadcast(model.select("bucket", "lrm")), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lrm").alias("logw_micro"),
+        )
+    )
+
+
+def _gumbel_topk(w: DataFrame, k: int, salt: int, gumbel: bool) -> DataFrame:
+    """Shared tail of both DSIR samplers: deterministic md5-derived Gumbel
+    key in integer micro-nats, global top-k as TakeOrderedAndProject."""
+    from .dedup import _md5_hash_col
+
+    if gumbel:
+        h = _md5_hash_col(F.col("doc_id").cast("string"), salt + 1)
+        u = (h % F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
+        key = F.col("logw_micro") + F.round(-F.log(-F.log(u)) * 1_000_000).cast(
+            "long"
+        )
+    else:
+        key = F.col("logw_micro")
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def dsir_sample_from_features_df(
+    frame: DataFrame,
+    target_frame: DataFrame,
+    k: int,
+    num_buckets: int = 1024,
+    add_k: float = 1.0,
+    salt: int = 50,
+    gumbel: bool = True,
+) -> DataFrame:
+    """:func:`dsir_sample_df` over persisted feature frames: fit the model
+    and score from the SAME materialization (``salt`` must match the
+    frames' build salt — it also seeds the Gumbel keys)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    model = dsir_model_from_features_df(
+        frame, target_frame, num_buckets=num_buckets, add_k=add_k
+    )
+    w = dsir_logweights_from_features_df(frame, model, num_buckets=num_buckets)
+    return _gumbel_topk(w, k, salt, gumbel)
+
+
+def classifier_score_from_features_df(
+    frame: DataFrame,
+    weights: DataFrame,
+    num_buckets: int = 1024,
+    bias: float = 0.0,
+) -> DataFrame:
+    """:func:`classifier_score_df` over a persisted
+    :func:`dsir_feature_frame_df` (same salt as training): broadcast
+    weight join + one doc_id aggregation the frame's partitioning already
+    satisfies."""
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    bias_micro = round(float(bias) * 1_000_000)
+    wm = _assert_unique_buckets(
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("CAST(ROUND(weight * 1000000) AS BIGINT)").alias("w_micro"),
+        ),
+        "w_micro",
+        "classifier_score_from_features_df",
+    )
+    agg = (
+        _explode_bucketed(frame, B)
+        .join(F.broadcast(wm), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.coalesce("w_micro", F.lit(0))).alias("s"),
+        )
+    )
+    return _logit_prob_df(agg, bias_micro)
+
+
 def _dsir_lrm_sql(a: float, aB: float, tc: str = "tc", rc: str = "rc") -> str:
     # textual twin of the oracle's formula: integer inputs -> identical
     # doubles -> identical LN -> identical micro grid in both engines.
@@ -889,24 +1105,10 @@ def dsir_sample_df(
     heaps + a driver merge of k rows, never a full sort shuffle."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from .dedup import _md5_hash_col
-
     w = dsir_logweights_df(
         docs, target_docs, num_buckets=num_buckets, add_k=add_k, salt=salt
     )
-    if gumbel:
-        h = _md5_hash_col(F.col("doc_id").cast("string"), salt + 1)
-        u = (h % F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
-        key = F.col("logw_micro") + F.round(-F.log(-F.log(u)) * 1_000_000).cast(
-            "long"
-        )
-    else:
-        key = F.col("logw_micro")
-    return (
-        w.withColumn("key", key)
-        .orderBy(F.desc("key"), F.asc("doc_id"))
-        .limit(int(k))
-    )
+    return _gumbel_topk(w, k, salt, gumbel)
 
 
 def classifier_score_df(
@@ -1090,9 +1292,57 @@ def classifier_train_df(
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
     if steps < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")
-    import numpy as np
+    weights_df, bias, _ = _classifier_train_impl(
+        docs, label_col, B, salt, int(steps), float(lr), float(l2), None, 0, 0.0
+    )
+    return weights_df, bias
 
-    spark = docs.sparkSession
+
+def classifier_train_early_stop_df(
+    docs: DataFrame,
+    dev_docs: DataFrame,
+    label_col: str = "label",
+    num_buckets: int = 1024,
+    salt: int = 50,
+    max_steps: int = 200,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    patience: int = 3,
+    min_delta: float = 0.0,
+) -> tuple[DataFrame, float, list[float]]:
+    """:func:`classifier_train_df` with DEV-SET EARLY STOPPING: train up
+    to ``max_steps`` full-batch GD steps, evaluate held-out log-loss on
+    ``dev_docs`` after every step (one extra job over the PERSISTED dev
+    feature frame — the corpus is never re-featurized), and stop once the
+    loss hasn't improved by more than ``min_delta`` for ``patience``
+    consecutive evaluations.  Returns ``(weights_df, bias, history)``
+    where ``history`` is the per-step dev-loss trace (its length tells
+    you when training stopped) and the returned weights are the BEST
+    snapshot, not the last — the standard guard against overfitting past
+    the dev minimum.  Same determinism caveat as the base trainer (float
+    gradient order); the dev trace is what tests pin instead."""
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if max_steps < 1:
+        raise ValueError(f"max_steps must be >= 1, got {max_steps}")
+    if patience < 1:
+        raise ValueError(f"patience must be >= 1, got {patience}")
+    return _classifier_train_impl(
+        docs,
+        label_col,
+        B,
+        salt,
+        int(max_steps),
+        float(lr),
+        float(l2),
+        dev_docs,
+        int(patience),
+        float(min_delta),
+    )
+
+
+def _labeled_features(docs, label_col, salt, B):
     from .dedup import normalized_text
 
     lab = (
@@ -1107,22 +1357,49 @@ def classifier_train_df(
         f"transform({_feature_array_sql()}, f ->"
         f" {_bucket_hash_sql('f', salt, B, plus_one=False)})"
     )
-    base = lab.selectExpr("y", f"{feat} AS fb").persist()
+    return lab.selectExpr("y", f"{feat} AS fb")
+
+
+# sigmoid of the row-local mean-weight fold — shared by the gradient and
+# the dev-loss evaluation so both score EXACTLY the same model
+def _fold_prob_sql(bias: float) -> str:
+    return (
+        f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE)"
+        f" - ({bias!r}D + aggregate(fb, CAST(0 AS DOUBLE),"
+        f" (a, b) -> a + element_at(__w, b + 1)) / size(fb))))"
+    )
+
+
+def _classifier_train_impl(
+    docs, label_col, B, salt, steps, lr, l2, dev_docs, patience, min_delta
+):
+    import numpy as np
+
+    spark = docs.sparkSession
+    base = _labeled_features(docs, label_col, salt, B).persist()
+    dev = (
+        _labeled_features(dev_docs, label_col, salt, B).persist()
+        if dev_docs is not None
+        else None
+    )
     try:
         n_docs = base.count()  # also materializes the persisted features
         if n_docs == 0:
             raise ValueError("classifier_train_df: no labeled, tokenized rows")
+        if dev is not None and dev.count() == 0:
+            raise ValueError("classifier_train_early_stop_df: empty dev set")
         w = np.zeros(B)
         bias = 0.0
+        best = (float("inf"), w.copy(), bias)
+        sig_ref = float("inf")
+        bad = 0
+        history: list[float] = []
         for _ in range(int(steps)):
             wdf = spark.createDataFrame(
                 [([float(x) for x in w],)], "__w array<double>"
             )
             resid = base.crossJoin(F.broadcast(wdf)).selectExpr(
-                "fb",
-                f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE)"
-                f" - ({bias!r}D + aggregate(fb, CAST(0 AS DOUBLE),"
-                f" (a, b) -> a + element_at(__w, b + 1)) / size(fb)))) - y AS r",
+                "fb", f"{_fold_prob_sql(bias)} - y AS r"
             )
             # ONE action per step: a sentinel bucket -1 rides the explode
             # carrying the undivided residual, so the bias gradient comes
@@ -1148,12 +1425,44 @@ def classifier_train_df(
                     gvec[row["bucket"]] = row["g"]
             w -= float(lr) * (gvec / n_docs + float(l2) * w)
             bias -= float(lr) * float(bias_g) / n_docs
+            if dev is not None:
+                wdf2 = spark.createDataFrame(
+                    [([float(x) for x in w],)], "__w array<double>"
+                )
+                loss = float(
+                    dev.crossJoin(F.broadcast(wdf2))
+                    .selectExpr(f"{_fold_prob_sql(bias)} AS p", "y")
+                    .selectExpr(
+                        "-(y * LN(GREATEST(p, 1e-12D))"
+                        " + (1D - y) * LN(GREATEST(1D - p, 1e-12D))) AS l"
+                    )
+                    .agg(F.avg("l"))
+                    .collect()[0][0]
+                )
+                history.append(loss)
+                # best snapshot tracks ANY improvement; patience counts
+                # only SIGNIFICANT ones (> min_delta vs the last
+                # significant mark) — otherwise a slow sub-min_delta
+                # descent would return a stale snapshot above min(history)
+                if loss < best[0]:
+                    best = (loss, w.copy(), bias)
+                if sig_ref - loss > min_delta:
+                    sig_ref = loss
+                    bad = 0
+                else:
+                    bad += 1
+                    if bad >= patience:
+                        break
+        if dev is not None and best[0] < float("inf"):
+            _, w, bias = best
     finally:
         base.unpersist()
+        if dev is not None:
+            dev.unpersist()
     weights_df = spark.createDataFrame(
         [(int(b), float(w[b])) for b in range(B)], "bucket long, weight double"
     )
-    return weights_df, float(bias)
+    return weights_df, float(bias), history
 
 
 def keep_top_fraction_df(

@@ -48,6 +48,7 @@ __all__ = [
     "remove_boilerplate_lines_df",
     "chunk_documents_df",
     "hashed_embedding_df",
+    "hashed_embedding_local_df",
 ]
 
 # Tiny multilingual stopword sets; deterministic, used for quality scoring.
@@ -1043,3 +1044,66 @@ def hashed_embedding_df(docs: DataFrame, dim: int = 32) -> DataFrame:
     return agg.selectExpr(
         "doc_id", f"SQRT(CAST({sq} AS DOUBLE)) AS __n", *[f"v{b}" for b in range(d)]
     ).selectExpr("doc_id", f"array({comps}) AS embedding")
+
+
+def hashed_embedding_local_df(docs: DataFrame, dim: int = 32) -> DataFrame:
+    """ZERO-SHUFFLE, streaming-legal twin of :func:`hashed_embedding_df`
+    (value-identical, differential-tested): the per-bit ±1 vote sums come
+    from the row-local distinct-token hash ARRAY — vote ``b`` is
+    ``2 * size(filter(hs, bit b set)) - size(hs)`` (the ``simhash_df
+    strategy='local'`` recipe kept real-valued) — so every document
+    embeds itself in one projection with no explode, no aggregation, no
+    exchange.  Append-mode streaming-legal: a crawl can be embedded AS IT
+    LANDS, feeding the streaming near-dup / ANN maintenance sinks.
+
+    JIT NOTE (why this is NOT the batch default): row-local higher-order
+    functions evaluate on the interpreted expression path and share call
+    sites across operators — under mixed long-session workloads that goes
+    megamorphic and bimodal (the measured dd_simhash 1 s/15 s hazard).
+    Batch jobs should keep :func:`hashed_embedding_df`'s whole-stage-
+    codegen'd vote aggregation; this twin exists for streams, where
+    aggregation after the stateful op is illegal anyway.
+
+    The hash array ``hs`` is materialized as its own projection column
+    and only ever referenced as a top-level HOF argument — safe from the
+    CollapseProject per-lambda re-evaluation trap (project-level CSE
+    covers HOF arguments; lambda-BODY references are the dangerous
+    form)."""
+    from .dedup import normalized_text
+
+    d = int(dim)
+    if not 1 <= d <= 60:
+        raise ValueError(f"dim must be in 1..60, got {dim}")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.array_remove(F.split(normalized_text(), r"\s+"), "")
+            ).alias("tok"),
+        )
+        .filter(F.size("tok") > 0)
+    )
+    hs = (
+        "transform(tok, x -> CAST(conv(substring(md5(concat('0|', x)), 1, 15),"
+        " 16, 10) AS BIGINT))"
+    )
+    votes = [
+        f"size(filter(hs, h -> shiftright(h, {b}) % 2 = 1)) * 2"
+        f" - size(hs) AS v{b}"
+        for b in range(d)
+    ]
+    sq = " + ".join(f"v{b} * v{b}" for b in range(d))
+    comps = ", ".join(
+        f"ROUND(IF(__n = 0D, 0D, v{b} / __n), 6)" for b in range(d)
+    )
+    return (
+        toks.selectExpr("doc_id", f"{hs} AS hs")
+        .selectExpr("doc_id", *votes)
+        .selectExpr(
+            "doc_id",
+            f"SQRT(CAST({sq} AS DOUBLE)) AS __n",
+            *[f"v{b}" for b in range(d)],
+        )
+        .selectExpr("doc_id", f"array({comps}) AS embedding")
+    )

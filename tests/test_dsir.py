@@ -537,7 +537,7 @@ def test_snapshot_diff_stream_matches_batch_minus_removed(spark, tmp_path):
     src = str(tmp_path / "new")
     spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
-    out = snapshot_diff_stream_df(stream, old)
+    out = snapshot_diff_stream_df(stream, old_docs=old)
     assert out.isStreaming
     got = run_stream_to_memory(out, "snapdiff_stream_t", spark, mode="append")
     want = snapshot_diff_df(
@@ -547,3 +547,153 @@ def test_snapshot_diff_stream_matches_batch_minus_removed(spark, tmp_path):
     # and the statuses themselves are right
     st = {r["doc_id"]: r["status"] for r in got.collect()}
     assert st == {1: "unchanged", 3: "changed", 4: "unchanged", 9: "added"}
+
+
+def test_feature_frame_twins_are_value_identical(spark):
+    """Every *_from_features twin fed from one shared dsir_feature_frame_df
+    must equal its inline counterpart bit-for-bit — the single-derivation
+    contract that lets a selection pipeline persist the frame once."""
+    from imops_spark.functions.curate import (
+        classifier_score_df,
+        classifier_score_from_features_df,
+        dsir_feature_frame_df,
+        dsir_logweights_from_features_df,
+        dsir_model_df,
+        dsir_model_from_features_df,
+        dsir_sample_df,
+        dsir_sample_from_features_df,
+    )
+
+    docs = _corpus(spark)
+    target = _target(spark)
+    B = 64
+    frame = dsir_feature_frame_df(docs)
+    tframe = dsir_feature_frame_df(target)
+
+    m_new = {r["bucket"]: tuple(r) for r in dsir_model_from_features_df(
+        frame, tframe, num_buckets=B).collect()}
+    m_old = {r["bucket"]: tuple(r) for r in dsir_model_df(
+        docs, target, num_buckets=B).collect()}
+    assert m_new == m_old and m_new
+
+    w_new = {r["doc_id"]: (r["n_feats"], r["logw_micro"]) for r in
+             dsir_logweights_from_features_df(
+                 frame, dsir_model_from_features_df(frame, tframe, num_buckets=B),
+                 num_buckets=B).collect()}
+    w_old = {r["doc_id"]: (r["n_feats"], r["logw_micro"]) for r in
+             dsir_logweights_df(docs, target, num_buckets=B).collect()}
+    assert w_new == w_old and 90 not in w_new and 91 not in w_new
+
+    s_new = [tuple(r) for r in dsir_sample_from_features_df(
+        frame, tframe, k=4, num_buckets=B).collect()]
+    s_old = [tuple(r) for r in dsir_sample_df(
+        docs, target, k=4, num_buckets=B).collect()]
+    assert s_new == s_old and len(s_new) == 4
+
+    weights = spark.range(B).selectExpr(
+        "id AS bucket", "CAST((id * 37) % 101 AS DOUBLE) / 101 - 0.5 AS weight"
+    )
+    c_new = {r["doc_id"]: tuple(r) for r in classifier_score_from_features_df(
+        frame, weights, num_buckets=B, bias=0.25).collect()}
+    c_old = {r["doc_id"]: tuple(r) for r in classifier_score_df(
+        docs, weights, num_buckets=B, bias=0.25).collect()}
+    assert c_new == c_old and c_new
+
+
+def test_feature_frame_carry_and_one_scan(spark, tmp_path):
+    """Carry columns ride through the frame untouched (reserved names
+    raise), and a composed classifier+DSIR consumer plan over one
+    localCheckpoint-ed frame scans the parquet source exactly once."""
+    import pytest
+
+    from imops_spark.functions.curate import (
+        classifier_score_from_features_df,
+        dsir_feature_frame_df,
+        dsir_sample_from_features_df,
+    )
+
+    p = str(tmp_path / "docs")
+    _corpus(spark).withColumn("lang", F.lit("en")).write.parquet(p)
+    docs = spark.read.parquet(p)
+    frame = dsir_feature_frame_df(docs, carry=("lang",))
+    assert frame.columns == ["doc_id", "lang", "fh"]
+    with pytest.raises(ValueError, match="reserved"):
+        dsir_feature_frame_df(docs, carry=("toks",))
+
+    ck = frame.localCheckpoint(eager=False)
+    weights = spark.range(64).selectExpr(
+        "id AS bucket", "CAST(id AS DOUBLE) / 64 - 0.5 AS weight"
+    )
+    scored = classifier_score_from_features_df(ck, weights, num_buckets=64)
+    keep = scored.filter(F.col("prob") >= 0.5).select("doc_id")
+    surv = ck.join(keep, "doc_id", "left_semi")
+    out = dsir_sample_from_features_df(
+        surv, surv.filter(F.col("lang") == "en"), k=3, num_buckets=64
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # everything reads the checkpoint
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_train_early_stopping_stops_and_keeps_best(spark):
+    """With a dev set, training must stop well before max_steps once the
+    held-out loss plateaus (patience), return the BEST-snapshot weights,
+    and the dev-loss history must actually descend from the w=0 start."""
+    import math as m
+
+    from imops_spark.functions.curate import (
+        classifier_score_local_df,
+        classifier_train_early_stop_df,
+    )
+
+    docs, labels = _labeled_corpus(spark)
+    # held-out split: last repetition block as dev (distinct doc_ids)
+    dev = docs.filter(F.col("doc_id") >= 42)
+    train = docs.filter(F.col("doc_id") < 42)
+    wdf, bias, hist = classifier_train_early_stop_df(
+        train,
+        dev,
+        num_buckets=256,
+        max_steps=200,
+        lr=4.0,
+        patience=3,
+        min_delta=2e-2,
+    )
+    # plateau detection fired: nowhere near the 200-step budget (the
+    # mean-feature parameterization descends logarithmically, so the
+    # per-step gain sinks below min_delta long before convergence)
+    assert 4 <= len(hist) < 100
+    assert hist[0] < m.log(2)  # first step already beats the w=0 loss
+    assert min(hist) <= hist[0]
+    # the returned snapshot is the best one: rescoring dev with the
+    # returned weights reproduces min(hist) up to float association
+    got = {
+        r["doc_id"]: r["prob"]
+        for r in classifier_score_local_df(
+            dev.select("doc_id", "text"), wdf, num_buckets=256, bias=bias
+        ).collect()
+    }
+    eps = 1e-12
+    dev_loss = -sum(
+        m.log(max(p, eps)) if labels[d] == 1.0 else m.log(max(1 - p, eps))
+        for d, p in got.items()
+    ) / len(got)
+    # the apply path quantizes weights/logits to the micro grid and
+    # rounds prob at 6, so equality holds only up to that grain
+    assert abs(dev_loss - min(hist)) < 1e-4
+    # and the model still separates the classes
+    acc = sum((p > 0.5) == (labels[d] > 0.5) for d, p in got.items()) / len(got)
+    assert acc == 1.0
+
+
+def test_train_early_stopping_validation(spark):
+    from imops_spark.functions.curate import classifier_train_early_stop_df
+
+    docs, _ = _labeled_corpus(spark)
+    empty = docs.filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="patience"):
+        classifier_train_early_stop_df(docs, docs, patience=0)
+    with pytest.raises(ValueError, match="dev"):
+        classifier_train_early_stop_df(docs, empty, num_buckets=64, max_steps=2)

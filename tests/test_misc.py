@@ -811,3 +811,49 @@ def test_bench_contention_stats_flags_loaded_run():
     # two-pass fallback: with no steady-state pair, both passes count
     s = bench.contention_stats({"q1": [1.0, 0.2]})
     assert s["spread_max_over_min"]["q1"] == 5.0
+
+
+def test_top_items_param_validation(spark):
+    """max_tracked=0 must RAISE, not silently fall back to the 10000
+    default (the `if max_tracked` falsy trap), and garbage values must not
+    reach the generated SQL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.sketch import top_items_df
+
+    df = spark.range(10).select((F.col("id") % 5).alias("v"))
+    with pytest.raises(ValueError, match="max_tracked"):
+        top_items_df(df, "v", k=5, max_tracked=0)
+    with pytest.raises(ValueError, match="max_tracked"):
+        top_items_df(df, "v", k=5, max_tracked=3)  # < k
+    with pytest.raises(ValueError, match="k must be positive"):
+        top_items_df(df, "v", k=0)
+    # a valid explicit max_tracked still works
+    assert top_items_df(df, "v", k=5, max_tracked=5).count() == 5
+
+
+def test_corpus_profile_short_frac(spark):
+    """short_frac must be exactly n_short / n_docs per language row."""
+    from imops_spark.functions.curate import corpus_profile_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = corpus_profile_df(docs, min_tokens=60).collect()
+    assert rows
+    for r in rows:
+        assert r["short_frac"] == round(r["n_short"] / r["n_docs"], 6)
+
+
+def test_snapshot_diff_stream_old_docs_is_keyword_only(spark):
+    """The reversed-parameter silent-swap hazard vs snapshot_diff_df is
+    closed: positional old_docs must TypeError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.dedup import snapshot_diff_stream_df
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(TypeError):
+        snapshot_diff_stream_df(docs, docs)
+    out = snapshot_diff_stream_df(docs, old_docs=docs)
+    assert out.filter(F.col("status") == "unchanged").count() == 1

@@ -376,3 +376,66 @@ def test_hashed_embedding_matches_python(spark):
 
     with _pytest.raises(ValueError, match="dim"):
         hashed_embedding_df(docs, dim=61)
+
+
+def test_hashed_embedding_local_twin_identical_and_shuffle_free(spark):
+    """hashed_embedding_local_df (row-local filter-size votes — the
+    streaming formulation) must be value-identical to the batch aggregate
+    path, keep identical absence semantics (NULL text, zero tokens), and
+    plan ZERO exchanges (append-mode streaming legality)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.text import (
+        hashed_embedding_df,
+        hashed_embedding_local_df,
+    )
+
+    rows = [(i, f"alpha tok{i % 7} beta tok{(i * 3) % 5} gamma") for i in range(40)]
+    rows += [(90, "   "), (91, None), (92, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["embedding"] for r in hashed_embedding_df(docs, dim=12).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in hashed_embedding_local_df(docs, dim=12).collect()}
+    assert a == b
+    assert 90 not in b and 91 not in b and 92 in b
+    plan = (
+        hashed_embedding_local_df(docs, dim=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="dim"):
+        hashed_embedding_local_df(docs, dim=61)
+
+
+def test_hashed_embedding_local_is_streaming_legal(spark, tmp_path):
+    """The local twin must run as an append-mode stream and produce the
+    batch answer."""
+    from imops_spark.functions.text import (
+        hashed_embedding_df,
+        hashed_embedding_local_df,
+    )
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    p = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 7) % 11} common") for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(p)
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in run_stream_to_memory(
+            hashed_embedding_local_df(stream, dim=10),
+            "hashed_embed_stream_test",
+            spark,
+            mode="append",
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding_df(docs, dim=10).collect()
+    }
+    assert got == want and len(got) == 60
