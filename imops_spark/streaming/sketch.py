@@ -50,7 +50,147 @@ __all__ = [
     "read_distinct_sketch_log",
     "start_freq_sketch_maintenance",
     "freq_log_estimates",
+    "compact_sketch_log",
 ]
+
+
+def _effective_log(log: DataFrame) -> DataFrame:
+    """Apply compaction visibility to a raw sketch-log read.
+
+    :func:`compact_sketch_log` stores each writer's merged history as ONE
+    partition with a NEGATIVE batch id ``-(covered_through + 1)``; raw
+    batch partitions it covered become garbage the moment the new row
+    lands, and are deleted afterwards.  Readers therefore keep, per
+    writer: the MOST NEGATIVE row (the latest compaction — a crash
+    between writing a new compacted row and deleting the stale one can
+    leave both) plus raw rows STRICTLY ABOVE its coverage.  With no
+    compacted row the filter passes everything (coverage is -1).  This
+    rule is what makes compaction crash-consistent: at every
+    intermediate state the visible set covers each batch exactly once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("writer_id")
+    m = log.withColumn("__minb", F.min("batch_id").over(w))
+    covered = F.when(F.col("__minb") < 0, -F.col("__minb") - 1).otherwise(
+        F.lit(-1)
+    )
+    return m.filter(
+        ((F.col("batch_id") >= 0) & (F.col("batch_id") > covered))
+        | ((F.col("batch_id") < 0) & (F.col("batch_id") == F.col("__minb")))
+    ).drop("__minb")
+
+
+def compact_sketch_log(spark: SparkSession, path: str, keys: Sequence[str] = ()) -> int:
+    """Fold a sketch log's COMMITTED history so reader cost stays
+    ``O(groups)``, not ``O(batches)``: per writer, every partial below the
+    writer's newest batch merges into one row per group, written as the
+    single negative-batch partition ``batch_id = -(covered_through + 1)``
+    (see :func:`_effective_log` for the visibility rule), and the covered
+    partitions are deleted.  Returns the number of partitions removed.
+
+    The newest batch per writer stays RAW on purpose: it is the only
+    batch a checkpoint restart can replay, and replay safety is partition
+    ownership — the replayed write must find its own partition to
+    overwrite.  Everything below it is checkpoint-committed and will
+    never be written again, so merging it is safe even while the stream
+    is live (same single-writer contract as every maintenance sink here:
+    one compactor at a time, readers tolerate in-flight writes).
+
+    Crash behavior: the merged row is written BEFORE any deletion, and
+    readers resolve duplication by the most-negative-wins rule, so a
+    crash at any point leaves a readable log; re-running the compaction
+    finishes the garbage collection.  Works for both log kinds (HLL
+    ``distinct_sketch`` merges relationally via ``hll_union_agg``;
+    Count-Min ``freq_sketch`` blobs fold driver-side — the log is bounded
+    by construction, which is the point of this function)."""
+    keys = list(keys)
+    log = spark.read.parquet(path)
+    kind = "freq" if "freq_sketch" in log.columns else "distinct"
+    from pyspark.sql import Window
+
+    eff = _effective_log(log)
+    w = Window.partitionBy("writer_id")
+    mergeable = eff.withColumn("__maxb", F.max("batch_id").over(w)).filter(
+        F.col("batch_id") < F.col("__maxb")
+    )
+    # per-writer plan: new coverage + whether any RAW rows actually merge
+    # (a writer whose only mergeable row is its old compacted row is
+    # already compact — skip it)
+    plan = {
+        r["writer_id"]: int(r["cov"])
+        for r in mergeable.groupBy("writer_id")
+        .agg(
+            F.max(
+                F.when(F.col("batch_id") >= 0, F.col("batch_id")).otherwise(
+                    -F.col("batch_id") - 1
+                )
+            ).alias("cov"),
+            F.sum((F.col("batch_id") >= 0).cast("int")).alias("n_raw"),
+        )
+        .filter(F.col("n_raw") > 0)
+        .collect()
+    }
+    if not plan:
+        return 0
+    todo = mergeable.filter(F.col("writer_id").isin(list(plan)))
+    data_cols = [c for c in log.columns if c not in ("writer_id", "batch_id")]
+    if kind == "distinct":
+        merged = todo.groupBy("writer_id", *keys).agg(
+            F.expr("hll_union_agg(distinct_sketch, false)").alias(
+                "distinct_sketch"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    else:
+        rows = todo.select("writer_id", *keys, "freq_sketch", "n_rows").collect()
+        by_group: dict = {}
+        for r in rows:
+            gk = (r["writer_id"],) + tuple(r[k] for k in keys)
+            blob, n = by_group.get(gk, (None, 0))
+            fused = (
+                bytes(r["freq_sketch"])
+                if blob is None
+                else cms_merge(spark, [blob, bytes(r["freq_sketch"])])
+            )
+            by_group[gk] = (fused, n + int(r["n_rows"]))
+        out_schema = todo.select("writer_id", *keys, "freq_sketch", "n_rows").schema
+        merged = spark.createDataFrame(
+            [(*gk, blob, n) for gk, (blob, n) in sorted(
+                by_group.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+            )],
+            out_schema,
+        )
+    cov_df = spark.createDataFrame(
+        [(wid, -(c + 1)) for wid, c in sorted(plan.items())],
+        "writer_id string, batch_id int",
+    )
+    out = merged.join(cov_df, "writer_id").select(*data_cols, "writer_id", "batch_id")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("writer_id", "batch_id")
+        .parquet(path)
+    )
+    # GC: everything the new compacted rows cover — raw batches <= cov and
+    # any STALE negative partition from an earlier compaction
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    removed = 0
+    for wid, c in plan.items():
+        wdir = jvm.org.apache.hadoop.fs.Path(root, f"writer_id={wid}")
+        if not fs.exists(wdir):
+            continue
+        for st in fs.listStatus(wdir):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if (0 <= b <= c) or (b < 0 and b != -(c + 1)):
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(f"failed to delete {st.getPath()}")
+                removed += 1
+    return removed
 
 
 def _start(stream: DataFrame, partial_fn, path: str, checkpoint, available_now):
@@ -140,7 +280,7 @@ def read_distinct_sketch_log(
 ) -> DataFrame:
     """Merge every batch's HLL partials in the log: ``(*keys,
     approx_distinct, n_rows)`` for the full ingested stream."""
-    log = spark.read.parquet(path).drop("writer_id", "batch_id")
+    log = _effective_log(spark.read.parquet(path)).drop("writer_id", "batch_id")
     return merge_distinct_sketches(log, keys=list(keys))
 
 
@@ -185,7 +325,7 @@ def freq_log_estimates(
     ungrouped).  Driver-side fold over one small blob per (batch, group) —
     bounded by the log, not the stream."""
     keys = list(keys)
-    log = spark.read.parquet(path)
+    log = _effective_log(spark.read.parquet(path))
     rows = log.select(*keys, "freq_sketch").collect()
     if not keys:
         if not rows:  # never-fired stream: every count is provably zero

@@ -118,3 +118,109 @@ def test_streamed_freq_log_equals_batch(spark, tmp_path):
     # eps*n bound with few distinct values: estimates are the exact counts
     exact = {r["v"]: r["c"] for r in both.groupBy("v").agg(F.count("*").alias("c")).collect()}
     assert dict(got) == exact
+
+
+def test_compaction_preserves_estimates_and_bounds_log(spark, tmp_path):
+    """compact_sketch_log must fold every committed batch into one row per
+    (writer, group), keep the newest batch raw (the only replayable one),
+    leave all estimates identical, and be idempotent."""
+    from imops_spark.streaming.sketch import compact_sketch_log
+
+    schema = "g string, v long"
+    log = str(tmp_path / "dlog")
+    # one writer, several batches: append files into ONE source dir and
+    # drain through ONE checkpoint so batch ids advance 0,1,2
+    ck = str(tmp_path / "ck")
+    indir = str(tmp_path / "in")
+    for lo, hi in [(0, 300), (300, 600), (600, 900)]:
+        (
+            spark.range(lo, hi)
+            .select(
+                (F.col("id") % 3).cast("string").alias("g"),
+                (F.col("id") % 41).alias("v"),
+            )
+            .write.mode("append")
+            .parquet(indir)
+        )
+        q = start_distinct_sketch_maintenance(
+            spark.readStream.schema(schema).parquet(indir),
+            ["g"], "v", log, checkpoint=ck,
+        )
+        q.awaitTermination(120)
+    before = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    n_before = spark.read.parquet(log).count()
+    removed = compact_sketch_log(spark, log, keys=["g"])
+    assert removed >= 1
+    after = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    assert after == before
+    raw = spark.read.parquet(log)
+    n_after = raw.count()
+    assert n_after < n_before
+    # exactly one negative (compacted) partition; the newest batch raw
+    bids = sorted({r["batch_id"] for r in raw.select("batch_id").collect()})
+    assert sum(1 for b in bids if b < 0) == 1
+    assert max(bids) >= 0
+    # idempotent: nothing new to fold
+    assert compact_sketch_log(spark, log, keys=["g"]) == 0
+    assert {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    } == before
+
+
+def test_compaction_freq_log_and_stale_negative_tolerated(spark, tmp_path):
+    """Count-Min compaction: estimates identical after folding; a STALE
+    negative partition (crash between write and GC of an earlier
+    compaction) is ignored by readers and swept by the next run."""
+    from imops_spark.streaming.sketch import compact_sketch_log
+
+    src = _src(spark, tmp_path, "in", 0, 500)
+    batch = spark.read.parquet(src)
+    log = str(tmp_path / "flog")
+    for bid in range(3):
+        (
+            freq_sketch_by(batch, ["g"], "v", eps=0.001)
+            .withColumn("writer_id", F.lit("w1"))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("writer_id", "batch_id")
+            .parquet(log)
+        )
+    items = ["0", "1", "40", "missing"]
+    before = freq_log_estimates(spark, log, items, keys=["g"])
+    assert compact_sketch_log(spark, log, keys=["g"]) >= 1
+    assert freq_log_estimates(spark, log, items, keys=["g"]) == before
+    # plant a stale, SHALLOWER compaction row (covers through batch 0 only)
+    # as if an old compaction's GC never ran: readers must ignore it
+    (
+        freq_sketch_by(batch, ["g"], "v", eps=0.001)
+        .withColumn("writer_id", F.lit("w1"))
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("append")
+        .partitionBy("writer_id", "batch_id")
+        .parquet(log)
+    )
+    assert freq_log_estimates(spark, log, items, keys=["g"]) == before
+    # a fresh batch arrives; the next compaction folds it and sweeps the
+    # stale row
+    (
+        freq_sketch_by(batch, ["g"], "v", eps=0.001)
+        .withColumn("writer_id", F.lit("w1"))
+        .withColumn("batch_id", F.lit(3))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("writer_id", "batch_id")
+        .parquet(log)
+    )
+    grown = freq_log_estimates(spark, log, items, keys=["g"])
+    assert compact_sketch_log(spark, log, keys=["g"]) >= 1
+    assert freq_log_estimates(spark, log, items, keys=["g"]) == grown
+    bids = {r["batch_id"] for r in spark.read.parquet(log).select("batch_id").collect()}
+    assert -1 not in bids and sum(1 for b in bids if b < 0) == 1
