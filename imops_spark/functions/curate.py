@@ -354,6 +354,7 @@ def contamination_pairs_df(
     k: int = 8,
     window: int = 4,
     min_shared: int = 1,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Train/eval contamination scan (the decontamination step of an LLM
     data pipeline): pairs of (train doc, eval doc) sharing at least
@@ -372,10 +373,10 @@ def contamination_pairs_df(
     """
     from .text import winnow_fp_set_df
 
-    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
         F.col("doc_id").alias("train_id"), "fp"
     )
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
         F.col("doc_id").alias("eval_id"), "fp"
     )
     return (
@@ -394,6 +395,7 @@ def contamination_pairs_bloom_df(
     min_shared: int = 1,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """:func:`contamination_pairs_df` with a Bloom-filter prefilter on the
     train side — BIT-IDENTICAL output, built for the regime where the TRAIN
@@ -419,10 +421,10 @@ def contamination_pairs_bloom_df(
     from .bloom import bloom_build, bloom_filter_df
     from .text import winnow_fp_set_df
 
-    tf = winnow_fp_set_df(train_docs, k=k, window=window).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
         F.col("doc_id").alias("train_id"), "fp"
     )
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window).select(
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
         F.col("doc_id").alias("eval_id"), "fp"
     )
     bloom = bloom_build(ef, "fp", num_bits=num_bits, num_hashes=num_hashes)
@@ -441,6 +443,7 @@ def decontaminate_df(
     k: int = 8,
     window: int = 4,
     min_shared: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Drop every training document that shares >= ``min_shared`` winnowing
     fingerprints with any eval document (anti-join on the contamination
@@ -454,7 +457,8 @@ def decontaminate_df(
     background noise).  The default of 3 is a conservative floor; tune on
     a sample of your corpus with ``contamination_pairs_df`` first."""
     bad = contamination_pairs_df(
-        train_docs, eval_docs, k=k, window=window, min_shared=min_shared
+        train_docs, eval_docs, k=k, window=window, min_shared=min_shared,
+        hash_fn=hash_fn,
     ).select(F.col("train_id").alias("doc_id")).dropDuplicates()
     return train_docs.join(bad, "doc_id", "left_anti")
 
@@ -467,6 +471,7 @@ def decontaminate_bloom_df(
     min_shared: int = 3,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """:func:`decontaminate_df` through the Bloom-prefiltered scan —
     identical survivors (the prefilter changes the join INPUT, never the
@@ -481,6 +486,7 @@ def decontaminate_bloom_df(
             min_shared=min_shared,
             num_bits=num_bits,
             num_hashes=num_hashes,
+            hash_fn=hash_fn,
         )
         .select(F.col("train_id").alias("doc_id"))
         .dropDuplicates()

@@ -148,7 +148,11 @@ def _md5_hash_col(col, salt: int, part: int = 0):
 
 
 def minhash_signatures_df(
-    docs: DataFrame, num_hashes: int = 16, k: int = 3, carry: tuple = ()
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    carry: tuple = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, mh0..mh{H-1})``.
 
@@ -162,7 +166,21 @@ def minhash_signatures_df(
     repeats shingles).  MIN runs on the fixed-width hex substring
     (lexicographic == numeric for same-length lowercase hex) and the
     hex->decimal conv runs once per doc, not once per shingle.
-    """
+
+    ``hash_fn``: ``'md5'`` (default) is the cross-engine hash the gates
+    reproduce in DuckDB; ``'xxhash64'`` is the production fast path —
+    hash i is the SEEDED JVM-intrinsic ``xxhash64(shingle, i)`` (one
+    cheap hash per (shingle, i); no digest-splitting needed because the
+    seed gives independent streams).  Signature VALUES differ from the
+    md5 path, but every consumer depends only on hash EQUALITY — LSH
+    banding, candidate pairs, and the near-dup verdicts are
+    set-identical on duplicate-vs-distinct corpora (path-equivalence
+    tested).  Per-shingle hash cost drops from ~num_hashes/2 md5 digests
+    to num_hashes xxhash64 evals (~6x cheaper each); see FASTPATH.md
+    for the measured end-to-end row.  Not DuckDB-reproducible, so the
+    oracles stay on md5."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     # NULL-text docs produced no shingle rows on the old explode path; the
     # equivalent guard here must be a SCAN-level predicate (text IS NOT NULL)
     # — a post-hoc size(shingles) > 0 filter would be pushed below the widen
@@ -177,6 +195,13 @@ def minhash_signatures_df(
         carry, _SHINGLE_RESERVED | {f"mh{i}" for i in range(num_hashes)}
     )
 
+    if hash_fn == "xxhash64":
+        # seeded intrinsic: one flat projection, one hash per (shingle, i)
+        cols = [
+            f"array_min(transform(shingles, x -> xxhash64(x, {i}))) AS mh{i}"
+            for i in range(num_hashes)
+        ]
+        return sh.selectExpr("doc_id", *carry, *cols)
     # One digest array per salt, shared by the low/high half-signatures.
     # Both stages are single-parse SQL strings instead of lambda-based
     # F.transform (25 py4j round-trips each at build time — measured ~0.4 s
@@ -634,6 +659,7 @@ def drop_near_duplicates_df(
     bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The actionable end of the near-dup pipeline: keep one canonical
     document (the min doc_id) per duplicate cluster and every unclustered
@@ -646,7 +672,7 @@ def drop_near_duplicates_df(
     """
     from ..operators.graph import connected_components_df
 
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
     pairs = lsh_candidate_pairs_df(sigs, bands=bands, rows_per_band=rows_per_band)
     edges = (
         ngram_jaccard_df(docs, pairs)
@@ -680,6 +706,7 @@ def lsh_write_index(
     num_buckets: int = 16,
     path: str | None = None,
     mode: str = "overwrite",
+    hash_fn: str = "md5",
 ) -> None:
     """Persist the LSH band index for ``docs``: ``(doc_id, bucket_key)``
     bucketed by ``bucket_key`` (``sources.parquet.write_bucketed``) — the
@@ -712,12 +739,18 @@ def lsh_write_index(
     """
     from ..sources.parquet import write_bucketed
 
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     spark = docs.sparkSession
     asked = {
         "num_hashes": int(num_hashes),
         "bands": int(bands),
         "rows_per_band": int(rows_per_band),
         "k": int(k),
+        # part of the index contract like the banding params: band keys
+        # from one hash family can never align with the other's, and a
+        # mixed-family index would silently return incomplete candidates
+        "hash_fn": hash_fn,
     }
     if mode == "append":
         stored = _lsh_stored_props(spark, table)
@@ -726,7 +759,7 @@ def lsh_write_index(
                 f"LSH index {table!r} was built with {stored}; appending with "
                 f"{asked} would corrupt the index (band keys cannot align)"
             )
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
     entries = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         "doc_id", _bucket_key_col()
     )
@@ -742,13 +775,19 @@ def lsh_write_index(
 
 def _lsh_stored_props(spark, table: str) -> dict:
     """The ``imops.lsh.*`` banding parameters stored on ``table``, or ``{}``
-    when the table does not exist / carries none (e.g. built elsewhere)."""
+    when the table does not exist / carries none (e.g. built elsewhere).
+    Pre-stamp tables (built before the hash-family property existed) load
+    with ``hash_fn='md5'`` — the only family that ever wrote them."""
     try:
-        return {
-            row["key"].removeprefix("imops.lsh."): int(row["value"])
-            for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-            if row["key"].startswith("imops.lsh.")
-        }
+        out = {}
+        for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+            if not row["key"].startswith("imops.lsh."):
+                continue
+            name = row["key"].removeprefix("imops.lsh.")
+            out[name] = row["value"] if name == "hash_fn" else int(row["value"])
+        if out:
+            out.setdefault("hash_fn", "md5")
+        return out
     except Exception:
         return {}
 
@@ -761,6 +800,7 @@ def lsh_query_index(
     bands: int = 4,
     rows_per_band: int = 4,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Probe a persisted LSH index built by ``lsh_write_index`` with a batch
     of new documents: returns candidate near-duplicate pairs
@@ -780,6 +820,7 @@ def lsh_query_index(
             "bands": int(bands),
             "rows_per_band": int(rows_per_band),
             "k": int(k),
+            "hash_fn": hash_fn,
         }
         if stored != asked:
             raise ValueError(
@@ -789,7 +830,7 @@ def lsh_query_index(
     idx = spark.table(table).select(
         F.col("doc_id").alias("index_doc_id"), "bucket_key"
     )
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k)
+    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
     probe = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         F.col("doc_id").alias("probe_doc_id"), _bucket_key_col()
     )

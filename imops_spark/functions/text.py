@@ -150,7 +150,9 @@ def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
     )
 
 
-def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+def winnow_fingerprints_df(
+    docs: DataFrame, k: int = 8, window: int = 4, hash_fn: str = "md5"
+) -> DataFrame:
     """Winnowing document fingerprints (the MOSS rolling-hash scheme):
     hash every character ``k``-gram of the normalized text, then keep the
     minimum hash of each ``window`` consecutive k-grams (leftmost tie-break)
@@ -161,7 +163,15 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     shape: positions explode (xwindow) -> one map-side-combined min-struct
     groupBy per window start -> distinct selected positions.  Everything is
     column arithmetic on md5 (cross-engine deterministic), no Python.
+
+    ``hash_fn='xxhash64'`` is the production fast path (JVM-intrinsic,
+    not DuckDB-reproducible): fingerprint VALUES differ but the winnowing
+    guarantee — any shared substring of length >= k + window - 1 yields a
+    shared fingerprint — holds for ANY hash, so contamination/
+    decontamination verdicts are path-equivalence tested instead of
+    value-pinned.  See FASTPATH.md for the measured row.
     """
+    _check_hash_fn(hash_fn)
     norm = normalized_text()
     # docs shorter than k have no k-grams; filter BEFORE sequence() — Spark's
     # sequence(1, 0) generates a DESCENDING [1, 0], not an empty array
@@ -174,9 +184,15 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     ).select(
         "doc_id",
         "pos",
-        F.conv(F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        (
+            F.conv(
+                F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            if hash_fn == "md5"
+            else F.xxhash64(F.substring("nt", F.col("pos"), k))
+        ).alias("h"),
     )
     # each k-gram participates in `window` windows; window start t = pos - o
     spread = grams.select(
@@ -203,13 +219,25 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     )
 
 
-def _winnow_hash_array_sql(k: int) -> str:
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def _winnow_hash_array_sql(k: int, hash_fn: str = "md5") -> str:
     """SQL for the per-document k-gram hash array over the normalized-text
     column ``nt`` — the cross-formulation compatibility contract: the batch
     chain, the row-local positional variant, and the fp-set variant (and
-    the DuckDB oracles) must all hash identically, so the recipe lives in
-    exactly one place."""
+    the DuckDB oracles) must all hash identically PER hash_fn, so the
+    recipe lives in exactly one place.  'md5' is the cross-engine default;
+    'xxhash64' the production fast path (values differ, winnowing
+    guarantee identical)."""
     k = int(k)
+    if hash_fn == "xxhash64":
+        return (
+            f"transform(sequence(1, length(nt) - {k - 1}),"
+            f" p -> xxhash64(substring(nt, p, {k})))"
+        )
     return (
         f"transform(sequence(1, length(nt) - {k - 1}),"
         f" p -> CAST(conv(substring(md5(substring(nt, p, {k})), 1, 15), 16, 10)"
@@ -218,7 +246,11 @@ def _winnow_hash_array_sql(k: int) -> str:
 
 
 def winnow_fingerprints_local_df(
-    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    carry: tuple = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Row-local winnowing: value-identical ``(doc_id, pos, fp)`` rows to
     :func:`winnow_fingerprints_df`, computed entirely inside array
@@ -235,6 +267,7 @@ def winnow_fingerprints_local_df(
     streams and short-document corpora.  Single-parse SQL strings (the
     HOF py4j-latency lesson).
     """
+    _check_hash_fn(hash_fn)
     k, window = int(k), int(window)
     carry = quote_carry(carry, _WINNOW_RESERVED)
     norm = normalized_text()
@@ -242,7 +275,7 @@ def winnow_fingerprints_local_df(
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1
     )
-    hs = _winnow_hash_array_sql(k)
+    hs = _winnow_hash_array_sql(k, hash_fn)
     # hs and each window slice are bound as LAMBDA VARIABLES so they
     # materialize once (per row / per window): expressed as stacked
     # projections, CollapseProject inlines the array expression into every
@@ -263,7 +296,11 @@ def winnow_fingerprints_local_df(
 
 
 def winnow_fp_set_df(
-    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    carry: tuple = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document, ``(doc_id, fp)`` —
     dedup happens ROW-LOCALLY (``array_distinct`` over the selected-fp
@@ -272,23 +309,28 @@ def winnow_fp_set_df(
     fingerprint join needs (a same-fp-several-positions doc would
     otherwise double-count pairs, and stateful dropDuplicates/countDistinct
     are restricted upstream/inside streaming aggregations)."""
-    sets = winnow_fp_array_df(docs, k=k, window=window, carry=carry)
+    sets = winnow_fp_array_df(docs, k=k, window=window, carry=carry, hash_fn=hash_fn)
     carry = quote_carry(carry, _WINNOW_RESERVED)
     return sets.selectExpr("doc_id", *carry, "explode(fps) AS fp")
 
 
 def winnow_fp_array_df(
-    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    carry: tuple = (),
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document distinct fingerprint ARRAY ``(doc_id, fps)`` — the
     row-local core shared by :func:`winnow_fp_set_df`."""
+    _check_hash_fn(hash_fn)
     k, window = int(k), int(window)
     carry = quote_carry(carry, _WINNOW_RESERVED)
     norm = normalized_text()
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1
     )
-    hs = _winnow_hash_array_sql(k)
+    hs = _winnow_hash_array_sql(k, hash_fn)
     # Bind the hash array as a LAMBDA VARIABLE (`array(hs)` + transform) so
     # it materializes exactly once per row: expressed as two stacked
     # projections instead, CollapseProject inlines the hs expression into

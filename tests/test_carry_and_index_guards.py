@@ -49,6 +49,7 @@ def test_lsh_append_param_mismatch_raises(spark, tmp_path):
             )
         assert _lsh_stored_props(spark, table) == {
             "num_hashes": 8, "bands": 4, "rows_per_band": 2, "k": 3,
+            "hash_fn": "md5",
         }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -313,3 +314,50 @@ def test_unique_docs_update_sink_assert_then_retract(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_lsh_index_hash_family_stamped_and_guarded(spark, tmp_path):
+    """The index stores its hash family: cross-family probes and appends
+    RAISE (band keys from different families can never align — a silent
+    mixed-family index returns incomplete candidates), and an xxhash64
+    index probes identically to an md5 index on the same corpus."""
+    from imops_spark.functions.dedup import (
+        _lsh_stored_props,
+        lsh_query_index,
+        lsh_write_index,
+    )
+
+    docs = _docs(spark)
+    for fam, other in (("md5", "xxhash64"), ("xxhash64", "md5")):
+        table = f"lsh_fam_{fam}"
+        try:
+            lsh_write_index(
+                docs, table, num_hashes=8, bands=4, rows_per_band=2,
+                path=str(tmp_path / f"idx_{fam}"), hash_fn=fam,
+            )
+            assert _lsh_stored_props(spark, table)["hash_fn"] == fam
+            with pytest.raises(ValueError, match="built with"):
+                lsh_query_index(
+                    spark, table, docs, num_hashes=8, bands=4,
+                    rows_per_band=2, hash_fn=other,
+                )
+            with pytest.raises(ValueError, match="built with"):
+                lsh_write_index(
+                    docs, table, num_hashes=8, bands=4, rows_per_band=2,
+                    mode="append", hash_fn=other,
+                )
+            # self-probe finds the same cross pairs under either family
+            got = {
+                (r["index_doc_id"], r["probe_doc_id"])
+                for r in lsh_query_index(
+                    spark, table, docs, num_hashes=8, bands=4,
+                    rows_per_band=2, hash_fn=fam,
+                ).collect()
+            }
+            assert got, "planted duplicates must collide"
+            if fam == "md5":
+                md5_pairs = got
+            else:
+                assert got == md5_pairs
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")

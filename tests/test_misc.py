@@ -857,3 +857,101 @@ def test_snapshot_diff_stream_old_docs_is_keyword_only(spark):
         snapshot_diff_stream_df(docs, docs)
     out = snapshot_diff_stream_df(docs, old_docs=docs)
     assert out.filter(F.col("status") == "unchanged").count() == 1
+
+
+def _dup_corpus(spark):
+    """40 docs in 20 near-identical pairs plus 20 distinct singletons —
+    clear separation so ANY sound hash family finds exactly the pairs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = []
+    for i in range(20):
+        # per-pair vocabulary is fully disjoint (cross-pair Jaccard 0, so
+        # the only candidates are the planted pairs) and each pair is an
+        # exact shingle-set duplicate (Jaccard 1, so EVERY band matches
+        # under ANY hash family — a near-dup at J<1 would make the test a
+        # coin-flip on the per-family band-collision odds)
+        base = " ".join(f"p{i}w{j}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base))
+    for i in range(20):
+        rows.append((100 + i, " ".join(f"s{i}u{j}" for j in range(10))))
+    return rows
+
+
+def test_minhash_xxhash64_fast_path_same_verdicts(spark):
+    """The xxhash64 minhash fast path must produce the SAME candidate
+    pairs and the SAME near-dup survivors as the md5 gate path on a
+    separated corpus (signature values differ by design — consumers
+    depend only on hash equality)."""
+    import pytest
+
+    from imops_spark.functions.dedup import (
+        drop_near_duplicates_df,
+        lsh_candidate_pairs_df,
+        minhash_signatures_df,
+    )
+
+    docs = spark.createDataFrame(_dup_corpus(spark), "doc_id long, text string")
+    pairs = {}
+    for fn in ("md5", "xxhash64"):
+        sigs = minhash_signatures_df(docs, num_hashes=8, hash_fn=fn)
+        pairs[fn] = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=2).collect()
+        }
+    want = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert pairs["md5"] == pairs["xxhash64"] == want
+
+    surv_md5 = {r["doc_id"] for r in drop_near_duplicates_df(docs).collect()}
+    surv_xx = {
+        r["doc_id"] for r in drop_near_duplicates_df(docs, hash_fn="xxhash64").collect()
+    }
+    assert surv_md5 == surv_xx
+    assert all(2 * i in surv_md5 and 2 * i + 1 not in surv_md5 for i in range(20))
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures_df(docs, hash_fn="sha1")
+
+
+def test_winnow_xxhash64_fast_path_same_verdicts(spark):
+    """The xxhash64 winnowing fast path must keep the winnowing guarantee
+    (verbatim overlap >= k + window - 1 always produces a shared
+    fingerprint) and yield the SAME decontamination survivors as md5 on a
+    planted-leak corpus; the positional local twin must stay
+    value-identical to the batch chain UNDER EACH hash_fn."""
+    import pytest
+
+    from imops_spark.functions.curate import decontaminate_df
+    from imops_spark.functions.text import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_local_df,
+    )
+
+    leak = "the exact benchmark answer string nobody should train on"
+    train = spark.createDataFrame(
+        [(i, f"ordinary training text t{i}a t{i}b t{i}c t{i}d") for i in range(30)]
+        + [(90 + i, f"document containing {leak} verbatim plus padding p{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, f"eval question about {leak} here")], "doc_id long, text string"
+    )
+    surv = {}
+    for fn in ("md5", "xxhash64"):
+        surv[fn] = {
+            r["doc_id"]
+            for r in decontaminate_df(train, ev, min_shared=3, hash_fn=fn).collect()
+        }
+        # local positional twin == batch chain under this hash_fn
+        a = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints_df(train, hash_fn=fn).collect()
+        }
+        b = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints_local_df(train, hash_fn=fn).collect()
+        }
+        assert a == b and a
+    assert surv["md5"] == surv["xxhash64"] == set(range(30))
+    with pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints_df(train, hash_fn="crc32")
