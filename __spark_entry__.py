@@ -1653,6 +1653,54 @@ def q_mm_image_raw(spark, sf_dir):
     )
 
 
+def q_mm_imresize(spark, sf_dir):
+    """Image RESIZE gate (multimodal.resize_images_df): 4x5x3 raw_u8
+    images cut from document bytes are nearest-neighbor-resized to 2x3x3
+    through the real decode path, and EVERY OUTPUT PIXEL is value-hashed
+    against an oracle that recomputes the gather indices with integer
+    arithmetic — ys[y] = y*4 DIV 2, xs[x] = x*5 DIV 3, source byte
+    (ys*5 + xs)*3 + c + 1 — and reads the byte with ord(substr(..)).
+    The Spark side extracts pixels from the resized BINARY payload via
+    hex(substring(data, pos, 1)), so the kernel's tobytes() layout is
+    pinned end to end, not just a summary statistic."""
+    from imops_spark.functions.multimodal import resize_images_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 60)
+        # enforced ASCII scope (the mm_image_raw rule): substring counts
+        # codepoints, the oracle's byte math counts bytes
+        & (F.length("text") == F.octet_length("text"))
+    )
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.substring("text", 1, 60), "utf-8").alias("data"),
+        F.struct(
+            F.lit(5).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("raw_u8").alias("format"),
+        ).alias("meta"),
+    )
+    res = resize_images_df(items, out_w=3, out_h=2, decode="real")
+    return (
+        res.select(
+            "item_id",
+            F.explode(F.sequence(F.lit(1), F.lit(18))).alias("pos"),
+            F.col("data"),
+        )
+        .selectExpr(
+            "item_id",
+            "pos",
+            "CAST(conv(hex(substring(data, pos, 1)), 16, 10) AS INT) AS val",
+        )
+    )
+
+
 def q_rel_hof(spark, sf_dir):
     """Higher-order array functions (§2.2 scalar functions) as a first-class
     gate: per embedding, the L2 norm via aggregate(), a self inner product
@@ -3407,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "mm_resample": q_mm_resample,
         "mm_image_raw": q_mm_image_raw,
+        "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
         "radon_raysum": q_radon_raysum,
         "hull_fill": q_hull_fill,
@@ -4692,6 +4741,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
               )
             GROUP BY c_nationkey
+        """,
+        "mm_imresize": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 60) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 60
+                AND length(text) = strlen(text)  -- enforced ASCII scope
+            ),
+            p AS (
+              SELECT doc_id, t, CAST(i AS INT) AS pos,
+                     (i - 1) // 9 AS y, ((i - 1) // 3) % 3 AS x, (i - 1) % 3 AS c
+              FROM d, unnest(generate_series(1, 18)) u(i)
+            )
+            SELECT doc_id AS item_id, pos,
+                   CAST(ord(substr(t,
+                     CAST(((y * 4 // 2) * 5 + (x * 5 // 3)) * 3 + c + 1 AS INT),
+                     1)) AS INT) AS val
+            FROM p
         """,
         "mm_image_raw": """
             WITH d AS (
