@@ -1471,6 +1471,21 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_cur_shards(spark, sf_dir):
+    """Deterministic training order (curate.training_order_df): balanced
+    md5-bucket shards plus within-shard hash rank — the decorrelation
+    shuffle a training run reads, reproducible across engines/reruns
+    (an RNG permutation could never be cross-engine gated).  Plan: ONE
+    exchange by shard + in-partition window sort; never a global ORDER
+    BY (a reader only needs order WITHIN a shard, and the shard count
+    bounds each task's sort — the dd_spans sizing discipline applied to
+    ordering)."""
+    from imops_spark.functions.curate import training_order_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_order_df(docs, n_shards=8, salt=77)
+
+
 def q_cur_sample(spark, sf_dir):
     """Deterministic hash sampling + hash splitting (curate.hash_sample_df /
     split_by_hash_df): every doc gets a train/val/test split label and an
@@ -3505,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": q_dd_clusters,
         "curate": q_curate,
         "cur_sample": q_cur_sample,
+        "cur_shards": q_cur_shards,
         "cur_quota": q_cur_quota,
         "cur_mix": q_cur_mix,
         "cur_pack": q_cur_pack,
@@ -4979,6 +4995,15 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "dd_clusters": _dd_clusters_sql(),
         "curate": _curate_sql(),
+        "cur_shards": """
+            SELECT doc_id,
+                   CAST((('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8
+                     ORDER BY (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents
+        """,
         "cur_sample": f"""
             SELECT doc_id,
                    CASE WHEN {_mh_hash(10, "CAST(doc_id AS VARCHAR)")} % 1000000 < 800000

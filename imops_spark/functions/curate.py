@@ -62,6 +62,7 @@ __all__ = [
     "classifier_train_df",
     "classifier_train_early_stop_df",
     "keep_top_fraction_df",
+    "training_order_df",
 ]
 
 
@@ -1469,6 +1470,49 @@ def _classifier_train_impl(
         [(int(b), float(w[b])) for b in range(B)], "bucket long, weight double"
     )
     return weights_df, float(bias), history
+
+
+def training_order_df(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 77,
+) -> DataFrame:
+    """Deterministic global training order as balanced shards:
+    ``(*input columns, shard, pos)`` where ``shard`` is an md5-derived
+    bucket of the key and ``pos`` the document's rank within its shard by
+    the SAME hash (ties broken on the key) — the decorrelation shuffle a
+    training run needs (adjacent crawl documents are highly correlated;
+    hash order is as good as a seeded permutation and, unlike one, is
+    reproducible across engines, reruns, and partitionings, like every
+    sampler in this module).  Readers consume shard files in (shard, pos)
+    order; concatenating shards 0..n-1 yields one canonical global
+    permutation.
+
+    Plan shape at 100 TB: ONE exchange, NO global sort — a total ORDER BY
+    hash would range-partition and globally sort the corpus, but a reader
+    only ever needs order WITHIN a shard, so the plan is an exchange by
+    ``shard`` plus an in-partition window sort (each shard sorts
+    independently; shard count is the parallelism knob and bounds the
+    per-task sort to corpus/n_shards — the dd_spans partition-sizing
+    discipline applied to ordering).  Balance: md5 buckets are uniform,
+    so shard sizes concentrate tightly around n/n_shards (no planner-
+    visible skew).  NULL keys hash a sentinel (the _key_hash contract);
+    duplicate keys are allowed and tie-break on the key value itself, so
+    the order stays total and reproducible."""
+    n_shards = int(n_shards)
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = _key_hash(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
 
 
 def keep_top_fraction_df(

@@ -896,9 +896,13 @@ def duplicate_spans_df(
     is ~2x SLOWER than the sized window (36 s vs 17 s): grams are mostly
     unique, so partial aggregation reduces nothing and builds two giant
     per-task hash maps (partial + final) that lose to one Tungsten radix
-    sort.  Kept because it is the sort-free shape and the right base if
-    a counting prefilter ever prunes the unique grams before the
-    exchange.
+    sort.  Kept for two reasons: it is the right base if a counting
+    prefilter ever prunes the unique grams, and it is the SKEW-SAFE
+    form — a pathologically hot gram (site boilerplate repeated across
+    millions of documents) funnels ALL its rows into one sort partition
+    under the window, while the groupBy's map-side combine collapses it
+    to one row per input partition before the exchange.  On a corpus
+    with known heavy boilerplate, pass ``strategy='agg'``.
 
     The island window then shuffles only the matched positions (a
     filtered subset) by doc_id.  ``min_docs > 2`` uses a two-phase

@@ -955,3 +955,38 @@ def test_winnow_xxhash64_fast_path_same_verdicts(spark):
     assert surv["md5"] == surv["xxhash64"] == set(range(30))
     with pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints_df(train, hash_fn="crc32")
+
+
+def test_training_order_shards_balanced_total_and_one_exchange(spark):
+    """training_order_df: a total reproducible order (every (shard, pos)
+    unique, pos dense 1..n_shard), tight balance from the md5 buckets, and
+    a plan with ONE hash exchange and NO range partitioning (a global
+    ORDER BY would range-shuffle + globally sort)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import training_order_df
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = training_order_df(docs, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 10_000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 0.85 * 10_000 / 8 and sizes[-1] < 1.15 * 10_000 / 8
+    # rerun identical (determinism), and a different salt reshuffles
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+    other = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in training_order_df(docs, n_shards=8, salt=78).collect()
+    }
+    assert other != {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") == 0
+    with pytest.raises(ValueError, match="n_shards"):
+        training_order_df(docs, n_shards=0)
