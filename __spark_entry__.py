@@ -1977,6 +1977,19 @@ def q_txt_embed_stream(spark, sf_dir):
     return run_stream_to_memory(out, "txt_embed_stream_gate", spark, mode="append")
 
 
+def q_txt_sentences(spark, sf_dir):
+    """Sentence segmentation (text.sentences_df): lookaround-free regex
+    extraction — [^.!?]*[.!?]+ keeps terminal punctuation runs attached,
+    a trailing unterminated fragment survives — posexploded in document
+    order with a full-whitespace regex trim.  Pure row-local scan cost;
+    the ordinal is the match index (gaps where sub-min_chars segments
+    were dropped), identical to the oracle's UNNEST ordinality."""
+    from imops_spark.functions.text import sentences_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sentences_df(docs, min_chars=2)
+
+
 def q_txt_chunks(spark, sf_dir):
     """Overlapping fixed-size chunking (text.chunk_documents_df): 120-char
     chunks at stride 100 (20 overlap), last chunk short, 0-based chunk
@@ -3535,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_embed": q_txt_embed,
         "txt_embed_stream": q_txt_embed_stream,
         "txt_chunks": q_txt_chunks,
+        "txt_sentences": q_txt_sentences,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
@@ -5367,6 +5381,21 @@ def _oracle_sql_literals() -> dict[str, str]:
             n AS (SELECT *, SQRT(CAST(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15 AS DOUBLE)) AS nn FROM votes)
             SELECT doc_id, [ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v0 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v1 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v2 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v3 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v4 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v5 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v6 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v7 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v8 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v9 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v10 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v11 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v12 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v13 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v14 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v15 / nn END, 6)] AS embedding
             FROM n
+        """,
+        "txt_sentences": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS segs
+              FROM documents WHERE text IS NOT NULL
+            ),
+            m AS (
+              SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_ix,
+                     regexp_replace(segs[u.i], '^\\s+|\\s+$', '', 'g') AS sentence
+              FROM t, unnest(generate_series(1, len(segs))) u(i)
+            )
+            SELECT doc_id, sent_ix, sentence,
+                   CAST(length(sentence) AS INT) AS n_chars
+            FROM m WHERE length(sentence) >= 2
         """,
         "txt_chunks": """
             WITH d AS (

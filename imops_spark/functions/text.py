@@ -47,6 +47,8 @@ __all__ = [
     "vocab_df",
     "remove_boilerplate_lines_df",
     "chunk_documents_df",
+    "sentences_df",
+    "SENTENCE_PATTERN",
     "hashed_embedding_df",
     "hashed_embedding_local_df",
 ]
@@ -976,6 +978,49 @@ def remove_boilerplate_lines_df(
         F.first("n_lines").cast("long").alias("n_lines"),
         (F.first("n_lines") - F.count("line")).cast("long").alias("n_removed"),
     ).select("doc_id", "text", "n_lines", "n_removed")
+
+
+SENTENCE_PATTERN = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def sentences_df(docs: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Sentence segmentation: ``(doc_id, sent_ix, sentence, n_chars)`` —
+    one row per sentence in document order, the grain between documents
+    and chunks that sentence-level dedup / quality / packing pipelines
+    want.
+
+    The splitter is a REGEX EXTRACTION, not a split: ``[^.!?]*[.!?]+``
+    captures each run up to and including its terminal punctuation
+    (consecutive terminators like ``?!`` or ``...`` stay attached to
+    their sentence) and ``[^.!?]+$`` keeps a trailing unterminated
+    fragment.  Deliberately lookaround-free: Java regex (Spark) and RE2
+    (the DuckDB oracle) both lack/limit lookbehind, and this pattern is
+    the cross-engine-identical formulation (the BPE_PRETOKEN_PATTERN
+    rule).  Whitespace-only segments are dropped; ``min_chars`` filters
+    on the TRIMMED sentence length.  ``sent_ix`` is the 0-based match
+    ordinal (posexplode — document order, not a shuffle ordering).
+
+    Plan: one scan, row-local regexp_extract_all + posexplode — scan
+    cost, streaming-legal."""
+    if int(min_chars) < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    segs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(SENTENCE_PATTERN), 0)
+        ).alias("sent_ix", "__raw"),
+    )
+    return (
+        segs.select(
+            "doc_id",
+            "sent_ix",
+            # full \s-class trim: Spark's trim() strips SPACES only, and a
+            # segment after "sentence.\n" starts with the newline
+            F.regexp_replace("__raw", r"^\s+|\s+$", "").alias("sentence"),
+        )
+        .filter(F.length("sentence") >= int(min_chars))
+        .withColumn("n_chars", F.length("sentence").cast("int"))
+    )
 
 
 def chunk_documents_df(

@@ -990,3 +990,42 @@ def test_training_order_shards_balanced_total_and_one_exchange(spark):
     assert plan.count("rangepartitioning") == 0
     with pytest.raises(ValueError, match="n_shards"):
         training_order_df(docs, n_shards=0)
+
+
+def test_sentences_df_matches_python_re(spark):
+    """sentences_df == a python re re-derivation (same pattern, same
+    full-whitespace trim, same min_chars filter, same ordinal-with-gaps
+    semantics); NULL text dropped; unterminated tails kept; terminator
+    runs stay attached."""
+    import re
+
+    import pytest
+
+    from imops_spark.functions.text import SENTENCE_PATTERN, sentences_df
+
+    rows = [
+        (0, "First sentence. Second one! Third?? And a tail without end"),
+        (1, "One liner"),
+        (2, "Dots... then more.\nNewline lead. !"),
+        (3, None),
+        (4, "  .  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["sent_ix"]): (r["sentence"], r["n_chars"])
+        for r in sentences_df(docs, min_chars=2).collect()
+    }
+    want = {}
+    for did, text in rows:
+        if text is None:
+            continue
+        for ix, m in enumerate(re.findall(SENTENCE_PATTERN, text)):
+            sent = re.sub(r"^\s+|\s+$", "", m)
+            if len(sent) >= 2:
+                want[(did, ix)] = (sent, len(sent))
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)][0] == "And a tail without end"
+    assert got[(0, 2)][0] == "Third??"
+    assert all(k[0] != 4 for k in got)  # punctuation-only doc fully dropped
+    with pytest.raises(ValueError, match="min_chars"):
+        sentences_df(docs, min_chars=0)

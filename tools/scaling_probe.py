@@ -96,6 +96,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         mixture_sample_df,
         pack_documents_df,
         split_by_hash_df,
+        training_order_df,
     )
     from imops_spark.functions.dedup import (
         duplicate_spans_df,
@@ -125,6 +126,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     from imops_spark.functions.text import (
         bpe_token_count_df,
         chunk_documents_df,
+        hashed_embedding_df,
         ngram_lm_df,
         pii_df,
         remove_boilerplate_lines_df,
@@ -200,8 +202,16 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             "dd_exact": lambda: exact_dup_groups_df(docs),
             "dd_lsh_pairs": lambda: lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=2),
             "dd_simhash": lambda: simhash_df(docs),
-            # gram window + island merge: two linear exchanges
+            # size-aware gram exchange + island merge (see FASTPATH/HANDOFF)
             "dd_spans": lambda: duplicate_spans_df(docs, k=20),
+            # the skew-safe groupBy+semi-join alternative: slower on
+            # uniform grams by design, must still scale linearly
+            "dd_spans_agg": lambda: duplicate_spans_df(docs, k=20, strategy="agg"),
+            # one shard exchange + in-partition window sort, never a
+            # global ORDER BY
+            "cur_shards": lambda: training_order_df(docs, n_shards=64),
+            # zero-shuffle vote aggregation per doc (one widen exchange)
+            "txt_embed": lambda: hashed_embedding_df(docs, dim=16),
             # one compact-doc repartition; explode + 3 aggs inside it
             "txt_repetition": lambda: repetition_df(docs),
             # pure regexp column expressions: must stay at scan cost
