@@ -1716,6 +1716,33 @@ def q_mm_imresize(spark, sf_dir):
     )
 
 
+def q_emb_text_topk(spark, sf_dir):
+    """Composition gate: documents -> hashed embeddings (txt_embed's
+    dim-16 random sign projection, components rounded at 6 so both
+    engines rank IDENTICAL doubles) -> exact cosine top-3 neighbors for
+    the first 5 docs (the sim_topk kernel: driver-broadcast queries,
+    mapInPandas GEMM, per-batch top-k).  Proves the text family's
+    embedding column feeds the similarity family end to end — the
+    model-free text-to-ANN path.  Zero-norm embeddings (an all-bits-tie
+    document) are filtered identically on both sides: cosine against a
+    zero vector is NaN in both engines but NaN ORDER is not worth
+    gating."""
+    from imops_spark.functions.similarity import cosine_topk_df
+    from imops_spark.functions.text import hashed_embedding_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_embedding_df(docs, dim=16).filter(
+        F.expr("size(filter(embedding, x -> x != 0D)) > 0")
+    )
+    queries = emb.filter(F.col("doc_id") < 5)
+    return cosine_topk_df(emb, queries, k=3, id_col="doc_id").select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
 def q_rel_hof(spark, sf_dir):
     """Higher-order array functions (§2.2 scalar functions) as a first-class
     gate: per embedding, the L2 norm via aggregate(), a self inner product
@@ -3547,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_select2": q_cur_select2,
         "txt_embed": q_txt_embed,
         "txt_embed_stream": q_txt_embed_stream,
+        "emb_text_topk": q_emb_text_topk,
         "txt_chunks": q_txt_chunks,
         "txt_sentences": q_txt_sentences,
         "txt_classify": q_txt_classify,
@@ -4160,6 +4188,23 @@ def oracle_sql() -> dict[str, str]:
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
     oracles["txt_embed_stream"] = oracles["txt_embed"]
+    oracles["emb_text_topk"] = f"""
+        WITH emb AS (
+          SELECT doc_id, embedding FROM ({oracles["txt_embed"]})
+          WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.embedding, c.embedding), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY ROUND(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+          WHERE q.doc_id < 5
+        ) WHERE rank <= 3
+    """
     # zero-shuffle streamed scoring must equal the batch classifier apply
     oracles["txt_classify_stream"] = oracles["txt_classify"]
     # the append-mode session stream, sentinel-flushed, must equal the full
