@@ -2004,6 +2004,23 @@ def q_txt_embed_stream(spark, sf_dir):
     return run_stream_to_memory(out, "txt_embed_stream_gate", spark, mode="append")
 
 
+def q_txt_bpe_pairs(spark, sf_dir):
+    """BPE training's round-0 statistics (bpe.bpe_pair_counts_df): the
+    top-50 weighted adjacent character pairs over the word-frequency
+    model, ordered by the deterministic merge-selection rule
+    (n DESC, pair ASC) — the cross-engine-verifiable primitive of the
+    tokenizer trainer (the merge LOOP is exactly-deterministic and
+    python/distributed path-equality-tested, but iterative state is not
+    SQL-expressible, so the gate pins the statistics the loop consumes).
+    Output columns l/r: LEFT/RIGHT are DuckDB keywords."""
+    from imops_spark.functions.bpe import bpe_pair_counts_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_counts_df(docs, top_k=50).select(
+        F.col("left").alias("l"), F.col("right").alias("r"), "n"
+    )
+
+
 def q_txt_sentences(spark, sf_dir):
     """Sentence segmentation (text.sentences_df): lookaround-free regex
     extraction — [^.!?]*[.!?]+ keeps terminal punctuation runs attached,
@@ -3577,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_text_topk": q_emb_text_topk,
         "txt_chunks": q_txt_chunks,
         "txt_sentences": q_txt_sentences,
+        "txt_bpe_pairs": q_txt_bpe_pairs,
         "txt_classify": q_txt_classify,
         "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
@@ -5426,6 +5444,25 @@ def _oracle_sql_literals() -> dict[str, str]:
             n AS (SELECT *, SQRT(CAST(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15 AS DOUBLE)) AS nn FROM votes)
             SELECT doc_id, [ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v0 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v1 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v2 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v3 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v4 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v5 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v6 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v7 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v8 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v9 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v10 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v11 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v12 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v13 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v14 / nn END, 6), ROUND(CASE WHEN nn = 0 THEN CAST(0 AS DOUBLE) ELSE v15 / nn END, 6)] AS embedding
             FROM n
+        """,
+        "txt_bpe_pairs": f"""
+            WITH wf AS (
+              SELECT word, COUNT(1) AS freq FROM (
+                SELECT unnest(list_filter(string_split({_NORM}, ' '),
+                                          x -> x <> '')) AS word
+                FROM documents WHERE text IS NOT NULL
+              ) GROUP BY word
+            ),
+            p AS (
+              SELECT substr(word, CAST(u.i AS INT), 1) AS l,
+                     substr(word, CAST(u.i AS INT) + 1, 1) AS r,
+                     freq
+              FROM wf, unnest(generate_series(1, length(word) - 1)) u(i)
+              WHERE length(word) >= 2
+            )
+            SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, l, r LIMIT 50
         """,
         "txt_sentences": """
             WITH t AS (

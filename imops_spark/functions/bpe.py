@@ -1,0 +1,271 @@
+"""Byte-pair-encoding tokenizer TRAINING at corpus scale.
+
+The missing third leg of the tokenizer surface: ``text.bpe_pretokenize``
+segments, ``text.bpe_token_count_df`` budgets, and this module LEARNS the
+merge table — the part a training-data pipeline runs once per corpus
+(Sennrich et al. 2016; the HuggingFace/SentencePiece trainer shape).
+
+Scale design (the connected-components recipe, ``operators/graph.py``):
+the ONLY corpus-scale pass is the word-frequency aggregation — one
+map-side-combined ``groupBy(word)`` whose output cardinality is the
+corpus' distinct-word count, not its token count.  The merge loop then
+runs over that compact model:
+
+- **driver path** (default when distinct words fit
+  ``driver_threshold``): an exact python loop over ``{symbols: freq}`` —
+  the same economics as every single-node BPE trainer, reached after
+  Spark did the one pass those trainers cannot do;
+- **distributed path** (forced or above threshold): each round derives
+  weighted adjacent-pair counts (explode + map-side-combined groupBy,
+  top-1 as TakeOrderedAndProject), applies the merge ROW-LOCALLY (a
+  greedy leftmost fold over the symbol array), and ``localCheckpoint``s
+  the words frame — an ITERATIVE DataFrame loop must cut its lineage
+  every round or the self-referential plan recompute compounds
+  (``graph.py``'s measured 0.7 s -> 67 s lesson).
+
+Both paths are EXACTLY deterministic (ties break on the pair itself) and
+equality-tested against each other and a pure-python reference.  Merge
+semantics: per round, the single most frequent adjacent symbol pair
+(count desc, pair asc) merges everywhere with a greedy LEFTMOST scan
+(``aaa`` under pair (a,a) becomes ``(aa, a)``) — the standard BPE rule,
+applied identically in the fold, the python loop, and ``bpe_apply_df``.
+
+``bpe_apply_df`` tokenizes with a learned merge table via an
+Arrow-batched ``mapInPandas`` — iterative rank-ordered merging is the
+one text operator here that genuinely cannot be expressed in built-in
+column functions (the UDF-last-resort rule, satisfied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_freq_df",
+    "bpe_pair_counts_df",
+    "bpe_train_df",
+    "bpe_apply_df",
+]
+
+
+def word_freq_df(docs: DataFrame) -> DataFrame:
+    """The corpus' word-frequency model ``(word, freq)`` — whitespace
+    words of the normalized text, the one corpus-scale aggregation of
+    BPE training.  Map-side combine collapses each partition to its
+    distinct words before the exchange."""
+    from .dedup import normalized_text
+
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(normalized_text(), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts_df(docs: DataFrame, top_k: int | None = None) -> DataFrame:
+    """Weighted adjacent CHARACTER-pair counts over the word-frequency
+    model — BPE training's round-0 statistics, exposed (and gated) as the
+    cross-engine-verifiable primitive: ``(left, right, n)`` where ``n``
+    sums word frequencies over every adjacent occurrence (pairs never
+    cross word boundaries).  ``top_k`` returns the head by
+    ``(n DESC, left, right)`` — the deterministic merge-selection order —
+    as a TakeOrderedAndProject (no full sort shuffle)."""
+    wf = word_freq_df(docs)
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " p -> struct(substring(word, p, 1) AS left,"
+                "             substring(word, p + 1, 1) AS right))"
+            )
+        ).alias("pr"),
+    )
+    out = (
+        pairs.select(F.col("pr.left").alias("left"), F.col("pr.right").alias("right"), "freq")
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("n"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("n"), F.asc("left"), F.asc("right")).limit(
+            int(top_k)
+        )
+    return out
+
+
+def _merge_word(symbols: tuple, left: str, right: str) -> tuple:
+    """Greedy leftmost merge of adjacent (left, right) in one word."""
+    out: list = []
+    for s in symbols:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _train_python(word_freqs: dict, n_merges: int, min_freq: int) -> list:
+    """Exact single-node merge loop over ``{symbols tuple: freq}``."""
+    merges = []
+    state = dict(word_freqs)
+    for _ in range(int(n_merges)):
+        counts: dict = {}
+        for syms, freq in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append((left, right, int(n)))
+        nxt: dict = {}
+        for syms, freq in state.items():
+            ns = _merge_word(syms, left, right)
+            nxt[ns] = nxt.get(ns, 0) + freq
+        state = nxt
+    return merges
+
+
+def bpe_train_df(
+    docs: DataFrame,
+    n_merges: int = 100,
+    min_freq: int = 2,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus: ``(rank, left, right, n)``
+    — merge ``rank`` (0-based) fused symbols ``left + right`` which
+    co-occurred adjacently with total weighted count ``n`` at selection
+    time.  See the module docstring for the two execution paths; results
+    are path-identical and exactly deterministic."""
+    n_merges, min_freq = int(n_merges), int(min_freq)
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    spark = docs.sparkSession
+    wf = word_freq_df(docs)
+    # size probe without a count-then-collect double job (the graph_cc
+    # limit-fusion recipe)
+    head = wf.limit(int(driver_threshold) + 1).toPandas()
+    if len(head) <= driver_threshold:
+        state = {tuple(w): int(f) for w, f in zip(head["word"], head["freq"])}
+        merges = _train_python(state, n_merges, min_freq)
+    else:
+        merges = _train_distributed(spark, wf, n_merges, min_freq)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, n long",
+    )
+
+
+def _train_distributed(spark, wf: DataFrame, n_merges: int, min_freq: int) -> list:
+    """The above-driver-threshold loop: symbol arrays stay distributed;
+    each round is one pair aggregation (top-1 via TakeOrderedAndProject)
+    plus one row-local greedy fold, localCheckpoint'ed (lineage cut —
+    the iterative-loop contract)."""
+    words = wf.select(
+        F.expr("transform(sequence(1, length(word)), p -> substring(word, p, 1))").alias(
+            "syms"
+        ),
+        "freq",
+    ).localCheckpoint(eager=False)
+    merges = []
+    for _ in range(n_merges):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " p -> struct(element_at(syms, p) AS l,"
+                        "             element_at(syms, p + 1) AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["n"]) < min_freq:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((left, right, n))
+        la, ra = left.replace("'", "\\'"), right.replace("'", "\\'")
+        # greedy leftmost fold: acc ending in `left` followed by `right`
+        # fuses; everything else appends
+        fold = (
+            f"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->"
+            f" IF(size(acc) > 0 AND element_at(acc, -1) = '{la}' AND x = '{ra}',"
+            f"    concat(slice(acc, 1, size(acc) - 1), array('{la}{ra}')),"
+            f"    concat(acc, array(x))))"
+        )
+        words = words.selectExpr(f"{fold} AS syms", "freq").localCheckpoint(
+            eager=False
+        )
+    return merges
+
+
+def bpe_apply_df(docs: DataFrame, merges: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a learned merge table: ``(id_col, tokens
+    array<string>, n_tokens)`` — each whitespace word of the normalized
+    text split to characters and merged in RANK ORDER with the greedy
+    leftmost scan (exactly the training semantics, so applying a trainer's
+    merges to its own corpus reproduces the trainer's final state).
+
+    The merge table (<= vocab-size rows) ships in the kernel closure;
+    the corpus streams through an Arrow-batched ``mapInPandas`` —
+    iterative rank-ordered merging is not expressible in built-in column
+    functions (the documented UDF last resort)."""
+    import pandas as pd
+
+    from .dedup import normalized_text
+
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("left", "right", "rank").collect()
+    ]
+
+    def encode_word(word: str, cache: dict) -> list:
+        # per-task word cache: natural text repeats words heavily, so the
+        # fold runs once per DISTINCT word per batch stream
+        got = cache.get(word)
+        if got is None:
+            syms: tuple = tuple(word)
+            for left, right in ranked:
+                syms = _merge_word(syms, left, right)
+            got = list(syms)
+            cache[word] = got
+        return got
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf["__nt"]:
+                out: list = []
+                for w in text.split(" "):
+                    if w:
+                        out.extend(encode_word(w, cache))
+                toks.append(out)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    src = docs.filter(F.col("text").isNotNull()).select(
+        F.col(id_col).alias("__id"), normalized_text().alias("__nt")
+    )
+    out = src.mapInPandas(
+        run, schema="__id long, tokens array<string>, n_tokens int"
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -1,0 +1,126 @@
+"""BPE tokenizer training (functions/bpe.py): the merge loop must be
+exactly deterministic, path-identical (driver python vs distributed
+DataFrame iteration), faithful to the greedy-leftmost merge rule, and
+apply must reproduce training's own tokenization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imops_spark.functions.bpe import (
+    _merge_word,
+    _train_python,
+    bpe_apply_df,
+    bpe_pair_counts_df,
+    bpe_train_df,
+    word_freq_df,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "low low low lower lower newest newest newest newest widest"),
+        (1, "newest widest widest lowest low  low"),
+        (2, "the the the the band banana bandana"),
+        (3, None),
+        (4, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_merge_word_greedy_leftmost():
+    assert _merge_word(tuple("aaa"), "a", "a") == ("aa", "a")
+    assert _merge_word(tuple("aaaa"), "a", "a") == ("aa", "aa")
+    assert _merge_word(("ab", "c", "ab"), "ab", "c") == ("abc", "ab")
+    assert _merge_word(tuple("xyz"), "q", "r") == ("x", "y", "z")
+
+
+def test_train_matches_hand_derivation(spark):
+    """Classic Sennrich toy corpus: the first merges are forced by the
+    frequency table; verify counts and order against hand arithmetic."""
+    docs = _docs(spark).filter(F.col("doc_id") < 2)
+    m = [tuple(r) for r in bpe_train_df(docs, n_merges=4, min_freq=2).collect()]
+    # word freqs: low x5, lower x2, newest x5, widest x3, lowest x1
+    # pair counts round 0: 'es' = 5+3+1 = 9, 'ne' 5, 'ew' 5, 'we' 5+2 = 7,
+    # 'st' 9, 'es'=9 ties 'st'=9 -> ('e','s') wins lexicographically
+    assert m[0] == (0, "e", "s", 9)
+    # round 1: 'es'+'t' now adjacent in newest/widest/lowest = 9 -> ('es','t')
+    assert m[1] == (1, "es", "t", 9)
+    # round 2: 'lo' appears in low(5)+lower(2)+lowest(1) = 8
+    assert m[2] == (2, "l", "o", 8)
+    # round 3: 'lo'+'w' = 8
+    assert m[3] == (3, "lo", "w", 8)
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    docs = _docs(spark)
+    a = [tuple(r) for r in bpe_train_df(docs, n_merges=6, min_freq=2).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train_df(
+            docs, n_merges=6, min_freq=2, driver_threshold=0
+        ).collect()
+    ]
+    assert a == b and len(a) == 6
+    # and both equal the pure-python reference over the exact word freqs
+    wf = {
+        tuple(r["word"]): int(r["freq"])
+        for r in word_freq_df(docs).collect()
+    }
+    assert a == [
+        (i, l, r, n) for i, (l, r, n) in enumerate(_train_python(wf, 6, 2))
+    ]
+
+
+def test_apply_reproduces_training_state_and_caches(spark):
+    """Applying a trainer's merges to its own corpus must reproduce the
+    trainer's final symbol state (same greedy rule end to end)."""
+    docs = _docs(spark)
+    merges = bpe_train_df(docs, n_merges=5, min_freq=2)
+    ranked = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    toks = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_apply_df(docs, merges).collect()
+    }
+    assert set(toks) == {0, 1, 2, 4}  # NULL text dropped; blank doc keeps []
+    assert toks[4] == ([], 0)
+    # python re-derivation per word
+    from imops_spark.functions.bpe import _merge_word as mw
+
+    def enc(word):
+        syms = tuple(word)
+        for l, r in ranked:
+            syms = mw(syms, l, r)
+        return list(syms)
+
+    import re
+
+    for did, text in [(0, "low low low lower lower newest newest newest newest widest"),
+                      (1, "newest widest widest lowest low  low")]:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        want = []
+        for w in norm.split(" "):
+            if w:
+                want.extend(enc(w))
+        assert toks[did][0] == want and toks[did][1] == len(want)
+
+
+def test_min_freq_stops_and_validation(spark):
+    docs = _docs(spark)
+    m = bpe_train_df(docs, n_merges=500, min_freq=9).collect()
+    # only the two count-9 merges survive the floor
+    assert [r["n"] for r in m] == [9, 9]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_df(docs, n_merges=0)
+    with pytest.raises(ValueError, match="min_freq"):
+        bpe_train_df(docs, min_freq=0)
+
+
+def test_pair_counts_top_k_deterministic(spark):
+    docs = _docs(spark)
+    top = [tuple(r) for r in bpe_pair_counts_df(docs, top_k=3).collect()]
+    full = {
+        (r["left"], r["right"]): r["n"]
+        for r in bpe_pair_counts_df(docs).collect()
+    }
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert top == [(l, r, n) for (l, r), n in want]
