@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "txt_boiler",
     "txt_embed",
     "cur_select2",
+    # round-7 additions (totals not comparable to BENCH_r06 and earlier;
+    # value_shared25/value_shared30 and per-query timings are)
+    "cur_shards",
+    "txt_sentences",
+    "txt_bpe_pairs",
+    "mm_imresize",
+    "emb_text_topk",
 ]
 
 
