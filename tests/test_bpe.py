@@ -124,3 +124,58 @@ def test_pair_counts_top_k_deterministic(spark):
     }
     want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert top == [(l, r, n) for (l, r), n in want]
+
+
+# ---- pure-python property tests (no Spark session needed) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=8), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words)
+def test_merge_loop_invariants(words):
+    """For ANY corpus: (1) concatenating a word's symbols always
+    reconstructs the word at every merge depth; (2) total token count is
+    non-increasing per merge; (3) every selected merge's count is
+    positive and counts are non-increasing only in rank order validity
+    (each rank's pair truly was the max at its time — re-derived)."""
+    wf: dict = {}
+    for w in words:
+        t = tuple(w)
+        wf[t] = wf.get(t, 0) + 1
+    merges = _train_python(wf, n_merges=10, min_freq=1)
+    state = dict(wf)
+    prev_total = sum(len(s) * f for s, f in state.items())
+    for left, right, n in merges:
+        assert n >= 1
+        # re-derive the max pair at this state: must equal the recorded one
+        counts: dict = {}
+        for syms, freq in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert best == ((left, right), n)
+        nxt: dict = {}
+        for syms, freq in state.items():
+            ns = _merge_word(syms, left, right)
+            assert "".join(ns) == "".join(syms)  # reconstruction
+            nxt[ns] = nxt.get(ns, 0) + freq
+        state = nxt
+        total = sum(len(s) * f for s, f in state.items())
+        assert total < prev_total  # the selected pair occurred somewhere
+        prev_total = total
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab", min_size=0, max_size=20))
+def test_merge_word_reconstruction_and_no_adjacent_pair(w):
+    """After merging (a, b), the result reconstructs the input and no
+    adjacent (a, b) remains at the symbol level."""
+    out = _merge_word(tuple(w), "a", "b")
+    assert "".join(out) == w
+    assert all(not (x == "a" and y == "b") for x, y in zip(out, out[1:]))

@@ -224,3 +224,41 @@ def test_compaction_freq_log_and_stale_negative_tolerated(spark, tmp_path):
     assert freq_log_estimates(spark, log, items, keys=["g"]) == grown
     bids = {r["batch_id"] for r in spark.read.parquet(log).select("batch_id").collect()}
     assert -1 not in bids and sum(1 for b in bids if b < 0) == 1
+
+
+def test_compaction_multiple_writers_independent(spark, tmp_path):
+    """Two writers in one log compact independently: each keeps its own
+    newest batch raw, gets its own coverage row, and the merged estimates
+    are unchanged."""
+    from imops_spark.streaming.sketch import compact_sketch_log
+
+    log = str(tmp_path / "mwlog")
+    for wid, batches in (("w1", 3), ("w2", 2)):
+        for bid in range(batches):
+            (
+                spark.range(bid * 100, bid * 100 + 100)
+                .select((F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 17).alias("v"))
+                .transform(lambda df: distinct_sketch_by(df, ["g"], "v"))
+                .withColumn("writer_id", F.lit(wid))
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("writer_id", "batch_id")
+                .parquet(log)
+            )
+    before = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    removed = compact_sketch_log(spark, log, keys=["g"])
+    assert removed >= 2  # w1 folds 2 batches, w2 folds 1
+    after = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    assert after == before
+    raw = spark.read.parquet(log).select("writer_id", "batch_id").collect()
+    per = {}
+    for r in raw:
+        per.setdefault(r["writer_id"], set()).add(r["batch_id"])
+    assert per["w1"] == {-2, 2} and per["w2"] == {-1, 1}
