@@ -795,13 +795,20 @@ def dsir_feature_frame_df(
 
     carry = quote_carry(carry, frozenset({"doc_id", "toks", "fh"}))
     base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", *carry, F.col("text")
+    )
+    if by_doc:
+        # repartition the RAW text, not the token arrays: the exchange then
+        # carries compact strings and — more importantly — the tokenize/
+        # bigram/hash CPU all runs at full width after it (a narrow parquet
+        # scan otherwise does the tokenization on its 1-2 splits: profiled
+        # as cur_select2's 2-task 0.8 s straggler stage)
+        base = base.repartition("doc_id")
+    return base.select(
         "doc_id",
         *carry,
         F.array_remove(F.split(normalized_text(), " "), "").alias("toks"),
-    )
-    if by_doc:
-        base = base.repartition("doc_id")
-    return base.selectExpr(
+    ).selectExpr(
         "doc_id",
         *carry,
         f"transform({_feature_array_sql()}, f -> {_raw_hash_sql('f', salt)}) AS fh",
