@@ -15,13 +15,20 @@ runs over that compact model:
   ``driver_threshold``): an exact python loop over ``{symbols: freq}`` —
   the same economics as every single-node BPE trainer, reached after
   Spark did the one pass those trainers cannot do;
-- **distributed path** (forced or above threshold): each round derives
-  weighted adjacent-pair counts (explode + map-side-combined groupBy,
-  top-1 as TakeOrderedAndProject), applies the merge ROW-LOCALLY (a
-  greedy leftmost fold over the symbol array), and ``localCheckpoint``s
-  the words frame — an ITERATIVE DataFrame loop must cut its lineage
-  every round or the self-referential plan recompute compounds
-  (``graph.py``'s measured 0.7 s -> 67 s lesson).
+- **distributed path** (forced or above threshold): each ROUND derives
+  weighted adjacent-pair counts once (explode + map-side-combined
+  groupBy, top-M as TakeOrderedAndProject), accepts the longest PREFIX
+  of the ranked candidates that is provably identical to running the
+  sequential loop (see ``_safe_batch`` — symbol-disjointness plus a
+  created-pair count bound make up to ``batch_k`` merges per round
+  exact, so N merges cost ~N/k jobs instead of N), applies the accepted
+  merges ROW-LOCALLY (chained greedy leftmost folds over the symbol
+  array, bound via ``F.lit`` Columns — never interpolated into SQL
+  text, so symbols containing quotes/backslashes are safe), and
+  ``localCheckpoint``s the words frame once per round — an ITERATIVE
+  DataFrame loop must cut its lineage every round or the
+  self-referential plan recompute compounds (``graph.py``'s measured
+  0.7 s -> 67 s lesson).
 
 Both paths are EXACTLY deterministic (ties break on the pair itself) and
 equality-tested against each other and a pure-python reference.  Merge
@@ -135,17 +142,25 @@ def bpe_train_df(
     n_merges: int = 100,
     min_freq: int = 2,
     driver_threshold: int = 2_000_000,
+    batch_k: int = 16,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``(rank, left, right, n)``
     — merge ``rank`` (0-based) fused symbols ``left + right`` which
     co-occurred adjacently with total weighted count ``n`` at selection
     time.  See the module docstring for the two execution paths; results
-    are path-identical and exactly deterministic."""
+    are path-identical and exactly deterministic.  ``batch_k`` caps how
+    many merges the distributed path may fold per materialization round
+    (the safe-prefix batching — exactness is never traded for it).
+    ``stats``, if given a dict, receives ``{"path", "rounds",
+    "checkpoints"}`` diagnostics for the run."""
     n_merges, min_freq = int(n_merges), int(min_freq)
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_freq < 1:
         raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if int(batch_k) < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     spark = docs.sparkSession
     wf = word_freq_df(docs)
     # size probe without a count-then-collect double job (the graph_cc
@@ -154,27 +169,123 @@ def bpe_train_df(
     if len(head) <= driver_threshold:
         state = {tuple(w): int(f) for w, f in zip(head["word"], head["freq"])}
         merges = _train_python(state, n_merges, min_freq)
+        if stats is not None:
+            stats.update(path="driver", rounds=0, checkpoints=0)
     else:
-        merges = _train_distributed(spark, wf, n_merges, min_freq)
+        merges = _train_distributed(
+            spark, wf, n_merges, min_freq, int(batch_k), stats
+        )
     return spark.createDataFrame(
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left string, right string, n long",
     )
 
 
-def _train_distributed(spark, wf: DataFrame, n_merges: int, min_freq: int) -> list:
+def _safe_batch(
+    rows: list, complete: bool, min_freq: int, batch_k: int
+) -> list:
+    """The longest prefix of the ranked candidate pairs ``rows`` (sorted
+    by ``n DESC, left, right`` — the sequential selection order) that is
+    PROVABLY the next merges of the exact one-at-a-time loop.
+
+    Candidate p after accepted merges S is safe iff (a) p's symbols are
+    disjoint from every accepted merge's ``{left, right, left+right}``
+    (so p's own count is invariant — merging symbol-disjoint pairs can
+    neither create nor destroy an occurrence of p), and (b) no
+    still-unmerged pair of the form ``(x, a)`` or ``(b, x)`` for an
+    accepted ``(a, b)`` has count >= p's: a pair CREATED by that merge
+    is bounded by exactly those counts (each ``(x, a+b)`` occurrence was
+    an ``(x, a)`` occurrence; each ``(a+b, x)`` was a ``(b, x)``), and a
+    touched pair that merely decays starts at one of them too — so
+    nothing the batch changes can outrank p.  Pairs outside the
+    collected top-M can't violate (b) because candidates beyond the
+    first are only accepted while strictly above the collection floor
+    (``complete`` lifts the floor when the collection holds EVERY
+    pair).  The global top-1 is always safe, so a round always
+    progresses."""
+    floor = None if complete or not rows else rows[-1][2]
+    accepted: list = []
+    touched: set = set()
+    accepted_pairs: set = set()
+    for left, right, n in rows:
+        if n < min_freq:
+            break
+        if accepted:
+            if floor is not None and n <= floor:
+                break
+            if left in touched or right in touched:
+                break
+            rights_of_accepted = {a for a, _b, _n in accepted}
+            lefts_of_accepted = {b for _a, b, _n in accepted}
+            unsafe = False
+            for xl, xr, xn in rows:
+                if xn < n:
+                    break
+                # an accepted pair's own count drops to ~0 once merged, so
+                # it can't outrank p — EXCEPT a self-pair (a, a), whose
+                # created pairs (aa, a)/(a, aa) are bounded by count(a, a)
+                # itself (the "aaa" -> (aa, a) occurrence routes through
+                # the merged pair), so it must stay in the scan
+                if ((xl, xr) in accepted_pairs and xl != xr) or (
+                    xl, xr
+                ) == (left, right):
+                    continue
+                if xr in rights_of_accepted or xl in lefts_of_accepted:
+                    unsafe = True
+                    break
+            if unsafe:
+                break
+        accepted.append((left, right, n))
+        touched.update((left, right, left + right))
+        accepted_pairs.add((left, right))
+        if len(accepted) >= batch_k:
+            break
+    return accepted
+
+
+def _fold_merge(col, left: str, right: str):
+    """One greedy-leftmost merge pass over a symbol array Column: acc
+    ending in ``left`` followed by ``right`` fuses; everything else
+    appends.  Symbols bind as ``F.lit`` Columns — NEVER interpolated
+    into SQL text (a learned symbol may contain quotes, backslashes, or
+    anything else the corpus does)."""
+    l, r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _train_distributed(
+    spark,
+    wf: DataFrame,
+    n_merges: int,
+    min_freq: int,
+    batch_k: int = 16,
+    stats: dict | None = None,
+) -> list:
     """The above-driver-threshold loop: symbol arrays stay distributed;
-    each round is one pair aggregation (top-1 via TakeOrderedAndProject)
-    plus one row-local greedy fold, localCheckpoint'ed (lineage cut —
-    the iterative-loop contract)."""
+    each ROUND is one pair aggregation (top-M via TakeOrderedAndProject),
+    a driver-side safe-prefix selection (``_safe_batch`` — up to
+    ``batch_k`` merges, provably identical to one-at-a-time), and ONE
+    chained row-local fold + ``localCheckpoint`` (lineage cut — the
+    iterative-loop contract).  N merges therefore cost ~N/k jobs and
+    checkpoints, not N of each."""
     words = wf.select(
         F.expr("transform(sequence(1, length(word)), p -> substring(word, p, 1))").alias(
             "syms"
         ),
         "freq",
     ).localCheckpoint(eager=False)
-    merges = []
-    for _ in range(n_merges):
+    merges: list = []
+    rounds = checkpoints = 0
+    top_m = max(64, 4 * batch_k)
+    while len(merges) < n_merges:
         top = (
             words.filter(F.size("syms") >= 2)
             .select(
@@ -190,25 +301,31 @@ def _train_distributed(spark, wf: DataFrame, n_merges: int, min_freq: int) -> li
             .groupBy("pr.l", "pr.r")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(top_m)
             .collect()
         )
-        if not top or int(top[0]["n"]) < min_freq:
-            break
-        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append((left, right, n))
-        la, ra = left.replace("'", "\\'"), right.replace("'", "\\'")
-        # greedy leftmost fold: acc ending in `left` followed by `right`
-        # fuses; everything else appends
-        fold = (
-            f"aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->"
-            f" IF(size(acc) > 0 AND element_at(acc, -1) = '{la}' AND x = '{ra}',"
-            f"    concat(slice(acc, 1, size(acc) - 1), array('{la}{ra}')),"
-            f"    concat(acc, array(x))))"
+        rounds += 1
+        rows = [(t["l"], t["r"], int(t["n"])) for t in top]
+        batch = _safe_batch(
+            rows,
+            complete=len(rows) < top_m,
+            min_freq=min_freq,
+            batch_k=min(batch_k, n_merges - len(merges)),
         )
-        words = words.selectExpr(f"{fold} AS syms", "freq").localCheckpoint(
+        if not batch:
+            break
+        merges.extend(batch)
+        if len(merges) >= n_merges:
+            break  # done — don't pay a fold + checkpoint nobody reads
+        col = F.col("syms")
+        for left, right, _n in batch:
+            col = _fold_merge(col, left, right)
+        words = words.select(col.alias("syms"), "freq").localCheckpoint(
             eager=False
         )
+        checkpoints += 1
+    if stats is not None:
+        stats.update(path="distributed", rounds=rounds, checkpoints=checkpoints)
     return merges
 
 
@@ -265,7 +382,11 @@ def bpe_apply_df(docs: DataFrame, merges: DataFrame, id_col: str = "doc_id") -> 
     src = docs.filter(F.col("text").isNotNull()).select(
         F.col(id_col).alias("__id"), normalized_text().alias("__nt")
     )
+    # the id rides through unchanged, so the output schema carries its
+    # ACTUAL type — hardcoding `long` broke string/decimal doc ids at
+    # Arrow conversion time
+    id_type = docs.schema[id_col].dataType.simpleString()
     out = src.mapInPandas(
-        run, schema="__id long, tokens array<string>, n_tokens int"
+        run, schema=f"__id {id_type}, tokens array<string>, n_tokens int"
     )
     return out.withColumnRenamed("__id", id_col)

@@ -104,6 +104,84 @@ def test_apply_reproduces_training_state_and_caches(spark):
         assert toks[did][0] == want and toks[did][1] == len(want)
 
 
+def test_distributed_path_special_character_symbols(spark):
+    """Learned symbols containing backslashes and quotes must survive the
+    distributed fold — symbols bind as literal Columns, never SQL text
+    (a '\\\\' top pair used to raise ParseException, and '\\'+'t' parsed
+    as an escape, silently diverging from the driver path)."""
+    rows = [
+        (0, "\\b \\b \\b \\b \\begin \\begin C:\\Users C:\\Users"),
+        (1, "it's it's it's a\\tb a\\tb a\\tb \"q\" \"q\""),
+        (2, "\\b \\begin it's a\\tb 'x' 'x' 'x'"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train_df(docs, n_merges=8, min_freq=2).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train_df(
+            docs, n_merges=8, min_freq=2, driver_threshold=0
+        ).collect()
+    ]
+    assert a == b and len(a) == 8
+    # the corpus really does force special characters into merges
+    assert any("\\" in l or "\\" in r for _i, l, r, _n in a)
+    assert any("'" in l or "'" in r for _i, l, r, _n in a)
+    wf = {tuple(r["word"]): int(r["freq"]) for r in word_freq_df(docs).collect()}
+    assert a == [(i, l, r, n) for i, (l, r, n) in enumerate(_train_python(wf, 8, 2))]
+
+
+def test_batched_rounds_cost_n_over_k_jobs(spark):
+    """A >= 64-merge distributed run on a batch-friendly corpus (disjoint
+    frequent pairs, distinct counts) must cost ~N/k materialization
+    rounds, stay exactly equal to the driver and pure-python paths, and
+    checkpoint at most ceil(N/k) times."""
+    import math
+
+    n_words, n_merges, batch_k = 80, 80, 16
+    rows = []
+    for i in range(n_words):
+        # caseless codepoints — normalized_text lowercases, and a cased
+        # alphabet (e.g. Cyrillic capitals) would alias symbols
+        word = chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
+        rows.append((i, " ".join([word] * (1000 - i))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    dist = [
+        tuple(r)
+        for r in bpe_train_df(
+            docs,
+            n_merges=n_merges,
+            min_freq=2,
+            driver_threshold=0,
+            batch_k=batch_k,
+            stats=stats,
+        ).collect()
+    ]
+    assert stats["path"] == "distributed"
+    assert stats["rounds"] <= math.ceil(n_merges / batch_k)
+    assert stats["checkpoints"] <= math.ceil(n_merges / batch_k)
+    drv = [
+        tuple(r)
+        for r in bpe_train_df(docs, n_merges=n_merges, min_freq=2).collect()
+    ]
+    assert dist == drv and len(dist) == n_merges
+    wf = {tuple(r["word"]): int(r["freq"]) for r in word_freq_df(docs).collect()}
+    assert dist == [
+        (i, l, r, n)
+        for i, (l, r, n) in enumerate(_train_python(wf, n_merges, 2))
+    ]
+
+
+def test_apply_preserves_string_doc_ids(spark):
+    """bpe_apply_df must carry a non-bigint id column through the Arrow
+    kernel — the output schema derives the id type from the input."""
+    rows = [("doc-a", "low low lower"), ("doc-b", "newest newest")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = bpe_train_df(docs, n_merges=2, min_freq=2)
+    out = {r["doc_id"]: r["n_tokens"] for r in bpe_apply_df(docs, merges).collect()}
+    assert set(out) == {"doc-a", "doc-b"} and all(v > 0 for v in out.values())
+
+
 def test_min_freq_stops_and_validation(spark):
     docs = _docs(spark)
     m = bpe_train_df(docs, n_merges=500, min_freq=9).collect()
@@ -169,6 +247,61 @@ def test_merge_loop_invariants(words):
         total = sum(len(s) * f for s, f in state.items())
         assert total < prev_total  # the selected pair occurred somewhere
         prev_total = total
+
+
+def _train_batched_python(wf, n_merges, min_freq, batch_k, top_m=None):
+    """Pure-python simulation of the distributed batched loop: full pair
+    stats per round, `_safe_batch` selection (optionally truncated to a
+    top-M collection, as the Spark path collects), sequential
+    application of the accepted prefix."""
+    from imops_spark.functions.bpe import _safe_batch
+
+    state = dict(wf)
+    merges = []
+    while len(merges) < n_merges:
+        counts: dict = {}
+        for syms, freq in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        rows = sorted(
+            ((l, r, n) for (l, r), n in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        complete = True
+        if top_m is not None and len(rows) >= top_m:
+            rows, complete = rows[:top_m], False
+        batch = _safe_batch(
+            rows, complete, min_freq, min(batch_k, n_merges - len(merges))
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        for l, r, _n in batch:
+            nxt: dict = {}
+            for syms, freq in state.items():
+                ns = _merge_word(syms, l, r)
+                nxt[ns] = nxt.get(ns, 0) + freq
+            state = nxt
+    return merges
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    _words,
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([None, 5, 12]),
+)
+def test_safe_batch_exactly_matches_sequential(words, batch_k, top_m):
+    """For ANY corpus, ANY batch width, and ANY collection truncation,
+    the batched loop's merge list must be IDENTICAL to the one-at-a-time
+    reference — batching trades jobs, never exactness."""
+    wf: dict = {}
+    for w in words:
+        t = tuple(w)
+        wf[t] = wf.get(t, 0) + 1
+    want = _train_python(wf, n_merges=12, min_freq=1)
+    got = _train_batched_python(wf, 12, 1, batch_k, top_m)
+    assert got == want
 
 
 @settings(max_examples=200, deadline=None)
