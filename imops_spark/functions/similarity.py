@@ -43,6 +43,9 @@ __all__ = [
     "pq_topk_df",
     "quantize_int8_df",
     "int8_topk_df",
+    "embedding_write_index",
+    "embedding_read_index",
+    "embedding_index_topk",
 ]
 
 
@@ -874,3 +877,165 @@ def int8_topk_df(
         id_col, "CAST(qvec AS ARRAY<DOUBLE>) AS embedding"
     )
     return cosine_topk_df(qc, qq, k=k, id_col=id_col, vec_col="embedding")
+
+
+# ---- persisted embedding index (write once, probe many) -------------------
+
+_EMB_PROP_PREFIX = "imops.emb."
+
+
+def _emb_stored_props(spark, table: str) -> dict:
+    """The ``imops.emb.*`` stamp stored on ``table``, or ``{}`` when the
+    table does not exist / carries none."""
+    try:
+        out: dict = {}
+        for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+            if not row["key"].startswith(_EMB_PROP_PREFIX):
+                continue
+            name = row["key"].removeprefix(_EMB_PROP_PREFIX)
+            out[name] = int(row["value"]) if name == "dim" else row["value"]
+        return out
+    except Exception:
+        return {}
+
+
+def embedding_write_index(
+    emb: DataFrame,
+    table: str,
+    family: str,
+    dim: int | None = None,
+    num_buckets: int = 16,
+    path: str | None = None,
+    mode: str = "overwrite",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an embedding column as a stamped, bucketed index table
+    ``(doc_id, embedding array<double>)``.
+
+    The corpus pays its featurization ONCE at write time; every consumer —
+    ``embedding_index_topk``, the ANN builders (IVF/PQ train straight off
+    the table), the selection family's joins on ``doc_id`` — reads the
+    stored column instead of re-deriving it per query job.  That is the
+    ``lsh_write_index`` economics applied to the embedding column itself:
+    at 100 TB the featurization (tokenize + hash + aggregate, or a model
+    forward pass) dwarfs one bucketed 8-bytes-per-component write.
+
+    The index is SELF-DESCRIBING (the bloom ``key_type`` recipe): the
+    embedding ``family`` (provenance — e.g. ``'hashed_md5'`` for
+    ``text.hashed_embedding_df``, a model name for real embeddings),
+    ``dim``, and the id column's type are stamped as table properties at
+    build time.  Readers and appends validate against the stamp and RAISE
+    on mismatch — cosine between vectors from different families or dims
+    is silently meaningless, which is strictly worse than an error.
+    Every written row's vector is length-checked against ``dim`` inside
+    the write plan (a short row would poison every downstream GEMM).
+
+    ``mode='append'`` is the incremental-maintenance path
+    (``streaming.similarity.start_embedding_index_maintenance`` calls this
+    per micro-batch): appends REQUIRE an existing stamp and an exact
+    ``(family, dim, id_type)`` match.
+    """
+    from ..sources.parquet import write_bucketed
+
+    spark = emb.sparkSession
+    if not family:
+        raise ValueError(
+            "family must name the embedding provenance (e.g. 'hashed_md5')"
+        )
+    if dim is None:
+        probe = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not probe:
+            raise ValueError(
+                "cannot infer dim from an empty frame; pass dim= explicitly"
+            )
+        dim = int(probe[0]["d"])
+    dim = int(dim)
+    id_type = dict(emb.dtypes)[id_col]
+    asked = {"family": str(family), "dim": dim, "id_type": id_type}
+    if mode == "append":
+        stored = _emb_stored_props(spark, table)
+        if not stored:
+            raise ValueError(
+                f"embedding index {table!r} carries no {_EMB_PROP_PREFIX}* "
+                "stamp; appends require an index built by embedding_write_index"
+            )
+        if stored != asked:
+            raise ValueError(
+                f"embedding index {table!r} was built with {stored}; appending "
+                f"with {asked} would mix meaningless-to-compare vectors"
+            )
+    # length-check inside the write plan: when/otherwise keeps the check
+    # un-prunable (a dangling assert_true column would be optimized away)
+    checked = (
+        F.when(
+            F.size(F.col(vec_col)) == dim,
+            F.col(vec_col).cast("array<double>"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding length != dim={dim} at {id_col}="),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("array<double>")
+        )
+        .alias("embedding")
+    )
+    out = emb.select(F.col(id_col).alias("doc_id"), checked)
+    write_bucketed(
+        out, table, ["doc_id"], num_buckets=int(num_buckets), path=path, mode=mode
+    )
+    if mode != "append":
+        props = ", ".join(
+            f"'{_EMB_PROP_PREFIX}{name}'='{v}'" for name, v in asked.items()
+        )
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+
+
+def embedding_read_index(
+    spark, table: str, family: str | None = None, dim: int | None = None
+) -> DataFrame:
+    """Load a persisted embedding index as ``(doc_id, embedding)``,
+    validating the caller's expectations against the stored stamp.  A
+    table without the stamp is refused outright — this index type never
+    existed pre-stamp, so an unstamped table is not one (no legacy
+    loophole to keep unenforceable forever)."""
+    stored = _emb_stored_props(spark, table)
+    if not stored:
+        raise ValueError(
+            f"{table!r} carries no {_EMB_PROP_PREFIX}* stamp — not an "
+            "embedding index built by embedding_write_index"
+        )
+    if family is not None and stored.get("family") != str(family):
+        raise ValueError(
+            f"embedding index {table!r} holds family={stored.get('family')!r}, "
+            f"asked for {family!r}: cosine across families is meaningless"
+        )
+    if dim is not None and stored.get("dim") != int(dim):
+        raise ValueError(
+            f"embedding index {table!r} holds dim={stored.get('dim')}, "
+            f"asked for {int(dim)}"
+        )
+    return spark.table(table)
+
+
+def embedding_index_topk(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 3,
+    family: str | None = None,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a persisted embedding index: the corpus
+    side is the stored column (ZERO featurization at query time — the
+    whole point of the index), the query side broadcasts under
+    ``cosine_topk_df``'s contract."""
+    corpus = embedding_read_index(spark, table, family=family, dim=dim)
+    q = queries.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
+    )
+    return cosine_topk_df(corpus, q, k=k, id_col="doc_id", vec_col="embedding")
