@@ -128,11 +128,16 @@ def real_decode_image(data: bytes, meta) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def _decode(row, decode: str) -> np.ndarray:
-    m = row["meta"]
+def _decode(data, meta, decode: str) -> np.ndarray:
     if decode == "real":
-        return real_decode_image(row["data"], m)
-    return fake_decode_image(row["data"], m["width"], m["height"], m["channels"])
+        return real_decode_image(data, meta)
+    return fake_decode_image(data, meta["width"], meta["height"], meta["channels"])
+
+
+# Batch iteration is zip over the column Series, never pdf.iterrows():
+# iterrows materializes a pandas Series PER ROW (dtype unification + index
+# plumbing) — pandas' slowest iteration idiom, pure overhead inside an
+# Arrow kernel whose real work is per-item numpy.
 
 
 def image_features_df(items: DataFrame, decode: str = "fake") -> DataFrame:
@@ -141,9 +146,9 @@ def image_features_df(items: DataFrame, decode: str = "fake") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"item_id": [], "mean_c0": [], "std_c0": [], "frac_dark": []}
-            for _, row in pdf.iterrows():
-                img = _decode(row, decode).astype(np.float64)
-                out["item_id"].append(row["item_id"])
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                img = _decode(data, meta, decode).astype(np.float64)
+                out["item_id"].append(iid)
                 out["mean_c0"].append(float(img[..., 0].mean()))
                 out["std_c0"].append(float(img[..., 0].std()))
                 out["frac_dark"].append(float((img.mean(axis=-1) < 32).mean()))
@@ -161,12 +166,12 @@ def resize_images_df(items: DataFrame, out_w: int, out_h: int, decode: str = "fa
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"item_id": [], "modality": [], "data": [], "meta": []}
-            for _, row in pdf.iterrows():
-                img = _decode(row, decode)
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                img = _decode(data, meta, decode)
                 ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
                 res = img[ys][:, xs]
-                rows["item_id"].append(row["item_id"])
+                rows["item_id"].append(iid)
                 rows["modality"].append("image")
                 rows["data"].append(np.ascontiguousarray(res).tobytes())
                 rows["meta"].append(
@@ -195,15 +200,15 @@ def audio_features_df(items: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"item_id": [], "duration_s": [], "rms": [], "peak": [], "zcr": []}
-            for _, row in pdf.iterrows():
-                fmt = (row["meta"]["format"] or "").lower()
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] or "").lower()
                 if fmt != "pcm16":
                     raise NotImplementedError(
                         f"audio format {fmt or 'unknown'}: only pcm16 decodes natively"
                     )
-                sr = int(row["meta"]["sample_rate"])
-                x = np.frombuffer(row["data"], dtype=np.int16).astype(np.float64) / 32768.0
-                out["item_id"].append(row["item_id"])
+                sr = int(meta["sample_rate"])
+                x = np.frombuffer(data, dtype=np.int16).astype(np.float64) / 32768.0
+                out["item_id"].append(iid)
                 out["duration_s"].append(len(x) / sr)
                 out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
@@ -225,14 +230,13 @@ def sample_frames_df(items: DataFrame, every_n: int = 2) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"item_id": [], "frame_index": [], "frame_data": []}
-            for _, row in pdf.iterrows():
-                n = row["meta"]["n_frames"] or 0
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                n = meta["n_frames"] or 0
                 if not n:
                     continue
-                data = row["data"]
                 fsize = len(data) // n
                 for k in range(0, n, every_n):
-                    out["item_id"].append(row["item_id"])
+                    out["item_id"].append(iid)
                     out["frame_index"].append(k)
                     out["frame_data"].append(data[k * fsize : (k + 1) * fsize])
             yield pd.DataFrame(out)
@@ -280,14 +284,14 @@ def resample_audio_df(items: DataFrame, target_rate: int) -> DataFrame:
                 "item_id": [], "sr_in": [], "sr_out": [], "n_in": [],
                 "n_out": [], "data": [], "samples_hash": [],
             }
-            for _, row in pdf.iterrows():
-                fmt = (row["meta"]["format"] or "").lower()
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] or "").lower()
                 if fmt != "pcm16":
                     raise NotImplementedError(
                         f"audio format {fmt or 'unknown'}: only pcm16 decodes natively"
                     )
-                sr = int(row["meta"]["sample_rate"])
-                x = np.frombuffer(row["data"], dtype="<i2").astype(np.float64)
+                sr = int(meta["sample_rate"])
+                x = np.frombuffer(data, dtype="<i2").astype(np.float64)
                 n = len(x)
                 if n < 2:
                     vals = x
@@ -299,7 +303,7 @@ def resample_audio_df(items: DataFrame, target_rate: int) -> DataFrame:
                     xp = np.append(x, x[-1])  # idx+1 gather pad (frac=0 there)
                     vals = x[idx] + (xp[idx + 1] - x[idx]) * frac
                 micro = np.round(vals * 1_000_000).astype(np.int64)
-                out["item_id"].append(row["item_id"])
+                out["item_id"].append(iid)
                 out["sr_in"].append(sr)
                 out["sr_out"].append(sr_out)
                 out["n_in"].append(n)
