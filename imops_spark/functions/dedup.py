@@ -845,12 +845,41 @@ def lsh_query_index(
 _GRAM_ROWS_PER_TASK = 2_000_000  # ~64 MB of (doc_id, pos, h) unsafe rows
 
 
+def _hot_gram_rows_estimate(
+    d: DataFrame, k: int, raw_chars: int, sample_rows: int = 200_000
+) -> int:
+    """Estimated corpus-wide row count of the HOTTEST ``k``-gram, from a
+    deterministic document sample targeting ``~sample_rows`` gram rows.
+    Groups the sampled gram STRINGS directly (gram equality is the
+    semantics; hashing the sample would only add cost).  Drives
+    ``duplicate_spans_df``'s ``strategy='auto'`` window-vs-agg dispatch:
+    the window funnels EVERY row of a gram into one sort partition, so
+    the decision variable is whether the hottest gram alone exceeds the
+    per-task sizing budget."""
+    if raw_chars <= 0:
+        return 0
+    f = min(1.0, float(sample_rows) / float(raw_chars))
+    s = d if f >= 1.0 else d.sample(fraction=f, seed=7)
+    top = (
+        s.select(
+            F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
+            "nt",
+        )
+        .select(F.substring("nt", F.col("pos"), k).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    return int((top or 0) / f)
+
+
 def duplicate_spans_df(
     docs: DataFrame,
     k: int = 20,
     min_docs: int = 2,
     hash_fn: str = "md5",
-    strategy: str = "window",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact substring deduplication, span-level (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" primitive,
@@ -868,7 +897,7 @@ def duplicate_spans_df(
     L - k + 1 gram starts are duplicated, which is exactly the suffix-array
     criterion for shared substrings of length >= k.
 
-    Plan shape at 100 TB (``strategy='window'``, the default): one scan,
+    Plan shape at 100 TB (``strategy='window'``, auto's typical pick): one scan,
     one SIZE-AWARE gram exchange, ``min/max(doc_id) OVER (PARTITION BY
     h)`` on it, then the island merge.  The gram exchange carries one row
     per character of corpus, so BOTH of its sides must be sized to
@@ -886,8 +915,16 @@ def duplicate_spans_df(
     ``spark.sql.shuffle.partitions`` can be right for both this exchange
     and everything else in the job.
 
-    ``strategy='agg'`` (kept for the A/B equivalence test, NOT the
-    default) replaces the window with a map-side-combined ``groupBy(h)``
+    ``strategy='auto'`` (the default) picks between the two forms below
+    with a sampled heavy-hitter probe: 'window' unless the hottest
+    k-gram alone is estimated to exceed the per-task row budget (in
+    which case its sort partition would straggle) — then 'agg'.  The
+    probe only runs when the corpus is big enough to have needed sizing
+    up (``n_parts > default``), so small jobs pay nothing.  Both forms
+    are result-identical (equivalence-tested).
+
+    ``strategy='agg'`` (the skew-safe form)
+    replaces the window with a map-side-combined ``groupBy(h)``
     min/max + shuffle-hash semi-join back to the grams.  When the
     pre-explode widen triggers, its exchange doubles as a shared
     materialization point (both gram branches consume it via
@@ -926,8 +963,10 @@ def duplicate_spans_df(
         raise ValueError(f"k and min_docs must be >= 1, got {k}, {min_docs}")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    if strategy not in ("agg", "window"):
-        raise ValueError(f"strategy must be 'agg' or 'window', got {strategy!r}")
+    if strategy not in ("agg", "window", "auto"):
+        raise ValueError(
+            f"strategy must be 'agg', 'window', or 'auto', got {strategy!r}"
+        )
     # Size the gram exchange BEFORE building it: sum(length(text)) is a
     # cheap columnar pre-pass (no regex, no explode) and upper-bounds the
     # gram count (normalization only shrinks text).  ~3M (doc_id, pos, h)
@@ -942,6 +981,23 @@ def duplicate_spans_df(
     d = docs.select("doc_id", normalized_text().alias("nt")).filter(
         F.length("nt") >= k
     )
+    if strategy == "auto":
+        # Heavy-hitter dispatch: the window (faster on typical corpora —
+        # one Tungsten radix sort beats two giant agg hash maps, measured
+        # 17 s vs 36 s at 320k) funnels every row of a gram into ONE sort
+        # partition, so a pathologically hot gram (site boilerplate across
+        # millions of docs) makes a straggler; the agg's map-side combine
+        # collapses it to one row per input partition.  Probe only when
+        # the operator had to size up (n_parts > default) — below that the
+        # whole gram table fits default parallelism and no single gram can
+        # dominate a task.  The sampled probe costs one small job and
+        # picks 'agg' iff the hottest gram alone would blow the per-task
+        # budget the sizing discipline promises.
+        strategy = "window"
+        if min_docs == 2 and n_parts > default_parts:
+            hot = _hot_gram_rows_estimate(d, k, int(raw_chars))
+            if hot > _GRAM_ROWS_PER_TASK:
+                strategy = "agg"
     # widen the MAP side only when it is genuinely narrow (the full-text
     # round-robin shuffle is not free): each map task buffers its whole
     # gram output in the shuffle writer, so per-task gram volume must fit
@@ -1006,7 +1062,7 @@ def duplicate_span_stats_df(
     k: int = 20,
     min_docs: int = 2,
     hash_fn: str = "md5",
-    strategy: str = "window",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-document duplicate-span summary: ``(doc_id, n_spans,
     dup_span_chars, dup_span_char_frac)`` — the thresholdable curation

