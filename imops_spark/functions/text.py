@@ -153,18 +153,29 @@ def langid_df(docs: DataFrame, n_langs: int = 5) -> DataFrame:
 
 
 def winnow_fingerprints_df(
-    docs: DataFrame, k: int = 8, window: int = 4, hash_fn: str = "md5"
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "md5",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS rolling-hash scheme):
     hash every character ``k``-gram of the normalized text, then keep the
     minimum hash of each ``window`` consecutive k-grams (leftmost tie-break)
-    — ``(doc_id, pos, fp)``, one row per selected fingerprint.
+    — ``(doc_id, pos, fp)``, one row per distinct selected fingerprint.
 
     Guarantees any shared substring of length >= ``k + window - 1`` yields a
-    shared fingerprint, the plagiarism/near-dup detection primitive.  Plan
-    shape: positions explode (xwindow) -> one map-side-combined min-struct
-    groupBy per window start -> distinct selected positions.  Everything is
-    column arithmetic on md5 (cross-engine deterministic), no Python.
+    shared fingerprint, the plagiarism/near-dup detection primitive.
+    Everything is column arithmetic on md5 (cross-engine deterministic),
+    no Python.
+
+    ``strategy='auto'`` (default) dispatches on corpus size between the
+    zero-shuffle row-local form (:func:`winnow_fingerprints_local_df` —
+    streams always take it) and the sized sliding-window batch chain
+    (:func:`_winnow_selected_window_df` — 2.8x faster at 40k docs and the
+    gap grows with scale; the round-7 explode-``x window`` groupBy form
+    this replaces measured 8.0 s where the sliding window took 2.9 s).
+    Value-identical across strategies (equivalence-tested).
 
     ``hash_fn='xxhash64'`` is the production fast path (JVM-intrinsic,
     not DuckDB-reproducible): fingerprint VALUES differ but the winnowing
@@ -174,51 +185,18 @@ def winnow_fingerprints_df(
     value-pinned.  See FASTPATH.md for the measured row.
     """
     _check_hash_fn(hash_fn)
-    norm = normalized_text()
-    # docs shorter than k have no k-grams; filter BEFORE sequence() — Spark's
-    # sequence(1, 0) generates a DESCENDING [1, 0], not an empty array
-    d = docs.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= k)
-    # k-gram positions 1..len-k+1 (1-based like substring)
-    grams = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
-        F.col("nt"),
-    ).select(
-        "doc_id",
-        "pos",
-        (
-            F.conv(
-                F.substring(F.md5(F.substring("nt", F.col("pos"), k)), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            if hash_fn == "md5"
-            else F.xxhash64(F.substring("nt", F.col("pos"), k))
-        ).alias("h"),
+    strategy, raw_chars = _winnow_pick_strategy(
+        docs, strategy, "winnow_fingerprints_df"
     )
-    # each k-gram participates in `window` windows; window start t = pos - o
-    spread = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("o"),
-    ).withColumn("t", F.col("pos") - F.col("o"))
-    winners = (
-        spread.filter(F.col("t") >= 1)
-        .groupBy("doc_id", "t")
-        .agg(F.min(F.struct("h", "pos")).alias("w"))
-        # drop partial windows at the tail (start t has no full window iff
-        # t > n_grams - window + 1); equivalently keep only t whose window
-        # is complete: the winner row count per t is `window` — enforce by
-        # joining gram counts
-    )
-    n_grams = grams.groupBy("doc_id").agg(F.max("pos").alias("ng"))
-    return (
-        winners.join(n_grams, "doc_id")
-        .filter(F.col("t") <= F.col("ng") - (window - 1))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("fp"))
-        .distinct()
-    )
+    if strategy == "local":
+        return winnow_fingerprints_local_df(
+            docs, k=k, window=window, hash_fn=hash_fn
+        )
+    sel = _winnow_selected_window_df(docs, int(k), int(window), (), hash_fn, raw_chars)
+    # same (pos, fp) can win several adjacent windows; the doc_id
+    # partitioning the window just established satisfies this dedup, so
+    # no further exchange
+    return sel.dropDuplicates(["doc_id", "pos", "fp"])
 
 
 def _check_hash_fn(hash_fn: str) -> None:
@@ -297,20 +275,129 @@ def winnow_fingerprints_local_df(
     )
 
 
+# Measured dispatch threshold for the winnow formulations (synthetic
+# 60-token docs, local[32], min-of-3; see FASTPATH.md): the row-local HOF
+# chain wins only below ~1M corpus chars (its per-window array_min/slice
+# flattening is interpreted-expression CPU, linear in corpus size with a
+# big constant); the sliding-window batch chain costs one sized doc_id
+# exchange + Tungsten radix sort and is 3-5x faster from ~2M chars up
+# (4k docs: 0.88 vs 1.19 s; 320k docs: 16.3 vs 79.7 s).
+_WINNOW_LOCAL_MAX_CHARS = 1_000_000
+
+
+def _winnow_selected_window_df(
+    docs: DataFrame,
+    k: int,
+    window: int,
+    carry: tuple,
+    hash_fn: str,
+    raw_chars: int | None = None,
+) -> DataFrame:
+    """The batch winnowing core: selected fingerprints ``(doc_id, *carry,
+    pos, fp)`` (positions NOT yet dedup'd — one winner row per window
+    start) via explode + sliding ``ROWS BETWEEN`` window min.
+
+    Plan shape at 100 TB: one scan, ONE size-aware doc_id exchange
+    (the dd_spans sizing discipline — both sides of a gram-wide exchange
+    must be held to ~``_GRAM_ROWS_PER_TASK`` rows per task or they
+    spill), an in-partition sort, and a per-row O(window) running min.
+    No ``x window`` row multiplication (the old explode-spread form) and
+    no interpreted HOFs (the row-local form's bottleneck).  The min is
+    over ``struct(h, pos)`` — leftmost tie-break, identical to both other
+    formulations."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _GRAM_ROWS_PER_TASK, normalized_text
+
+    norm = normalized_text()
+    d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    if raw_chars is None:  # the auto dispatch hands its pre-pass down
+        raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
+    default_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(default_parts, -(-int(raw_chars) // _GRAM_ROWS_PER_TASK))
+    if n_parts >= 2 * d.rdd.getNumPartitions():
+        d = d.repartition(n_parts)
+    gram = F.substring("nt", F.col("pos"), k)
+    h = (
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        if hash_fn == "md5"
+        else F.xxhash64(gram)
+    )
+    grams = d.select(
+        "doc_id",
+        *carry,
+        F.explode(F.sequence(F.lit(1), F.length("nt") - (k - 1))).alias("pos"),
+        (F.length("nt") - (k - 1)).alias("ng"),
+        F.col("nt"),
+    ).select("doc_id", *carry, "pos", "ng", h.alias("h"))
+    g = grams.repartition(n_parts, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        g.withColumn("w", F.min(F.struct("h", "pos")).over(w))
+        .filter(F.col("pos") <= F.col("ng") - (window - 1))
+        .select(
+            "doc_id",
+            *carry,
+            F.col("w.pos").alias("pos"),
+            F.col("w.h").alias("fp"),
+        )
+    )
+
+
+def _winnow_pick_strategy(docs: DataFrame, strategy: str, fn: str):
+    """Returns ``(strategy, raw_chars)`` — raw_chars is the dispatch
+    pre-pass, handed down to the window form's exchange sizing so the
+    corpus length is summed exactly once."""
+    if strategy not in ("auto", "local", "window"):
+        raise ValueError(
+            f"{fn}: strategy must be 'auto', 'local', or 'window', got {strategy!r}"
+        )
+    if strategy != "auto":
+        return strategy, None
+    if docs.isStreaming:  # aggregation/sort are illegal mid-stream
+        return "local", None
+    raw_chars = int(docs.select(F.sum(F.length("text"))).first()[0] or 0)
+    picked = "local" if raw_chars <= _WINNOW_LOCAL_MAX_CHARS else "window"
+    return picked, raw_chars
+
+
 def winnow_fp_set_df(
     docs: DataFrame,
     k: int = 8,
     window: int = 4,
     carry: tuple = (),
     hash_fn: str = "md5",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Distinct winnowing fingerprints per document, ``(doc_id, fp)`` —
-    dedup happens ROW-LOCALLY (``array_distinct`` over the selected-fp
-    array before the explode), so each (doc, fp) pair exists exactly once
-    with zero shuffles and no stateful dedup: the form a streaming
-    fingerprint join needs (a same-fp-several-positions doc would
-    otherwise double-count pairs, and stateful dropDuplicates/countDistinct
-    are restricted upstream/inside streaming aggregations)."""
+    """Distinct winnowing fingerprints per document, ``(doc_id, fp)``.
+
+    ``strategy='auto'`` (default) dispatches on corpus size (the
+    measured ~1M-char crossover, see ``_WINNOW_LOCAL_MAX_CHARS``) between:
+
+    - ``'local'`` — dedup ROW-LOCALLY (``array_distinct`` over the
+      selected-fp array before the explode): zero shuffles, no stateful
+      dedup, streaming-legal (what a streaming fingerprint join needs —
+      a same-fp-several-positions doc would otherwise double-count
+      pairs, and stateful dropDuplicates/countDistinct are restricted
+      upstream/inside streaming aggregations).  Streaming inputs always
+      take this form.
+    - ``'window'`` — the sized exploded batch chain
+      (:func:`_winnow_selected_window_df`) + a per-doc dedup the doc_id
+      partitioning already satisfies (no further exchange): 3-5x faster
+      from ~2M corpus chars up, where the local form's interpreted HOF
+      scan dominates.
+
+    Both forms are value-identical (equivalence-tested)."""
+    _check_hash_fn(hash_fn)
+    strategy, raw_chars = _winnow_pick_strategy(docs, strategy, "winnow_fp_set_df")
+    if strategy == "window":
+        qcarry = quote_carry(carry, _WINNOW_RESERVED)
+        sel = _winnow_selected_window_df(
+            docs, int(k), int(window), qcarry, hash_fn, raw_chars
+        )
+        return sel.dropDuplicates(["doc_id", "fp"]).drop("pos")
     sets = winnow_fp_array_df(docs, k=k, window=window, carry=carry, hash_fn=hash_fn)
     carry = quote_carry(carry, _WINNOW_RESERVED)
     return sets.selectExpr("doc_id", *carry, "explode(fps) AS fp")

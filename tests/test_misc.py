@@ -992,6 +992,41 @@ def test_training_order_shards_balanced_total_and_one_exchange(spark):
         training_order_df(docs, n_shards=0)
 
 
+def test_training_order_duplicate_ids_tiebreak(spark):
+    """Duplicate ids share the hash, so pos AMONG them is arbitrary unless
+    tiebreak_cols extends the sort key: with it, the full (doc_id, text,
+    shard, pos) assignment is identical across differently-partitioned
+    reruns; reserved tiebreak names raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import training_order_df
+
+    rows = [(i % 50, f"text-{i}") for i in range(400)]  # 8 dups per id
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        13, "text"
+    )
+    ta = sorted(
+        map(tuple, training_order_df(a, 8, tiebreak_cols=("text",)).collect())
+    )
+    tb = sorted(
+        map(tuple, training_order_df(b, 8, tiebreak_cols=("text",)).collect())
+    )
+    assert ta == tb and len(ta) == 400
+    # the position SET per id group is stable even without a tiebreak
+    base = training_order_df(a, 8).collect()
+    posset = {}
+    for r in base:
+        posset.setdefault(r["doc_id"], set()).add((r["shard"], r["pos"]))
+    for r in ta:
+        assert (r[2], r[3]) in posset[r[0]]
+    with pytest.raises(ValueError, match="tiebreak"):
+        training_order_df(a, 8, tiebreak_cols=("pos",))
+    with pytest.raises(ValueError, match="tiebreak"):
+        training_order_df(a, 8, tiebreak_cols=("__x",))
+
+
 def test_sentences_df_matches_python_re(spark):
     """sentences_df == a python re re-derivation (same pattern, same
     full-whitespace trim, same min_chars filter, same ordinal-with-gaps
@@ -1029,3 +1064,75 @@ def test_sentences_df_matches_python_re(spark):
     assert all(k[0] != 4 for k in got)  # punctuation-only doc fully dropped
     with pytest.raises(ValueError, match="min_chars"):
         sentences_df(docs, min_chars=0)
+
+
+def test_winnow_strategies_value_identical_and_dispatch(spark):
+    """All three winnowing formulations — row-local HOF, sliding-window
+    batch, and auto — must produce identical (doc_id, pos, fp) and
+    (doc_id, fp) sets (carry riding through the window path too); auto
+    routes small corpora local, large corpora (and never streams) to the
+    window; unknown strategies raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import imops_spark.functions.text as tx
+    from imops_spark.functions.text import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_local_df,
+        winnow_fp_set_df,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"doc {i} prefix {shared} suffix {i * 13} tail tail") for i in range(40)]
+    rows += [(99, "short"), (100, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pos_local = sorted(
+        map(tuple, winnow_fingerprints_local_df(docs, k=8, window=4).collect())
+    )
+    pos_window = sorted(
+        map(
+            tuple,
+            winnow_fingerprints_df(docs, k=8, window=4, strategy="window").collect(),
+        )
+    )
+    pos_auto = sorted(
+        map(tuple, winnow_fingerprints_df(docs, k=8, window=4).collect())
+    )
+    assert pos_local == pos_window == pos_auto and pos_local
+
+    set_local = sorted(
+        map(
+            tuple,
+            winnow_fp_set_df(docs, k=8, window=4, strategy="local").collect(),
+        )
+    )
+    set_window = sorted(
+        map(
+            tuple,
+            winnow_fp_set_df(docs, k=8, window=4, strategy="window").collect(),
+        )
+    )
+    assert set_local == set_window and set_local
+    # carry columns ride through the window path and pair uniqueness holds
+    docs_c = docs.withColumn("src", F.concat(F.lit("s"), F.col("doc_id")))
+    wc = winnow_fp_set_df(docs_c, k=8, window=4, carry=("src",), strategy="window")
+    got = wc.collect()
+    assert wc.columns == ["doc_id", "src", "fp"]
+    assert len(got) == len({(r["doc_id"], r["fp"]) for r in got})
+    assert all(r["src"] == f"s{r['doc_id']}" for r in got)
+
+    # dispatch: tiny corpus -> local pick; threshold forced down -> window
+    s, _ = tx._winnow_pick_strategy(docs, "auto", "t")
+    assert s == "local"
+    orig = tx._WINNOW_LOCAL_MAX_CHARS
+    try:
+        tx._WINNOW_LOCAL_MAX_CHARS = 10
+        s2, rc = tx._winnow_pick_strategy(docs, "auto", "t")
+        assert s2 == "window" and rc > 10
+    finally:
+        tx._WINNOW_LOCAL_MAX_CHARS = orig
+    with pytest.raises(ValueError, match="strategy"):
+        winnow_fp_set_df(docs, strategy="nope")
+    with pytest.raises(ValueError, match="strategy"):
+        winnow_fingerprints_df(docs, strategy="nope")
