@@ -1580,6 +1580,7 @@ def training_order_df(
     n_shards: int,
     id_col: str = "doc_id",
     salt: int = 77,
+    tiebreak_cols: tuple = (),
 ) -> DataFrame:
     """Deterministic global training order as balanced shards:
     ``(*input columns, shard, pos)`` where ``shard`` is an md5-derived
@@ -1600,16 +1601,27 @@ def training_order_df(
     per-task sort to corpus/n_shards — the dd_spans partition-sizing
     discipline applied to ordering).  Balance: md5 buckets are uniform,
     so shard sizes concentrate tightly around n/n_shards (no planner-
-    visible skew).  NULL keys hash a sentinel (the _key_hash contract);
-    duplicate keys are allowed and tie-break on the key value itself, so
-    the order stays total and reproducible."""
+    visible skew).  NULL keys hash a sentinel (the _key_hash contract).
+
+    Duplicate keys: rows sharing an ``id_col`` value also share the hash,
+    so which of them gets which ``pos`` is partition-order-dependent —
+    reproducible BETWEEN the duplicates' positions (the set of positions
+    is fixed) but arbitrary AMONG them.  When duplicate ids are expected
+    and full reproducibility matters, pass ``tiebreak_cols`` (e.g. a
+    content column or precomputed content hash): they extend the
+    within-shard sort key and restore a total order."""
     n_shards = int(n_shards)
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     from pyspark.sql import Window
 
+    for c in tiebreak_cols:
+        if c in ("shard", "pos") or c.startswith("__"):
+            raise ValueError(
+                f"tiebreak column {c!r} collides with an output/internal name"
+            )
     h = _key_hash(id_col, salt)
-    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    w = Window.partitionBy("shard").orderBy("__h", id_col, *tiebreak_cols)
     return (
         df.withColumn("__h", h)
         .withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("int"))
