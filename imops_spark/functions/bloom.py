@@ -61,6 +61,7 @@ __all__ = [
     "with_bloom_contains",
     "bloom_words",
     "bloom_write_index",
+    "bloom_stamp_index",
     "bloom_read_index",
 ]
 
@@ -348,6 +349,22 @@ def bloom_write_index(
             # schema-dependent on which file gets sampled; keep the log's
             # own shape (the stamp only ever applies to whole generations)
             stamp_kt = has_kt
+            if not has_kt:
+                # a pre-stamp log can never enforce key-type compatibility:
+                # every append here re-opens the false-negative hazard the
+                # stamp exists to close.  Warn loudly and point at the
+                # one-shot migration (which requires the operator to DECLARE
+                # the legacy key type — this code cannot infer it).
+                import warnings
+
+                warnings.warn(
+                    f"bloom index at {path} predates the key_type stamp; "
+                    "this append is accepted unchecked (a mixed-type append "
+                    "would silently probe all-false). Migrate once with "
+                    "bloom_stamp_index(spark, path, key_type=...) to make "
+                    "the log enforceable.",
+                    stacklevel=2,
+                )
             sel = ["num_bits", "num_hashes"] + (["key_type"] if has_kt else [])
             params = log.select(*sel).distinct().collect()
             bad = [
@@ -374,6 +391,45 @@ def bloom_write_index(
         out_cols.append(F.lit(key_type).alias("key_type"))
     words = bloom_words(df, col, num_bits, num_hashes).select(*out_cols)
     words.write.mode(mode).parquet(path)
+
+
+def bloom_stamp_index(spark, path: str, key_type: str) -> None:
+    """One-shot migration of a pre-stamp Bloom log: rewrite every
+    generation with the DECLARED ``key_type`` so future appends and
+    probes are enforceable (``bloom_write_index`` warns on every append
+    to an unstamped log until this runs).
+
+    The legacy key type is not inferable from the stored words — the
+    operator must declare what the log was built from; ``key_type``
+    accepts either a Spark dtype string (``'bigint'``, ``'string'``, a
+    legacy ``'int'``-class width) or an exact hash class.  Raises if the
+    log is already stamped (nothing to migrate — a RE-stamp could
+    relabel generations) or holds mixed parameters.  Single-writer
+    maintenance-window contract, like every log rewrite here."""
+    log = spark.read.parquet(path)
+    if "key_type" in log.columns:
+        raise ValueError(
+            f"bloom index at {path} is already key_type-stamped; "
+            "re-stamping could relabel existing generations"
+        )
+    params = log.select("num_bits", "num_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"bloom index at {path} holds {len(params)} parameter sets; "
+            "the log is corrupt (mixed-parameter appends)"
+        )
+    kt = _hash_type_class(str(key_type))
+    stamped = log.select(
+        "word_idx", "word", "num_bits", "num_hashes",
+        F.lit(kt).alias("key_type"),
+    )
+    # the read is fully materialized before the overwrite (bounded log:
+    # <= generations * num_bits/64 rows), so the rewrite never reads its
+    # own output
+    rows = stamped.collect()
+    spark.createDataFrame(rows, stamped.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def bloom_read_index(spark, path: str) -> BloomFilter:

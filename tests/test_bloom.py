@@ -372,3 +372,59 @@ def test_probe_frame_with_bits_column_raises(spark):
     bloom = bloom_build(_keys(spark, n=50), "k", num_bits=1 << 12, num_hashes=4)
     with pytest.raises(ValueError, match="'bits' column"):
         with_bloom_contains(keys, "k", bloom)
+
+
+def test_pre_stamp_log_append_warns_and_migration_enforces(spark, tmp_path):
+    """Appending to a pre-stamp LOG must WARN (the append is unenforceable);
+    bloom_stamp_index migrates the log once with a declared key type, after
+    which cross-type appends RAISE and probes enforce; re-stamping and
+    mixed-parameter logs are refused."""
+    import warnings
+
+    from imops_spark.functions.bloom import (
+        bloom_read_index,
+        bloom_stamp_index,
+        bloom_write_index,
+        bloom_words,
+    )
+
+    keys = _keys(spark, n=150)
+    path = str(tmp_path / "legacy_log")
+    # simulate a pre-stamp log: words + params, no key_type column
+    bloom_words(keys, "k", 1 << 12, 4).select(
+        "word_idx", "word", F.lit(1 << 12).alias("num_bits"), F.lit(4).alias("num_hashes")
+    ).write.parquet(path)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_write_index(
+            keys, "k", path, num_bits=1 << 12, num_hashes=4, mode="append"
+        )
+    assert any("predates the key_type stamp" in str(x.message) for x in w)
+    # the unchecked append keeps the legacy shape (no key_type column)
+    assert "key_type" not in spark.read.parquet(path).columns
+
+    bloom_stamp_index(spark, path, key_type="bigint")
+    stamped = spark.read.parquet(path)
+    assert set(stamped.select("key_type").distinct().toPandas()["key_type"]) == {
+        "bigint"
+    }
+    # post-migration: enforcement is live again
+    strs = keys.select(F.col("k").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="key_type"):
+        bloom_write_index(
+            strs, "k", path, num_bits=1 << 12, num_hashes=4, mode="append"
+        )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        bloom_write_index(
+            keys, "k", path, num_bits=1 << 12, num_hashes=4, mode="append"
+        )
+    # matching append: no stamp warning (unrelated ResourceWarnings pass)
+    assert not any("key_type" in str(x.message) for x in w2)
+    loaded = bloom_read_index(spark, path)
+    assert loaded.key_type == "bigint"
+    probed = with_bloom_contains(keys, "k", loaded)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    with pytest.raises(ValueError, match="already key_type-stamped"):
+        bloom_stamp_index(spark, path, key_type="bigint")
