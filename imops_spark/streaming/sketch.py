@@ -108,6 +108,17 @@ def compact_sketch_log(spark: SparkSession, path: str, keys: Sequence[str] = ())
     kind = "freq" if "freq_sketch" in log.columns else "distinct"
     from pyspark.sql import Window
 
+    # Per-writer coverage from the RAW log, not the effective view: a crash
+    # between the compacted-row write and the deletion leaves covered raw
+    # partitions that _effective_log HIDES — a rerun sees an empty merge
+    # plan, but the garbage is still on disk and must be swept or it
+    # persists until a new batch arrives (indefinitely on an idle writer).
+    cov_now = {
+        r["writer_id"]: (-int(r["minb"]) - 1) if int(r["minb"]) < 0 else -1
+        for r in log.groupBy("writer_id")
+        .agg(F.min("batch_id").alias("minb"))
+        .collect()
+    }
     eff = _effective_log(log)
     w = Window.partitionBy("writer_id")
     mergeable = eff.withColumn("__maxb", F.max("batch_id").over(w)).filter(
@@ -131,7 +142,9 @@ def compact_sketch_log(spark: SparkSession, path: str, keys: Sequence[str] = ())
         .collect()
     }
     if not plan:
-        return 0
+        # nothing to merge — but a prior crashed run may have left covered
+        # partitions behind; finish ITS garbage collection
+        return _gc_covered(spark, path, cov_now)
     todo = mergeable.filter(F.col("writer_id").isin(list(plan)))
     data_cols = [c for c in log.columns if c not in ("writer_id", "batch_id")]
     if kind == "distinct":
@@ -172,12 +185,24 @@ def compact_sketch_log(spark: SparkSession, path: str, keys: Sequence[str] = ())
         .parquet(path)
     )
     # GC: everything the new compacted rows cover — raw batches <= cov and
-    # any STALE negative partition from an earlier compaction
+    # any STALE negative partition from an earlier compaction.  Writers
+    # NOT in this run's plan still get their leftover crash garbage swept
+    # (cov_now), so one successful rerun always finishes a prior run's GC.
+    return _gc_covered(spark, path, {**cov_now, **plan})
+
+
+def _gc_covered(spark: SparkSession, path: str, cov_by_writer: dict) -> int:
+    """Delete every log partition a writer's current compaction coverage
+    makes unreadable: raw batches ``0..cov`` and stale negative partitions
+    other than ``-(cov + 1)``.  Writers with no compaction (``cov < 0``)
+    are skipped.  Returns the number of partitions removed."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     removed = 0
-    for wid, c in plan.items():
+    for wid, c in sorted(cov_by_writer.items()):
+        if c < 0:
+            continue
         wdir = jvm.org.apache.hadoop.fs.Path(root, f"writer_id={wid}")
         if not fs.exists(wdir):
             continue

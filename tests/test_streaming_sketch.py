@@ -262,3 +262,159 @@ def test_compaction_multiple_writers_independent(spark, tmp_path):
     for r in raw:
         per.setdefault(r["writer_id"], set()).add(r["batch_id"])
     assert per["w1"] == {-2, 2} and per["w2"] == {-1, 1}
+
+
+def test_compaction_post_crash_rerun_finishes_gc(spark, tmp_path):
+    """A crash between the compacted-row write and the deletion leaves
+    covered raw partitions (and possibly a stale negative one) that the
+    effective view hides — readers stay correct by most-negative-wins,
+    but the disk garbage must not persist: a rerun whose merge plan is
+    EMPTY must still sweep it."""
+    import os
+
+    from imops_spark.streaming.sketch import compact_sketch_log
+
+    schema = "g string, v long"
+    log = str(tmp_path / "dlog")
+    ck = str(tmp_path / "ck")
+    indir = str(tmp_path / "in")
+    for lo, hi in [(0, 300), (300, 600), (600, 900)]:
+        (
+            spark.range(lo, hi)
+            .select((F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 41).alias("v"))
+            .write.mode("append").parquet(indir)
+        )
+        q = start_distinct_sketch_maintenance(
+            spark.readStream.schema(schema).parquet(indir), ["g"], "v", log,
+            checkpoint=ck,
+        )
+        q.awaitTermination(120)
+    before = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    assert compact_sketch_log(spark, log, keys=["g"]) >= 1
+
+    wdirs = [d for d in os.listdir(log) if d.startswith("writer_id=")]
+    assert len(wdirs) == 1
+    wid = wdirs[0].split("=", 1)[1]
+    neg = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(log, wdirs[0]))
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < 0
+    ]
+    assert len(neg) == 1
+    cov = -neg[0] - 1
+
+    # reconstruct the crash: covered raw partitions reappear (their
+    # deletion "never happened"), plus a STALE negative partition from an
+    # earlier compaction
+    def plant(bid, lo, hi):
+        (
+            spark.range(lo, hi)
+            .select((F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 41).alias("v"))
+            .transform(lambda df: distinct_sketch_by(df, ["g"], "v"))
+            .withColumn("writer_id", F.lit(wid))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("writer_id", "batch_id")
+            .parquet(log)
+        )
+
+    plant(0, 0, 300)
+    plant(1, 300, 600)
+    if cov >= 1:
+        plant(-(cov - 1) - 1, 0, 600)  # stale older compaction row
+    # readers: most-negative-wins hides every planted partition
+    assert {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    } == before
+    # rerun: nothing to merge, but the sweep must remove the garbage
+    removed = compact_sketch_log(spark, log, keys=["g"])
+    assert removed == (2 + (1 if cov >= 1 else 0))
+    bids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(log, wdirs[0]))
+        if d.startswith("batch_id=")
+    )
+    assert [b for b in bids if b < 0] == [-(cov + 1)]
+    assert all(b > cov for b in bids if b >= 0)
+    assert {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    } == before
+    # and now truly idempotent
+    assert compact_sketch_log(spark, log, keys=["g"]) == 0
+
+
+def test_compaction_interleaved_with_live_drain(spark, tmp_path):
+    """Compacting BETWEEN a writer's drains (the live-stream race, replayed
+    deterministically): the stream keeps appending batches from the same
+    checkpoint after a compaction; readers must equal the batch oracle at
+    every step, and a second compaction folds the post-compaction batches
+    into ONE refreshed negative row."""
+    from imops_spark.streaming.sketch import compact_sketch_log
+
+    schema = "g string, v long"
+    log = str(tmp_path / "dlog2")
+    ck = str(tmp_path / "ck2")
+    indir = str(tmp_path / "in2")
+
+    def drain(lo, hi):
+        (
+            spark.range(lo, hi)
+            .select((F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 41).alias("v"))
+            .write.mode("append").parquet(indir)
+        )
+        q = start_distinct_sketch_maintenance(
+            spark.readStream.schema(schema).parquet(indir), ["g"], "v", log,
+            checkpoint=ck,
+        )
+        q.awaitTermination(120)
+
+    def oracle(hi):
+        return {
+            r["g"]: r["approx_distinct"]
+            for r in distinct_sketch_by(
+                spark.range(0, hi).select(
+                    (F.col("id") % 3).cast("string").alias("g"),
+                    (F.col("id") % 41).alias("v"),
+                ),
+                ["g"], "v",
+            ).selectExpr(
+                "g", "hll_sketch_estimate(distinct_sketch) AS approx_distinct"
+            ).collect()
+        }
+
+    drain(0, 300)
+    drain(300, 600)
+    compact_sketch_log(spark, log, keys=["g"])
+    got1 = {
+        r["g"]: r["approx_distinct"]
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    assert got1 == oracle(600)
+    # the stream continues from the SAME checkpoint past the compaction
+    drain(600, 900)
+    drain(900, 1200)
+    got2 = {
+        r["g"]: r["approx_distinct"]
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    }
+    assert got2 == oracle(1200)
+    assert compact_sketch_log(spark, log, keys=["g"]) >= 1
+    import os
+
+    wdir = [d for d in os.listdir(log) if d.startswith("writer_id=")][0]
+    negs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(log, wdir))
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < 0
+    ]
+    assert len(negs) == 1  # refreshed coverage row, stale one swept
+    assert {
+        r["g"]: r["approx_distinct"]
+        for r in read_distinct_sketch_log(spark, log, keys=["g"]).collect()
+    } == oracle(1200)
