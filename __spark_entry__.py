@@ -1486,6 +1486,22 @@ def q_cur_shards(spark, sf_dir):
     return training_order_df(docs, n_shards=8, salt=77)
 
 
+def q_cur_pack_seqs(spark, sf_dir):
+    """Distributed sequence packing (curate.pack_sequences_df): every
+    document laid head-to-tail on one global token tape in the md5
+    decorrelation order, cut into fixed 64-token training sequences —
+    one row per (document, sequence) overlap with the offsets a loader
+    needs for boundary-masked packed batches.  Plan: the global prefix
+    sum is TWO-PHASE (in-shard window cumsum + an 8-row broadcast shard
+    offset join) — never a single-partition global sort; the oracle
+    re-derives the identical tape with one flat cumulative window (tiny
+    data), proving the two-phase decomposition exact."""
+    from imops_spark.functions.curate import pack_sequences_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences_df(docs, seq_len=64, n_shards=8, salt=77)
+
+
 def q_cur_sample(spark, sf_dir):
     """Deterministic hash sampling + hash splitting (curate.hash_sample_df /
     split_by_hash_df): every doc gets a train/val/test split label and an
@@ -3610,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "cur_sample": q_cur_sample,
         "cur_shards": q_cur_shards,
+        "cur_pack_seqs": q_cur_pack_seqs,
         "cur_quota": q_cur_quota,
         "cur_mix": q_cur_mix,
         "cur_pack": q_cur_pack,
@@ -5112,6 +5129,32 @@ def _oracle_sql_literals() -> dict[str, str]:
                      ORDER BY (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT), doc_id
                    ) AS BIGINT) AS pos
             FROM documents
+        """,
+        "cur_pack_seqs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h,
+                     CASE WHEN {_NORM} = '' THEN 0
+                          ELSE CAST(len(string_split({_NORM}, ' ')) AS BIGINT) END AS n
+              FROM documents WHERE text IS NOT NULL
+            ), b2 AS (
+              SELECT doc_id, h, h % 8 AS shard, n FROM base WHERE n > 0
+            ), pos AS (
+              SELECT doc_id, n,
+                     -- SUM(BIGINT) is HUGEINT in DuckDB; pin the tape
+                     -- position back to BIGINT like the Spark side
+                     CAST(SUM(n) OVER (ORDER BY shard, h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n AS BIGINT) AS start
+              FROM b2
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   i AS seq_id,
+                   GREATEST(i * 64 - start, 0) AS doc_offset,
+                   GREATEST(start - i * 64, 0) AS seq_offset,
+                   LEAST((i + 1) * 64, start + n) - GREATEST(i * 64, start) AS len
+            FROM pos, unnest(generate_series(start // 64, (start + n - 1) // 64)) u(i)
         """,
         "cur_sample": f"""
             SELECT doc_id,

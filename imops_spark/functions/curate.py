@@ -67,6 +67,7 @@ __all__ = [
     "classifier_train_early_stop_df",
     "keep_top_fraction_df",
     "training_order_df",
+    "pack_sequences_df",
 ]
 
 
@@ -1627,6 +1628,103 @@ def training_order_df(
         .withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("int"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__h")
+    )
+
+
+def pack_sequences_df(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str | None = None,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: int = 77,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: lay every document
+    head-to-tail on one global token tape in a deterministic hash order,
+    cut the tape into fixed ``seq_len`` windows, and emit one row per
+    (document, sequence) OVERLAP — ``(doc_id, n_tokens, seq_id,
+    doc_offset, seq_offset, len)`` — the placement metadata a training
+    loader needs to materialize packed sequences with document-boundary
+    attention masks (every production LLM data pipeline ends with exactly
+    this step; the alternative bin-packing formulations trade determinism
+    for marginally fewer padding tokens and are NOT reproducible across
+    reruns).
+
+    ``n_tokens_col`` names a precomputed token-count column (e.g. from
+    ``bpe_apply_df``); default derives whitespace token counts of the
+    normalized text row-locally.  Zero-token and NULL-text documents are
+    dropped (they occupy no tape).  The tape order is ``(shard, h,
+    doc_id)`` with ``h = md5(salt|id)`` and ``shard = h % n_shards`` —
+    the :func:`training_order_df` decorrelation order, reproducible
+    across engines and reruns.
+
+    Plan shape at 100 TB — the point of this formulation: a global
+    running sum over a total order would be ONE partition sorting the
+    whole corpus, so the prefix sum is TWO-PHASE instead: (1) one
+    exchange by ``shard`` + an in-partition window cumsum (each task
+    sorts corpus/n_shards rows — the dd_spans sizing discipline applied
+    to ordering, same as training_order_df), (2) per-shard totals
+    (n_shards rows) get their own prefix sum on a single tiny partition
+    and broadcast-join back as shard offsets.  The window explosion is
+    row-local arithmetic (a doc overlaps ``~n/seq_len + 1`` sequences).
+    Token positions are exact BIGINT arithmetic (integer DIV — double
+    division would misround past 2^53 on a 100 TB tape)."""
+    from pyspark.sql import Window
+
+    L = int(seq_len)
+    S = int(n_shards)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if S <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if n_tokens_col is None:
+        from .dedup import normalized_text
+
+        n = F.size(F.array_remove(F.split(normalized_text(), " "), ""))
+        base = docs.filter(F.col("text").isNotNull()).select(
+            F.col(id_col), n.cast("long").alias("__n")
+        )
+    else:
+        base = docs.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("__n"))
+    h = _key_hash(id_col, salt)
+    base = (
+        base.filter(F.col("__n") > 0)
+        .withColumn("__h", h)
+        .withColumn("__shard", F.pmod("__h", F.lit(S)).cast("int"))
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__lend", F.sum("__n").over(w))
+    totals = base.groupBy("__shard").agg(F.sum("__n").alias("__tot"))
+    wp = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "__shard", F.coalesce(F.sum("__tot").over(wp), F.lit(0)).alias("__off")
+    )
+    placed = local.join(F.broadcast(prefix), "__shard").selectExpr(
+        f"{id_col}",
+        "__n AS n_tokens",
+        "__off + __lend - __n AS __start",
+    )
+    return placed.selectExpr(
+        id_col,
+        "n_tokens",
+        f"explode(sequence(__start DIV {L}, (__start + n_tokens - 1) DIV {L}))"
+        " AS seq_id",
+        "__start",
+    ).selectExpr(
+        id_col,
+        "n_tokens",
+        "seq_id",
+        f"CAST(GREATEST(seq_id * {L} - __start, 0) AS BIGINT) AS doc_offset",
+        f"CAST(GREATEST(__start - seq_id * {L}, 0) AS BIGINT) AS seq_offset",
+        f"CAST(LEAST((seq_id + 1) * {L}, __start + n_tokens)"
+        f" - GREATEST(seq_id * {L}, __start) AS BIGINT) AS len",
     )
 
 

@@ -1136,3 +1136,68 @@ def test_winnow_strategies_value_identical_and_dispatch(spark):
         winnow_fp_set_df(docs, strategy="nope")
     with pytest.raises(ValueError, match="strategy"):
         winnow_fingerprints_df(docs, strategy="nope")
+
+
+def test_pack_sequences_invariants_and_determinism(spark):
+    """pack_sequences_df: per-doc overlap rows reconstruct the document
+    exactly (contiguous doc_offsets summing to n_tokens); per-sequence
+    rows tile [0, seq_len) without gaps or overlap (every sequence full
+    except the tape tail); placement is identical across input
+    partitionings (the two-phase prefix sum is exact); precomputed token
+    counts and validation paths work."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imops_spark.functions.curate import pack_sequences_df
+
+    rows = [(i, "tok " * (5 + (i * 7) % 90)) for i in range(120)]
+    rows += [(900, None), (901, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 64
+    out = pack_sequences_df(docs, seq_len=L, n_shards=8).collect()
+    assert {r["doc_id"] for r in out} == {i for i, _ in rows[:120]}
+
+    by_doc, by_seq = {}, {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["doc_offset"])
+        n = rs[0]["n_tokens"]
+        assert sum(r["len"] for r in rs) == n
+        assert rs[0]["doc_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b["doc_offset"] == a["doc_offset"] + a["len"]
+            assert b["seq_id"] == a["seq_id"] + 1  # consecutive tape windows
+            assert b["seq_offset"] == 0  # continuation rows start a sequence
+    total = sum(r["n_tokens"] for r in spark.createDataFrame(
+        [(i, 5 + (i * 7) % 90) for i in range(120)], "doc_id long, n_tokens int"
+    ).collect())
+    n_seqs = -(-total // L)
+    assert set(by_seq) == set(range(n_seqs))
+    for sid, rs in by_seq.items():
+        rs.sort(key=lambda r: r["seq_offset"])
+        assert rs[0]["seq_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b["seq_offset"] == a["seq_offset"] + a["len"]
+        full = sum(r["len"] for r in rs)
+        assert full == (L if sid < n_seqs - 1 else total - L * (n_seqs - 1))
+
+    # partitioning-proof: same placement from a differently-partitioned input
+    again = pack_sequences_df(
+        docs.repartition(13, "text"), seq_len=L, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # precomputed token counts: same result as derived counts
+    pre = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.array_remove(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "), "")).alias("nt"),
+    )
+    out2 = pack_sequences_df(pre, seq_len=L, n_tokens_col="nt", n_shards=8).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences_df(docs, seq_len=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences_df(docs, seq_len=8, n_shards=0)
