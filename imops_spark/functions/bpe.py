@@ -53,6 +53,8 @@ __all__ = [
     "bpe_pair_counts_df",
     "bpe_train_df",
     "bpe_apply_df",
+    "bpe_vocab_df",
+    "bpe_encode_df",
 ]
 
 
@@ -388,5 +390,121 @@ def bpe_apply_df(docs: DataFrame, merges: DataFrame, id_col: str = "doc_id") -> 
     id_type = docs.schema[id_col].dataType.simpleString()
     out = src.mapInPandas(
         run, schema=f"__id {id_type}, tokens array<string>, n_tokens int"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def bpe_vocab_df(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """The tokenizer's vocabulary as data: ``(token_id, token, kind)`` —
+    every distinct base character of the corpus' words (``kind='char'``,
+    ids ``0..B-1`` in sorted order) followed by the merge products
+    (``kind='merge'``, id ``B + rank``).  Deterministic, so the vocab is
+    reproducible from (corpus, merge table) alone — persist it like any
+    small model table and ship it to serving.
+
+    Two merge rules can produce the SAME string (``ab+c`` and ``a+bc``
+    both yield ``abc``); like every production BPE vocab the string keeps
+    its FIRST id (lowest), so token->id is a function.  The vocab is
+    bounded by ``n_chars + n_merges`` rows — the single-partition windows
+    here sort a model, not a corpus."""
+    from pyspark.sql import Window
+
+    wf = word_freq_df(docs)
+    chars = (
+        wf.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word)), p -> substring(word, p, 1))")
+            ).alias("token")
+        )
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("token")).cast("long") - 1,
+        )
+        .select("token_id", "token", F.lit("char").alias("kind"))
+    )
+    n_base = chars.count()
+    fused = merges.select(
+        (F.col("rank").cast("long") + F.lit(int(n_base))).alias("token_id"),
+        F.concat("left", "right").alias("token"),
+        F.lit("merge").alias("kind"),
+    )
+    both = chars.unionByName(fused)
+    w = Window.partitionBy("token").orderBy("token_id")
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def bpe_encode_df(
+    docs: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize to INTEGER ids with a learned merge table: ``(id_col,
+    token_ids array<long>, n_tokens, n_unk)`` — the artifact a training
+    pipeline actually writes.  ``vocab`` defaults to
+    ``bpe_vocab_df(docs, merges)`` (self-encoding never produces
+    unknowns); pass the TRAINING corpus' persisted vocab when encoding
+    new text, where unseen characters map to ``unk_id`` and are counted
+    in ``n_unk`` (the drop/replace policy is the caller's).
+
+    Same execution shape as :func:`bpe_apply_df`: the merge table and
+    vocab (model-sized) ship in the Arrow kernel's closure; the corpus
+    streams through ``mapInPandas`` with a per-task distinct-word cache."""
+    import pandas as pd
+
+    from .dedup import normalized_text
+
+    if vocab is None:
+        vocab = bpe_vocab_df(docs, merges)
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("left", "right", "rank").collect()
+    ]
+    tok2id = {r["token"]: int(r["token_id"]) for r in vocab.collect()}
+    unk = int(unk_id)
+
+    def encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is None:
+            syms: tuple = tuple(word)
+            for left, right in ranked:
+                syms = _merge_word(syms, left, right)
+            got = [tok2id.get(s, unk) for s in syms]
+            cache[word] = got
+        return got
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids, n_unk = [], []
+            for text in pdf["__nt"]:
+                out: list = []
+                for w in text.split(" "):
+                    if w:
+                        out.extend(encode_word(w, cache))
+                ids.append(out)
+                n_unk.append(sum(1 for t in out if t == unk))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "token_ids": ids,
+                    "n_tokens": [len(t) for t in ids],
+                    "n_unk": n_unk,
+                }
+            )
+
+    src = docs.filter(F.col("text").isNotNull()).select(
+        F.col(id_col).alias("__id"), normalized_text().alias("__nt")
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out = src.mapInPandas(
+        run,
+        schema=f"__id {id_type}, token_ids array<long>, n_tokens int, n_unk int",
     )
     return out.withColumnRenamed("__id", id_col)

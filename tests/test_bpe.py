@@ -312,3 +312,72 @@ def test_merge_word_reconstruction_and_no_adjacent_pair(w):
     out = _merge_word(tuple(w), "a", "b")
     assert "".join(out) == w
     assert all(not (x == "a" and y == "b") for x, y in zip(out, out[1:]))
+
+
+def test_vocab_and_encode_roundtrip(spark):
+    """bpe_vocab_df: dense unique ids, sorted base chars first, merge
+    products after in rank order; bpe_encode_df over the training corpus
+    itself produces zero unknowns and ids that decode back to exactly
+    bpe_apply_df's token strings."""
+    from imops_spark.functions.bpe import bpe_encode_df, bpe_vocab_df
+
+    docs = _docs(spark)
+    merges = bpe_train_df(docs, n_merges=5, min_freq=2)
+    vocab = bpe_vocab_df(docs, merges)
+    rows = vocab.orderBy("token_id").collect()
+    ids = [r["token_id"] for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    base = [r["token"] for r in rows if r["kind"] == "char"]
+    assert base == sorted(base)
+    merged = {r["token"] for r in rows if r["kind"] == "merge"}
+    assert merged == {
+        m["left"] + m["right"] for m in merges.collect()
+    }
+    id2tok = {r["token_id"]: r["token"] for r in rows}
+
+    enc = {r["doc_id"]: r for r in bpe_encode_df(docs, merges).collect()}
+    toks = {r["doc_id"]: r["tokens"] for r in bpe_apply_df(docs, merges).collect()}
+    assert set(enc) == set(toks)
+    for did, r in enc.items():
+        assert r["n_unk"] == 0
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert [id2tok[i] for i in r["token_ids"]] == toks[did]
+
+
+def test_encode_unseen_chars_map_to_unk(spark):
+    """Encoding NEW text against a persisted training vocab: characters
+    the training corpus never saw map to unk_id and are counted."""
+    from imops_spark.functions.bpe import bpe_encode_df, bpe_vocab_df
+
+    train = _docs(spark)
+    merges = bpe_train_df(train, n_merges=4, min_freq=2)
+    vocab = bpe_vocab_df(train, merges)
+    new = spark.createDataFrame(
+        [(7, "low newest zzz qqq"), (8, "low")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_encode_df(
+        new, merges, vocab=vocab, unk_id=-7
+    ).collect()}
+    assert out[8]["n_unk"] == 0
+    assert out[7]["n_unk"] >= 4  # z/q never occur in the training corpus
+    assert all(i == -7 for i in out[7]["token_ids"] if i < 0)
+    assert out[7]["n_unk"] == sum(1 for i in out[7]["token_ids"] if i == -7)
+
+
+def test_vocab_duplicate_merge_products_keep_first_id(spark):
+    """Two merge rules producing the SAME string (ab+c and a+bc -> 'abc')
+    must yield ONE vocab row with the lower id — token->id stays a
+    function, like every production BPE vocab."""
+    from imops_spark.functions.bpe import bpe_vocab_df
+
+    docs = spark.createDataFrame([(0, "abc abc cab")], "doc_id long, text string")
+    merges = spark.createDataFrame(
+        [(0, "ab", "c", 9), (1, "a", "bc", 5)],
+        "rank int, left string, right string, n long",
+    )
+    vocab = bpe_vocab_df(docs, merges)
+    rows = vocab.filter(F.col("token") == "abc").collect()
+    assert len(rows) == 1
+    # base chars a,b,c take ids 0..2; rank-0 product gets id 3 and wins
+    assert rows[0]["token_id"] == 3 and rows[0]["kind"] == "merge"
+    assert vocab.count() == 4  # a, b, c, abc (duplicate product collapsed)
