@@ -1502,6 +1502,26 @@ def q_cur_pack_seqs(spark, sf_dir):
     return pack_sequences_df(docs, seq_len=64, n_shards=8, salt=77)
 
 
+def q_cur_pack_mat(spark, sf_dir):
+    """Packed-sequence MATERIALIZATION (curate.pack_sequence_tokens_df):
+    the sequences cur_pack_seqs plans, actually assembled — per 64-token
+    training sequence its exact token content (fingerprinted md5 over the
+    space-joined tokens so the gate pins every token in every position),
+    document arity, and length.  One seq_id exchange whose per-group
+    state is a training sample, never a corpus; the oracle re-assembles
+    each sequence with ordered list slicing and must hash identically."""
+    from imops_spark.functions.curate import pack_sequence_tokens_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seqs = pack_sequence_tokens_df(docs, seq_len=64, n_shards=8, salt=77)
+    return seqs.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        F.md5(F.concat_ws(" ", "tokens")).alias("fingerprint"),
+    )
+
+
 def q_cur_sample(spark, sf_dir):
     """Deterministic hash sampling + hash splitting (curate.hash_sample_df /
     split_by_hash_df): every doc gets a train/val/test split label and an
@@ -3627,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_sample": q_cur_sample,
         "cur_shards": q_cur_shards,
         "cur_pack_seqs": q_cur_pack_seqs,
+        "cur_pack_mat": q_cur_pack_mat,
         "cur_quota": q_cur_quota,
         "cur_mix": q_cur_mix,
         "cur_pack": q_cur_pack,
@@ -5155,6 +5176,37 @@ def _oracle_sql_literals() -> dict[str, str]:
                    GREATEST(start - i * 64, 0) AS seq_offset,
                    LEAST((i + 1) * 64, start + n) - GREATEST(i * 64, start) AS len
             FROM pos, unnest(generate_series(start // 64, (start + n - 1) // 64)) u(i)
+        """,
+        "cur_pack_mat": f"""
+            WITH base AS (
+              SELECT doc_id, {_NORM} AS nt,
+                     (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h,
+                     CASE WHEN {_NORM} = '' THEN 0
+                          ELSE CAST(len(string_split({_NORM}, ' ')) AS BIGINT) END AS n
+              FROM documents WHERE text IS NOT NULL
+            ), b2 AS (
+              SELECT doc_id, nt, h, h % 8 AS shard, n FROM base WHERE n > 0
+            ), pos AS (
+              SELECT doc_id, nt, n,
+                     CAST(SUM(n) OVER (ORDER BY shard, h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n AS BIGINT) AS start
+              FROM b2
+            ), overlap AS (
+              SELECT i AS seq_id,
+                     GREATEST(i * 64 - start, 0) AS doc_offset,
+                     GREATEST(start - i * 64, 0) AS seq_offset,
+                     LEAST((i + 1) * 64, start + n) - GREATEST(i * 64, start) AS len,
+                     string_split(nt, ' ') AS t
+              FROM pos, unnest(generate_series(start // 64, (start + n - 1) // 64)) u(i)
+            )
+            SELECT seq_id,
+                   CAST(SUM(len) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   md5(string_agg(array_to_string(t[(doc_offset + 1):(doc_offset + len)], ' '),
+                                  ' ' ORDER BY seq_offset)) AS fingerprint
+            FROM overlap
+            GROUP BY seq_id
         """,
         "cur_sample": f"""
             SELECT doc_id,

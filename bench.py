@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "txt_bpe_pairs",
     "mm_imresize",
     "emb_text_topk",
+    # round-8 additions (totals not comparable to BENCH_r07 and earlier;
+    # the fixed shared subtotals and per-query timings are)
+    "cur_pack_seqs",
+    "cur_pack_mat",
 ]
 
 

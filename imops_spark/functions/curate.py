@@ -68,6 +68,7 @@ __all__ = [
     "keep_top_fraction_df",
     "training_order_df",
     "pack_sequences_df",
+    "pack_sequence_tokens_df",
 ]
 
 
@@ -1725,6 +1726,61 @@ def pack_sequences_df(
         f"CAST(GREATEST(__start - seq_id * {L}, 0) AS BIGINT) AS seq_offset",
         f"CAST(LEAST((seq_id + 1) * {L}, __start + n_tokens)"
         f" - GREATEST(seq_id * {L}, __start) AS BIGINT) AS len",
+    )
+
+
+def pack_sequence_tokens_df(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: int = 77,
+) -> DataFrame:
+    """Materialize the packed training sequences
+    :func:`pack_sequences_df` plans: ``(seq_id, tokens array<string>,
+    n_tokens, n_docs)`` — each sequence's actual token content assembled
+    from the documents' slices in tape order.  Every sequence is exactly
+    ``seq_len`` tokens except the tape tail; ``n_docs`` counts the
+    documents contributing to the sequence (the boundary-mask arity).
+
+    Tokens are the whitespace tokens of the normalized text (swap in
+    ``bpe_encode_df`` ids upstream by materializing your own placement
+    join — the assembly shape is identical).  Plan: the placement rows
+    join the per-doc token arrays on ``id_col`` (both sides compact —
+    placement is ~n/seq_len + 1 rows per doc, token arrays one row per
+    doc), each overlap slices its piece ROW-LOCALLY, and one exchange by
+    ``seq_id`` assembles pieces in ``seq_offset`` order (``array_sort``
+    over structs — sequences are bounded by ``seq_len``, so the per-group
+    state is a training sample, never a corpus)."""
+    from .dedup import normalized_text
+
+    L = int(seq_len)
+    placement = pack_sequences_df(
+        docs, L, n_shards=n_shards, id_col=id_col, salt=salt
+    )
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.col(id_col),
+        F.array_remove(F.split(normalized_text(), " "), "").alias("__toks"),
+    )
+    parts = placement.join(toks, id_col).select(
+        "seq_id",
+        "seq_offset",
+        F.expr("slice(__toks, doc_offset + 1, len)").alias("__piece"),
+    )
+    assembled = parts.groupBy("seq_id").agg(
+        F.flatten(
+            F.expr(
+                "transform(array_sort(collect_list(struct(seq_offset, __piece))),"
+                " x -> x.__piece)"
+            )
+        ).alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return assembled.select(
+        "seq_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "n_docs",
     )
 
 

@@ -220,3 +220,51 @@ def test_streaming_embedding_index_maintenance(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_idx_stream")
         spark.sql("DROP TABLE IF EXISTS emb_idx_full")
+
+
+def test_ann_builders_consume_the_index(spark, tmp_path):
+    """The persisted embedding column feeds the ANN builders directly:
+    an IVF index built FROM embedding_read_index probes identically to
+    one built from the inline embedding frame — write the featurization
+    once, build every downstream index off the stored column."""
+    from imops_spark.functions.similarity import (
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = _emb(spark)
+    table = "emb_idx_for_ivf"
+    try:
+        embedding_write_index(
+            emb, table, family="hashed_md5", dim=16, path=str(tmp_path / "idx")
+        )
+        stored = embedding_read_index(spark, table, family="hashed_md5", dim=16)
+        cents_a = ivf_write_index(
+            stored, "ivf_from_index", n_centroids=4,
+            path=str(tmp_path / "ivf_a"), id_col="doc_id", vec_col="embedding",
+        )
+        cents_b = ivf_write_index(
+            emb, "ivf_inline", n_centroids=4,
+            path=str(tmp_path / "ivf_b"), id_col="doc_id", vec_col="embedding",
+        )
+        assert (cents_a == cents_b).all()
+        q = stored.filter(F.col("doc_id") < 5)
+        got = {
+            tuple(r)
+            for r in ivf_query_index(
+                spark, "ivf_from_index", q, cents_a, k=3, n_probe=2,
+                id_col="doc_id", vec_col="embedding",
+            ).collect()
+        }
+        exp = {
+            tuple(r)
+            for r in ivf_query_index(
+                spark, "ivf_inline", emb.filter(F.col("doc_id") < 5), cents_b,
+                k=3, n_probe=2, id_col="doc_id", vec_col="embedding",
+            ).collect()
+        }
+        assert got == exp and len(got) > 0
+    finally:
+        for t in (table, "ivf_from_index", "ivf_from_index__centroids",
+                  "ivf_inline", "ivf_inline__centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1201,3 +1201,44 @@ def test_pack_sequences_invariants_and_determinism(spark):
         pack_sequences_df(docs, seq_len=0)
     with pytest.raises(ValueError, match="n_shards"):
         pack_sequences_df(docs, seq_len=8, n_shards=0)
+
+
+def test_pack_sequence_tokens_materialization(spark):
+    """pack_sequence_tokens_df: concatenating the materialized sequences
+    in seq_id order reproduces the corpus tape exactly (every token, in
+    order); every sequence is full except the tail; n_docs matches the
+    placement arity."""
+    from imops_spark.functions.curate import (
+        pack_sequence_tokens_df,
+        pack_sequences_df,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(3 + (i * 5) % 40))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 32
+    seqs = {r["seq_id"]: r for r in pack_sequence_tokens_df(docs, L, n_shards=8).collect()}
+    n_seqs = max(seqs) + 1
+    assert set(seqs) == set(range(n_seqs))
+    for sid, r in seqs.items():
+        assert r["n_tokens"] == len(r["tokens"])
+        if sid < n_seqs - 1:
+            assert r["n_tokens"] == L
+    # the tape reconstructs every document's tokens contiguously
+    tape = []
+    for sid in range(n_seqs):
+        tape.extend(seqs[sid]["tokens"])
+    placement = pack_sequences_df(docs, L, n_shards=8).collect()
+    starts = {}
+    for p in placement:
+        s = p["seq_id"] * L + p["seq_offset"] - p["doc_offset"]
+        starts.setdefault(p["doc_id"], set()).add(s)
+    assert all(len(v) == 1 for v in starts.values())  # one tape start per doc
+    for did, text in rows:
+        toks = text.split(" ")
+        s = starts[did].pop()
+        assert tape[s : s + len(toks)] == toks
+    # n_docs equals the placement arity per sequence
+    arity = {}
+    for p in placement:
+        arity[p["seq_id"]] = arity.get(p["seq_id"], 0) + 1
+    assert {sid: r["n_docs"] for sid, r in seqs.items()} == arity
