@@ -95,6 +95,8 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         hash_sample_df,
         mixture_sample_df,
         pack_documents_df,
+        pack_sequence_tokens_df,
+        pack_sequences_df,
         split_by_hash_df,
         training_order_df,
     )
@@ -133,6 +135,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         repetition_df,
         tfidf_df,
         vocab_df,
+        winnow_fp_set_df,
     )
     from imops_spark.operators.graph import connected_components_df
     from imops_spark.plans import salted_join
@@ -210,6 +213,16 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             # one shard exchange + in-partition window sort, never a
             # global ORDER BY
             "cur_shards": lambda: training_order_df(docs, n_shards=64),
+            # round-8 winnowing batch chain: sized doc_id exchange +
+            # sliding ROWS window (auto dispatches here — all probe sizes
+            # exceed the ~1M-char crossover)
+            "txt_winnow_set": lambda: winnow_fp_set_df(docs),
+            # two-phase prefix sum (in-shard cumsum + broadcast shard
+            # offsets): placement must scale like the shard window, never
+            # like a global sort
+            "cur_pack_seqs": lambda: pack_sequences_df(docs, 256, n_shards=64),
+            # placement join + row-local slices + one seq_id exchange
+            "cur_pack_mat": lambda: pack_sequence_tokens_df(docs, 256, n_shards=64),
             # zero-shuffle vote aggregation per doc (one widen exchange)
             "txt_embed": lambda: hashed_embedding_df(docs, dim=16),
             # one compact-doc repartition; explode + 3 aggs inside it
