@@ -45,7 +45,9 @@ __all__ = [
     "int8_topk_df",
     "embedding_write_index",
     "embedding_read_index",
+    "embedding_register_index",
     "embedding_index_topk",
+    "corpus_fingerprint",
 ]
 
 
@@ -899,6 +901,51 @@ def _emb_stored_props(spark, table: str) -> dict:
         return {}
 
 
+def _emb_write_sidecar(spark, path: str, stamp: dict) -> None:
+    """Persist the stamp NEXT TO the data: table properties live in the
+    session-local catalog and die with it, so cross-process reuse needs
+    the stamp on the filesystem (the ``ivf_write_index __centroids``
+    sidecar recipe applied to metadata)."""
+    rows = [
+        (str(k), None if v is None else str(v)) for k, v in sorted(stamp.items())
+    ]
+    (
+        spark.createDataFrame(rows, "key string, value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}__meta")
+    )
+
+
+def _emb_read_sidecar(spark, path: str) -> dict:
+    """The sidecar stamp at ``path__meta``, or ``{}`` when absent."""
+    try:
+        out: dict = {}
+        for row in spark.read.parquet(f"{path}__meta").collect():
+            if row["value"] is None:
+                continue
+            out[row["key"]] = (
+                int(row["value"]) if row["key"] == "dim" else row["value"]
+            )
+        return out
+    except Exception:
+        return {}
+
+
+def corpus_fingerprint(docs: DataFrame, col: str = "text") -> str:
+    """A cheap corpus identity for index-staleness checks:
+    ``"{row_count}:{sum(length(col))}"`` from one columnar aggregation —
+    no hashing pass, but any add/remove/edit that changes either total is
+    caught, which covers every append/recrawl workflow.  Stamp it into
+    ``embedding_write_index(fingerprint=...)`` and validate at read time
+    to make "is this index current for this corpus?" answerable without
+    trust."""
+    r = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length(F.col(col))).alias("c")
+    ).first()
+    return f"{int(r['n'])}:{int(r['c'] or 0)}"
+
+
 def embedding_write_index(
     emb: DataFrame,
     table: str,
@@ -909,6 +956,7 @@ def embedding_write_index(
     mode: str = "overwrite",
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    fingerprint: str | None = None,
 ) -> None:
     """Persist an embedding column as a stamped, bucketed index table
     ``(doc_id, embedding array<double>)``.
@@ -960,7 +1008,7 @@ def embedding_write_index(
                 f"embedding index {table!r} carries no {_EMB_PROP_PREFIX}* "
                 "stamp; appends require an index built by embedding_write_index"
             )
-        if stored != asked:
+        if {k: stored.get(k) for k in asked} != asked:
             raise ValueError(
                 f"embedding index {table!r} was built with {stored}; appending "
                 f"with {asked} would mix meaningless-to-compare vectors"
@@ -987,20 +1035,45 @@ def embedding_write_index(
         out, table, ["doc_id"], num_buckets=int(num_buckets), path=path, mode=mode
     )
     if mode != "append":
+        stamp = dict(asked)
+        if fingerprint is not None:
+            stamp["fingerprint"] = str(fingerprint)
         props = ", ".join(
-            f"'{_EMB_PROP_PREFIX}{name}'='{v}'" for name, v in asked.items()
+            f"'{_EMB_PROP_PREFIX}{name}'='{v}'" for name, v in stamp.items()
         )
         spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+        if path:
+            _emb_write_sidecar(spark, path, stamp)
+    else:
+        # an append changes the content, so any stored corpus fingerprint
+        # no longer describes it — drop it rather than let a stale stamp
+        # vouch for a different corpus
+        if _emb_stored_props(spark, table).get("fingerprint") is not None:
+            spark.sql(
+                f"ALTER TABLE {table} UNSET TBLPROPERTIES "
+                f"('{_EMB_PROP_PREFIX}fingerprint')"
+            )
+        if path:
+            side = _emb_read_sidecar(spark, path)
+            if side.pop("fingerprint", None) is not None:
+                _emb_write_sidecar(spark, path, side)
 
 
 def embedding_read_index(
-    spark, table: str, family: str | None = None, dim: int | None = None
+    spark,
+    table: str,
+    family: str | None = None,
+    dim: int | None = None,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Load a persisted embedding index as ``(doc_id, embedding)``,
     validating the caller's expectations against the stored stamp.  A
     table without the stamp is refused outright — this index type never
     existed pre-stamp, so an unstamped table is not one (no legacy
-    loophole to keep unenforceable forever)."""
+    loophole to keep unenforceable forever).  ``fingerprint`` (from
+    :func:`corpus_fingerprint` over the corpus the caller is ABOUT to
+    serve) additionally checks index currency: a mismatch means the
+    corpus changed since the build — rebuild, don't probe."""
     stored = _emb_stored_props(spark, table)
     if not stored:
         raise ValueError(
@@ -1017,6 +1090,39 @@ def embedding_read_index(
             f"embedding index {table!r} holds dim={stored.get('dim')}, "
             f"asked for {int(dim)}"
         )
+    if fingerprint is not None and stored.get("fingerprint") != str(fingerprint):
+        raise ValueError(
+            f"embedding index {table!r} was built from corpus fingerprint "
+            f"{stored.get('fingerprint')!r}, the corpus now fingerprints "
+            f"{fingerprint!r}: the index is stale — rebuild it"
+        )
+    return spark.table(table)
+
+
+def embedding_register_index(spark, table: str, path: str) -> DataFrame:
+    """Re-register an embedding index written by another session: table
+    properties live in the session-local catalog and die with it, but the
+    stamp also persists in the ``path__meta`` sidecar — this reads it,
+    (re)creates the external table at ``path``, restores the properties,
+    and returns the frame.  Idempotent (drop + recreate).
+
+    Bucketing metadata is catalog-only and NOT restored — top-k probes
+    scan (no join key), so they are unaffected; a consumer relying on
+    bucket-co-located joins should keep the builder session alive or
+    re-bucket."""
+    stamp = _emb_read_sidecar(spark, path)
+    if not stamp:
+        raise ValueError(
+            f"no embedding-index sidecar at {path}__meta — was this index "
+            "written by embedding_write_index with an explicit path?"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = path.replace("'", "''")
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
+    props = ", ".join(
+        f"'{_EMB_PROP_PREFIX}{name}'='{v}'" for name, v in sorted(stamp.items())
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
     return spark.table(table)
 
 

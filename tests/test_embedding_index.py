@@ -268,3 +268,105 @@ def test_ann_builders_consume_the_index(spark, tmp_path):
         for t in (table, "ivf_from_index", "ivf_from_index__centroids",
                   "ivf_inline", "ivf_inline__centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fingerprint_staleness_and_append_invalidation(spark, tmp_path):
+    """corpus_fingerprint stamps index currency: a matching read passes, a
+    changed corpus raises 'stale', and an append DROPS the stored
+    fingerprint (the content no longer matches what it vouched for) from
+    both the catalog stamp and the sidecar."""
+    from imops_spark.functions.similarity import (
+        _emb_read_sidecar,
+        corpus_fingerprint,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fp = corpus_fingerprint(docs)
+    emb = _emb(spark)
+    table, path = "emb_idx_fp", str(tmp_path / "idx")
+    try:
+        embedding_write_index(
+            emb, table, family="hashed_md5", dim=16, path=path, fingerprint=fp
+        )
+        assert _emb_stored_props(spark, table)["fingerprint"] == fp
+        assert _emb_read_sidecar(spark, path)["fingerprint"] == fp
+        ok = embedding_read_index(spark, table, fingerprint=fp)
+        assert ok.count() > 0
+        changed = corpus_fingerprint(docs.limit(10))
+        with pytest.raises(ValueError, match="stale"):
+            embedding_read_index(spark, table, fingerprint=changed)
+        # append invalidates the fingerprint everywhere
+        embedding_write_index(
+            emb.withColumn("doc_id", F.col("doc_id") + 10_000),
+            table,
+            family="hashed_md5",
+            dim=16,
+            path=path,
+            mode="append",
+        )
+        assert "fingerprint" not in _emb_stored_props(spark, table)
+        assert "fingerprint" not in _emb_read_sidecar(spark, path)
+        with pytest.raises(ValueError, match="stale"):
+            embedding_read_index(spark, table, fingerprint=fp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cross_session_registration_from_sidecar(spark, tmp_path):
+    """Table properties die with the session-local catalog; the sidecar
+    stamp survives on disk.  embedding_register_index re-creates the
+    external table from the path, restores the stamp (guards enforce
+    again), and the re-registered index probes identically."""
+    from imops_spark.functions.similarity import (
+        corpus_fingerprint,
+        embedding_register_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fp = corpus_fingerprint(docs)
+    emb = _emb(spark)
+    table, path = "emb_idx_xsession", str(tmp_path / "idx")
+    try:
+        embedding_write_index(
+            emb, table, family="hashed_md5", dim=16, path=path, fingerprint=fp
+        )
+        q = spark.table(table).filter(F.col("doc_id") < 5).collect()
+        before = {
+            tuple(r)
+            for r in embedding_index_topk(
+                spark, table, spark.createDataFrame(q), k=3, family="hashed_md5"
+            ).collect()
+        }
+        # simulate a new session: the catalog entry (and its properties)
+        # are gone, the files + sidecar remain
+        spark.sql(f"DROP TABLE {table}")
+        with pytest.raises(Exception):
+            spark.table(table).count()
+
+        restored = embedding_register_index(spark, table, path)
+        assert sorted(restored.columns) == ["doc_id", "embedding"]
+        assert _emb_stored_props(spark, table)["fingerprint"] == fp
+        after = {
+            tuple(r)
+            for r in embedding_index_topk(
+                spark,
+                table,
+                spark.createDataFrame(q),
+                k=3,
+                family="hashed_md5",
+                dim=16,
+            ).collect()
+        }
+        assert after == before and len(after) > 0
+        with pytest.raises(ValueError, match="family"):
+            embedding_read_index(spark, table, family="model_v2")
+        with pytest.raises(ValueError, match="sidecar"):
+            embedding_register_index(
+                spark, "emb_idx_nothing", str(tmp_path / "missing")
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
