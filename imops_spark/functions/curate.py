@@ -1735,6 +1735,7 @@ def pack_sequence_tokens_df(
     n_shards: int = 64,
     id_col: str = "doc_id",
     salt: int = 77,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences
     :func:`pack_sequences_df` plans: ``(seq_id, tokens array<string>,
@@ -1743,9 +1744,12 @@ def pack_sequence_tokens_df(
     ``seq_len`` tokens except the tape tail; ``n_docs`` counts the
     documents contributing to the sequence (the boundary-mask arity).
 
-    Tokens are the whitespace tokens of the normalized text (swap in
-    ``bpe_encode_df`` ids upstream by materializing your own placement
-    join — the assembly shape is identical).  Plan: the placement rows
+    Tokens default to the whitespace tokens of the normalized text;
+    ``tokens_col`` names a precomputed token ARRAY column instead (e.g.
+    ``bpe_encode_df``'s ``token_ids`` — the output ``tokens`` column then
+    carries that element type), with the token counts derived from the
+    same arrays so placement and content can never disagree.  Plan: the
+    placement rows
     join the per-doc token arrays on ``id_col`` (both sides compact —
     placement is ~n/seq_len + 1 rows per doc, token arrays one row per
     doc), each overlap slices its piece ROW-LOCALLY, and one exchange by
@@ -1755,13 +1759,26 @@ def pack_sequence_tokens_df(
     from .dedup import normalized_text
 
     L = int(seq_len)
-    placement = pack_sequences_df(
-        docs, L, n_shards=n_shards, id_col=id_col, salt=salt
-    )
-    toks = docs.filter(F.col("text").isNotNull()).select(
-        F.col(id_col),
-        F.array_remove(F.split(normalized_text(), " "), "").alias("__toks"),
-    )
+    if tokens_col is None:
+        toks = docs.filter(F.col("text").isNotNull()).select(
+            F.col(id_col),
+            F.array_remove(F.split(normalized_text(), " "), "").alias("__toks"),
+        )
+        placement = pack_sequences_df(
+            docs, L, n_shards=n_shards, id_col=id_col, salt=salt
+        )
+    else:
+        toks = docs.select(F.col(id_col), F.col(tokens_col).alias("__toks"))
+        placement = pack_sequences_df(
+            toks.select(
+                F.col(id_col), F.size("__toks").cast("long").alias("__n")
+            ),
+            L,
+            n_tokens_col="__n",
+            n_shards=n_shards,
+            id_col=id_col,
+            salt=salt,
+        )
     parts = placement.join(toks, id_col).select(
         "seq_id",
         "seq_offset",

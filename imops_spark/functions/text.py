@@ -354,10 +354,19 @@ def _winnow_pick_strategy(docs: DataFrame, strategy: str, fn: str):
         raise ValueError(
             f"{fn}: strategy must be 'auto', 'local', or 'window', got {strategy!r}"
         )
+    if docs.isStreaming:
+        # aggregation/sort are illegal mid-stream: auto always takes the
+        # row-local form, and an EXPLICIT 'window' ask must fail clearly
+        # here, not as a deep AnalysisException from the sizing pre-pass
+        if strategy == "window":
+            raise ValueError(
+                f"{fn}: strategy='window' sorts and aggregates, which is "
+                "illegal on a streaming DataFrame — use 'local' (or 'auto', "
+                "which picks it for streams)"
+            )
+        return "local", None
     if strategy != "auto":
         return strategy, None
-    if docs.isStreaming:  # aggregation/sort are illegal mid-stream
-        return "local", None
     raw_chars = int(docs.select(F.sum(F.length("text"))).first()[0] or 0)
     picked = "local" if raw_chars <= _WINNOW_LOCAL_MAX_CHARS else "window"
     return picked, raw_chars

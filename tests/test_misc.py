@@ -1242,3 +1242,54 @@ def test_pack_sequence_tokens_materialization(spark):
     for p in placement:
         arity[p["seq_id"]] = arity.get(p["seq_id"], 0) + 1
     assert {sid: r["n_docs"] for sid, r in seqs.items()} == arity
+
+
+def test_pack_sequence_tokens_over_bpe_ids(spark):
+    """tokens_col: packing bpe_encode_df's integer ids — the tape of
+    concatenated sequences reproduces every document's token_ids
+    contiguously, with the output element type following the input."""
+    from imops_spark.functions.bpe import bpe_encode_df, bpe_train_df
+    from imops_spark.functions.curate import pack_sequence_tokens_df
+
+    rows = [(i, f"low lower newest widest doc{i} " * (1 + i % 4)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train_df(docs, n_merges=6, min_freq=2)
+    enc = bpe_encode_df(docs, merges)
+    out = pack_sequence_tokens_df(enc, 48, n_shards=4, tokens_col="token_ids")
+    assert dict(out.dtypes)["tokens"] == "array<bigint>"
+    seqs = {r["seq_id"]: r for r in out.collect()}
+    n_seqs = max(seqs) + 1
+    tape = []
+    for sid in range(n_seqs):
+        if sid < n_seqs - 1:
+            assert seqs[sid]["n_tokens"] == 48
+        tape.extend(seqs[sid]["tokens"])
+    ids = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    assert len(tape) == sum(len(v) for v in ids.values())
+    # every doc's ids appear contiguously somewhere on the tape
+    for did, v in ids.items():
+        assert any(
+            tape[s : s + len(v)] == v for s in range(len(tape) - len(v) + 1)
+        ), did
+
+
+def test_winnow_explicit_window_on_stream_raises(spark, tmp_path):
+    """strategy='window' on a streaming frame must fail with a clear
+    error at build time, not a deep AnalysisException from the sizing
+    pre-pass."""
+    import pytest
+
+    from imops_spark.functions.text import winnow_fp_set_df
+
+    static = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .select("doc_id", "text")
+    )
+    with pytest.raises(ValueError, match="illegal on a streaming"):
+        winnow_fp_set_df(stream, strategy="window")
+    # auto on a stream builds the row-local plan without touching an action
+    df = winnow_fp_set_df(stream)
+    assert df.isStreaming
