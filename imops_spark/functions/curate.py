@@ -1764,21 +1764,23 @@ def pack_sequence_tokens_df(
             F.col(id_col),
             F.array_remove(F.split(normalized_text(), " "), "").alias("__toks"),
         )
-        placement = pack_sequences_df(
-            docs, L, n_shards=n_shards, id_col=id_col, salt=salt
-        )
     else:
         toks = docs.select(F.col(id_col), F.col(tokens_col).alias("__toks"))
-        placement = pack_sequences_df(
-            toks.select(
-                F.col(id_col), F.size("__toks").cast("long").alias("__n")
-            ),
-            L,
-            n_tokens_col="__n",
-            n_shards=n_shards,
-            id_col=id_col,
-            salt=salt,
-        )
+    # ONE tokenization, checkpointed: placement (needs only the counts)
+    # and assembly (needs the arrays) both read it — without the
+    # materialization, column pruning differentiates the two subtrees and
+    # the corpus normalizes/splits twice (the cur_select2 lesson).
+    # Counting from the same arrays also makes placement/content
+    # agreement structural rather than by matching expressions.
+    toks = toks.localCheckpoint(eager=False)
+    placement = pack_sequences_df(
+        toks.select(F.col(id_col), F.size("__toks").cast("long").alias("__n")),
+        L,
+        n_tokens_col="__n",
+        n_shards=n_shards,
+        id_col=id_col,
+        salt=salt,
+    )
     parts = placement.join(toks, id_col).select(
         "seq_id",
         "seq_offset",

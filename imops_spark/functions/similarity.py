@@ -895,10 +895,27 @@ def _emb_stored_props(spark, table: str) -> dict:
             if not row["key"].startswith(_EMB_PROP_PREFIX):
                 continue
             name = row["key"].removeprefix(_EMB_PROP_PREFIX)
-            out[name] = int(row["value"]) if name == "dim" else row["value"]
+            out[name] = (
+                int(row["value"]) if name in ("dim", "num_buckets") else row["value"]
+            )
         return out
     except Exception:
         return {}
+
+
+def _check_stamp_value(name: str, value) -> None:
+    """Stamp values splice into SET TBLPROPERTIES SQL text; rather than
+    bet on engine-specific quote escaping (the BPE fold's lesson), refuse
+    values outside a conservative identifier alphabet up front — a family
+    label or fingerprint has no business containing quotes."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.:+=/@-]+", str(value)):
+        raise ValueError(
+            f"{name}={value!r} contains characters outside [A-Za-z0-9_.:+=/@-]; "
+            "stamp values are spliced into SQL table properties and must be "
+            "plain identifiers"
+        )
 
 
 def _emb_write_sidecar(spark, path: str, stamp: dict) -> None:
@@ -918,18 +935,29 @@ def _emb_write_sidecar(spark, path: str, stamp: dict) -> None:
 
 
 def _emb_read_sidecar(spark, path: str) -> dict:
-    """The sidecar stamp at ``path__meta``, or ``{}`` when absent."""
-    try:
-        out: dict = {}
-        for row in spark.read.parquet(f"{path}__meta").collect():
-            if row["value"] is None:
-                continue
-            out[row["key"]] = (
-                int(row["value"]) if row["key"] == "dim" else row["value"]
-            )
-        return out
-    except Exception:
+    """The sidecar stamp at ``path__meta``, or ``{}`` when MISSING.
+
+    Only filesystem absence means "no sidecar" — any other read failure
+    propagates (the bloom status-read lesson: a swallowed transient error
+    here would fail the staleness guard OPEN, e.g. an append would skip
+    dropping a now-stale fingerprint and a later re-registration would
+    restore it as if current)."""
+    meta = f"{path}__meta"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(meta)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return {}
+    out: dict = {}
+    for row in spark.read.parquet(meta).collect():
+        if row["value"] is None:
+            continue
+        out[row["key"]] = (
+            int(row["value"])
+            if row["key"] in ("dim", "num_buckets")
+            else row["value"]
+        )
+    return out
 
 
 def corpus_fingerprint(docs: DataFrame, col: str = "text") -> str:
@@ -1000,6 +1028,9 @@ def embedding_write_index(
         dim = int(probe[0]["d"])
     dim = int(dim)
     id_type = dict(emb.dtypes)[id_col]
+    _check_stamp_value("family", family)
+    if fingerprint is not None:
+        _check_stamp_value("fingerprint", fingerprint)
     asked = {"family": str(family), "dim": dim, "id_type": id_type}
     if mode == "append":
         stored = _emb_stored_props(spark, table)
@@ -1036,6 +1067,11 @@ def embedding_write_index(
     )
     if mode != "append":
         stamp = dict(asked)
+        # num_buckets rides in the stamp so cross-session re-registration
+        # can recreate the table WITH its bucket spec — without it the
+        # recreated table is unbucketed and every subsequent bucketed
+        # append fails with 'Specified bucketing does not match'
+        stamp["num_buckets"] = int(num_buckets)
         if fingerprint is not None:
             stamp["fingerprint"] = str(fingerprint)
         props = ", ".join(
@@ -1103,22 +1139,32 @@ def embedding_register_index(spark, table: str, path: str) -> DataFrame:
     """Re-register an embedding index written by another session: table
     properties live in the session-local catalog and die with it, but the
     stamp also persists in the ``path__meta`` sidecar — this reads it,
-    (re)creates the external table at ``path``, restores the properties,
-    and returns the frame.  Idempotent (drop + recreate).
-
-    Bucketing metadata is catalog-only and NOT restored — top-k probes
-    scan (no join key), so they are unaffected; a consumer relying on
-    bucket-co-located joins should keep the builder session alive or
-    re-bucket."""
+    (re)creates the external table at ``path`` WITH its original bucket
+    spec (``num_buckets`` rides in the stamp — an unbucketed recreate
+    would make every subsequent ``mode='append'`` fail with 'Specified
+    bucketing does not match', killing cross-process maintenance),
+    restores the properties, and returns the frame.  Idempotent
+    (drop + recreate)."""
     stamp = _emb_read_sidecar(spark, path)
     if not stamp:
         raise ValueError(
             f"no embedding-index sidecar at {path}__meta — was this index "
             "written by embedding_write_index with an explicit path?"
         )
+    for key in ("id_type", "num_buckets"):
+        if key not in stamp:
+            raise ValueError(
+                f"embedding-index sidecar at {path}__meta lacks {key!r}; "
+                "rebuild the index with this version's embedding_write_index"
+            )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     loc = path.replace("'", "''")
-    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
+    spark.sql(
+        f"CREATE TABLE {table} (doc_id {stamp['id_type']}, "
+        f"embedding array<double>) USING parquet "
+        f"CLUSTERED BY (doc_id) INTO {int(stamp['num_buckets'])} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
     props = ", ".join(
         f"'{_EMB_PROP_PREFIX}{name}'='{v}'" for name, v in sorted(stamp.items())
     )
@@ -1139,9 +1185,27 @@ def embedding_index_topk(
     """Exact cosine top-k against a persisted embedding index: the corpus
     side is the stored column (ZERO featurization at query time — the
     whole point of the index), the query side broadcasts under
-    ``cosine_topk_df``'s contract."""
+    ``cosine_topk_df``'s contract.  Query vectors are length-checked
+    against the stamped dim inside the plan — a wrong-dim query would
+    otherwise surface as an opaque numpy shape error deep in the executor
+    GEMM instead of the stamp error this module promises."""
     corpus = embedding_read_index(spark, table, family=family, dim=dim)
-    q = queries.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
-    )
+    stored_dim = _emb_stored_props(spark, table).get("dim")
+    qvec = F.col(vec_col)
+    if stored_dim is not None:
+        qvec = (
+            F.when(F.size(F.col(vec_col)) == int(stored_dim), F.col(vec_col))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"query embedding length != index dim={stored_dim}"
+                            f" at {id_col}="
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast(dict(queries.dtypes)[vec_col])
+            )
+        )
+    q = queries.select(F.col(id_col).alias("doc_id"), qvec.alias("embedding"))
     return cosine_topk_df(corpus, q, k=k, id_col="doc_id", vec_col="embedding")

@@ -41,8 +41,25 @@ def start_embedding_index_maintenance(
     bucketed index under the stored stamp's validation.  Returns the
     started ``StreamingQuery`` (``available_now=True`` drains the backlog
     and stops — the test/backfill mode)."""
-    from ..functions.similarity import embedding_write_index
+    from ..functions.similarity import _emb_stored_props, embedding_write_index
     from ..functions.text import hashed_embedding_local_df
+
+    # Fail FAST: the stamp is readable at start() time, and a
+    # missing/mismatched index should be a clean error here — not a
+    # StreamingQueryException out of the first micro-batch after the
+    # checkpoint directory already exists.
+    stored = _emb_stored_props(docs.sparkSession, table)
+    if not stored:
+        raise ValueError(
+            f"embedding index {table!r} carries no stamp; batch-build it with "
+            "embedding_write_index before starting maintenance"
+        )
+    asked = {"family": str(family), "dim": int(dim)}
+    if {k: stored.get(k) for k in asked} != asked:
+        raise ValueError(
+            f"embedding index {table!r} was built with {stored}; maintenance "
+            f"with {asked} would mix meaningless-to-compare vectors"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         emb = hashed_embedding_local_df(batch_df, dim=dim)

@@ -37,6 +37,7 @@ def test_index_roundtrip_and_probe_equals_inline(spark, tmp_path):
             "family": "hashed_md5",
             "dim": 16,
             "id_type": "bigint",
+            "num_buckets": 16,
         }
         stored = embedding_read_index(spark, table, family="hashed_md5", dim=16)
         assert stored.columns == ["doc_id", "embedding"]
@@ -364,9 +365,79 @@ def test_cross_session_registration_from_sidecar(spark, tmp_path):
         assert after == before and len(after) > 0
         with pytest.raises(ValueError, match="family"):
             embedding_read_index(spark, table, family="model_v2")
+        # cross-process MAINTENANCE: the re-registered table must accept
+        # bucketed appends (the recreate carries the original bucket spec;
+        # an unbucketed recreate fails 'Specified bucketing does not
+        # match' — reproduced pre-fix)
+        n_before = spark.table(table).count()
+        embedding_write_index(
+            emb.withColumn("doc_id", F.col("doc_id") + 50_000),
+            table,
+            family="hashed_md5",
+            dim=16,
+            path=path,
+            mode="append",
+        )
+        assert spark.table(table).count() == 2 * n_before
         with pytest.raises(ValueError, match="sidecar"):
             embedding_register_index(
                 spark, "emb_idx_nothing", str(tmp_path / "missing")
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_query_dim_mismatch_raises_cleanly(spark, tmp_path):
+    """A wrong-dim query side must raise the stamp error from the plan,
+    not an opaque numpy shape error inside the executor GEMM; stamp
+    values with quotes are refused before any SQL splicing."""
+    emb = _emb(spark, dim=16)
+    table = "emb_idx_qdim"
+    try:
+        embedding_write_index(
+            emb, table, family="hashed_md5", dim=16, path=str(tmp_path / "idx")
+        )
+        bad_q = _emb(spark, dim=32).filter(F.col("doc_id") < 3)
+        with pytest.raises(Exception, match="length != index dim"):
+            embedding_index_topk(spark, table, bad_q, k=3).collect()
+        with pytest.raises(ValueError, match="plain identifiers"):
+            embedding_write_index(
+                emb, "emb_idx_badfam", family="o'brien", dim=16,
+                path=str(tmp_path / "bad"),
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_maintenance_fails_fast_without_index(spark, tmp_path):
+    """Starting maintenance against a missing or mismatched index must
+    raise at start() time, not as a StreamingQueryException out of the
+    first micro-batch."""
+    from imops_spark.streaming.similarity import (
+        start_embedding_index_maintenance,
+    )
+
+    static = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .select("doc_id", "text")
+    )
+    with pytest.raises(ValueError, match="no stamp"):
+        start_embedding_index_maintenance(
+            stream, "emb_idx_never_built", dim=16,
+            checkpoint=str(tmp_path / "ck1"),
+        )
+    try:
+        embedding_write_index(
+            _emb(spark, dim=16), "emb_idx_ff", family="hashed_md5", dim=16,
+            path=str(tmp_path / "idx"),
+        )
+        with pytest.raises(ValueError, match="would mix"):
+            start_embedding_index_maintenance(
+                stream, "emb_idx_ff", dim=32,
+                checkpoint=str(tmp_path / "ck2"),
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_idx_ff")
