@@ -1843,6 +1843,41 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_contam_frac(spark, sf_dir):
+    """Per-eval-doc contamination report (curate.contamination_report_df):
+    same pseudo train/eval split as cur_contam, but the EVAL-side summary —
+    how many of each eval doc's winnowing fingerprints appear anywhere in
+    train (n_hit of n_fps + fraction).  Plan is the asymmetric 100 TB
+    shape: eval fp set broadcasts, train fps are probed row-locally (zero
+    train-side shuffles), and the hit set — bounded by the eval fp count —
+    broadcasts back.  Oracle recomputes both sides with the txt_winnow SQL
+    chain and a LEFT JOIN against the distinct train fps."""
+    from imops_spark.functions.curate import contamination_report_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_report_df(train, holdout)
+
+
+def q_cur_contam_emb(spark, sf_dir):
+    """Semantic decontamination scan (dedup.cross_near_dup_df): embeddings
+    split by vec_id % 10 into pseudo train/eval; every (train vector, eval
+    vector) pair with exact cosine >= 0.3 (the emb_near_dup threshold
+    regime — the testdata vectors are near-random, so realistic 0.95
+    thresholds would gate on an empty set).  Asymmetric plan: the eval
+    side is driver-collected under the 100k broadcast contract and GEMMed
+    against each corpus Arrow batch — the train side is scanned once with
+    ZERO exchanges (mapInPandas only).  Oracle: exact cosine join, both
+    engines rounding to 6dp before thresholding."""
+    from imops_spark.functions.dedup import cross_near_dup_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    holdout = emb.filter(F.col("vec_id") % 10 == 0)
+    return cross_near_dup_df(train, holdout, threshold=0.3)
+
+
 def q_cur_mix_temp(spark, sf_dir):
     """Temperature mixture weights (curate.temperature_fractions_df):
     alpha-sampling rates per predicted language — raw share, temperature
@@ -2666,6 +2701,28 @@ def q_txt_tfidf(spark, sf_dir):
     from imops_spark.functions.text import tfidf_df
 
     return tfidf_df(_t(spark, sf_dir, "documents"))
+
+
+# the txt_bm25 gate's fixed query — terms chosen from the testdata's real
+# vocabulary so tf/df spread across documents (every term matches hundreds
+# of docs at sf0.01, none matches all)
+BM25_QUERY = "hash join scan vector stream quality"
+
+
+def q_txt_bm25(spark, sf_dir):
+    """BM25 retrieval (text.bm25_topk_df): top-20 documents for a fixed
+    6-term query, Lucene idf, k1=1.2 b=0.75.  Per-(doc, term) partial
+    scores round to integer micro-units BEFORE the per-doc sum (order-proof
+    BIGINT addition — the ngram_lm_df recipe), so the double work is all
+    per-row expressions whose trees match the oracle's exactly (constants
+    interpolated from ONE shared bm25_constants() dict; a k1+1 computed
+    engine-side could differ in the last ulp from a 2.2 literal).  Plan:
+    dl is row-local (no explode), stats is a 1-row broadcast, the explode
+    is filtered to the 6 query terms before its groupBy, and the top-k is
+    TakeOrderedAndProject — never a global sort."""
+    from imops_spark.functions.text import bm25_topk_df
+
+    return bm25_topk_df(_t(spark, sf_dir, "documents"), BM25_QUERY, top_k=20)
 
 
 def q_txt_lm(spark, sf_dir):
@@ -3653,6 +3710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
+        "cur_contam_frac": q_cur_contam_frac,
+        "cur_contam_emb": q_cur_contam_emb,
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
         "cur_topfrac": q_cur_topfrac,
@@ -3695,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_urls": q_txt_urls,
         "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
+        "txt_bm25": q_txt_bm25,
         "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
@@ -3781,6 +3841,64 @@ def _winnow_fps_sql(pred: str) -> str:
       FROM w JOIN ng USING (doc_id)
       WHERE rn = 1 AND t <= ng - 3
     )"""
+
+
+def _bm25_sql() -> str:
+    """BM25 oracle mirroring text.bm25_topk_df expression-for-expression:
+    constants interpolated from the SAME bm25_constants() dict the Spark
+    plan uses (shortest-repr round-trip = identical doubles), every
+    literal cast to DOUBLE (bare decimals are DECIMAL in DuckDB — decimal
+    division rounds before LN, the known 1e-7 trap), per-(doc, term)
+    scores rounded to integer micro-units before the order-proof BIGINT
+    sum, and SUM/COUNT wrapped in CAST AS BIGINT against HUGEINT."""
+    from imops_spark.functions.text import bm25_constants
+
+    c = bm25_constants(1.2, 0.75)
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        wd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        stats AS (
+          SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(toks)) AS BIGINT) AS tot_len
+          FROM d
+        ),
+        ex AS (SELECT doc_id, dl, unnest(toks) AS token FROM wd),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf,
+                 MIN(dl) AS dl
+          FROM ex WHERE token IN ({terms}) GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT token, CAST(COUNT(1) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        scored AS (
+          SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_terms,
+                 CAST(SUM(CAST(ROUND(
+                   LN(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(tf AS DOUBLE) * CAST({c["k1p1"]!r} AS DOUBLE))
+                      / (CAST(tf AS DOUBLE)
+                         + CAST({c["k1"]!r} AS DOUBLE)
+                           * (CAST({c["one_minus_b"]!r} AS DOUBLE)
+                              + CAST({c["b"]!r} AS DOUBLE)
+                                * (dl / (tot_len / n_docs)))))
+                   * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                 AS score_micro
+          FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+          GROUP BY 1
+        )
+        SELECT doc_id, n_terms, score_micro,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored
+        ORDER BY score_micro DESC, doc_id
+        LIMIT 20
+    """
 
 
 def _minhash_select() -> str:
@@ -6222,6 +6340,30 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING COUNT(1) >= 30
         """,
+        "cur_contam_frac": f"""
+            WITH ef AS (
+              SELECT doc_id AS eval_id, fp
+              FROM {_winnow_fps_sql("doc_id % 5 = 0")} e
+            ),
+            tfd AS (
+              SELECT DISTINCT fp FROM {_winnow_fps_sql("doc_id % 5 <> 0")} t
+            )
+            SELECT eval_id, COUNT(1) AS n_fps,
+                   COUNT(tfd.fp) AS n_hit,
+                   ROUND(CAST(COUNT(tfd.fp) AS DOUBLE) / COUNT(1), 6) AS frac
+            FROM ef LEFT JOIN tfd ON ef.fp = tfd.fp
+            GROUP BY 1
+        """,
+        "cur_contam_emb": """
+            SELECT t.vec_id AS corpus_id, q.vec_id AS query_id,
+                   ROUND(list_cosine_similarity(
+                     t.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings t JOIN embeddings q
+              ON t.vec_id % 10 <> 0 AND q.vec_id % 10 = 0
+            WHERE ROUND(list_cosine_similarity(
+                    t.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) >= 0.3
+        """,
+        "txt_bm25": _bm25_sql(),
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events

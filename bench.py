@@ -9,6 +9,7 @@ startup so the numbers measure the plans, not session boot.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -78,6 +79,9 @@ BENCH_QUERIES = [
     # the fixed shared subtotals and per-query timings are)
     "cur_pack_seqs",
     "cur_pack_mat",
+    "txt_bm25",
+    "cur_contam_frac",
+    "cur_contam_emb",
 ]
 
 
@@ -177,6 +181,17 @@ def main() -> None:
         # dd_minhash/dd_lsh_pairs sharing is the design being measured,
         # across passes it would just measure a cache read
         entry.clear_signature_cache()
+        # Drive the ContextCleaner between passes: localCheckpoint and
+        # broadcast blocks from the checkpoint-heavy queries (cur_select2,
+        # cur_pack_mat, graph_cc rounds) are only unpersisted when the JVM
+        # GC collects their RDD handles, and the periodic-GC fallback fires
+        # every 30 min — i.e. never within a bench run.  Left alone, the
+        # blocks accumulate in storage memory across 49 queries x 3 passes
+        # and squeeze execution memory for whatever runs late in the list
+        # (suspected driver of cur_select2's 1.5s-isolated vs 3.2s-in-bench
+        # swing).  Both collections run OUTSIDE any timed region.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         for name in BENCH_QUERIES:
             fn = qs[name]
             t0 = time.perf_counter()

@@ -45,6 +45,7 @@ __all__ = [
     "pack_documents_df",
     "contamination_pairs_df",
     "contamination_pairs_bloom_df",
+    "contamination_report_df",
     "decontaminate_df",
     "decontaminate_bloom_df",
     "corpus_profile_df",
@@ -468,6 +469,64 @@ def decontaminate_df(
         hash_fn=hash_fn,
     ).select(F.col("train_id").alias("doc_id")).dropDuplicates()
     return train_docs.join(bad, "doc_id", "left_anti")
+
+
+def contamination_report_df(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-eval-document contamination report: for each eval doc, how many
+    of its winnowing fingerprints appear ANYWHERE in the training corpus —
+    ``(eval_id, n_fps, n_hit, frac)``.  This is the benchmark-integrity
+    summary an eval owner reads (``frac`` near 1 = the eval item is
+    verbatim in training data; a long tail of small fractions = shared
+    boilerplate), where :func:`contamination_pairs_df` answers the
+    per-PAIR question for the decontamination side.
+
+    Plan shape for the asymmetric regime (eval = thousands of docs, train
+    = the 100 TB side): the eval fingerprint set is row-locally distinct
+    and SMALL, so it broadcasts; train fingerprints are probed against it
+    ROW-LOCALLY (broadcast left-semi join — the train side is never
+    shuffled, aggregated, or deduplicated), and the surviving hit set —
+    bounded by the EVAL fingerprint count, however large train is — is
+    deduped in one tiny exchange and broadcast back to tag each eval
+    fingerprint.  Totals and hits are then one bounded groupBy on the eval
+    side.  If even the eval fingerprint set outgrows the broadcast budget,
+    prefilter train with :mod:`.bloom` first (the
+    :func:`contamination_pairs_bloom_df` recipe) and fall back to the
+    equi-join.
+    """
+    from .text import winnow_fp_set_df
+
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
+        F.col("doc_id").alias("eval_id"), "fp"
+    )
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
+        "fp"
+    )
+    ef_fps = ef.select("fp").dropDuplicates()
+    # train fps that hit the eval set: row-local probe, result bounded by
+    # |eval fps| — the only train-side work is the scan itself
+    hit_fps = (
+        tf.join(F.broadcast(ef_fps), "fp", "left_semi").dropDuplicates()
+    )
+    tagged = ef.join(F.broadcast(hit_fps.withColumn("_hit", F.lit(1))), "fp", "left")
+    return (
+        tagged.groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "eval_id",
+            "n_fps",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_fps"), 6).alias("frac"),
+        )
+    )
 
 
 def decontaminate_bloom_df(

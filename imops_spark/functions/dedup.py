@@ -40,6 +40,8 @@ __all__ = [
     "drop_near_duplicates_df",
     "simhash_df",
     "embedding_near_dup_df",
+    "cross_near_dup_df",
+    "decontaminate_by_embedding_df",
     "semdedup_df",
     "duplicate_spans_df",
     "duplicate_span_stats_df",
@@ -562,6 +564,95 @@ def _cosine_pairs_compute(threshold: float):
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
 
     return compute
+
+
+def cross_near_dup_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus embedding near-duplicates: every ``(corpus_id,
+    query_id, cosine)`` pair with exact cosine >= ``threshold`` between a
+    corpus vector and a QUERY-side vector — the semantic analogue of
+    winnowing decontamination (eval items whose meaning, not verbatim
+    text, leaked into training data).
+
+    Asymmetric by design, unlike :func:`embedding_near_dup_df`'s
+    symmetric block join: the query side (an eval benchmark — thousands
+    of vectors) is driver-collected under the 100k broadcast contract and
+    shipped to every corpus partition, where ONE numpy GEMM per Arrow
+    batch scores it against the local corpus rows.  The 100 TB corpus
+    side is never shuffled, never replicated, and never aggregated — the
+    scan IS the whole plan (`mapInPandas`, zero exchanges).  Cosines are
+    rounded to 6dp before thresholding (the `embedding_near_dup_df`
+    convention, so relational oracles agree bit-for-bit).
+    """
+    from .similarity import _collect_query_side
+
+    qid, qm, qid_type = _collect_query_side(
+        queries, id_col, vec_col, "cross_near_dup_df"
+    )
+    thr = float(threshold)
+    # preserve both sides' id dtypes (string doc ids work — the
+    # hardcoded-long Arrow schema was a live bug in bpe_apply_df once)
+    cid_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"corpus_id {cid_type}, query_id {qid_type}, cosine double"
+    src = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if qid is None:
+        return src.sparkSession.createDataFrame([], out_schema)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qn = np.asarray(qm, dtype=np.float64)
+        qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+        qids = np.asarray(qid)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["vec"].to_numpy())
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cos = np.round(cn @ qn.T, 6)
+            ii, jj = np.nonzero(cos >= thr)
+            if len(ii) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf["cid"].to_numpy()[ii],
+                    "query_id": qids[jj],
+                    "cosine": cos[ii, jj],
+                }
+            )
+
+    return src.mapInPandas(score, schema=out_schema)
+
+
+def decontaminate_by_embedding_df(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop every corpus row whose embedding is cosine-similar (>=
+    ``threshold``) to ANY query-side vector — semantic decontamination in
+    one call (:func:`cross_near_dup_df` + anti-join).  The flagged-id set
+    is bounded by the corpus-side matches; the anti-join is the only
+    exchange."""
+    bad = (
+        cross_near_dup_df(
+            corpus, queries, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return corpus.join(bad, id_col, "left_anti")
 
 
 def semdedup_df(

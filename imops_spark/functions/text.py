@@ -34,6 +34,8 @@ __all__ = [
     "winnow_fp_set_df",
     "winnow_fp_array_df",
     "tfidf_df",
+    "bm25_constants",
+    "bm25_topk_df",
     "ngram_lm_df",
     "repetition_df",
     "PII_PATTERNS",
@@ -475,6 +477,110 @@ def tfidf_df(docs: DataFrame, round_to: int = 6) -> DataFrame:
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_to
             ).alias("tfidf"),
         )
+    )
+
+
+def bm25_constants(k1: float = 1.2, b: float = 0.75) -> dict:
+    """The derived BM25 constants, computed ONCE in Python so the Spark plan
+    and any SQL oracle interpolate the SAME doubles (``k1 + 1`` computed
+    engine-side could land on a different ulp than a ``2.2`` literal —
+    shortest-repr round-tripping of one shared Python float sidesteps the
+    cross-engine last-bit question entirely)."""
+    k1 = float(k1)
+    b = float(b)
+    return {"k1": k1, "k1p1": k1 + 1.0, "b": b, "one_minus_b": 1.0 - b}
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval over the corpus: top ``top_k`` documents for ``query``
+    (Robertson/Okapi with the Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    idf), returning ``(doc_id, n_terms, score_micro, rank)``.  Query-term
+    multiplicity is ignored (distinct terms), the standard bag-of-terms
+    simplification.
+
+    Determinism: each (doc, term) partial score is rounded to integer
+    MICRO-units before the per-doc SUM (the ``ngram_lm_df`` recipe), so the
+    aggregate is order-proof BIGINT addition, and the top-k orders by
+    ``(score_micro DESC, doc_id)`` — tie-safe.
+
+    Plan shape at 100 TB: document length is computed ROW-LOCALLY
+    (``size(filter(split(...)))`` — no explode, no aggregation), the
+    corpus-wide ``(n_docs, total_len)`` pair is ONE 1-row aggregate
+    broadcast in, and the explode is filtered to the query's terms BEFORE
+    the (doc, term) groupBy — the exchange carries only rows matching the
+    handful of query terms, not the corpus vocabulary.  Document
+    frequencies derive from that same filtered aggregate.  The final
+    top-k is ``ORDER BY .. LIMIT k`` = TakeOrderedAndProject (distributed
+    heap, never a global sort); the rank window runs over <= top_k rows.
+
+    Documents with NULL text score nothing but are excluded from
+    ``n_docs``/``avgdl`` too (mirror any oracle with ``WHERE text IS NOT
+    NULL``)."""
+    import re as _re
+
+    terms = sorted(
+        {
+            t
+            for t in _re.sub(r"\s+", " ", query.strip().lower()).split(" ")
+            if t
+        }
+    )
+    if not terms:
+        raise ValueError("bm25_topk_df: query produced no terms")
+    consts = bm25_constants(k1, b)
+
+    from pyspark.sql.window import Window
+
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.filter(F.split(normalized_text(), " "), lambda x: x != "").alias("toks"),
+    )
+    with_dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_len"),
+    )
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("tot_len") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    num = F.col("tf").cast("double") * F.lit(consts["k1p1"])
+    den = F.col("tf").cast("double") + F.lit(consts["k1"]) * (
+        F.lit(consts["one_minus_b"]) + F.lit(consts["b"]) * (F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.round((idf * (num / den)) * F.lit(1000000.0), 0))
+            .cast("long")
+            .alias("term_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(int(top_k))
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "n_terms", "score_micro", F.row_number().over(w).alias("rank")
     )
 
 

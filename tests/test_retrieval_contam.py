@@ -1,0 +1,268 @@
+"""Round-8b additions: BM25 retrieval, the per-eval contamination report,
+and cross-corpus (semantic) embedding decontamination."""
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# contamination_report_df
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_planted_leak(spark):
+    """The eval doc containing a verbatim >= k+window-1 char leak reports
+    n_hit > 0; the clean eval doc reports exactly 0 hits; totals are sane
+    (0 <= n_hit <= n_fps, frac = n_hit/n_fps)."""
+    from imops_spark.functions.curate import (
+        contamination_pairs_df,
+        contamination_report_df,
+    )
+
+    leak = "the secret benchmark answer is forty two exactly"
+    train = spark.createDataFrame(
+        [
+            (0, f"some long training text with {leak} embedded in the middle"),
+            (1, "perfectly clean training document about distributed joins"),
+            (2, "another clean one discussing parquet row group statistics"),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, f"eval question: {leak}?"), (101, "unrelated eval prompt xyzzy")],
+        "doc_id long, text string",
+    )
+    rep = {r["eval_id"]: r for r in contamination_report_df(train, holdout).collect()}
+    assert set(rep) == {100, 101}
+    assert rep[100]["n_hit"] > 0
+    assert rep[101]["n_hit"] == 0
+    for r in rep.values():
+        assert 0 <= r["n_hit"] <= r["n_fps"]
+        assert r["frac"] == pytest.approx(r["n_hit"] / r["n_fps"], abs=1e-6)
+
+    # consistency with the pair scan: an eval doc has n_hit >= 1 iff it
+    # appears in contamination_pairs_df at min_shared=1
+    pairs = contamination_pairs_df(train, holdout, min_shared=1).collect()
+    flagged = {r["eval_id"] for r in pairs}
+    assert flagged == {e for e, r in rep.items() if r["n_hit"] > 0}
+
+
+def test_contamination_report_train_side_never_shuffles(spark):
+    """The 100 TB contract: the train-side fingerprint stream feeds only
+    broadcast joins — no Exchange may sit between the train scan and the
+    probe (the eval set broadcasts, not the corpus)."""
+    from imops_spark.functions.curate import contamination_report_df
+
+    train = spark.range(200).selectExpr(
+        "id AS doc_id", "repeat(concat('w', CAST(id AS STRING), ' '), 30) AS text"
+    )
+    holdout = spark.range(10).selectExpr(
+        "id + 1000 AS doc_id", "repeat(concat('w', CAST(id AS STRING), ' '), 30) AS text"
+    )
+    plan = (
+        contamination_report_df(train, holdout)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the probe of train fps must be a LeftSemi BroadcastHashJoin building
+    # on the (broadcast) eval fp set — train rows enter no sort-merge join
+    # and therefore no train-sized exchange; the hash exchanges that remain
+    # (eval fp dedup, the final groupBy) are bounded by the EVAL side
+    assert "BroadcastHashJoin" in plan and "LeftSemi, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk_df
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(rows, query, k1=1.2, b=0.75, top_k=20):
+    """Independent driver-side BM25 with the same micro-integer rounding."""
+    norm = lambda s: re.sub(r"\s+", " ", s.strip().lower())
+    docs = {i: [t for t in norm(t).split(" ") if t] for i, t in rows if t is not None}
+    terms = sorted({t for t in norm(query).split(" ") if t})
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n_docs
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    out = {}
+    for i, toks in docs.items():
+        dl = len(toks)
+        micros, n_terms = 0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s = idf * ((tf * k1p1) / (tf + k1 * (omb + b * (dl / avgdl))))
+            micros += math.floor(s * 1000000.0 + 0.5)
+            n_terms += 1
+        if n_terms:
+            out[i] = (n_terms, micros)
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][1], kv[0]))[:top_k]
+    return [
+        (i, nt, mic, r + 1) for r, (i, (nt, mic)) in enumerate(ranked)
+    ]
+
+
+def test_bm25_differential_vs_python(spark):
+    """bm25_topk_df == an independent driver-side BM25 (same micro
+    rounding), exact to the integer micro unit, including rank order."""
+    from imops_spark.functions.text import bm25_topk_df
+
+    rows = [
+        (0, "spark shuffles the hash join build side"),
+        (1, "a hash   HASH hash index beats a scan for point lookups"),
+        (2, "broadcast join avoids the shuffle entirely"),
+        (3, "columnar scan with predicate pushdown"),
+        (4, None),
+        (5, "hash join and sort merge join trade memory for time"),
+        (6, "unrelated text about gardening and tomatoes"),
+    ]
+    query = "Hash  JOIN scan"
+    got = [
+        (r["doc_id"], r["n_terms"], r["score_micro"], r["rank"])
+        for r in bm25_topk_df(
+            spark.createDataFrame(rows, "doc_id long, text string"), query, top_k=5
+        ).collect()
+    ]
+    assert got == _bm25_reference(rows, query, top_k=5)
+
+
+def test_bm25_empty_query_raises(spark):
+    from imops_spark.functions.text import bm25_topk_df
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_df(docs, "   ")
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The final top-k must compile to TakeOrderedAndProject (distributed
+    heap), never a global Sort of the scored corpus."""
+    from imops_spark.functions.text import bm25_topk_df
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('hash join number ', CAST(id AS STRING)) AS text"
+    )
+    plan = (
+        bm25_topk_df(docs, "hash join", top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# cross_near_dup_df / decontaminate_by_embedding_df
+# ---------------------------------------------------------------------------
+
+
+def _random_vectors(n, dim, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, dim)
+
+
+def test_cross_near_dup_differential_vs_numpy(spark):
+    """cross_near_dup_df == brute-force numpy cosine over the cross
+    product, at the rounded-6dp threshold semantics."""
+    from imops_spark.functions.dedup import cross_near_dup_df
+
+    dim, thr = 16, 0.35
+    cm = _random_vectors(40, dim, 7)
+    qm = _random_vectors(9, dim, 8)
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(cm)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, v.tolist()) for j, v in enumerate(qm)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["corpus_id"], r["query_id"]): r["cosine"]
+        for r in cross_near_dup_df(corpus, queries, threshold=thr).collect()
+    }
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cos = np.round(cn @ qn.T, 6)
+    want = {
+        (i, 100 + j): cos[i, j]
+        for i, j in zip(*np.nonzero(cos >= thr))
+    }
+    assert got == want
+
+
+def test_decontaminate_by_embedding_drops_exactly_flagged(spark):
+    from imops_spark.functions.dedup import (
+        cross_near_dup_df,
+        decontaminate_by_embedding_df,
+    )
+
+    cm = _random_vectors(30, 8, 11)
+    qm = cm[[3, 17]] + 0.01 * _random_vectors(2, 8, 12)  # near-dups of 3, 17
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(cm)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(j, v.tolist()) for j, v in enumerate(qm)],
+        "vec_id long, embedding array<double>",
+    )
+    flagged = {
+        r["corpus_id"]
+        for r in cross_near_dup_df(corpus, queries, threshold=0.95).collect()
+    }
+    assert {3, 17} <= flagged
+    kept = {r["vec_id"] for r in decontaminate_by_embedding_df(
+        corpus, queries, threshold=0.95).collect()}
+    assert kept == set(range(30)) - flagged
+
+
+def test_cross_near_dup_string_ids_and_empty_queries(spark):
+    """Id dtypes are derived from the inputs (string ids round-trip through
+    the Arrow schema — the bpe_apply_df hardcoded-long lesson); an empty
+    query side yields an empty, correctly-typed frame."""
+    from imops_spark.functions.dedup import cross_near_dup_df
+
+    corpus = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q-1", [1.0, 0.001])], "vec_id string, embedding array<double>"
+    )
+    rows = cross_near_dup_df(corpus, queries, threshold=0.9).collect()
+    assert [(r["corpus_id"], r["query_id"]) for r in rows] == [("doc-a", "q-1")]
+
+    empty = cross_near_dup_df(
+        corpus, queries.filter(F.lit(False)), threshold=0.9
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "corpus_id", "query_id", "cosine",
+    ]
+    assert empty.schema["corpus_id"].dataType.simpleString() == "string"
+
+
+def test_cross_near_dup_broadcast_contract(spark, monkeypatch):
+    """A query side past the broadcast budget raises the clear contract
+    error instead of OOMing the driver."""
+    from imops_spark.functions import similarity
+    from imops_spark.functions.dedup import cross_near_dup_df
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(similarity, "_TOPK_BROADCAST_MAX", 3)
+    with pytest.raises(ValueError, match="broadcast contract"):
+        cross_near_dup_df(corpus, queries)
