@@ -1878,6 +1878,48 @@ def q_cur_contam_emb(spark, sf_dir):
     return cross_near_dup_df(train, holdout, threshold=0.3)
 
 
+def q_cur_contam_frac_stream(spark, sf_dir):
+    """Streaming twin of cur_contam_frac: training docs ARRIVE AS A STREAM
+    and each micro-batch's winnowing-fingerprint hits against the static
+    eval set are appended to a persisted hit log (a MONOTONE SET UNION, so
+    at-least-once foreachBatch delivery gives exactly-once report
+    semantics — the bloom-maintenance argument); the report is then read
+    off the drained log.  Same oracle as cur_contam_frac.  The scratch log
+    lives in a fresh tempdir (the managed-table/pid trap) and the tiny
+    report is re-materialized in memory before cleanup."""
+    import shutil
+    import tempfile
+
+    from imops_spark.streaming.curate import (
+        contamination_report_from_hits,
+        start_contamination_hits_maintenance,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 != 0)
+    )
+    holdout = static.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="imops_contam_gate_")
+    try:
+        q = start_contamination_hits_maintenance(
+            stream, holdout, f"{tmp}/hits", checkpoint=f"{tmp}/ckpt"
+        )
+        q.awaitTermination(120)
+        rows = contamination_report_from_hits(
+            spark, f"{tmp}/hits", holdout
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "eval_id long, n_fps bigint, n_hit bigint, frac double"
+    )
+
+
 def q_cur_mix_temp(spark, sf_dir):
     """Temperature mixture weights (curate.temperature_fractions_df):
     alpha-sampling rates per predicted language — raw share, temperature
@@ -3711,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
         "cur_contam_frac": q_cur_contam_frac,
+        "cur_contam_frac_stream": q_cur_contam_frac_stream,
         "cur_contam_emb": q_cur_contam_emb,
         "cur_profile": q_cur_profile,
         "cur_profile_stream": q_cur_profile_stream,
@@ -4391,6 +4434,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["cur_contam_stream"] = oracles["cur_contam"]
     # bloom prefilter + exact verify == exact scan (no false negatives)
     oracles["cur_contam_bloom"] = oracles["cur_contam"]
+    # the drained hit-log report must equal the batch report — same oracle,
+    # foreachBatch monotone-set-union physical plan
+    oracles["cur_contam_frac_stream"] = oracles["cur_contam_frac"]
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
     oracles["txt_embed_stream"] = oracles["txt_embed"]

@@ -501,8 +501,15 @@ def contamination_report_df(
     """
     from .text import winnow_fp_set_df
 
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
-        F.col("doc_id").alias("eval_id"), "fp"
+    # the eval fp frame feeds BOTH the probe set and the report tail —
+    # localCheckpoint it so the eval winnowing chain executes once (two
+    # plan branches would re-run it; the frame is small by the asymmetric
+    # contract, and a local checkpoint dies with the DataFrame instead of
+    # leaving a cacheManager entry behind — the cur_select2 recipe)
+    ef = (
+        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn)
+        .select(F.col("doc_id").alias("eval_id"), "fp")
+        .localCheckpoint(eager=False)
     )
     tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
         "fp"
@@ -513,6 +520,15 @@ def contamination_report_df(
     hit_fps = (
         tf.join(F.broadcast(ef_fps), "fp", "left_semi").dropDuplicates()
     )
+    return _contamination_report_tail(ef, hit_fps)
+
+
+def _contamination_report_tail(ef: DataFrame, hit_fps: DataFrame) -> DataFrame:
+    """Shared tail of :func:`contamination_report_df` and the streaming
+    hit-log reader (``streaming.curate.contamination_report_from_hits``):
+    tag each eval ``(eval_id, fp)`` against the hit-fp set — bounded by
+    the EVAL fingerprint count, so it broadcasts — then one bounded
+    eval-side groupBy.  One owner for the n_fps/n_hit/frac semantics."""
     tagged = ef.join(F.broadcast(hit_fps.withColumn("_hit", F.lit(1))), "fp", "left")
     return (
         tagged.groupBy("eval_id")

@@ -277,14 +277,14 @@ def winnow_fingerprints_local_df(
     )
 
 
-# Measured dispatch threshold for the winnow formulations (synthetic
-# 60-token docs, local[32], min-of-3; see FASTPATH.md): the row-local HOF
-# chain wins only below ~1M corpus chars (its per-window array_min/slice
-# flattening is interpreted-expression CPU, linear in corpus size with a
-# big constant); the sliding-window batch chain costs one sized doc_id
-# exchange + Tungsten radix sort and is 3-5x faster from ~2M chars up
-# (4k docs: 0.88 vs 1.19 s; 320k docs: 16.3 vs 79.7 s).
-_WINNOW_LOCAL_MAX_CHARS = 1_000_000
+# Retired size crossover (was: local below 1M corpus chars).  Kept only as
+# documentation of the retirement: the local form's interpreted-HOF chain is
+# BIMODAL in long-lived mixed-workload JVMs (the round-6 simhash lesson —
+# megamorphic call sites + C2 deopt luck), measured 1.8-17 s on a 150k-300k
+# char corpus where the window chain ran 0.7-1.6 s warm.  Batch auto now
+# always takes the window form; 'local' remains the streaming form (and an
+# explicit escape hatch for zero-shuffle composition).
+_WINNOW_LOCAL_MAX_CHARS = 0
 
 
 def _winnow_selected_window_df(
@@ -369,9 +369,11 @@ def _winnow_pick_strategy(docs: DataFrame, strategy: str, fn: str):
         return "local", None
     if strategy != "auto":
         return strategy, None
-    raw_chars = int(docs.select(F.sum(F.length("text"))).first()[0] or 0)
-    picked = "local" if raw_chars <= _WINNOW_LOCAL_MAX_CHARS else "window"
-    return picked, raw_chars
+    # batch auto: ALWAYS the window form (crossover retired — see
+    # _WINNOW_LOCAL_MAX_CHARS).  raw_chars=None lets the window core run
+    # its own sizing pre-pass, exactly what the dispatch pre-pass used to
+    # pay here, so total job count is unchanged.
+    return "window", None
 
 
 def winnow_fp_set_df(
@@ -384,21 +386,21 @@ def winnow_fp_set_df(
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document, ``(doc_id, fp)``.
 
-    ``strategy='auto'`` (default) dispatches on corpus size (the
-    measured ~1M-char crossover, see ``_WINNOW_LOCAL_MAX_CHARS``) between:
+    ``strategy='auto'`` (default) picks by INPUT KIND, not size:
 
-    - ``'local'`` — dedup ROW-LOCALLY (``array_distinct`` over the
-      selected-fp array before the explode): zero shuffles, no stateful
-      dedup, streaming-legal (what a streaming fingerprint join needs —
-      a same-fp-several-positions doc would otherwise double-count
-      pairs, and stateful dropDuplicates/countDistinct are restricted
-      upstream/inside streaming aggregations).  Streaming inputs always
-      take this form.
-    - ``'window'`` — the sized exploded batch chain
+    - batch -> ``'window'``, the sized exploded chain
       (:func:`_winnow_selected_window_df`) + a per-doc dedup the doc_id
-      partitioning already satisfies (no further exchange): 3-5x faster
-      from ~2M corpus chars up, where the local form's interpreted HOF
-      scan dominates.
+      partitioning already satisfies (no further exchange).  3-5x faster
+      at scale AND 2-3x faster even on 150k-char corpora measured warm —
+      the size crossover was retired because the local form's interpreted
+      HOF scan is bimodal in mixed-workload JVMs (see
+      ``_WINNOW_LOCAL_MAX_CHARS``).
+    - streaming -> ``'local'``: dedup ROW-LOCALLY (``array_distinct``
+      over the selected-fp array before the explode): zero shuffles, no
+      stateful dedup, streaming-legal (a same-fp-several-positions doc
+      would otherwise double-count pairs, and stateful
+      dropDuplicates/countDistinct are restricted upstream of/inside
+      streaming aggregations).
 
     Both forms are value-identical (equivalence-tested)."""
     _check_hash_fn(hash_fn)

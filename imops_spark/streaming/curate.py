@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["contamination_pairs_stream", "start_bloom_index_maintenance"]
+__all__ = [
+    "contamination_pairs_stream",
+    "start_bloom_index_maintenance",
+    "start_contamination_hits_maintenance",
+    "contamination_report_from_hits",
+]
 
 
 def contamination_pairs_stream(
@@ -52,6 +57,100 @@ def contamination_pairs_stream(
     return contamination_pairs_df(
         train_docs, eval_docs, k=k, window=window, min_shared=min_shared
     )
+
+
+def start_contamination_hits_maintenance(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    path: str,
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "md5",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Maintain a persisted HIT-FINGERPRINT log as training documents
+    stream in: each micro-batch's winnowing fingerprints are probed
+    row-locally against the (broadcast) static eval fingerprint set, and
+    the batch's distinct hits are APPENDED to ``path``.  The report for
+    the corpus ingested so far is then
+    :func:`contamination_report_from_hits` — the streaming twin of
+    ``functions.curate.contamination_report_df``.
+
+    Why this shape instead of a streaming aggregation: the batch report's
+    tail joins the STATIC eval frame against a streaming-derived hit set
+    (static-left outer join on a stream = unsupported) and would stack
+    dropDuplicates under a groupBy.  The hit-fp set, however, is a
+    MONOTONE SET UNION — so the foreachBatch append gives exactly-once
+    SEMANTICS from at-least-once plumbing: a replayed batch re-appends
+    the same fingerprints and the reader's dedup collapses them (the
+    ``start_bloom_index_maintenance`` argument).  Per batch the log grows
+    by at most the batch's hits, and the whole log is bounded by the EVAL
+    fingerprint count — however large the train stream gets.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import winnow_fp_set_df
+
+    # checkpoint the eval fp set once at start(): every micro-batch probes
+    # it, and without the checkpoint each batch would re-run the whole eval
+    # winnowing chain (bounded frame, lives as long as the query closure)
+    ef_fps = (
+        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn)
+        .select("fp")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tf = winnow_fp_set_df(
+            batch_df, k=k, window=window, hash_fn=hash_fn
+        ).select("fp")
+        hits = tf.join(F.broadcast(ef_fps), "fp", "left_semi").dropDuplicates()
+        hits.write.mode("append").parquet(path)
+
+    w = train_docs.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def contamination_report_from_hits(
+    spark,
+    path: str,
+    eval_docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-eval-doc contamination report over the persisted hit log at
+    ``path`` — ``(eval_id, n_fps, n_hit, frac)``, identical semantics to
+    the batch ``contamination_report_df`` for the train docs ingested so
+    far.  Replayed batches collapse in the reader's dedup (the log is a
+    set).  A MISSING log means "no training docs ingested yet" (every
+    ``n_hit`` = 0); any OTHER read failure propagates — a swallowed
+    transient error would silently report an uncontaminated eval set (the
+    status-read lesson from the uniqueness sink)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.curate import _contamination_report_tail
+    from ..functions.text import winnow_fp_set_df
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        hit_fps = spark.read.parquet(path).dropDuplicates()
+    else:
+        hit_fps = spark.createDataFrame([], "fp long")
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
+        F.col("doc_id").alias("eval_id"), "fp"
+    )
+    return _contamination_report_tail(ef, hit_fps)
 
 
 def start_bloom_index_maintenance(

@@ -1122,16 +1122,12 @@ def test_winnow_strategies_value_identical_and_dispatch(spark):
     assert len(got) == len({(r["doc_id"], r["fp"]) for r in got})
     assert all(r["src"] == f"s{r['doc_id']}" for r in got)
 
-    # dispatch: tiny corpus -> local pick; threshold forced down -> window
-    s, _ = tx._winnow_pick_strategy(docs, "auto", "t")
-    assert s == "local"
-    orig = tx._WINNOW_LOCAL_MAX_CHARS
-    try:
-        tx._WINNOW_LOCAL_MAX_CHARS = 10
-        s2, rc = tx._winnow_pick_strategy(docs, "auto", "t")
-        assert s2 == "window" and rc > 10
-    finally:
-        tx._WINNOW_LOCAL_MAX_CHARS = orig
+    # dispatch: batch auto ALWAYS takes the window form (the size
+    # crossover was retired — the local HOF chain is bimodal in mixed
+    # JVMs); no sizing pre-pass runs at dispatch time (the window core
+    # owns it)
+    s, rc = tx._winnow_pick_strategy(docs, "auto", "t")
+    assert s == "window" and rc is None
     with pytest.raises(ValueError, match="strategy"):
         winnow_fp_set_df(docs, strategy="nope")
     with pytest.raises(ValueError, match="strategy"):

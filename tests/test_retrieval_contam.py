@@ -75,6 +75,85 @@ def test_contamination_report_train_side_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_contamination_hits_stream_multibatch_and_replay(spark, tmp_path):
+    """The streamed hit-log report over multiple micro-batches equals the
+    batch report; a full re-ingestion with a FRESH checkpoint (the
+    worst-case at-least-once replay — every batch delivered twice) leaves
+    the report IDENTICAL (monotone set union + reader dedup); a missing
+    log reports all n_hit = 0 without erroring."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.curate import contamination_report_df
+    from imops_spark.streaming.curate import (
+        contamination_report_from_hits,
+        start_contamination_hits_maintenance,
+    )
+
+    leak_a = "the secret benchmark answer is forty two exactly"
+    leak_b = "another planted evaluation passage that leaks verbatim"
+    d = tmp_path / "trainstream"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"doc_id": [0], "text": [f"training text with {leak_a} inside"]}),
+        pd.DataFrame({"doc_id": [1], "text": ["clean doc about shuffle hash joins"]}),
+        pd.DataFrame({"doc_id": [2], "text": [f"prefix {leak_b} suffix padding words"]}),
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet"
+        )
+    holdout = spark.createDataFrame(
+        [
+            (100, f"eval item one: {leak_a}?"),
+            (101, f"eval item two: {leak_b}!"),
+            (102, "untouched eval prompt xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # missing log: zero hits, no error
+    empty = {
+        r["eval_id"]: r
+        for r in contamination_report_from_hits(
+            spark, str(tmp_path / "never_written"), holdout
+        ).collect()
+    }
+    assert set(empty) == {100, 101, 102}
+    assert all(r["n_hit"] == 0 and r["frac"] == 0.0 for r in empty.values())
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = start_contamination_hits_maintenance(
+            stream, holdout, str(tmp_path / "hits"), checkpoint=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    got1 = sorted(
+        map(tuple, contamination_report_from_hits(
+            spark, str(tmp_path / "hits"), holdout).collect())
+    )
+    train = spark.createDataFrame(pd.concat(batches))
+    want = sorted(map(tuple, contamination_report_df(train, holdout).collect()))
+    assert got1 == want
+    by_id = {t[0]: t for t in got1}
+    assert by_id[100][2] > 0 and by_id[101][2] > 0 and by_id[102][2] == 0
+
+    # replay: fresh checkpoint re-appends every batch's hits; report unchanged
+    drain("ckpt2")
+    got2 = sorted(
+        map(tuple, contamination_report_from_hits(
+            spark, str(tmp_path / "hits"), holdout).collect())
+    )
+    assert got2 == got1
+
+
 # ---------------------------------------------------------------------------
 # bm25_topk_df
 # ---------------------------------------------------------------------------

@@ -232,6 +232,20 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             # sample k-means (driver) + assignment GEMM + per-cluster blocks
             "emb_semdedup": lambda: semdedup_df(emb, n_clusters=8, threshold=0.95),
             "txt_tfidf": lambda: tfidf_df(docs),
+            # query-term-filtered explode: the exchange carries only the
+            # matching rows (~0.1% here), top-k is TakeOrderedAndProject
+            "txt_bm25": lambda: bm25_topk_df(docs, "w11 w42 w123 w999"),
+            # FIXED eval side vs growing train: the broadcast-probe report
+            # must scale like the train scan alone
+            "cur_contam_frac": lambda: contamination_report_df(
+                docs.filter(F.col("doc_id") >= 2000),
+                docs.filter(F.col("doc_id") < 2000),
+            ),
+            # fixed broadcast query GEMM over the growing corpus: pure
+            # scan cost, zero corpus-side exchanges
+            "cur_contam_emb": lambda: cross_near_dup_df(
+                emb.filter(F.col("vec_id") >= 20), queries, threshold=0.3
+            ),
             # self-trained bigram LM: count shuffle + scoring join + doc agg
             "txt_lm": lambda: ngram_lm_df(docs),
             "sim_lsh_topk": lambda: lsh_topk_df(emb, queries, k=3, planes=6),
