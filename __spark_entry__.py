@@ -2767,6 +2767,31 @@ def q_txt_bm25(spark, sf_dir):
     return bm25_topk_df(_t(spark, sf_dir, "documents"), BM25_QUERY, top_k=20)
 
 
+def q_txt_bm25_idx(spark, sf_dir):
+    """BM25 over the PERSISTED inverted index (text.bm25_write_index /
+    bm25_index_topk): the corpus is tokenized ONCE into a token-bucketed
+    postings table with the global stats stamped; the probe reads only
+    the query terms' postings and scores through the SAME shared tail as
+    the inline operator — bit-identical by construction, which the gate
+    proves against the same oracle as txt_bm25.  Build-if-absent,
+    session-scoped, external path keyed on pid (the managed-table
+    LOCATION_ALREADY_EXISTS trap)."""
+    import hashlib
+    import os
+    import shutil
+
+    from imops_spark.functions.text import bm25_index_topk, bm25_write_index
+
+    table = f"imops_bm25_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(table):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        path = f"/tmp/imops_spark_idx/{table}_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        bm25_write_index(docs, table, path=path)
+    return bm25_index_topk(spark, table, BM25_QUERY, top_k=20)
+
+
 def q_txt_lm(spark, sf_dir):
     """Bigram-LM cross-entropy scorer (CCNet-style perplexity filter),
     self-trained on the corpus.  Hash-gated end-to-end: the per-bigram
@@ -3798,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
         "txt_bm25": q_txt_bm25,
+        "txt_bm25_idx": q_txt_bm25_idx,
         "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
@@ -4437,6 +4463,9 @@ def oracle_sql() -> dict[str, str]:
     # the drained hit-log report must equal the batch report — same oracle,
     # foreachBatch monotone-set-union physical plan
     oracles["cur_contam_frac_stream"] = oracles["cur_contam_frac"]
+    # the index probe shares the inline operator's scoring tail — same
+    # oracle, postings-read physical plan
+    oracles["txt_bm25_idx"] = oracles["txt_bm25"]
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
     oracles["txt_embed_stream"] = oracles["txt_embed"]

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "txt_bm25",
     "cur_contam_frac",
     "cur_contam_emb",
+    "txt_bm25_idx",
 ]
 
 

@@ -886,18 +886,25 @@ def int8_topk_df(
 _EMB_PROP_PREFIX = "imops.emb."
 
 
-def _emb_stored_props(spark, table: str) -> dict:
-    """The ``imops.emb.*`` stamp stored on ``table``, or ``{}`` when the
-    table does not exist / carries none."""
+def _emb_stored_props(
+    spark,
+    table: str,
+    prefix: str | None = None,
+    int_keys: tuple = ("dim", "num_buckets"),
+) -> dict:
+    """The ``{prefix}*`` stamp stored on ``table`` (default ``imops.emb.*``),
+    or ``{}`` when the table does not exist / carries none.  ``prefix`` and
+    ``int_keys`` parameterize the helper for OTHER stamped index types
+    (the bm25 inverted index reuses it) — one owner for the
+    SHOW TBLPROPERTIES parsing."""
+    prefix = _EMB_PROP_PREFIX if prefix is None else prefix
     try:
         out: dict = {}
         for row in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
-            if not row["key"].startswith(_EMB_PROP_PREFIX):
+            if not row["key"].startswith(prefix):
                 continue
-            name = row["key"].removeprefix(_EMB_PROP_PREFIX)
-            out[name] = (
-                int(row["value"]) if name in ("dim", "num_buckets") else row["value"]
-            )
+            name = row["key"].removeprefix(prefix)
+            out[name] = int(row["value"]) if name in int_keys else row["value"]
         return out
     except Exception:
         return {}
@@ -934,14 +941,17 @@ def _emb_write_sidecar(spark, path: str, stamp: dict) -> None:
     )
 
 
-def _emb_read_sidecar(spark, path: str) -> dict:
+def _emb_read_sidecar(
+    spark, path: str, int_keys: tuple = ("dim", "num_buckets")
+) -> dict:
     """The sidecar stamp at ``path__meta``, or ``{}`` when MISSING.
 
     Only filesystem absence means "no sidecar" — any other read failure
     propagates (the bloom status-read lesson: a swallowed transient error
     here would fail the staleness guard OPEN, e.g. an append would skip
     dropping a now-stale fingerprint and a later re-registration would
-    restore it as if current)."""
+    restore it as if current).  ``int_keys`` parameterizes the helper for
+    other stamped index types (bm25)."""
     meta = f"{path}__meta"
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(meta)
@@ -953,9 +963,7 @@ def _emb_read_sidecar(spark, path: str) -> dict:
         if row["value"] is None:
             continue
         out[row["key"]] = (
-            int(row["value"])
-            if row["key"] in ("dim", "num_buckets")
-            else row["value"]
+            int(row["value"]) if row["key"] in int_keys else row["value"]
         )
     return out
 

@@ -36,6 +36,10 @@ __all__ = [
     "tfidf_df",
     "bm25_constants",
     "bm25_topk_df",
+    "bm25_write_index",
+    "bm25_read_index",
+    "bm25_register_index",
+    "bm25_index_topk",
     "ngram_lm_df",
     "repetition_df",
     "PII_PATTERNS",
@@ -533,17 +537,9 @@ def bm25_topk_df(
             if t
         }
     )
-    if not terms:
-        raise ValueError("bm25_topk_df: query produced no terms")
+    terms = _bm25_terms(query, "bm25_topk_df")
     consts = bm25_constants(k1, b)
-
-    from pyspark.sql.window import Window
-
-    d = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.filter(F.split(normalized_text(), " "), lambda x: x != "").alias("toks"),
-    )
-    with_dl = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    with_dl = _bm25_doc_tokens(docs)
     stats = with_dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("tot_len"),
@@ -554,6 +550,42 @@ def bm25_topk_df(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
+    return _bm25_score_tail(tf, stats, consts, top_k)
+
+
+def _bm25_terms(query: str, fn: str) -> list:
+    """Distinct normalized query terms (same normalization as the corpus
+    tokenization) — one owner so inline scoring, index probes, and any
+    oracle agree on what a term is."""
+    import re as _re
+
+    terms = sorted(
+        {t for t in _re.sub(r"\s+", " ", query.strip().lower()).split(" ") if t}
+    )
+    if not terms:
+        raise ValueError(f"{fn}: query produced no terms")
+    return terms
+
+
+def _bm25_doc_tokens(docs: DataFrame) -> DataFrame:
+    """``(doc_id, dl, toks)`` — the shared corpus tokenization: NULL text
+    excluded (mirror oracles with ``WHERE text IS NOT NULL``), document
+    length ROW-LOCAL (no explode, no aggregation)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.filter(F.split(normalized_text(), " "), lambda x: x != "").alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+
+
+def _bm25_score_tail(tf: DataFrame, stats: DataFrame, consts: dict, top_k: int):
+    """The shared BM25 scoring tail: per-(doc, term) micro-integer partial
+    scores (order-proof BIGINT sum), document frequencies derived from the
+    term-filtered ``tf`` frame itself, the 1-row ``stats`` broadcast, and
+    a TakeOrderedAndProject top-k.  One owner for the expression trees so
+    the inline operator and the index probe produce BIT-IDENTICAL scores
+    (and so any SQL oracle only has to match one shape)."""
+    from pyspark.sql.window import Window
+
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("tot_len") / F.col("n_docs")
     idf = F.log(
@@ -584,6 +616,170 @@ def bm25_topk_df(
     return top.select(
         "doc_id", "n_terms", "score_micro", F.row_number().over(w).alias("rank")
     )
+
+
+_BM25_PROP_PREFIX = "imops.bm25."
+_BM25_INT_KEYS = ("n_docs", "tot_len", "num_buckets")
+# the tokenizer identity stamped into every index: whitespace split of
+# lower/trim/space-collapsed text — bump if the normalization ever changes
+_BM25_NORM_FAMILY = "ws_lower_v1"
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    table: str,
+    num_buckets: int = 16,
+    path: str | None = None,
+    fingerprint: str | None = None,
+) -> None:
+    """Persist the corpus as a BM25 INVERTED INDEX: a postings table
+    ``(token, doc_id, tf, dl)`` bucketed by token, with the corpus-global
+    statistics (``n_docs``, ``tot_len``) and the tokenizer identity
+    stamped as table properties + a ``path__meta`` sidecar (the
+    ``embedding_write_index`` recipe).  The corpus pays tokenization ONCE
+    at write time; every :func:`bm25_index_topk` probe scans only the
+    postings of its query's terms — at 100 TB that is the difference
+    between a full corpus re-tokenization per query and a few
+    bucket-pruned posting reads.
+
+    NO append mode, by design: BM25 scores depend on corpus-GLOBAL
+    statistics (df, n_docs, avgdl), so an appended index would silently
+    score with stale idf — strictly worse than the rebuild this forces.
+    Stamp ``fingerprint=corpus_fingerprint(docs)`` to make staleness
+    detectable at probe time."""
+    from ..sources.parquet import write_bucketed
+    from .similarity import _check_stamp_value, _emb_write_sidecar
+
+    spark = docs.sparkSession
+    if fingerprint is not None:
+        _check_stamp_value("fingerprint", fingerprint)
+    with_dl = _bm25_doc_tokens(docs)
+    r = with_dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("c")
+    ).first()
+    n_docs, tot_len = int(r["n"]), int(r["c"] or 0)
+    id_type = dict(docs.dtypes)["doc_id"]
+    postings = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    write_bucketed(
+        postings.select("token", "doc_id", "tf", "dl"),
+        table,
+        ["token"],
+        num_buckets=int(num_buckets),
+        path=path,
+        mode="overwrite",
+    )
+    stamp = {
+        "norm": _BM25_NORM_FAMILY,
+        "n_docs": n_docs,
+        "tot_len": tot_len,
+        "num_buckets": int(num_buckets),
+        "id_type": id_type,
+    }
+    if fingerprint is not None:
+        stamp["fingerprint"] = str(fingerprint)
+    props = ", ".join(
+        f"'{_BM25_PROP_PREFIX}{name}'='{v}'" for name, v in stamp.items()
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+    if path:
+        _emb_write_sidecar(spark, path, stamp)
+
+
+def bm25_read_index(spark, table: str, fingerprint: str | None = None):
+    """Load a persisted BM25 index: returns ``(postings DataFrame, stamp
+    dict)`` after validating the stamp exists, the tokenizer identity
+    matches this module's, and — when the caller passes the CURRENT
+    corpus ``fingerprint`` — that the index is not stale."""
+    from .similarity import _emb_stored_props
+
+    stored = _emb_stored_props(
+        spark, table, prefix=_BM25_PROP_PREFIX, int_keys=_BM25_INT_KEYS
+    )
+    if not stored:
+        raise ValueError(
+            f"{table!r} carries no {_BM25_PROP_PREFIX}* stamp — not a BM25 "
+            "index built by bm25_write_index"
+        )
+    if stored.get("norm") != _BM25_NORM_FAMILY:
+        raise ValueError(
+            f"BM25 index {table!r} was tokenized as {stored.get('norm')!r}, "
+            f"this module tokenizes as {_BM25_NORM_FAMILY!r}: scores would "
+            "silently mix tokenizations — rebuild the index"
+        )
+    if fingerprint is not None and stored.get("fingerprint") != str(fingerprint):
+        raise ValueError(
+            f"BM25 index {table!r} was built from corpus fingerprint "
+            f"{stored.get('fingerprint')!r}, the corpus now fingerprints "
+            f"{fingerprint!r}: the index is stale — rebuild it"
+        )
+    return spark.table(table), stored
+
+
+def bm25_register_index(spark, table: str, path: str) -> None:
+    """Re-register a BM25 index written by another session from its
+    ``path__meta`` sidecar: (re)creates the external table WITH its
+    original bucket spec and restores the properties (the
+    ``embedding_register_index`` recipe — an unbucketed recreate would
+    silently lose the bucket-pruned probe path).  Idempotent."""
+    from .similarity import _emb_read_sidecar
+
+    stamp = _emb_read_sidecar(spark, path, int_keys=_BM25_INT_KEYS)
+    if not stamp:
+        raise ValueError(
+            f"no BM25-index sidecar at {path}__meta — was this index "
+            "written by bm25_write_index with an explicit path?"
+        )
+    for key in ("id_type", "num_buckets", "norm", "n_docs", "tot_len"):
+        if key not in stamp:
+            raise ValueError(
+                f"BM25-index sidecar at {path}__meta lacks {key!r}; "
+                "rebuild the index with this version's bm25_write_index"
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = path.replace("'", "''")
+    spark.sql(
+        f"CREATE TABLE {table} (token string, doc_id {stamp['id_type']}, "
+        f"tf bigint, dl int) USING parquet "
+        f"CLUSTERED BY (token) INTO {int(stamp['num_buckets'])} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    props = ", ".join(
+        f"'{_BM25_PROP_PREFIX}{name}'='{v}'" for name, v in sorted(stamp.items())
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+
+
+def bm25_index_topk(
+    spark,
+    table: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """BM25 top-k against a persisted inverted index — BIT-IDENTICAL
+    scores to :func:`bm25_topk_df` over the indexed corpus (the scoring
+    tail is shared code; document frequencies derive from the stored
+    postings exactly as the inline operator derives them from its
+    filtered explode).  The probe reads ONLY the query terms' postings
+    (token filter on the token-bucketed table), and the corpus-global
+    stats come from the stamp — zero corpus-side work at query time."""
+    terms = _bm25_terms(query, "bm25_index_topk")
+    consts = bm25_constants(k1, b)
+    postings, stored = bm25_read_index(spark, table, fingerprint=fingerprint)
+    tf = postings.filter(F.col("token").isin(terms)).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    stats = spark.createDataFrame(
+        [(int(stored["n_docs"]), int(stored["tot_len"]))],
+        "n_docs long, tot_len long",
+    )
+    return _bm25_score_tail(tf, stats, consts, top_k)
 
 
 def ngram_lm_df(

@@ -237,6 +237,81 @@ def test_bm25_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_index_probe_equals_inline(spark, tmp_path):
+    """The persisted-index probe returns BIT-IDENTICAL rows to the inline
+    operator (shared scoring tail; df derived from postings == df derived
+    from the filtered explode); the stamp guards fire: unstamped tables
+    refused, stale fingerprints refused, tokenizer-identity mismatches
+    refused; cross-session re-registration restores the probe."""
+    from imops_spark.functions import text as tx
+    from imops_spark.functions.similarity import corpus_fingerprint
+    from imops_spark.functions.text import (
+        bm25_index_topk,
+        bm25_register_index,
+        bm25_topk_df,
+        bm25_write_index,
+    )
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('hash join number ', CAST(id AS STRING),"
+        " CASE WHEN id % 3 = 0 THEN ' scan scan' ELSE '' END,"
+        " CASE WHEN id % 7 = 0 THEN ' vector' ELSE '' END) AS text",
+    )
+    fp = corpus_fingerprint(docs)
+    table = "bm25_idx_test"
+    path = str(tmp_path / "bm25idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bm25_write_index(docs, table, num_buckets=4, path=path, fingerprint=fp)
+
+    q = "scan  Vector HASH"
+    inline = [tuple(r) for r in bm25_topk_df(docs, q, top_k=7).collect()]
+    probe = [
+        tuple(r)
+        for r in bm25_index_topk(spark, table, q, top_k=7, fingerprint=fp).collect()
+    ]
+    assert probe == inline and len(probe) == 7
+
+    # stale corpus -> clear error
+    changed = docs.filter("doc_id < 150")
+    with pytest.raises(ValueError, match="stale"):
+        bm25_index_topk(
+            spark, table, q, fingerprint=corpus_fingerprint(changed)
+        )
+    # unstamped table -> refused
+    spark.range(3).selectExpr(
+        "'t' AS token", "id AS doc_id", "id AS tf", "1 AS dl"
+    ).write.saveAsTable("bm25_not_an_index")
+    try:
+        with pytest.raises(ValueError, match="stamp"):
+            bm25_index_topk(spark, "bm25_not_an_index", q)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_not_an_index")
+    # tokenizer-identity mismatch -> refused (a future normalization bump
+    # must not silently score against old postings)
+    orig = tx._BM25_NORM_FAMILY
+    try:
+        tx._BM25_NORM_FAMILY = "ws_lower_v2"
+        with pytest.raises(ValueError, match="tokenized as"):
+            bm25_index_topk(spark, table, q)
+    finally:
+        tx._BM25_NORM_FAMILY = orig
+
+    # cross-session reuse: the catalog entry dies, the sidecar does not
+    spark.sql(f"DROP TABLE {table}")
+    bm25_register_index(spark, table, path)
+    probe2 = [
+        tuple(r)
+        for r in bm25_index_topk(spark, table, q, top_k=7, fingerprint=fp).collect()
+    ]
+    assert probe2 == inline
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # missing sidecar -> clear error
+    with pytest.raises(ValueError, match="sidecar"):
+        bm25_register_index(spark, "bm25_idx_none", str(tmp_path / "nowhere"))
+
+
 # ---------------------------------------------------------------------------
 # cross_near_dup_df / decontaminate_by_embedding_df
 # ---------------------------------------------------------------------------
