@@ -312,6 +312,33 @@ def test_bm25_index_probe_equals_inline(spark, tmp_path):
         bm25_register_index(spark, "bm25_idx_none", str(tmp_path / "nowhere"))
 
 
+def test_bm25_index_probe_bucket_prunes(spark, tmp_path):
+    """The probe's postings scans must be BUCKET-PRUNED to the query
+    terms' buckets (SelectedBucketsCount < total) — the physical property
+    that makes the index a probe-few-postings read instead of a corpus
+    scan at 100 TB."""
+    import re
+
+    from imops_spark.functions.text import bm25_index_topk, bm25_write_index
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma delta word', CAST(id AS STRING)) AS text"
+    )
+    table = "bm25_prune_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bm25_write_index(docs, table, num_buckets=8, path=str(tmp_path / "idx"))
+    try:
+        plan = (
+            bm25_index_topk(spark, table, "alpha")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        counts = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert counts, "postings scan lost its bucket spec"
+        assert all(int(sel) < int(tot) for sel, tot in counts), counts
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 # ---------------------------------------------------------------------------
 # cross_near_dup_df / decontaminate_by_embedding_df
 # ---------------------------------------------------------------------------
