@@ -2698,6 +2698,19 @@ _URL_ROWS = [
     (300004, "trailing https://good.net"),
 ]
 
+# canonicalization fixture: authority case, default ports, fragments,
+# tracking params (leading/middle/trailing/only), bare trailing slash
+_URLCANON_ROWS = [
+    (310001, "a http://Host.EXAMPLE.com:80/Path/Q?a=1&utm_source=x&b=2#frag b"),
+    (310002, "see https://site.org:443/ and https://site.org/a/"),
+    (310003, "x http://t.co/Page?utm_a=1&utm_b=2 y"),
+    (310004, "mix http://h.io/p?gclid=9 http://h.io/p?fbclid=8&keep=1"),
+    (310005, "tail http://h.io/p?keep=1&utm_z=3 end"),
+    # removed MIDDLE params leave '&&' separator debris (caught in review
+    # by desk-check before the gate landed — keep covered)
+    (310006, "mid https://mid.net/p?a=1&utm_m=2&b=3 two https://mid.net/p?a=1&utm_m=2&utm_n=4&b=3"),
+]
+
 
 def q_txt_urls(spark, sf_dir):
     """URL extraction (functions.text.urls_df): one row per URL mention
@@ -2737,6 +2750,54 @@ def q_txt_domfilter(spark, sf_dir):
     return filter_by_domain_df(real.unionByName(planted), block).select(
         "doc_id"
     )
+
+
+def q_txt_urlcanon(spark, sf_dir):
+    """URL canonicalization (text.canonical_urls_df): fragments stripped,
+    authority lowercased (path/query case preserved), default ports
+    dropped, utm_*/gclid/fbclid tracking params removed with separator
+    cleanup, bare trailing slash collapsed — every regex in the
+    Java∩RE2 subset (no lookaround), zero shuffles.  Real docs contribute
+    zero rows (guard); the planted corpus trips each rule.  Oracle replays
+    the exact regexp chain with DuckDB's \\1/'g' replacement dialect."""
+    from imops_spark.functions.text import canonical_urls_df
+
+    real = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(_URLCANON_ROWS, "doc_id long, text string")
+    return canonical_urls_df(real.unionByName(planted))
+
+
+def q_dd_urldup(spark, sf_dir):
+    """URL-keyed dedup (dedup.drop_url_duplicates_df) — the crawl
+    pipeline's first dedup pass: one surviving page per CANONICAL url,
+    lowest doc_id wins.  Pages fixture derives urls from the planted
+    canonicalization corpus so tracking-param/port/case variants of the
+    same page collapse.  One window exchange, no join."""
+    from imops_spark.functions.dedup import drop_url_duplicates_df
+    from imops_spark.functions.text import urls_df
+
+    planted = spark.createDataFrame(_URLCANON_ROWS, "doc_id long, text string")
+    pages = urls_df(planted).select(
+        (F.col("doc_id") * 10 + F.length("url") % 7).alias("doc_id"), "url"
+    )
+    return drop_url_duplicates_df(pages).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+def q_txt_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (text.token_entropy_df): the
+    low-entropy tail is template/keyword-stuffed text — a quality filter
+    adjacent to the Gopher repetition family.  Hash-gated end to end via
+    the micro-nat integer discipline: each p*ln(p) term rounds to integer
+    micro-nats BEFORE the order-proof BIGINT sum (the txt_lm recipe)."""
+    from imops_spark.functions.text import token_entropy_df
+
+    return token_entropy_df(_t(spark, sf_dir, "documents"))
 
 
 def q_txt_tfidf(spark, sf_dir):
@@ -3820,6 +3881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii": q_txt_pii,
         "txt_c4": q_txt_c4,
         "txt_urls": q_txt_urls,
+        "txt_urlcanon": q_txt_urlcanon,
+        "txt_entropy": q_txt_entropy,
+        "dd_urldup": q_dd_urldup,
         "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
         "txt_bm25": q_txt_bm25,
@@ -3910,6 +3974,90 @@ def _winnow_fps_sql(pred: str) -> str:
       FROM w JOIN ng USING (doc_id)
       WHERE rn = 1 AND t <= ng - 3
     )"""
+
+
+def _urlcanon_rel_sql(urls_rel: str) -> str:
+    """``(doc_id, url, canonical_url)`` over a ``(doc_id, url)`` relation —
+    DuckDB mirror of ``text.canonical_url`` step for step (``\\1`` group
+    references and explicit ``'g'`` flags are DuckDB's replacement
+    dialect; Spark writes ``$1`` and replaces all matches by default)."""
+    return rf"""(
+      WITH u0 AS (
+        SELECT doc_id, url, regexp_replace(url, '#.*', '') AS c
+        FROM {urls_rel} r
+      ),
+      u1 AS (
+        SELECT doc_id, url, c,
+               regexp_extract(c, '^(https?://[^/?#]*)', 1) AS auth
+        FROM u0
+      ),
+      u2 AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                 regexp_replace(lower(auth), '^(http://[^/?#]*):80$', '\1'),
+                 '^(https://[^/?#]*):443$', '\1') AS low,
+               substring(c, length(auth) + 1) AS rest
+        FROM u1
+      ),
+      u3 AS (
+        SELECT doc_id, url, low,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       rest,
+                       '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*',
+                       '\1', 'g'),
+                     '&&+', '&', 'g'),
+                   '\?&', '?', 'g'),
+                 '[?&]$', '') AS rest
+        FROM u2
+      )
+      SELECT doc_id, url,
+             regexp_replace(low || rest, '^(https?://[^/?#]+)/$', '\1')
+               AS canonical_url
+      FROM u3
+    )"""
+
+
+def _urlcanon_base_sql() -> str:
+    planted = ", ".join("(%d, '%s')" % (i, t) for i, t in _URLCANON_ROWS)
+    return (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+        "UNION ALL SELECT * FROM (VALUES %s) v(doc_id, text)" % planted
+    )
+
+
+def _urlcanon_sql() -> str:
+    urls_rel = (
+        r"(SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+'))"
+        r" AS url FROM base WHERE text IS NOT NULL)"
+    )
+    return rf"""
+      WITH base AS ({_urlcanon_base_sql()})
+      SELECT doc_id, url, canonical_url,
+             regexp_replace(canonical_url, 'https?://([^/:?#\s]+).*', '\1')
+               AS domain
+      FROM {_urlcanon_rel_sql(urls_rel)} t
+    """
+
+
+def _urldup_sql() -> str:
+    planted = ", ".join("(%d, '%s')" % (i, t) for i, t in _URLCANON_ROWS)
+    pages_rel = rf"""(
+      SELECT doc_id * 10 + length(url) %% 7 AS doc_id, url
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+            FROM (VALUES %s) v(doc_id, text) WHERE text IS NOT NULL) e
+    )""" % planted
+    return rf"""
+      SELECT doc_id, url, canonical_url FROM (
+        SELECT doc_id, url, canonical_url,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+                 AS rn
+        FROM {_urlcanon_rel_sql(pages_rel)} t
+      ) WHERE rn = 1
+    """
 
 
 def _bm25_sql() -> str:
@@ -6049,7 +6197,35 @@ def _oracle_sql_literals() -> dict[str, str]:
         "txt_pii": _pii_sql(),
         "txt_c4": _c4_sql(),
         "txt_urls": _urls_sql(),
+        "txt_urlcanon": _urlcanon_sql(),
+        "dd_urldup": _urldup_sql(),
         "txt_domfilter": _domfilter_sql(),
+        "txt_entropy": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ),
+            wd AS (
+              SELECT doc_id, len(toks) AS n, unnest(toks) AS token
+              FROM d WHERE len(toks) > 0
+            ),
+            cnt AS (
+              SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS c, MIN(n) AS n
+              FROM wd GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT doc_id, n,
+                     CAST(ROUND((c / n) * LN(c / n)
+                                * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS tm
+              FROM cnt
+            )
+            SELECT doc_id, MIN(n) AS n_tokens, COUNT(1) AS n_types,
+                   CAST(-SUM(tm) AS BIGINT) AS h_micro,
+                   ROUND(CAST(-SUM(tm) AS BIGINT)
+                         / CAST(1000000.0 AS DOUBLE), 6) AS h
+            FROM t GROUP BY 1
+        """,
         "txt_tfidf": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token

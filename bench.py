@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cur_contam_frac",
     "cur_contam_emb",
     "txt_bm25_idx",
+    "txt_entropy",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "embedding_near_dup_df",
     "cross_near_dup_df",
     "decontaminate_by_embedding_df",
+    "drop_url_duplicates_df",
     "semdedup_df",
     "duplicate_spans_df",
     "duplicate_span_stats_df",
@@ -564,6 +565,36 @@ def _cosine_pairs_compute(threshold: float):
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
 
     return compute
+
+
+def drop_url_duplicates_df(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-keyed dedup — the crawl pipeline's FIRST dedup pass, upstream
+    of any content hashing: keep exactly one page per CANONICAL url
+    (``text.canonical_url`` — fragments, default ports, tracking params,
+    and authority case collapse), choosing the lowest ``id_col`` within
+    each group so reruns are deterministic.  Output = the surviving input
+    rows plus the ``canonical_url`` column.
+
+    Plan shape at 100 TB: canonicalization is row-local column
+    expressions; the keep-one is a single window ``row_number`` over ONE
+    canonical-url exchange — no join, no second scan (the
+    ``drop_exact_duplicates`` shape keyed on the url instead of a content
+    hash)."""
+    from pyspark.sql.window import Window
+
+    from .text import canonical_url
+
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (
+        pages.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def cross_near_dup_df(

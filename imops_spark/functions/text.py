@@ -36,6 +36,9 @@ __all__ = [
     "tfidf_df",
     "bm25_constants",
     "bm25_topk_df",
+    "canonical_url",
+    "canonical_urls_df",
+    "token_entropy_df",
     "bm25_write_index",
     "bm25_read_index",
     "bm25_register_index",
@@ -615,6 +618,57 @@ def _bm25_score_tail(tf: DataFrame, stats: DataFrame, consts: dict, top_k: int):
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return top.select(
         "doc_id", "n_terms", "score_micro", F.row_number().over(w).alias("rank")
+    )
+
+
+def token_entropy_df(docs: DataFrame) -> DataFrame:
+    """Per-document unigram Shannon entropy over whitespace tokens —
+    ``(doc_id, n_tokens, n_types, h_micro, h)`` with ``h`` in nats.  A
+    quality signal adjacent to the Gopher repetition family: near-zero
+    entropy = one token repeated (template/spam/keyword-stuffed text),
+    ``ln(n_tokens)`` = every token distinct; filter the low tail.
+
+    Determinism: each token's ``p*ln(p)`` term is rounded to integer
+    MICRO-nats before the per-doc sum (the ``ngram_lm_df`` recipe — the
+    sum is order-proof BIGINT addition; negative values round away from
+    zero identically in both engines), and ``h = -h_micro/1e6`` rounded
+    at 6.  Documents with zero tokens are excluded (no entropy to
+    report); NULL text likewise.
+
+    Plan shape at 100 TB: document length row-locally (``size``, no
+    counting aggregation), then the ``repetition_df`` recipe — compact
+    docs repartition by ``doc_id`` ONCE, and both groupBys
+    (``(doc_id, token)`` then ``doc_id``) are satisfied by that
+    partitioning under the subset-of-keys rule: one exchange total,
+    explode and both aggregations inside it (plan-shape-tested).
+    """
+    with_dl = (
+        _bm25_doc_tokens(docs).filter(F.col("dl") > 0).repartition("doc_id")
+    )
+    cnt = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("dl").alias("n"))
+    )
+    p = F.col("c") / F.col("n")
+    term_micro = (
+        F.round(p * F.log(p) * F.lit(1000000.0), 0).cast("long").alias("tm")
+    )
+    return (
+        cnt.select("doc_id", "n", term_micro)
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            (-F.sum("tm")).alias("h_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "h_micro",
+            F.round(F.col("h_micro") / F.lit(1000000.0), 6).alias("h"),
+        )
     )
 
 
@@ -1218,6 +1272,61 @@ def urls_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "domain", F.lower(F.regexp_replace("url", _DOMAIN_FROM_URL, "$1"))
+        )
+    )
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL column — the key a crawl pipeline dedups
+    and joins on (the same page arrives as ``HTTP://Host:80/a?utm_x=1#f``
+    and ``http://host/a`` across snapshots).  Pure column expressions
+    (zero shuffle, streaming-legal), every regex in the Java-regex∩RE2
+    common subset (NO lookaround — RE2 has none) so a DuckDB oracle can
+    replay the chain:
+
+    1. strip the ``#fragment``;
+    2. lowercase ``scheme://authority`` (path/query case is preserved —
+       paths are case-sensitive on most servers);
+    3. drop default ports (``:80`` for http, ``:443`` for https) —
+       anchored inside the authority, no lookahead needed;
+    4. remove tracking parameters (``utm_*``, ``gclid``, ``fbclid``),
+       keeping each one's preceding separator, then collapse the
+       separator debris (``?&`` -> ``?``, trailing ``?``/``&`` dropped);
+    5. drop a bare trailing slash (``host/`` == ``host``; deeper paths
+       keep their slashes — trailing-slash semantics below the root are
+       server-specific).
+    """
+    c = F.regexp_replace(col, r"#.*", "")
+    auth = F.regexp_extract(c, r"^(https?://[^/?#]*)", 1)
+    # lowercase the authority, keep the rest byte-for-byte
+    rest = F.substring(c, F.length(auth) + 1, F.lit(1 << 30))
+    low = F.lower(auth)
+    low = F.regexp_replace(low, r"^(http://[^/?#]*):80$", "$1")
+    low = F.regexp_replace(low, r"^(https://[^/?#]*):443$", "$1")
+    rest = F.regexp_replace(
+        rest, r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1"
+    )
+    # separator debris: a removed MIDDLE param leaves '&&' (its kept
+    # preceding separator + the next param's own), a removed LEADING one
+    # leaves '?&', a removed TRAILING one a dangling '?' or '&' — in that
+    # cleanup order
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    out = F.concat(low, rest)
+    return F.regexp_replace(out, r"^(https?://[^/?#]+)/$", "$1")
+
+
+def canonical_urls_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`urls_df` plus the canonical form: ``(doc_id, url,
+    canonical_url, domain)`` with ``domain`` derived from the CANONICAL
+    url (so ``Host:80`` and ``host`` agree).  Zero-shuffle."""
+    return (
+        urls_df(docs, text_col=text_col)
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn(
+            "domain",
+            F.regexp_replace("canonical_url", _DOMAIN_FROM_URL, "$1"),
         )
     )
 

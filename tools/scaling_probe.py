@@ -90,6 +90,7 @@ def timed(df_builder, repeat: int = 3) -> float:
 def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     from imops_spark.functions.bloom import BloomFilter, bloom_build, bloom_filter_df
     from imops_spark.functions.curate import (
+        contamination_report_df,
         corpus_profile_df,
         dsir_logweights_df,
         hash_sample_df,
@@ -101,6 +102,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         training_order_df,
     )
     from imops_spark.functions.dedup import (
+        cross_near_dup_df,
         duplicate_spans_df,
         exact_dup_groups_df,
         lsh_candidate_pairs_df,
@@ -126,6 +128,8 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
     )
     from imops_spark.functions.sketch import top_items_df
     from imops_spark.functions.text import (
+        bm25_topk_df,
+        token_entropy_df,
         bpe_token_count_df,
         chunk_documents_df,
         hashed_embedding_df,
@@ -153,7 +157,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
 
         emb_ops = (
             "sim_lsh_topk sim_ivf_topk sim_exact_topk pq_encode asof_join "
-            "ivfpq_encode ivfpq_topk salted_join emb_semdedup"
+            "ivfpq_encode ivfpq_topk salted_join emb_semdedup cur_contam_emb"
         ).split()
         docs = synth_docs(spark, n).persist()
         docs.count()
@@ -235,6 +239,8 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             # query-term-filtered explode: the exchange carries only the
             # matching rows (~0.1% here), top-k is TakeOrderedAndProject
             "txt_bm25": lambda: bm25_topk_df(docs, "w11 w42 w123 w999"),
+            # one doc_id exchange feeds explode + both aggs
+            "txt_entropy": lambda: token_entropy_df(docs),
             # FIXED eval side vs growing train: the broadcast-probe report
             # must scale like the train scan alone
             "cur_contam_frac": lambda: contamination_report_df(
