@@ -1843,6 +1843,23 @@ def q_cur_contam(spark, sf_dir):
     return contamination_pairs_df(train, holdout, min_shared=30)
 
 
+def q_cur_lenfilter(spark, sf_dir):
+    """Quantile length trim (curate.filter_by_quantile_df): documents
+    whose char length lies within the corpus's exact [p05, p95] — the
+    outlier trim at the head of every length-based cleaning recipe.  One
+    1-row exact-percentile aggregate broadcast into a row-local range
+    filter; thresholds rounded at 5 before comparing (the evt_median
+    cross-engine percentile recipe)."""
+    from imops_spark.functions.curate import filter_by_quantile_df
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+    return filter_by_quantile_df(docs, "n_chars", lo=0.05, hi=0.95)
+
+
 def q_cur_contam_frac(spark, sf_dir):
     """Per-eval-doc contamination report (curate.contamination_report_df):
     same pseudo train/eval split as cur_contam, but the EVAL-side summary —
@@ -2798,6 +2815,26 @@ def q_txt_entropy(spark, sf_dir):
     from imops_spark.functions.text import token_entropy_df
 
     return token_entropy_df(_t(spark, sf_dir, "documents"))
+
+
+def q_txt_entropy_stream(spark, sf_dir):
+    """Ingestion-time entropy scoring: the zero-shuffle row-local twin
+    (text.token_entropy_local_df) over a documents STREAM, drained
+    append-mode — no aggregation, no state, the shape a crawl scores
+    quality at landing.  Bit-identical to the batch exchange form
+    (differential-tested); same oracle as txt_entropy."""
+    from imops_spark.functions.text import token_entropy_local_df
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = token_entropy_local_df(stream)
+    return run_stream_to_memory(out, "txt_entropy_stream_gate", spark)
 
 
 def q_txt_tfidf(spark, sf_dir):
@@ -3838,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack": q_cur_pack,
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
+        "cur_lenfilter": q_cur_lenfilter,
         "cur_contam_frac": q_cur_contam_frac,
         "cur_contam_frac_stream": q_cur_contam_frac_stream,
         "cur_contam_emb": q_cur_contam_emb,
@@ -3883,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_urls": q_txt_urls,
         "txt_urlcanon": q_txt_urlcanon,
         "txt_entropy": q_txt_entropy,
+        "txt_entropy_stream": q_txt_entropy_stream,
         "dd_urldup": q_dd_urldup,
         "txt_domfilter": q_txt_domfilter,
         "txt_tfidf": q_txt_tfidf,
@@ -4614,6 +4653,8 @@ def oracle_sql() -> dict[str, str]:
     # the index probe shares the inline operator's scoring tail — same
     # oracle, postings-read physical plan
     oracles["txt_bm25_idx"] = oracles["txt_bm25"]
+    # the row-local streaming twin must equal the batch exchange form
+    oracles["txt_entropy_stream"] = oracles["txt_entropy"]
     # the streaming data-card drain must equal the batch profile
     oracles["cur_profile_stream"] = oracles["cur_profile"]
     oracles["txt_embed_stream"] = oracles["txt_embed"]
@@ -6590,6 +6631,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN {_winnow_fps_sql("doc_id % 5 = 0")} ef ON tf.fp = ef.fp
             GROUP BY 1, 2
             HAVING COUNT(1) >= 30
+        """,
+        "cur_lenfilter": """
+            WITH q AS (
+              SELECT ROUND(quantile_cont(length(text), 0.05), 5) AS qlo,
+                     ROUND(quantile_cont(length(text), 0.95), 5) AS qhi
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents, q
+            WHERE text IS NOT NULL
+              AND length(text) >= qlo AND length(text) <= qhi
         """,
         "cur_contam_frac": f"""
             WITH ef AS (

@@ -39,6 +39,7 @@ __all__ = [
     "canonical_url",
     "canonical_urls_df",
     "token_entropy_df",
+    "token_entropy_local_df",
     "bm25_write_index",
     "bm25_read_index",
     "bm25_register_index",
@@ -669,6 +670,49 @@ def token_entropy_df(docs: DataFrame) -> DataFrame:
             "h_micro",
             F.round(F.col("h_micro") / F.lit(1000000.0), 6).alias("h"),
         )
+    )
+
+
+def token_entropy_local_df(docs: DataFrame) -> DataFrame:
+    """Zero-shuffle row-local twin of :func:`token_entropy_df` — the
+    streaming form (ingestion-time quality scoring: a crawl scores each
+    document's entropy as it lands, appends, no state).  Same output, the
+    same micro-nat terms, BIT-IDENTICAL values (differential-tested):
+    per-token counts come from ``size(filter(toks, x -> x = t))`` over
+    the row's own array instead of a corpus aggregation.
+
+    Cost shape: O(types x tokens) per document in interpreted HOF
+    expressions — the known bimodal-JIT hazard in mixed batch JVMs (the
+    winnowing/simhash lesson), which is WHY the batch entry point uses
+    the exchange form; streams can't aggregate mid-plan, so row-local is
+    the only legal shape there."""
+    with_dl = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(F.split(normalized_text(), " "), lambda x: x != "").alias(
+                "toks"
+            ),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    term = (
+        "CAST(ROUND((size(filter(toks, x -> x = t)) / CAST(size(toks) AS DOUBLE))"
+        " * LN(size(filter(toks, x -> x = t)) / CAST(size(toks) AS DOUBLE))"
+        " * 1000000.0D) AS BIGINT)"
+    )
+    return with_dl.selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_types",
+        f"-aggregate(array_distinct(toks), 0L, (acc, t) -> acc + {term})"
+        " AS h_micro",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "h_micro",
+        "ROUND(h_micro / 1000000.0D, 6) AS h",
     )
 
 

@@ -106,6 +106,67 @@ def test_drop_url_duplicates(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_canonical_url_streaming_dedup(spark, tmp_path):
+    """canonical_url is row-local, so ingestion-time URL dedup is just a
+    stateful dropDuplicates on it: arrival order decides WHICH page
+    survives, but the surviving canonical SET equals the batch distinct
+    set, and cross-batch state prevents re-admission (the variant
+    arriving in a later micro-batch is dropped)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from imops_spark.functions.text import canonical_url
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    d = tmp_path / "urlstream"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "url": [
+            "http://Host.com:80/a?utm_x=1", "https://other.net/b"]}),
+        pd.DataFrame({"doc_id": [3, 4], "url": [
+            "http://host.com/a#frag", "https://third.io/c"]}),
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pandas(b, preserve_index=False), d / f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .dropDuplicates(["canonical_url"])
+    )
+    got = run_stream_to_memory(stream, "urldedup_gate", spark, mode="append")
+    rows = got.collect()
+    assert len(rows) == 3  # doc 3's variant of doc 1's page dropped cross-batch
+    assert {r["canonical_url"] for r in rows} == {
+        "http://host.com/a", "https://other.net/b", "https://third.io/c",
+    }
+    assert all(r["doc_id"] != 3 for r in rows)
+
+
+def test_filter_by_quantile(spark):
+    """Exact-quantile range trim: survivors match a numpy re-derivation
+    (linear-interpolated percentiles); bad bounds raise."""
+    import numpy as np
+
+    from imops_spark.functions.curate import filter_by_quantile_df
+
+    vals = [int(v) for v in np.random.RandomState(5).randint(10, 5000, 200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, n long"
+    )
+    kept = {r["id"] for r in filter_by_quantile_df(df, "n", 0.1, 0.9).collect()}
+    qlo = round(float(np.percentile(vals, 10, method="linear")), 5)
+    qhi = round(float(np.percentile(vals, 90, method="linear")), 5)
+    want = {i for i, v in enumerate(vals) if qlo <= v <= qhi}
+    assert kept == want
+    with pytest.raises(ValueError, match="lo <= hi"):
+        filter_by_quantile_df(df, "n", 0.9, 0.1)
+
+
 def test_token_entropy_differential(spark):
     from imops_spark.functions.text import token_entropy_df
 
@@ -141,6 +202,31 @@ def test_token_entropy_differential(spark):
         assert r["h"] == pytest.approx(h_micro / 1e6, abs=1e-6)
     assert got[0]["h_micro"] == 0
     assert got[1]["h"] == pytest.approx(math.log(4), abs=2e-6)
+
+
+def test_token_entropy_local_twin_bit_identical(spark):
+    """The zero-shuffle row-local twin equals the batch exchange form
+    bit-for-bit on every column, and its plan has NO exchange (the
+    streaming-legality property)."""
+    from imops_spark.functions.text import (
+        token_entropy_df,
+        token_entropy_local_df,
+    )
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('w', CAST(id % 17 AS STRING), ' x y w',"
+        " CAST(id % 17 AS STRING), ' z', repeat(' pad', CAST(id % 5 AS INT)))"
+        " AS text",
+    )
+    batch = sorted(map(tuple, token_entropy_df(docs).collect()))
+    local = sorted(map(tuple, token_entropy_local_df(docs).collect()))
+    assert batch == local
+    plan = (
+        token_entropy_local_df(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
 
 
 def test_token_entropy_single_exchange(spark):
