@@ -1860,6 +1860,45 @@ def q_cur_lenfilter(spark, sf_dir):
     return filter_by_quantile_df(docs, "n_chars", lo=0.05, hi=0.95)
 
 
+def q_cur_select3(spark, sf_dir):
+    """Composition gate for the CLEANING family — the full hygiene chain
+    run end to end: (1) exact-quantile length trim [p05, p95]
+    (`filter_by_quantile_df`); (2) unigram-entropy floor at 2.5 nats
+    (`token_entropy_df` — drops the repetitive tail, ~p06 of the
+    testdata); (3) decontamination of the train slice (doc_id % 5 != 0)
+    against the FULL holdout slice at min_shared=30
+    (`decontaminate_df`, the cur_contam regime); (4) deterministic
+    balanced shards + within-shard rank (`training_order_df`) over the
+    survivors.  Every stage is individually hash-gated (cur_lenfilter,
+    txt_entropy, cur_contam, cur_shards); this gate proves they COMPOSE —
+    the output is the (doc_id, shard, pos) training order of the cleaned,
+    decontaminated corpus."""
+    from imops_spark.functions.curate import (
+        decontaminate_df,
+        filter_by_quantile_df,
+        training_order_df,
+    )
+    from imops_spark.functions.text import token_entropy_df
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sized = docs.withColumn("n_chars", F.length("text").cast("long"))
+    k1 = filter_by_quantile_df(sized, "n_chars", 0.05, 0.95).drop("n_chars")
+    ent_keep = (
+        token_entropy_df(k1)
+        .filter(F.col("h_micro") >= 2_500_000)
+        .select("doc_id")
+    )
+    k2 = k1.join(ent_keep, "doc_id", "left_semi")
+    train = k2.filter(F.col("doc_id") % 5 != 0)
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    clean = decontaminate_df(train, holdout, min_shared=30)
+    return training_order_df(clean.select("doc_id"), n_shards=8, salt=77)
+
+
 def q_cur_contam_frac(spark, sf_dir):
     """Per-eval-doc contamination report (curate.contamination_report_df):
     same pseudo train/eval split as cur_contam, but the EVAL-side summary —
@@ -3876,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_pack_text": q_cur_pack_text,
         "cur_contam": q_cur_contam,
         "cur_lenfilter": q_cur_lenfilter,
+        "cur_select3": q_cur_select3,
         "cur_contam_frac": q_cur_contam_frac,
         "cur_contam_frac_stream": q_cur_contam_frac_stream,
         "cur_contam_emb": q_cur_contam_emb,
@@ -3988,10 +4028,17 @@ def _winnow_fps_sql(pred: str) -> str:
     """Winnowing fingerprint subquery (same chain as the txt_winnow
     oracle, k=8 window=4) over the documents matching ``pred`` —
     DISTINCT (doc_id, fp)."""
+    return _winnow_fps_rel_sql(f"(SELECT doc_id, text FROM documents WHERE {pred})")
+
+
+def _winnow_fps_rel_sql(rel: str) -> str:
+    """The same winnowing chain over an arbitrary ``(doc_id, text)``
+    relation — lets composition oracles (cur_select3) fingerprint a
+    COMPUTED survivor set, not just a predicate over ``documents``."""
     return f"""(
       WITH d AS (
-        SELECT doc_id, {_NORM} AS nt FROM documents
-        WHERE ({pred}) AND length({_NORM}) >= 8
+        SELECT doc_id, {_NORM} AS nt FROM {rel} r
+        WHERE length({_NORM}) >= 8
       ),
       g AS (
         SELECT doc_id, pos,
@@ -4096,6 +4143,75 @@ def _urldup_sql() -> str:
                  AS rn
         FROM {_urlcanon_rel_sql(pages_rel)} t
       ) WHERE rn = 1
+    """
+
+
+def _select3_sql() -> str:
+    """cur_select3 oracle: the cleaning chain assembled from the proven
+    per-stage pieces — lenfilter quantiles, the txt_entropy micro-nat
+    chain, the txt_winnow fingerprint chain over the COMPUTED survivor
+    relation (``_winnow_fps_rel_sql``), the cur_contam pair threshold,
+    and the cur_shards md5 shard+rank tail (same salt/shard count/order)."""
+    train_rel = "(SELECT doc_id, text FROM k2 WHERE doc_id % 5 <> 0)"
+    return f"""
+        WITH d0 AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ),
+        q AS (
+          SELECT ROUND(quantile_cont(length(text), 0.05), 5) AS qlo,
+                 ROUND(quantile_cont(length(text), 0.95), 5) AS qhi
+          FROM d0
+        ),
+        k1 AS (
+          SELECT doc_id, text FROM d0, q
+          WHERE length(text) >= qlo AND length(text) <= qhi
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+          FROM k1
+        ),
+        wd AS (
+          SELECT doc_id, len(toks) AS n, unnest(toks) AS token
+          FROM toks WHERE len(toks) > 0
+        ),
+        cnt AS (
+          SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS c, MIN(n) AS n
+          FROM wd GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT doc_id,
+                 CAST(ROUND((c / n) * LN(c / n)
+                            * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS tm
+          FROM cnt
+        ),
+        ent AS (
+          SELECT doc_id FROM t GROUP BY doc_id
+          HAVING CAST(-SUM(tm) AS BIGINT) >= 2500000
+        ),
+        k2 AS (SELECT k1.doc_id, k1.text FROM k1 SEMI JOIN ent USING (doc_id)),
+        tf AS (SELECT doc_id, fp FROM {_winnow_fps_rel_sql(train_rel)} w),
+        ef AS (SELECT doc_id, fp FROM {_winnow_fps_sql("doc_id % 5 = 0")} e),
+        pairs AS (
+          SELECT tf.doc_id AS td, ef.doc_id AS ed, COUNT(1) AS c
+          FROM tf JOIN ef ON tf.fp = ef.fp GROUP BY 1, 2
+        ),
+        bad AS (SELECT DISTINCT td AS doc_id FROM pairs WHERE c >= 30),
+        keep AS (
+          SELECT doc_id FROM k2
+          WHERE doc_id % 5 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5('77|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+          FROM keep
+        )
+        SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY h % 8 ORDER BY h, doc_id
+               ) AS BIGINT) AS pos
+        FROM hashed
     """
 
 
@@ -6632,6 +6748,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING COUNT(1) >= 30
         """,
+        "cur_select3": _select3_sql(),
         "cur_lenfilter": """
             WITH q AS (
               SELECT ROUND(quantile_cont(length(text), 0.05), 5) AS qlo,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "cur_contam_emb",
     "txt_bm25_idx",
     "txt_entropy",
+    "cur_select3",
 ]
 
 

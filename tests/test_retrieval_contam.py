@@ -254,9 +254,13 @@ def test_bm25_index_probe_equals_inline(spark, tmp_path):
 
     docs = spark.range(200).selectExpr(
         "id AS doc_id",
-        "concat('hash join number ', CAST(id AS STRING),"
+        # id % 11 == 10 -> zero-token docs: present in n_docs/avgdl but
+        # absent from the postings — the stamped stats must count them
+        # exactly as the inline operator's corpus aggregation does
+        "CASE WHEN id % 11 = 10 THEN '   ' ELSE"
+        " concat('hash join number ', CAST(id AS STRING),"
         " CASE WHEN id % 3 = 0 THEN ' scan scan' ELSE '' END,"
-        " CASE WHEN id % 7 = 0 THEN ' vector' ELSE '' END) AS text",
+        " CASE WHEN id % 7 = 0 THEN ' vector' ELSE '' END) END AS text",
     )
     fp = corpus_fingerprint(docs)
     table = "bm25_idx_test"
