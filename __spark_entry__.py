@@ -2929,6 +2929,46 @@ def q_txt_bm25_idx(spark, sf_dir):
     return bm25_index_topk(spark, table, BM25_QUERY, top_k=20)
 
 
+# the txt_bm25_phrase gate's fixed phrase: a REPEATED token, so the gate
+# exercises both hard paths at once — duplicate phrase slots share one
+# posting row, and "big big big" must count TWO overlapping occurrences
+# (the positional-index semantics; a substring counter would say one)
+BM25_PHRASE = "big big"
+
+
+def q_txt_bm25_phrase(spark, sf_dir):
+    """Exact-phrase BM25 over POSITIONAL postings (text.bm25_write_index
+    positions=True / bm25_phrase_index_topk): the index stores each
+    (token, doc) row's sorted 0-based positions; the probe reads only the
+    phrase terms' bucket-pruned postings, assembles a term→positions map
+    per candidate row-locally, and counts positional intersections
+    (position p matches iff slot i's term holds p+i — OVERLAPPING
+    occurrences count).  The phrase scores as one virtual term through
+    the shared Lucene-idf/k1/b micro-rounded recipe.  Oracle: an
+    independent algorithm — DuckDB scans each token list directly with a
+    list_filter lambda over candidate start positions (no positional
+    index at all), so a positional-bookkeeping bug on either side
+    hash-mismatches.  Build-if-absent, session-scoped, pid-keyed external
+    path (the managed-table LOCATION_ALREADY_EXISTS trap)."""
+    import hashlib
+    import os
+    import shutil
+
+    from imops_spark.functions.text import (
+        bm25_phrase_index_topk,
+        bm25_write_index,
+    )
+
+    table = f"imops_bm25_pidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(table):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        path = f"/tmp/imops_spark_idx/{table}_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        bm25_write_index(docs, table, path=path, positions=True)
+    return bm25_phrase_index_topk(spark, table, BM25_PHRASE, top_k=20)
+
+
 def q_txt_lm(spark, sf_dir):
     """Bigram-LM cross-entropy scorer (CCNet-style perplexity filter),
     self-trained on the corpus.  Hash-gated end-to-end: the per-bigram
@@ -3967,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": q_txt_tfidf,
         "txt_bm25": q_txt_bm25,
         "txt_bm25_idx": q_txt_bm25_idx,
+        "txt_bm25_phrase": q_txt_bm25_phrase,
         "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
@@ -4266,6 +4307,67 @@ def _bm25_sql() -> str:
           GROUP BY 1
         )
         SELECT doc_id, n_terms, score_micro,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored
+        ORDER BY score_micro DESC, doc_id
+        LIMIT 20
+    """
+
+
+def _bm25_phrase_sql() -> str:
+    """Phrase-BM25 oracle by a DIFFERENT algorithm than the Spark probe:
+    instead of positional postings + per-term position-array
+    intersection, DuckDB scans each document's token list directly — a
+    list_filter lambda over candidate start positions (1-based) testing
+    all phrase slots — so the two sides only agree if the positional
+    bookkeeping is right.  Overlapping occurrences count on both sides.
+    Scoring mirrors _bm25_score_tail's phrase form expression-for-
+    expression: constants from the SAME bm25_constants() dict, every
+    literal CAST AS DOUBLE (the DECIMAL-division trap), the single
+    phrase term micro-rounded, SUM/COUNT cast against HUGEINT."""
+    from imops_spark.functions.text import bm25_constants
+
+    c = bm25_constants(1.2, 0.75)
+    ptoks = BM25_PHRASE.split()
+    m = len(ptoks)
+    slots = " AND ".join(
+        f"toks[p + {i}] = '{t}'" for i, t in enumerate(ptoks)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        stats AS (
+          SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(toks)) AS BIGINT) AS tot_len
+          FROM d
+        ),
+        cand AS (
+          SELECT doc_id, len(toks) AS dl,
+                 CAST(len(list_filter(range(1, len(toks) - {m} + 2),
+                                      p -> {slots})) AS BIGINT) AS phrase_tf
+          FROM d
+        ),
+        c2 AS (SELECT * FROM cand WHERE phrase_tf > 0),
+        dfp AS (SELECT CAST(COUNT(1) AS BIGINT) AS df FROM c2),
+        scored AS (
+          SELECT doc_id, phrase_tf,
+                 CAST(ROUND(
+                   LN(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * ((CAST(phrase_tf AS DOUBLE) * CAST({c["k1p1"]!r} AS DOUBLE))
+                      / (CAST(phrase_tf AS DOUBLE)
+                         + CAST({c["k1"]!r} AS DOUBLE)
+                           * (CAST({c["one_minus_b"]!r} AS DOUBLE)
+                              + CAST({c["b"]!r} AS DOUBLE)
+                                * (dl / (tot_len / n_docs)))))
+                   * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_micro
+          FROM c2 CROSS JOIN stats CROSS JOIN dfp
+        )
+        SELECT doc_id, phrase_tf, score_micro,
                ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
         FROM scored
         ORDER BY score_micro DESC, doc_id
@@ -6784,6 +6886,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                     t.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) >= 0.3
         """,
         "txt_bm25": _bm25_sql(),
+        "txt_bm25_phrase": _bm25_phrase_sql(),
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events

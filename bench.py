@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "txt_bm25_idx",
     "txt_entropy",
     "cur_select3",
+    "txt_bm25_phrase",
 ]
 
 

@@ -44,6 +44,8 @@ __all__ = [
     "bm25_read_index",
     "bm25_register_index",
     "bm25_index_topk",
+    "bm25_phrase_topk_df",
+    "bm25_phrase_index_topk",
     "ngram_lm_df",
     "repetition_df",
     "PII_PATTERNS",
@@ -717,7 +719,7 @@ def token_entropy_local_df(docs: DataFrame) -> DataFrame:
 
 
 _BM25_PROP_PREFIX = "imops.bm25."
-_BM25_INT_KEYS = ("n_docs", "tot_len", "num_buckets")
+_BM25_INT_KEYS = ("n_docs", "tot_len", "num_buckets", "positions")
 # the tokenizer identity stamped into every index: whitespace split of
 # lower/trim/space-collapsed text — bump if the normalization ever changes
 _BM25_NORM_FAMILY = "ws_lower_v1"
@@ -729,6 +731,7 @@ def bm25_write_index(
     num_buckets: int = 16,
     path: str | None = None,
     fingerprint: str | None = None,
+    positions: bool = False,
 ) -> None:
     """Persist the corpus as a BM25 INVERTED INDEX: a postings table
     ``(token, doc_id, tf, dl)`` bucketed by token, with the corpus-global
@@ -739,6 +742,13 @@ def bm25_write_index(
     postings of its query's terms — at 100 TB that is the difference
     between a full corpus re-tokenization per query and a few
     bucket-pruned posting reads.
+
+    ``positions=True`` adds POSITIONAL postings: each row carries the
+    sorted token positions (``pos array<int>``, 0-based over the
+    whitespace tokenization), enabling :func:`bm25_phrase_index_topk`
+    phrase queries against the same index.  The extra column costs
+    ~one int per token occurrence at write time and nothing at
+    term-query time (column pruning drops it from non-phrase probes).
 
     NO append mode, by design: BM25 scores depend on corpus-GLOBAL
     statistics (df, n_docs, avgdl), so an appended index would silently
@@ -757,13 +767,17 @@ def bm25_write_index(
     ).first()
     n_docs, tot_len = int(r["n"]), int(r["c"] or 0)
     id_type = dict(docs.dtypes)["doc_id"]
-    postings = (
-        with_dl.select("doc_id", "dl", F.explode("toks").alias("token"))
-        .groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    exploded = with_dl.select(
+        "doc_id", "dl", F.posexplode("toks").alias("pos", "token")
     )
+    aggs = [F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")]
+    cols = ["token", "doc_id", "tf", "dl"]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("pos"))
+        cols.append("pos")
+    postings = exploded.groupBy("token", "doc_id").agg(*aggs)
     write_bucketed(
-        postings.select("token", "doc_id", "tf", "dl"),
+        postings.select(*cols),
         table,
         ["token"],
         num_buckets=int(num_buckets),
@@ -776,6 +790,7 @@ def bm25_write_index(
         "tot_len": tot_len,
         "num_buckets": int(num_buckets),
         "id_type": id_type,
+        "positions": int(bool(positions)),
     }
     if fingerprint is not None:
         stamp["fingerprint"] = str(fingerprint)
@@ -839,9 +854,12 @@ def bm25_register_index(spark, table: str, path: str) -> None:
             )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     loc = path.replace("'", "''")
+    # pre-positions sidecars lack the key: those indexes were written
+    # without the pos column, so re-register with the original schema
+    pos_col = ", pos array<int>" if int(stamp.get("positions", 0)) else ""
     spark.sql(
         f"CREATE TABLE {table} (token string, doc_id {stamp['id_type']}, "
-        f"tf bigint, dl int) USING parquet "
+        f"tf bigint, dl int{pos_col}) USING parquet "
         f"CLUSTERED BY (token) INTO {int(stamp['num_buckets'])} BUCKETS "
         f"LOCATION '{loc}'"
     )
@@ -878,6 +896,187 @@ def bm25_index_topk(
         "n_docs long, tot_len long",
     )
     return _bm25_score_tail(tf, stats, consts, top_k)
+
+
+def _bm25_phrase_toks(phrase: str, fn: str) -> list:
+    """The phrase's normalized tokens IN ORDER (not deduped — slot i of
+    the phrase is matched against position p+i), same normalization as
+    the corpus tokenization."""
+    import re as _re
+
+    toks = [t for t in _re.sub(r"\s+", " ", phrase.strip().lower()).split(" ") if t]
+    if not toks:
+        raise ValueError(f"{fn}: phrase produced no tokens")
+    return toks
+
+
+def bm25_phrase_topk_df(
+    docs: DataFrame,
+    phrase: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """EXACT-PHRASE BM25 retrieval: top ``top_k`` documents containing
+    ``phrase`` as consecutive whitespace tokens, returning ``(doc_id,
+    phrase_tf, score_micro, rank)``.  The phrase scores as ONE virtual
+    term — tf = the number of (possibly overlapping) phrase occurrences,
+    df = the number of documents with >= 1 occurrence — through the same
+    Lucene-idf / k1 / b formula as :func:`bm25_topk_df`, micro-rounded
+    for cross-engine determinism.
+
+    Plan shape at 100 TB: the corpus explode is filtered to the phrase's
+    DISTINCT terms before its groupBy (the bm25_topk_df recipe — the
+    exchange carries only matching term occurrences, each with its
+    position), each candidate document assembles a term→positions map
+    row-locally, and the phrase test is a row-local positional
+    intersection (position p matches iff slot i's term has position p+i
+    for every i — overlapping occurrences count, the positional-index
+    semantics).  Document frequency is a 1-row broadcast aggregate over
+    the candidates; the top-k is TakeOrderedAndProject."""
+    toks = _bm25_phrase_toks(phrase, "bm25_phrase_topk_df")
+    consts = bm25_constants(k1, b)
+    with_dl = _bm25_doc_tokens(docs)
+    stats = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
+    )
+    pos = (
+        with_dl.select("doc_id", "dl", F.posexplode("toks").alias("pos", "token"))
+        .filter(F.col("token").isin(sorted(set(toks))))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.min("dl").alias("dl"),
+            F.sort_array(F.collect_list("pos")).alias("pos"),
+        )
+    )
+    return _bm25_phrase_tail(pos, stats, toks, consts, top_k)
+
+
+def bm25_phrase_index_topk(
+    spark,
+    table: str,
+    phrase: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """Exact-phrase BM25 against a POSITIONAL persisted index (built with
+    ``bm25_write_index(..., positions=True)``) — BIT-IDENTICAL scores to
+    :func:`bm25_phrase_topk_df` over the indexed corpus (the positional
+    tail is shared code; the stored sorted position arrays are exactly
+    what the inline operator derives).  The probe reads ONLY the phrase
+    terms' postings (bucket-pruned on the token-bucketed table); corpus
+    stats come from the stamp — zero corpus-side work at query time.
+    Probing a non-positional index RAISES (a silent term-only fallback
+    would return phrase-free documents)."""
+    toks = _bm25_phrase_toks(phrase, "bm25_phrase_index_topk")
+    consts = bm25_constants(k1, b)
+    postings, stored = bm25_read_index(spark, table, fingerprint=fingerprint)
+    if not int(stored.get("positions", 0)):
+        raise ValueError(
+            f"BM25 index {table!r} has no positional postings — phrase "
+            "queries need bm25_write_index(..., positions=True); rebuild "
+            "the index"
+        )
+    # the (token, doc_id) regroup is a NO-OP on data ((token, doc_id) is
+    # unique in the index) whose clustering requirement is satisfied by
+    # the token bucketing under the subset-of-keys rule — it runs
+    # map-side with no exchange, and its presence is what keeps the
+    # planner from discarding the bucketed scan (Spark drops bucket
+    # PRUNING together with the bucketed scan when nothing downstream
+    # consumes the token partitioning; measured: SelectedBucketsCount
+    # disappears without this)
+    pos = (
+        postings.filter(F.col("token").isin(sorted(set(toks))))
+        .groupBy("token", "doc_id")
+        .agg(F.min("dl").alias("dl"), F.first("pos").alias("pos"))
+        .select("doc_id", "token", "dl", "pos")
+    )
+    stats = spark.createDataFrame(
+        [(int(stored["n_docs"]), int(stored["tot_len"]))],
+        "n_docs long, tot_len long",
+    )
+    return _bm25_phrase_tail(pos, stats, toks, consts, top_k)
+
+
+def _bm25_phrase_tail(
+    pos_postings: DataFrame, stats: DataFrame, toks: list, consts: dict, top_k: int
+):
+    """The shared phrase-BM25 tail: per-doc term→positions map assembly,
+    row-local positional-intersection phrase count, candidate-set
+    document frequency as a 1-row broadcast, micro-rounded single-term
+    score, TakeOrderedAndProject top-k.  One owner so the inline operator
+    and the index probe produce BIT-IDENTICAL scores.
+
+    ``pos_postings`` is ``(doc_id, token, dl, pos array<int>)`` already
+    filtered to the phrase's distinct terms, positions sorted 0-based.
+
+    The candidate subtree is planned twice (once for the rows, once for
+    the 1-row df broadcast) — the same accepted shape as the sibling
+    ``_bm25_score_tail``'s tf-join-dfreq: both sides of the replan sit
+    ABOVE the term filter, so the duplicated work is bounded by the
+    phrase terms' postings, never a second corpus scan; a single-pass
+    alternative (global window count over candidates) would funnel every
+    candidate through one partition — strictly worse at scale."""
+    from pyspark.sql.window import Window
+
+    n_distinct = len(set(toks))
+    per_doc = (
+        pos_postings.groupBy("doc_id")
+        .agg(
+            F.min("dl").alias("dl"),
+            F.count(F.lit(1)).alias("nt"),
+            F.map_from_entries(F.collect_list(F.struct("token", "pos"))).alias(
+                "tp"
+            ),
+        )
+        .filter(F.col("nt") == n_distinct)
+    )
+    first = F.element_at(F.col("tp"), F.lit(toks[0]))
+    if len(toks) == 1:
+        tf_col = F.size(first)
+    else:
+
+        def _match(q):
+            cond = None
+            for i, t in enumerate(toks[1:], start=1):
+                c = F.array_contains(
+                    F.element_at(F.col("tp"), F.lit(t)), q + F.lit(i)
+                )
+                cond = c if cond is None else cond & c
+            return cond
+
+        tf_col = F.size(F.filter(first, _match))
+    cand = per_doc.select(
+        "doc_id", "dl", tf_col.cast("long").alias("phrase_tf")
+    ).filter(F.col("phrase_tf") > 0)
+    dfp = cand.agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("tot_len") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    num = F.col("phrase_tf").cast("double") * F.lit(consts["k1p1"])
+    den = F.col("phrase_tf").cast("double") + F.lit(consts["k1"]) * (
+        F.lit(consts["one_minus_b"]) + F.lit(consts["b"]) * (F.col("dl") / avgdl)
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+        .select(
+            "doc_id",
+            "phrase_tf",
+            (F.round((idf * (num / den)) * F.lit(1000000.0), 0))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(int(top_k))
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "phrase_tf", "score_micro", F.row_number().over(w).alias("rank")
+    )
 
 
 def ngram_lm_df(

@@ -344,6 +344,166 @@ def test_bm25_index_probe_bucket_prunes(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# bm25_phrase_topk_df / bm25_phrase_index_topk
+# ---------------------------------------------------------------------------
+
+
+def _bm25_phrase_reference(rows, phrase, k1=1.2, b=0.75, top_k=20):
+    """Independent driver-side phrase BM25: direct token-list scanning
+    (no positional index), overlapping occurrences count, same
+    micro-integer rounding as the operator."""
+    norm = lambda s: re.sub(r"\s+", " ", s.strip().lower())
+    docs = {i: [t for t in norm(t).split(" ") if t] for i, t in rows if t is not None}
+    ptoks = [t for t in norm(phrase).split(" ") if t]
+    m = len(ptoks)
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n_docs
+    cand = {}
+    for i, toks in docs.items():
+        tf = sum(1 for p in range(len(toks) - m + 1) if toks[p : p + m] == ptoks)
+        if tf:
+            cand[i] = (tf, len(toks))
+    df = len(cand)
+    out = []
+    for i, (tf, dl) in cand.items():
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        s = idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+        out.append((i, tf, math.floor(s * 1000000.0 + 0.5)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return [(i, tf, mic, r + 1) for r, (i, tf, mic) in enumerate(out[:top_k])]
+
+
+def test_bm25_phrase_differential_vs_python(spark):
+    """bm25_phrase_topk_df == an independent driver-side phrase scan —
+    including the hard cases: a repeated-token phrase ('a a') whose
+    occurrences OVERLAP ('a a a' counts 2), phrase terms present but
+    never adjacent (no candidate), and a doc missing one term."""
+    from imops_spark.functions.text import bm25_phrase_topk_df
+
+    rows = [
+        (0, "a a a big build side"),  # 'a a' twice (overlap)
+        (1, "the a hash a join a"),  # 'a' present, never adjacent
+        (2, "a a hash join trade memory"),  # once
+        (3, "hash join a a a a scan"),  # three times
+        (4, None),
+        (5, "no letter token here"),
+    ]
+    for phrase in ["a  A", "hash join", "a"]:
+        got = [
+            (r["doc_id"], r["phrase_tf"], r["score_micro"], r["rank"])
+            for r in bm25_phrase_topk_df(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                phrase,
+                top_k=5,
+            ).collect()
+        ]
+        assert got == _bm25_phrase_reference(rows, phrase, top_k=5), phrase
+
+
+def test_bm25_phrase_empty_raises(spark):
+    from imops_spark.functions.text import bm25_phrase_topk_df
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_phrase_topk_df(docs, "  \t ")
+
+
+def test_bm25_phrase_index_equals_inline(spark, tmp_path):
+    """The positional-index probe returns BIT-IDENTICAL rows to the
+    inline phrase operator; a TERM probe on the same positional index
+    still works (column pruning drops pos); a phrase probe on a
+    NON-positional index raises; re-registration from the sidecar
+    restores the positional schema (pos column + bucket spec)."""
+    from imops_spark.functions.text import (
+        bm25_index_topk,
+        bm25_phrase_index_topk,
+        bm25_phrase_topk_df,
+        bm25_register_index,
+        bm25_topk_df,
+        bm25_write_index,
+    )
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('pad', CAST(id AS STRING),"
+        " CASE WHEN id % 3 = 0 THEN ' hash join' ELSE ' hash scan join' END,"
+        " CASE WHEN id % 5 = 0 THEN ' hash join hash join' ELSE '' END)"
+        " AS text",
+    )
+    table = "bm25_pidx_test"
+    path = str(tmp_path / "pidx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bm25_write_index(docs, table, num_buckets=4, path=path, positions=True)
+    try:
+        inline = [
+            tuple(r) for r in bm25_phrase_topk_df(docs, "hash join", top_k=9).collect()
+        ]
+        probe = [
+            tuple(r)
+            for r in bm25_phrase_index_topk(spark, table, "hash join", top_k=9).collect()
+        ]
+        assert probe == inline and len(probe) == 9
+
+        # term probes are unaffected by the positional column
+        t_inline = [tuple(r) for r in bm25_topk_df(docs, "hash scan", top_k=9).collect()]
+        t_probe = [
+            tuple(r) for r in bm25_index_topk(spark, table, "hash scan", top_k=9).collect()
+        ]
+        assert t_probe == t_inline
+
+        # cross-session re-registration keeps the positional schema
+        spark.sql(f"DROP TABLE {table}")
+        bm25_register_index(spark, table, path)
+        probe2 = [
+            tuple(r)
+            for r in bm25_phrase_index_topk(spark, table, "hash join", top_k=9).collect()
+        ]
+        assert probe2 == inline
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # non-positional index refuses phrase probes
+    table2 = "bm25_npidx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table2}")
+    bm25_write_index(docs, table2, num_buckets=4, path=str(tmp_path / "npidx"))
+    try:
+        with pytest.raises(ValueError, match="positional"):
+            bm25_phrase_index_topk(spark, table2, "hash join")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table2}")
+
+
+def test_bm25_phrase_probe_bucket_prunes_and_takes_ordered(spark, tmp_path):
+    """The phrase probe keeps the two physical properties that make it
+    scale: postings scans bucket-pruned to the phrase terms, and the
+    final top-k a TakeOrderedAndProject (never a global sort)."""
+    import re as _re
+
+    from imops_spark.functions.text import bm25_phrase_index_topk, bm25_write_index
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta word', CAST(id AS STRING)) AS text",
+    )
+    table = "bm25_pprune_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bm25_write_index(
+        docs, table, num_buckets=8, path=str(tmp_path / "idx"), positions=True
+    )
+    try:
+        plan = (
+            bm25_phrase_index_topk(spark, table, "alpha beta")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        counts = _re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert counts, "postings scan lost its bucket spec"
+        assert all(int(sel) < int(tot) for sel, tot in counts), counts
+        assert "TakeOrderedAndProject" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
 # cross_near_dup_df / decontaminate_by_embedding_df
 # ---------------------------------------------------------------------------
 
