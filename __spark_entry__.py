@@ -1665,6 +1665,46 @@ def q_mm_resample(spark, sf_dir):
     )
 
 
+def q_mm_vad(spark, sf_dir):
+    """Audio energy segmentation gate (multimodal.audio_energy_segments_df
+    — the VAD/silence-trim shape): the same ASCII-byte PCM16 clips as
+    mm_audio, cut into 8-sample frames, integer frame energies
+    thresholded at 5.2e9 (the empirical median-ish of the testdata's
+    frame-energy distribution, so both branches of the threshold fire),
+    runs of >= 2 active frames emitted as segments.  Everything is exact
+    int64 arithmetic (squared int16 sums), so the gate hash-matches an
+    INDEPENDENT relational derivation: the kernel scans each clip's
+    array row-locally in numpy; the oracle explodes samples and runs the
+    classic gaps-and-islands window chain (LAG run-start flags, running
+    SUM island ids) — a segmentation bug in either formulation
+    mismatches."""
+    from imops_spark.functions.multimodal import audio_energy_segments_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 4)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    even = F.expr("substring(text, 1, CAST(floor(length(text)/2)*2 AS INT))")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("audio").alias("modality"),
+        F.encode(even, "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("pcm16").alias("format"),
+        ).alias("meta"),
+    )
+    return audio_energy_segments_df(
+        items, frame_len=8, threshold=5_200_000_000, min_frames=2
+    )
+
+
 def q_mm_image_raw(spark, sf_dir):
     """REAL image decode gate (raw_u8): 4x5x3 uint8 images cut from
     document bytes run through image_features_df(decode='real') — the
@@ -3895,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_dedup": q_mm_frame_dedup,
         "mm_audio": q_mm_audio,
         "mm_resample": q_mm_resample,
+        "mm_vad": q_mm_vad,
         "mm_image_raw": q_mm_image_raw,
         "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
@@ -5617,6 +5658,61 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(COUNT(1) AS BIGINT) AS n_out,
                    md5(string_agg(micro, ',' ORDER BY j)) AS samples_hash
             FROM vals GROUP BY doc_id
+        """,
+        "mm_vad": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, CAST(floor(length(text)/2)*2 AS INT)) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 4
+                AND length(text) = strlen(text)
+            ),
+            s AS (
+              SELECT doc_id, u.i,
+                     ord(substr(t, CAST(2*u.i-1 AS INT), 1))
+                       + 256 * ord(substr(t, CAST(2*u.i AS INT), 1)) AS v
+              FROM d, unnest(generate_series(1, length(t) // 2)) u(i)
+            ),
+            sg AS (
+              SELECT doc_id, i,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+              FROM s
+            ),
+            f AS (
+              SELECT doc_id, (i-1)//8 AS frm,
+                     CAST(SUM(sv*sv) AS BIGINT) AS energy
+              FROM sg GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT doc_id, frm, energy,
+                     (energy >= 5200000000) AS act
+              FROM f
+            ),
+            st AS (
+              SELECT *, CASE WHEN act AND NOT COALESCE(
+                       LAG(act) OVER (PARTITION BY doc_id ORDER BY frm),
+                       FALSE) THEN 1 ELSE 0 END AS is_start
+              FROM a
+            ),
+            isl AS (
+              SELECT *, SUM(is_start)
+                     OVER (PARTITION BY doc_id ORDER BY frm) AS gid
+              FROM st
+            ),
+            seg AS (
+              SELECT doc_id, gid,
+                     CAST(MIN(frm) AS INT) AS start_frame,
+                     CAST(MAX(frm) AS INT) AS end_frame,
+                     CAST(COUNT(1) AS INT) AS n_frames,
+                     CAST(SUM(energy) AS BIGINT) AS energy
+              FROM isl WHERE act GROUP BY 1, 2
+              HAVING COUNT(1) >= 2
+            )
+            SELECT doc_id AS item_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY start_frame) - 1 AS INT) AS seg,
+                   start_frame, end_frame, n_frames, energy
+            FROM seg
         """,
         "mm_frame_dedup": """
             WITH f AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "txt_entropy",
     "cur_select3",
     "txt_bm25_phrase",
+    "mm_vad",
 ]
 
 

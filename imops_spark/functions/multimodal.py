@@ -30,6 +30,7 @@ __all__ = [
     "resize_images_df",
     "sample_frames_df",
     "audio_features_df",
+    "audio_energy_segments_df",
     "resample_audio_df",
     "fake_decode_image",
     "real_decode_image",
@@ -243,6 +244,90 @@ def sample_frames_df(items: DataFrame, every_n: int = 2) -> DataFrame:
 
     return items.filter(items.modality == "video").mapInPandas(
         run, schema="item_id long, frame_index int, frame_data binary"
+    )
+
+
+def audio_energy_segments_df(
+    items: DataFrame,
+    frame_len: int = 400,
+    threshold: int = 1,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Energy-threshold segmentation of PCM16 clips (the voice-activity /
+    silence-trim shape of a speech-data pipeline): samples split into
+    non-overlapping ``frame_len``-sample frames (last partial frame
+    kept), per-frame energy = the INTEGER sum of squared samples, frames
+    with ``energy >= threshold`` are active, and maximal runs of >=
+    ``min_frames`` consecutive active frames become segments.  One row
+    per segment: ``(item_id, seg, start_frame, end_frame, n_frames,
+    energy)`` — ``seg`` is the 0-based index among EMITTED segments,
+    ``end_frame`` inclusive, ``energy`` the segment total.
+
+    Everything is exact int64 arithmetic (a squared int16 is < 2^31, so
+    even billion-sample clips sum far inside 63 bits) — which is what
+    lets a segmentation gate hash-match a relational oracle bit-for-bit.
+
+    Plan shape at 100 TB: a clip's samples live in one Arrow row, so
+    frame energies, thresholding, and the island scan are all ROW-LOCAL
+    numpy — embarrassingly parallel over clips, no shuffle, no window,
+    streaming-legal (ingestion-time VAD on a crawl of audio).  Contrast
+    with the relational formulation (explode samples → frame groupBy →
+    gaps-and-islands window), which shuffles every SAMPLE twice; that
+    form exists as the independent oracle, not the operator."""
+    frame_len = int(frame_len)
+    if frame_len <= 0:
+        raise ValueError(f"frame_len must be positive, got {frame_len}")
+    min_frames = int(min_frames)
+    if min_frames <= 0:
+        raise ValueError(f"min_frames must be positive, got {min_frames}")
+    thr = int(threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "item_id": [], "seg": [], "start_frame": [],
+                "end_frame": [], "n_frames": [], "energy": [],
+            }
+            for iid, data, meta in zip(pdf["item_id"], pdf["data"], pdf["meta"]):
+                fmt = (meta["format"] or "").lower()
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"audio format {fmt or 'unknown'}: only pcm16 decodes natively"
+                    )
+                x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if not len(x):
+                    continue
+                n_frames = -(-len(x) // frame_len)
+                sq = x * x
+                energy = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(energy, np.arange(len(x)) // frame_len, sq)
+                act = energy >= thr
+                if not act.any():
+                    continue
+                starts = np.flatnonzero(
+                    act & ~np.concatenate(([False], act[:-1]))
+                )
+                ends = np.flatnonzero(act & ~np.concatenate((act[1:], [False])))
+                csum = np.concatenate(([0], np.cumsum(energy)))
+                seg = 0
+                for s, e in zip(starts, ends):
+                    if e - s + 1 < min_frames:
+                        continue
+                    out["item_id"].append(iid)
+                    out["seg"].append(seg)
+                    out["start_frame"].append(int(s))
+                    out["end_frame"].append(int(e))
+                    out["n_frames"].append(int(e - s + 1))
+                    out["energy"].append(int(csum[e + 1] - csum[s]))
+                    seg += 1
+            yield pd.DataFrame(out)
+
+    return items.filter(items.modality == "audio").mapInPandas(
+        run,
+        schema=(
+            "item_id long, seg int, start_frame int, end_frame int,"
+            " n_frames int, energy long"
+        ),
     )
 
 

@@ -1319,3 +1319,99 @@ def test_resample_audio_edges(spark):
         resample_audio_df(make_items(spark, bad), target_rate=16000).collect()
     with _pytest.raises(ValueError, match="target_rate"):
         resample_audio_df(make_items(spark, one), target_rate=0)
+
+def test_audio_energy_segments_differential(spark):
+    """audio_energy_segments_df == a pure-python frame/threshold/island
+    re-derivation over random PCM16 clips, exact to the int64 energy."""
+    from imops_spark.functions.multimodal import (
+        audio_energy_segments_df,
+        make_items,
+    )
+
+    rng = np.random.default_rng(23)
+    clips = {
+        i: (rng.standard_normal(rng.integers(5, 300)) * rng.integers(100, 20000))
+        .clip(-32768, 32767)
+        .astype(np.int16)
+        for i in range(6)
+    }
+    items = [
+        {"item_id": i, "modality": "audio", "data": pcm.tobytes(),
+         "sample_rate": 8000, "format": "pcm16"}
+        for i, pcm in clips.items()
+    ]
+    frame_len, thr, min_frames = 7, 400_000_000, 2
+
+    def ref(pcm):
+        x = pcm.astype(np.int64)
+        energies = [
+            int((x[k : k + frame_len] ** 2).sum())
+            for k in range(0, len(x), frame_len)
+        ]
+        segs, run = [], []
+        for fi, e in enumerate(energies + [None]):
+            if e is not None and e >= thr:
+                run.append((fi, e))
+            elif run:
+                if len(run) >= min_frames:
+                    segs.append(
+                        (run[0][0], run[-1][0], len(run), sum(e for _, e in run))
+                    )
+                run = []
+        return [(s, e, nf, en, idx) for idx, (s, e, nf, en) in enumerate(segs)]
+
+    got = {}
+    for r in audio_energy_segments_df(
+        make_items(spark, items), frame_len=frame_len, threshold=thr,
+        min_frames=min_frames,
+    ).collect():
+        got.setdefault(r["item_id"], []).append(
+            (r["start_frame"], r["end_frame"], r["n_frames"], r["energy"], r["seg"])
+        )
+    for i, pcm in clips.items():
+        assert sorted(got.get(i, [])) == sorted(ref(pcm)), i
+
+
+def test_audio_energy_segments_edges(spark):
+    """Partial last frame counts with its real (shorter) energy; an
+    all-silent clip emits nothing; empty payloads emit nothing; non-pcm16
+    raises; bad params raise."""
+    import pytest as _pytest
+
+    from imops_spark.functions.multimodal import (
+        audio_energy_segments_df,
+        make_items,
+    )
+
+    # 10 samples of amplitude 100, frame_len 4 -> frames of 4, 4, 2 samples
+    # with energies 40000, 40000, 20000: threshold 30000 keeps only the two
+    # full frames (the partial last frame is BELOW, proving it is not padded)
+    pcm = np.full(10, 100, dtype=np.int16)
+    items = [
+        {"item_id": 1, "modality": "audio", "data": pcm.tobytes(),
+         "sample_rate": 8000, "format": "pcm16"},
+        {"item_id": 2, "modality": "audio", "data": b"",
+         "sample_rate": 8000, "format": "pcm16"},
+        {"item_id": 3, "modality": "audio",
+         "data": np.zeros(16, dtype=np.int16).tobytes(),
+         "sample_rate": 8000, "format": "pcm16"},
+    ]
+    rows = audio_energy_segments_df(
+        make_items(spark, items), frame_len=4, threshold=30_000, min_frames=1
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 0, 0, 1, 2, 80_000)]
+
+    # the partial frame passes a lower threshold and is its own segment
+    rows2 = audio_energy_segments_df(
+        make_items(spark, items[:1]), frame_len=4, threshold=15_000, min_frames=1
+    ).collect()
+    assert [tuple(r) for r in rows2] == [(1, 0, 0, 2, 3, 100_000)]
+
+    bad = [{"item_id": 9, "modality": "audio", "data": b"xx",
+            "sample_rate": 8000, "format": "ogg"}]
+    with _pytest.raises(Exception, match="only pcm16"):
+        audio_energy_segments_df(make_items(spark, bad)).collect()
+    with _pytest.raises(ValueError, match="frame_len"):
+        audio_energy_segments_df(make_items(spark, items), frame_len=0)
+    with _pytest.raises(ValueError, match="min_frames"):
+        audio_energy_segments_df(make_items(spark, items), min_frames=0)
