@@ -1665,6 +1665,42 @@ def q_mm_resample(spark, sf_dir):
     )
 
 
+def q_src_jsonl(spark, sf_dir):
+    """JSONL source/sink roundtrip gate (sources.jsonl.write_jsonl /
+    read_jsonl): the documents table is exported to line-delimited JSON
+    and read back with an explicit schema, and the gate fingerprints
+    every column of every row of the READ-BACK frame; the oracle
+    fingerprints the original parquet directly — they hash-match iff the
+    JSONL roundtrip is lossless (JSON string escaping, null fields,
+    bigint fidelity).  Write-once per (sf_dir, pid), like the index
+    gates.  The read uses on_corrupt='fail': a single malformed line in
+    our own export should explode, not quarantine."""
+    import hashlib
+    import os
+
+    from imops_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
+    if not os.path.exists(path):
+        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
+    back = read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        on_corrupt="fail",
+    )
+    return back.select(
+        "doc_id",
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
+            "text_md5"
+        ),
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        "n_chars",
+    )
+
+
 def q_mm_vad(spark, sf_dir):
     """Audio energy segmentation gate (multimodal.audio_energy_segments_df
     — the VAD/silence-trim shape): the same ASCII-byte PCM16 clips as
@@ -3936,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "mm_resample": q_mm_resample,
         "mm_vad": q_mm_vad,
+        "src_jsonl": q_src_jsonl,
         "mm_image_raw": q_mm_image_raw,
         "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
@@ -5658,6 +5695,14 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(COUNT(1) AS BIGINT) AS n_out,
                    md5(string_agg(micro, ',' ORDER BY j)) AS samples_hash
             FROM vals GROUP BY doc_id
+        """,
+        "src_jsonl": """
+            SELECT doc_id,
+                   md5(COALESCE(text, '<null>')) AS text_md5,
+                   COALESCE(lang, '<null>') AS lang,
+                   COALESCE(source, '<null>') AS source,
+                   n_chars
+            FROM documents
         """,
         "mm_vad": """
             WITH d AS (

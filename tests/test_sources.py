@@ -743,3 +743,86 @@ def test_event_date_pre1970_floor_semantics(spark):
     assert got[-1] == ("1969-12-31", "1969-12-31-23")
     assert got[0] == ("1970-01-01", "1970-01-01-00")
     assert got[3600] == ("1970-01-01", "1970-01-01-01")
+
+
+# ---------------------------------------------------------------------------
+# sources.jsonl
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    """write_jsonl -> read_jsonl is lossless for the hard string content
+    JSONL exists to carry: embedded newlines/tabs (escaped inside one
+    line, so the format stays line-delimited), multi-byte unicode, null
+    fields, and bigint-range integers."""
+    from imops_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, "line1\nline2\ttab \"quoted\" \\backslash", "en", None, 2**62),
+        (2, None, "fr", "crawl", None),
+        (3, "héllo ≈ wörld — 多字节", None, "api", -5),
+    ]
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, ddl)
+    p = str(tmp_path / "out")
+    write_jsonl(df, p, mode="overwrite")
+    back = read_jsonl(spark, p, ddl)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    # gzip + fixed file count roundtrip (non-splittable but smaller)
+    pz = str(tmp_path / "outgz")
+    write_jsonl(df, pz, mode="overwrite", compression="gzip", files=1)
+    import glob
+
+    assert len(glob.glob(pz + "/part-*.json.gz")) == 1
+    assert sorted(map(tuple, read_jsonl(spark, pz, ddl).collect())) == sorted(rows)
+
+
+def test_jsonl_corrupt_modes(spark, tmp_path):
+    """on_corrupt='fail' raises on the first malformed line; 'drop'
+    discards it; 'keep' parses good rows and carries a _corrupt_record
+    column; corrupt_lines_df quarantines exactly the malformed raw lines
+    (a VALID all-null JSON object is not malformed)."""
+    import pytest as _pytest
+
+    from imops_spark.sources.jsonl import corrupt_lines_df, read_jsonl
+
+    p = str(tmp_path / "bad.jsonl")
+    with open(p, "w") as f:
+        f.write(
+            '{"doc_id": 1, "text": "ok"}\n'
+            "NOT JSON AT ALL\n"
+            '{"doc_id": 3, "text": "fine"}\n'
+            '{"doc_id": null, "text": null}\n'
+        )
+    ddl = "doc_id long, text string"
+
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_jsonl(spark, p, ddl, on_corrupt="fail").collect()
+
+    assert read_jsonl(spark, p, ddl, on_corrupt="drop").count() == 3
+
+    keep = read_jsonl(spark, p, ddl, on_corrupt="keep")
+    assert "_corrupt_record" in keep.columns
+    good = sorted(
+        r["doc_id"] for r in keep.collect() if r["doc_id"] is not None
+    )
+    assert good == [1, 3]
+
+    quarantined = [r["raw"] for r in corrupt_lines_df(spark, p, ddl).collect()]
+    assert quarantined == ["NOT JSON AT ALL"]
+
+
+def test_jsonl_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from imops_spark.sources.jsonl import corrupt_lines_df, read_jsonl
+
+    p = str(tmp_path / "x.jsonl")
+    open(p, "w").write('{"a": 1}\n')
+    with _pytest.raises(ValueError, match="on_corrupt"):
+        read_jsonl(spark, p, "a long", on_corrupt="ignore")
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, p, "a long, _corrupt_record string", on_corrupt="keep")
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        corrupt_lines_df(spark, p, "a long, _corrupt_record string")
