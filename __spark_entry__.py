@@ -1701,6 +1701,41 @@ def q_src_jsonl(spark, sf_dir):
     )
 
 
+def q_src_jsonl_stream(spark, sf_dir):
+    """Streaming JSONL ingest gate (sources.jsonl.stream_jsonl): the same
+    exported JSONL directory as src_jsonl consumed as a file-source
+    STREAM (two files per micro-batch, so the drain crosses batch
+    boundaries) with ingestion-time row-local fingerprinting, drained to
+    memory — proving the landing-zone shape end to end against the same
+    parquet-direct oracle as the batch reader."""
+    import hashlib
+    import os
+
+    from imops_spark.sources.jsonl import stream_jsonl, write_jsonl
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
+    if not os.path.exists(path):
+        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
+    stream = stream_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        max_files_per_trigger=2,
+    )
+    out = stream.select(
+        "doc_id",
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
+            "text_md5"
+        ),
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        "n_chars",
+    )
+    return run_stream_to_memory(out, "src_jsonl_stream_gate", spark, mode="append")
+
+
 def q_mm_vad(spark, sf_dir):
     """Audio energy segmentation gate (multimodal.audio_energy_segments_df
     — the VAD/silence-trim shape): the same ASCII-byte PCM16 clips as
@@ -3973,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resample": q_mm_resample,
         "mm_vad": q_mm_vad,
         "src_jsonl": q_src_jsonl,
+        "src_jsonl_stream": q_src_jsonl_stream,
         "mm_image_raw": q_mm_image_raw,
         "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
@@ -4949,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
     # the index probe shares the inline operator's scoring tail — same
     # oracle, postings-read physical plan
     oracles["txt_bm25_idx"] = oracles["txt_bm25"]
+    oracles["src_jsonl_stream"] = oracles["src_jsonl"]
     # the row-local streaming twin must equal the batch exchange form
     oracles["txt_entropy_stream"] = oracles["txt_entropy"]
     # the streaming data-card drain must equal the batch profile

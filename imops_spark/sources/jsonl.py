@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_jsonl", "write_jsonl", "corrupt_lines_df"]
+__all__ = ["read_jsonl", "stream_jsonl", "write_jsonl", "corrupt_lines_df"]
 
 _CORRUPT_COL = "_corrupt_record"
 
@@ -65,6 +65,45 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT_COL)
         .json(path)
     )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    on_corrupt: str = "fail",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_jsonl` — the landing-zone
+    ingest shape: a crawler drops ``.jsonl`` files into ``path`` and the
+    stream picks each file up exactly once (file-source checkpointing),
+    feeding the row-local operator family (quality scores, hashed
+    embeddings, canonical URLs, entropy — all streaming-legal here).
+
+    Same explicit-schema and malformed-line contract as the batch
+    reader; ``max_files_per_trigger`` bounds micro-batch size so one
+    giant backlog drop does not become one giant batch."""
+    if on_corrupt not in _MODES:
+        raise ValueError(
+            f"on_corrupt must be one of {sorted(_MODES)}, got {on_corrupt!r}"
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if on_corrupt == "keep":
+        if _CORRUPT_COL in schema.fieldNames():
+            raise ValueError(
+                f"schema already contains {_CORRUPT_COL!r}; rename the field "
+                "or use on_corrupt='fail'/'drop'"
+            )
+        schema = schema.add(_CORRUPT_COL, T.StringType())
+    r = (
+        spark.readStream.schema(schema)
+        .option("mode", _MODES[on_corrupt])
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+    )
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.json(path)
 
 
 def corrupt_lines_df(

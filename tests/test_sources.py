@@ -826,3 +826,36 @@ def test_jsonl_guards(spark, tmp_path):
         read_jsonl(spark, p, "a long, _corrupt_record string", on_corrupt="keep")
     with _pytest.raises(ValueError, match="_corrupt_record"):
         corrupt_lines_df(spark, p, "a long, _corrupt_record string")
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    """stream_jsonl over a directory of jsonl files drains (availableNow,
+    one file per micro-batch) to exactly the batch reader's rows; keep
+    mode carries the corrupt column in streaming too."""
+    from imops_spark.sources.jsonl import read_jsonl, stream_jsonl
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    d = tmp_path / "land"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"doc_id": 1, "text": "x"}\n{"doc_id": 2, "text": "y"}\n')
+    (d / "b.jsonl").write_text('{"doc_id": 3, "text": "z"}\n')
+    ddl = "doc_id long, text string"
+    drained = run_stream_to_memory(
+        stream_jsonl(spark, str(d), ddl, max_files_per_trigger=1),
+        "jsonl_stream_test",
+        spark,
+        mode="append",
+    )
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, read_jsonl(spark, str(d), ddl).collect())
+    )
+
+    (d / "c.jsonl").write_text("BROKEN\n")
+    keep = run_stream_to_memory(
+        stream_jsonl(spark, str(d), ddl, on_corrupt="keep"),
+        "jsonl_stream_keep_test",
+        spark,
+        mode="append",
+    )
+    assert "_corrupt_record" in keep.columns
+    assert sorted(r["doc_id"] for r in keep.collect() if r["doc_id"] is not None) == [1, 2, 3]
