@@ -3080,6 +3080,85 @@ def q_txt_bm25_phrase(spark, sf_dir):
     return bm25_phrase_index_topk(spark, table, BM25_PHRASE, top_k=20)
 
 
+# the txt_html gate's synthetic page wrapper: both engines build the SAME
+# HTML around each document's text, so the gate pins the full strip
+# pipeline — script/style content removal, comment removal, block tags to
+# newlines, tag strip, one-level entity decode (&amp;amp; must come out as
+# &amp;, never &), nbsp, and whitespace normalization
+HTML_WRAP_HEAD = (
+    '<html><head><title>T</title><script type="text/javascript">var x = 1 < 2;'
+    "</script><style>p { color: red; }</style></head><body><!-- header --><h1>"
+)
+HTML_WRAP_MID = "</h1>\n<p>"
+HTML_WRAP_TAIL = (
+    " &amp;amp; &lt;tags&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>"
+    "<div>tail<br/>line</div></body></html>"
+)
+
+
+def q_txt_html(spark, sf_dir):
+    """HTML→text extraction gate (text.strip_html_df): each document's
+    text is wrapped in a synthetic page (script/style/comment blocks,
+    heading + paragraph structure, double-escaped entities, nbsp, a
+    self-closing br) identically on both engines, then Spark strips it
+    with the operator while the oracle mirrors the SAME ordered step
+    tables (HTML_STRIP_STEPS/HTML_ENTITIES/HTML_WS_STEPS — one owner) in
+    RE2.  Hash-matching proves every regex in the pipeline means the
+    same thing in java.util.regex and RE2 — the property that makes the
+    extractor reproducible across engines."""
+    from imops_spark.functions.text import strip_html_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(HTML_WRAP_HEAD),
+            F.substring("text", 1, 24),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_TAIL),
+        ).alias("text"),
+    )
+    return strip_html_df(html).select("doc_id", "text_clean")
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB single-quoted string literal (quotes doubled; backslashes
+    are literal in standard SQL strings, which is what RE2 patterns
+    want)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _strip_html_sql(expr: str) -> str:
+    """The strip_html_column pipeline as DuckDB SQL, generated from the
+    SAME step tables the Spark operator folds — one owner, zero drift."""
+    from imops_spark.functions.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+        HTML_WS_STEPS,
+    )
+
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    for ent, rep in HTML_ENTITIES:
+        out = f"replace({out}, {_sql_str(ent)}, {_sql_str(rep)})"
+    for pat, rep in HTML_WS_STEPS:
+        out = f"regexp_replace({out}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return out
+
+
+def _txt_html_sql() -> str:
+    html = (
+        f"{_sql_str(HTML_WRAP_HEAD)} || substr(text, 1, 24) || "
+        f"{_sql_str(HTML_WRAP_MID)} || text || {_sql_str(HTML_WRAP_TAIL)}"
+    )
+    return f"""
+        SELECT doc_id, {_strip_html_sql(html)} AS text_clean
+        FROM documents
+    """
+
+
 def q_txt_lm(spark, sf_dir):
     """Bigram-LM cross-entropy scorer (CCNet-style perplexity filter),
     self-trained on the corpus.  Hash-gated end-to-end: the per-bigram
@@ -4122,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bm25": q_txt_bm25,
         "txt_bm25_idx": q_txt_bm25_idx,
         "txt_bm25_phrase": q_txt_bm25_phrase,
+        "txt_html": q_txt_html,
         "txt_lm": q_txt_lm,
         "sim_topk": q_sim_topk,
         "sim_int8": q_sim_int8,
@@ -7065,6 +7145,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "txt_bm25": _bm25_sql(),
         "txt_bm25_phrase": _bm25_phrase_sql(),
+        "txt_html": _txt_html_sql(),
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cur_select3",
     "txt_bm25_phrase",
     "mm_vad",
+    "txt_html",
 ]
 
 

@@ -48,6 +48,11 @@ __all__ = [
     "bm25_phrase_index_topk",
     "ngram_lm_df",
     "repetition_df",
+    "HTML_STRIP_STEPS",
+    "HTML_ENTITIES",
+    "HTML_WS_STEPS",
+    "strip_html_column",
+    "strip_html_df",
     "PII_PATTERNS",
     "pii_df",
     "redact_pii_df",
@@ -1077,6 +1082,81 @@ def _bm25_phrase_tail(
     return top.select(
         "doc_id", "phrase_tf", "score_micro", F.row_number().over(w).alias("rank")
     )
+
+
+# The HTML-strip pipeline as DATA, one owner for the Spark column builder
+# and any SQL oracle: ordered (regex, replacement) steps in the
+# Java-regex ∩ RE2 common subset (inline (?is) flags, non-greedy .*?,
+# no lookaround, no backrefs), then ordered LITERAL entity decodes.
+# Replacements avoid '$' and '\' (special in Java replacement strings).
+HTML_STRIP_STEPS: list = [
+    # container elements whose CONTENT is not text
+    (r"(?is)<script[^<>]*>.*?</script>", " "),
+    (r"(?is)<style[^<>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<!doctype[^<>]*>", " "),
+    # block-level structure becomes line structure
+    (r"(?i)<br[^<>]*>", "\n"),
+    (r"(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>", "\n"),
+    # every remaining tag is formatting — a tag starts with '<' plus an
+    # optional '/' and a LETTER and contains no nested angle brackets, so
+    # prose like '3 < 5 and x > y' survives intact (a bare '<[^>]*>'
+    # would eat it from '< 5' to the next '>')
+    (r"</?[a-zA-Z][^<>]*>", " "),
+]
+# &amp; decodes LAST: single-pass semantics — '&amp;lt;' becomes '&lt;'
+# (one level of unescaping), never '<'
+HTML_ENTITIES: list = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+HTML_WS_STEPS: list = [
+    (r"[ \t\r]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\s+|\s+$", ""),
+]
+
+
+def strip_html_column(col) -> "F.Column":
+    """The HTML→text extraction as a pure column expression: script/
+    style/comment removal, block tags → newlines, tag strip, common
+    entity decode, whitespace normalization — applied in the exact order
+    of the module-level step tables (which an oracle can mirror
+    step-for-step in any RE2 engine)."""
+    out = col
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    for pat, rep in HTML_WS_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def strip_html_df(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """HTML→text extraction (the WET-style first step of a web-corpus
+    pipeline) over ``text_col``: returns ``docs`` plus ``out_col``.
+
+    Deliberately a REGEX extractor, not a DOM parse: it is a pure
+    zero-shuffle column expression (scan-speed at 100 TB,
+    streaming-legal at ingestion time, whole-stage-codegen'd), it
+    degrades gracefully on the malformed markup a crawl actually
+    contains (a real parser rejects or "corrects" it
+    engine-dependently), and every step lives in the Java∩RE2 regex
+    subset so the transformation is reproducible across engines —
+    the property the gate pins.  A ``<`` not followed by a letter (math,
+    code, broken markup) survives as text, as does an unterminated tag
+    (the common-crawl WET convention of leaving broken markup in place).
+    NULL text stays NULL."""
+    return docs.withColumn(out_col, strip_html_column(F.col(text_col)))
 
 
 def ngram_lm_df(

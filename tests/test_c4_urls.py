@@ -109,3 +109,77 @@ def test_filter_by_domain(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# strip_html_df
+# ---------------------------------------------------------------------------
+
+
+def test_strip_html_differential_vs_python(spark):
+    """strip_html_df == a python `re` re-derivation of the same ordered
+    step tables over markup with the hard cases: script bodies containing
+    '<', case-mixed tags, comments spanning lines, double-escaped
+    entities (one level of decode only), nbsp, block structure to
+    newlines, blank-line collapse."""
+    import re as _re
+
+    from imops_spark.functions.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+        HTML_WS_STEPS,
+        strip_html_df,
+    )
+
+    def ref(s):
+        if s is None:
+            return None
+        for pat, rep in HTML_STRIP_STEPS:
+            s = _re.sub(pat, rep, s)
+        for ent, rep in HTML_ENTITIES:
+            s = s.replace(ent, rep)
+        for pat, rep in HTML_WS_STEPS:
+            s = _re.sub(pat, rep, s)
+        return s
+
+    rows = [
+        (0, '<SCRIPT lang="js">if (a < b && c > d) { x(); }</SCRIPT>kept'),
+        (1, "<style>p { }</style>a<!-- multi\nline\ncomment -->b"),
+        (2, "<p>one</p><p>two</p>\n\n\n\n<div>three</div>"),
+        (3, "&amp;amp; stays once; &amp;lt; too; &lt;b&gt; decodes"),
+        (4, "a&nbsp;b &quot;q&quot; &#39;s&#39; &apos;t&apos;"),
+        (5, "broken < not a tag, 3 < 5 and x > y"),
+        (6, "<ul><li>i1</li><li>i2</li></ul><br>after<BR/>break"),
+        (7, None),
+        (8, "   lots\t\tof\r\n ws   "),
+        (9, "plain text no markup at all"),
+    ]
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_html_df(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == ref(s), (i, got[i], ref(s))
+    # spot-pin the semantics, not just parity
+    assert got[0] == "kept"                      # script CONTENT removed
+    assert got[2] == "one\ntwo\n\nthree"         # blocks -> lines, blanks collapse
+    assert got[3] == "&amp; stays once; &lt; too; <b> decodes"
+    assert got[5] == "broken < not a tag, 3 < 5 and x > y"
+    assert got[7] is None
+
+
+def test_strip_html_zero_shuffle(spark):
+    """The extractor must stay a pure column expression: no Exchange in
+    the plan (scan-speed at 100 TB, streaming-legal)."""
+    from imops_spark.functions.text import strip_html_df
+
+    docs = spark.range(10).selectExpr(
+        "id AS doc_id", "concat('<p>', CAST(id AS STRING), '</p>') AS text"
+    )
+    plan = (
+        strip_html_df(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
