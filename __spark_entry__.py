@@ -1665,6 +1665,25 @@ def q_mm_resample(spark, sf_dir):
     )
 
 
+JSONL_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _ensure_jsonl(spark, sf_dir) -> str:
+    """Export the documents table to a JSONL directory once per
+    (sf_dir, pid) — shared by the source gates and the ingestion
+    composition (the index gates' build-if-absent recipe)."""
+    import hashlib
+    import os
+
+    from imops_spark.sources.jsonl import write_jsonl
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
+    if not os.path.exists(path):
+        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
+    return path
+
+
 def q_src_jsonl(spark, sf_dir):
     """JSONL source/sink roundtrip gate (sources.jsonl.write_jsonl /
     read_jsonl): the documents table is exported to line-delimited JSON
@@ -1675,15 +1694,9 @@ def q_src_jsonl(spark, sf_dir):
     bigint fidelity).  Write-once per (sf_dir, pid), like the index
     gates.  The read uses on_corrupt='fail': a single malformed line in
     our own export should explode, not quarantine."""
-    import hashlib
-    import os
+    from imops_spark.sources.jsonl import read_jsonl
 
-    from imops_spark.sources.jsonl import read_jsonl, write_jsonl
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
-    if not os.path.exists(path):
-        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
+    path = _ensure_jsonl(spark, sf_dir)
     back = read_jsonl(
         spark,
         path,
@@ -1708,22 +1721,11 @@ def q_src_jsonl_stream(spark, sf_dir):
     boundaries) with ingestion-time row-local fingerprinting, drained to
     memory — proving the landing-zone shape end to end against the same
     parquet-direct oracle as the batch reader."""
-    import hashlib
-    import os
-
-    from imops_spark.sources.jsonl import stream_jsonl, write_jsonl
+    from imops_spark.sources.jsonl import stream_jsonl
     from imops_spark.streaming.events import run_stream_to_memory
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
-    if not os.path.exists(path):
-        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
-    stream = stream_jsonl(
-        spark,
-        path,
-        "doc_id long, text string, lang string, source string, n_chars long",
-        max_files_per_trigger=2,
-    )
+    path = _ensure_jsonl(spark, sf_dir)
+    stream = stream_jsonl(spark, path, JSONL_DOCS_DDL, max_files_per_trigger=2)
     out = stream.select(
         "doc_id",
         F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
@@ -1734,6 +1736,44 @@ def q_src_jsonl_stream(spark, sf_dir):
         "n_chars",
     )
     return run_stream_to_memory(out, "src_jsonl_stream_gate", spark, mode="append")
+
+
+def q_cur_ingest(spark, sf_dir):
+    """The INGESTION composition gate — the landing-zone pipeline a crawl
+    runs, as ONE streaming plan with zero shuffles: stream_jsonl (the
+    exported documents directory, two files per micro-batch) -> synthetic
+    page wrap (both engines build the same HTML, as in txt_html) ->
+    strip_html_df -> token_entropy_local_df (the row-local twin — streams
+    cannot aggregate mid-plan) -> entropy floor at 2.5 nats -> append
+    drain.  Every stage is individually gated (src_jsonl_stream,
+    txt_html, txt_entropy_stream); this proves they COMPOSE
+    ingestion-side, the way cur_select3 proves the batch cleaning family
+    composes.  The oracle rebuilds the chain relationally: the shared
+    HTML step tables inlined into the entropy SQL's tokenizer, floor as
+    an integer micro-nat predicate."""
+    from imops_spark.functions.text import strip_html_df, token_entropy_local_df
+    from imops_spark.sources.jsonl import stream_jsonl
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    path = _ensure_jsonl(spark, sf_dir)
+    stream = stream_jsonl(spark, path, JSONL_DOCS_DDL, max_files_per_trigger=2)
+    wrapped = stream.select(
+        "doc_id",
+        F.concat(
+            F.lit(HTML_WRAP_HEAD),
+            F.substring("text", 1, 24),
+            F.lit(HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(HTML_WRAP_TAIL),
+        ).alias("text"),
+    )
+    cleaned = strip_html_df(wrapped).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    scored = token_entropy_local_df(cleaned).filter(
+        F.col("h_micro") >= 2_500_000
+    )
+    return run_stream_to_memory(scored, "cur_ingest_gate", spark, mode="append")
 
 
 def q_mm_vad(spark, sf_dir):
@@ -3159,6 +3199,46 @@ def _txt_html_sql() -> str:
     """
 
 
+def _cur_ingest_sql() -> str:
+    """The ingestion composition relationally: the shared HTML step
+    tables inlined as the entropy tokenizer's input, entropy floor as an
+    integer micro-nat HAVING."""
+    html = (
+        f"{_sql_str(HTML_WRAP_HEAD)} || substr(text, 1, 24) || "
+        f"{_sql_str(HTML_WRAP_MID)} || text || {_sql_str(HTML_WRAP_TAIL)}"
+    )
+    norm = (
+        f"regexp_replace(lower(trim({_strip_html_sql(html)})), '\\s+', ' ', 'g')"
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        wd AS (
+          SELECT doc_id, len(toks) AS n, unnest(toks) AS token
+          FROM d WHERE len(toks) > 0
+        ),
+        cnt AS (
+          SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS c, MIN(n) AS n
+          FROM wd GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT doc_id, n,
+                 CAST(ROUND((c / n) * LN(c / n)
+                            * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS tm
+          FROM cnt
+        )
+        SELECT doc_id, MIN(n) AS n_tokens, COUNT(1) AS n_types,
+               CAST(-SUM(tm) AS BIGINT) AS h_micro,
+               ROUND(CAST(-SUM(tm) AS BIGINT)
+                     / CAST(1000000.0 AS DOUBLE), 6) AS h
+        FROM t GROUP BY 1
+        HAVING CAST(-SUM(tm) AS BIGINT) >= 2500000
+    """
+
+
 def q_txt_lm(spark, sf_dir):
     """Bigram-LM cross-entropy scorer (CCNet-style perplexity filter),
     self-trained on the corpus.  Hash-gated end-to-end: the per-bigram
@@ -4088,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_vad": q_mm_vad,
         "src_jsonl": q_src_jsonl,
         "src_jsonl_stream": q_src_jsonl_stream,
+        "cur_ingest": q_cur_ingest,
         "mm_image_raw": q_mm_image_raw,
         "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
@@ -7146,6 +7227,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "txt_bm25": _bm25_sql(),
         "txt_bm25_phrase": _bm25_phrase_sql(),
         "txt_html": _txt_html_sql(),
+        "cur_ingest": _cur_ingest_sql(),
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events

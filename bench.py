@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "txt_bm25_phrase",
     "mm_vad",
     "txt_html",
+    "cur_ingest",
 ]
 
 
