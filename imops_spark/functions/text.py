@@ -10,6 +10,7 @@ validates them (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +32,7 @@ __all__ = [
     "fingerprint_df",
     "winnow_fingerprints_df",
     "winnow_fingerprints_local_df",
+    "winnow_fingerprints_arrow_df",
     "winnow_fp_set_df",
     "winnow_fp_array_df",
     "tfidf_df",
@@ -203,11 +205,15 @@ def winnow_fingerprints_df(
     """
     _check_hash_fn(hash_fn)
     strategy, raw_chars = _winnow_pick_strategy(
-        docs, strategy, "winnow_fingerprints_df"
+        docs, strategy, "winnow_fingerprints_df", hash_fn
     )
     if strategy == "local":
         return winnow_fingerprints_local_df(
             docs, k=k, window=window, hash_fn=hash_fn
+        )
+    if strategy == "arrow":
+        return _winnow_selected_arrow_df(
+            docs, int(k), int(window), (), positional=True
         )
     sel = _winnow_selected_window_df(docs, int(k), int(window), (), hash_fn, raw_chars)
     # same (pos, fp) can win several adjacent windows; the doc_id
@@ -363,32 +369,141 @@ def _winnow_selected_window_df(
     )
 
 
-def _winnow_pick_strategy(docs: DataFrame, strategy: str, fn: str):
+def _winnow_pick_strategy(
+    docs: DataFrame, strategy: str, fn: str, hash_fn: str = "md5"
+):
     """Returns ``(strategy, raw_chars)`` — raw_chars is the dispatch
     pre-pass, handed down to the window form's exchange sizing so the
     corpus length is summed exactly once."""
-    if strategy not in ("auto", "local", "window"):
+    if strategy not in ("auto", "local", "window", "arrow"):
         raise ValueError(
-            f"{fn}: strategy must be 'auto', 'local', or 'window', got {strategy!r}"
+            f"{fn}: strategy must be 'auto', 'local', 'window', or "
+            f"'arrow', got {strategy!r}"
+        )
+    if strategy == "arrow" and hash_fn != "xxhash64":
+        raise ValueError(
+            f"{fn}: strategy='arrow' hashes inside the numpy kernel, which "
+            "implements xxhash64 only — md5 (the cross-engine oracle hash) "
+            "takes the window form; pass hash_fn='xxhash64' or drop the "
+            "strategy override"
         )
     if docs.isStreaming:
-        # aggregation/sort are illegal mid-stream: auto always takes the
+        # aggregation/sort are illegal mid-stream: auto always takes a
         # row-local form, and an EXPLICIT 'window' ask must fail clearly
-        # here, not as a deep AnalysisException from the sizing pre-pass
+        # here, not as a deep AnalysisException from the sizing pre-pass.
+        # 'arrow' is stateless mapInPandas — streaming-legal, honored.
         if strategy == "window":
             raise ValueError(
                 f"{fn}: strategy='window' sorts and aggregates, which is "
                 "illegal on a streaming DataFrame — use 'local' (or 'auto', "
                 "which picks it for streams)"
             )
+        if strategy == "arrow":
+            return "arrow", None
         return "local", None
     if strategy != "auto":
         return strategy, None
-    # batch auto: ALWAYS the window form (crossover retired — see
-    # _WINNOW_LOCAL_MAX_CHARS).  raw_chars=None lets the window core run
-    # its own sizing pre-pass, exactly what the dispatch pre-pass used to
-    # pay here, so total job count is unchanged.
+    # batch auto: md5 (the oracle hash) takes the window form; xxhash64
+    # (the production fast path) takes the ARROW kernel — hashes computed
+    # inside numpy, so no interpreted HOF is left to go bimodal and no
+    # 145M-row gram exchange exists at all (measured 5x the window form;
+    # FASTPATH.md round-8c).  raw_chars=None lets the window core run its
+    # own sizing pre-pass.
+    if hash_fn == "xxhash64":
+        return "arrow", None
     return "window", None
+
+
+def _winnow_selected_arrow_df(
+    docs: DataFrame, k: int, window: int, carry: tuple, positional: bool
+) -> DataFrame:
+    """The Arrow winnowing core (xxhash64 only): normalized text goes to
+    the kernel as STRINGS, every gram hash is computed with vectorized
+    uint64 numpy (``functions.xxh`` — bit-identical to Spark's
+    ``xxhash64``, test-pinned), and the sliding min/argmin runs as one
+    strided numpy pass.  ZERO shuffles, zero interpreted JVM HOFs (the
+    hash-array ``transform`` measured BIMODAL, 15→88 s pass-to-pass, in
+    long-lived JVMs), no 145M-row gram explode (the window form's
+    exchange+sort).  Streaming-legal (stateless mapInPandas).
+
+    ``positional=True`` emits dedup'd ``(doc_id, *carry, pos, fp)`` with
+    the leftmost tie-break (``argmin`` returns the FIRST minimum — the
+    same rule as ``min(struct(h, pos))``); otherwise the per-doc
+    distinct fp set, exploded."""
+    import pandas as pd
+
+    from .dedup import normalized_text
+    from .xxh import xxh64_bytes, xxh64_sliding
+
+    k, window = int(k), int(window)
+    d = docs.select("doc_id", *carry, normalized_text().alias("nt")).filter(
+        F.length("nt") >= k + window - 1
+    )
+    fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+    carry_names = [c.strip("`") for c in carry]
+    out_cols = ["doc_id", *carry_names]
+    schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in out_cols]
+        + (["pos int", "fp long"] if positional else ["fp long"])
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            if positional:
+                out["pos"], out["fp"] = [], []
+            else:
+                out["fp"] = []
+            for row in pdf.itertuples(index=False):
+                nt = row.nt
+                n_grams = len(nt) - k + 1
+                if nt.isascii() and k < 32:
+                    hs = xxh64_sliding(
+                        np.frombuffer(nt.encode(), dtype=np.uint8), k
+                    )
+                else:
+                    # multi-byte grams have varying UTF-8 widths (and
+                    # k >= 32 leaves the small-input path): scalar XXH64
+                    # per gram, same bits, rare
+                    hs = np.fromiter(
+                        (
+                            xxh64_bytes(nt[p : p + k].encode())
+                            for p in range(n_grams)
+                        ),
+                        dtype=np.int64,
+                        count=n_grams,
+                    )
+                sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                mins = sw.min(axis=1)
+                if positional:
+                    pos = (
+                        sw.argmin(axis=1) + np.arange(len(mins)) + 1
+                    ).astype(np.int32)
+                    pairs = np.unique(np.stack([pos, mins.view(np.int64)], axis=1), axis=0)
+                    n_out = len(pairs)
+                else:
+                    fps = np.unique(mins)
+                    n_out = len(fps)
+                for c in out_cols:
+                    out[c].extend([getattr(row, c)] * n_out)
+                if positional:
+                    out["pos"].extend(pairs[:, 0].astype(np.int32))
+                    out["fp"].extend(pairs[:, 1])
+                else:
+                    out["fp"].extend(fps)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=schema)
+
+
+def winnow_fingerprints_arrow_df(
+    docs: DataFrame, k: int = 8, window: int = 4, carry: tuple = ()
+) -> DataFrame:
+    """Positional winnowing on the Arrow kernel — ``(doc_id, *carry,
+    pos, fp)``, value-identical to ``winnow_fingerprints_df(...,
+    hash_fn='xxhash64')`` (equivalence-tested)."""
+    carry = quote_carry(carry, _WINNOW_RESERVED)
+    return _winnow_selected_arrow_df(docs, k, window, carry, positional=True)
 
 
 def winnow_fp_set_df(
@@ -419,7 +534,14 @@ def winnow_fp_set_df(
 
     Both forms are value-identical (equivalence-tested)."""
     _check_hash_fn(hash_fn)
-    strategy, raw_chars = _winnow_pick_strategy(docs, strategy, "winnow_fp_set_df")
+    strategy, raw_chars = _winnow_pick_strategy(
+        docs, strategy, "winnow_fp_set_df", hash_fn
+    )
+    if strategy == "arrow":
+        qcarry = quote_carry(carry, _WINNOW_RESERVED)
+        return _winnow_selected_arrow_df(
+            docs, int(k), int(window), qcarry, positional=False
+        )
     if strategy == "window":
         qcarry = quote_carry(carry, _WINNOW_RESERVED)
         sel = _winnow_selected_window_df(
