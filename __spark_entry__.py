@@ -1903,6 +1903,57 @@ def q_mm_imresize(spark, sf_dir):
     )
 
 
+def q_mm_tiles(spark, sf_dir):
+    """Image TILING gate (multimodal.tile_images_df — the ViT patching
+    step): the same 4x5x3 raw_u8 images as mm_imresize are cut into the
+    2x2 tile grid (2 rows x 2 cols of full tiles; the 5th pixel column
+    is a partial tile and must be DROPPED — the patching contract), and
+    EVERY BYTE of every tile payload is value-checked against an oracle
+    that recomputes the source byte index with integer arithmetic:
+    within tile (r, c), byte (y, x, ch) comes from source position
+    ((r*2 + y)*5 + (c*2 + x))*3 + ch + 1.  Byte-exact, like the other
+    raw-image gates — the kernel's slice/tobytes layout is pinned, not a
+    summary statistic."""
+    from imops_spark.functions.multimodal import tile_images_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.col("doc_id") < 80)
+        & (F.length("text") >= 60)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.substring("text", 1, 60), "utf-8").alias("data"),
+        F.struct(
+            F.lit(5).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("raw_u8").alias("format"),
+        ).alias("meta"),
+    )
+    tiles = tile_images_df(items, tile_w=2, tile_h=2, decode="real")
+    return (
+        tiles.select(
+            "item_id",
+            "tile_row",
+            "tile_col",
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("pos"),
+            F.col("data"),
+        )
+        .selectExpr(
+            "item_id",
+            "tile_row",
+            "tile_col",
+            "pos",
+            "CAST(conv(hex(substring(data, pos, 1)), 16, 10) AS INT) AS val",
+        )
+    )
+
+
 def q_emb_text_topk(spark, sf_dir):
     """Composition gate: documents -> hashed embeddings (txt_embed's
     dim-16 random sign projection, components rounded at 6 so both
@@ -4166,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "mm_resample": q_mm_resample,
         "mm_vad": q_mm_vad,
+        "mm_tiles": q_mm_tiles,
         "src_jsonl": q_src_jsonl,
         "src_jsonl_stream": q_src_jsonl_stream,
         "cur_ingest": q_cur_ingest,
@@ -5798,6 +5850,31 @@ def _oracle_sql_literals() -> dict[str, str]:
                      CAST(((y * 4 // 2) * 5 + (x * 5 // 3)) * 3 + c + 1 AS INT),
                      1)) AS INT) AS val
             FROM p
+        """,
+        "mm_tiles": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 60) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id < 80 AND length(text) >= 60
+                AND length(text) = strlen(text)  -- enforced ASCII scope
+            ),
+            g AS (
+              SELECT doc_id, t,
+                     CAST(r.r AS INT) AS tile_row, CAST(c.c AS INT) AS tile_col,
+                     CAST(i.i AS INT) AS pos,
+                     (i.i - 1) // 6 AS y, ((i.i - 1) // 3) % 2 AS x,
+                     (i.i - 1) % 3 AS ch
+              FROM d,
+                   unnest(generate_series(0, 1)) r(r),
+                   unnest(generate_series(0, 1)) c(c),
+                   unnest(generate_series(1, 12)) i(i)
+            )
+            SELECT doc_id AS item_id, tile_row, tile_col, pos,
+                   CAST(ord(substr(t,
+                     CAST(((tile_row*2 + y) * 5 + (tile_col*2 + x)) * 3
+                          + ch + 1 AS INT),
+                     1)) AS INT) AS val
+            FROM g
         """,
         "mm_image_raw": """
             WITH d AS (

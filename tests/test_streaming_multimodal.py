@@ -1415,3 +1415,37 @@ def test_audio_energy_segments_edges(spark):
         audio_energy_segments_df(make_items(spark, items), frame_len=0)
     with _pytest.raises(ValueError, match="min_frames"):
         audio_energy_segments_df(make_items(spark, items), min_frames=0)
+
+def test_tile_images_matches_numpy(spark):
+    """tile_images_df == direct numpy slicing: full tiles only (partial
+    edges dropped), row-major byte layout per tile, grid indices right."""
+    from imops_spark.functions.multimodal import make_items, tile_images_df
+
+    rng = np.random.default_rng(5)
+    h, w, c = 7, 9, 3  # 7//3=2 rows, 9//4=2 cols -> partial edges both ways
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    items = [
+        {"item_id": 1, "modality": "image", "data": img.tobytes(),
+         "width": w, "height": h, "channels": c, "format": "raw_u8"},
+    ]
+    rows = tile_images_df(
+        make_items(spark, items), tile_w=4, tile_h=3, decode="real"
+    ).collect()
+    got = {(r["tile_row"], r["tile_col"]): r for r in rows}
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for (r, cc), row in got.items():
+        want = img[r * 3 : (r + 1) * 3, cc * 4 : (cc + 1) * 4]
+        assert row["data"] == want.tobytes(), (r, cc)
+        m = row["meta"]
+        assert (m["width"], m["height"], m["channels"]) == (4, 3, 3)
+        assert m["format"] == "raw_u8"
+
+    # image smaller than one tile -> zero rows, not an error
+    tiny = [{"item_id": 2, "modality": "image",
+             "data": np.zeros(6, dtype=np.uint8).tobytes(),
+             "width": 2, "height": 1, "channels": 3, "format": "raw_u8"}]
+    assert tile_images_df(make_items(spark, tiny), tile_w=4, tile_h=3, decode="real").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tile dims"):
+        tile_images_df(make_items(spark, items), tile_w=0, tile_h=3)
