@@ -55,6 +55,9 @@ __all__ = [
     "bpe_apply_df",
     "bpe_vocab_df",
     "bpe_encode_df",
+    "bpe_write_model",
+    "bpe_read_model",
+    "bpe_register_model",
 ]
 
 
@@ -508,3 +511,123 @@ def bpe_encode_df(
         schema=f"__id {id_type}, token_ids array<long>, n_tokens int, n_unk int",
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+_BPE_PROP_PREFIX = "imops.bpe."
+_BPE_INT_KEYS = ("n_merges",)
+# the text identity the merge table was learned over: whitespace words of
+# lower/trim/space-collapsed text (dedup.normalized_text) — bump if the
+# normalization ever changes, so a stale model cannot silently tokenize
+# differently-normalized text
+_BPE_NORM_FAMILY = "ws_lower_v1"
+
+
+def bpe_write_model(merges: DataFrame, table: str, path: str | None = None,
+                    fingerprint: str | None = None) -> None:
+    """Persist a learned merge table as the TOKENIZER ARTIFACT: a tiny
+    parquet table ``(rank, left, right, n)`` stamped with the model
+    identity (normalization family, merge count, optional corpus
+    fingerprint) as table properties + a ``path__meta`` sidecar — the
+    embedding/BM25-index recipe applied to the model the whole training
+    pipeline depends on.  Train once, stamp, and every later session
+    (token counting, encoding, packing, serving) loads the SAME
+    tokenizer or fails loudly; an unstamped ad-hoc parquet of merges
+    cannot be told apart from the wrong tokenizer at read time, which is
+    how silent vocabulary drift ships.
+
+    Cite: reference has no tokenizer; public BPE semantics per Sennrich
+    et al. 2016, persistence shape per the HuggingFace tokenizer-file
+    convention (merges as ordered pairs)."""
+    from .similarity import _check_stamp_value, _emb_write_sidecar
+
+    spark = merges.sparkSession
+    if fingerprint is not None:
+        _check_stamp_value("fingerprint", fingerprint)
+    n = merges.count()
+    w = (
+        merges.select("rank", "left", "right", "n")
+        .coalesce(1)  # a model table: one file, not one-per-partition
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    stamp = {"norm": _BPE_NORM_FAMILY, "n_merges": int(n)}
+    if fingerprint is not None:
+        stamp["fingerprint"] = str(fingerprint)
+    props = ", ".join(
+        f"'{_BPE_PROP_PREFIX}{k}'='{v}'" for k, v in stamp.items()
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")
+    if path:
+        _emb_write_sidecar(spark, path, stamp)
+
+
+def bpe_read_model(spark, table: str, fingerprint: str | None = None) -> DataFrame:
+    """Load a persisted merge table after validating the stamp: refuses
+    unstamped tables, normalization-family mismatches, corpus-fingerprint
+    staleness (when the caller passes the current fingerprint), and a
+    row count that disagrees with the stamped ``n_merges`` (a partial
+    write or manual edit).  Returns the merges ordered by rank — the
+    exact frame ``bpe_apply_df``/``bpe_encode_df`` consume."""
+    from .similarity import _emb_stored_props
+
+    stored = _emb_stored_props(
+        spark, table, prefix=_BPE_PROP_PREFIX, int_keys=_BPE_INT_KEYS
+    )
+    if not stored:
+        raise ValueError(
+            f"{table!r} carries no {_BPE_PROP_PREFIX}* stamp — not a BPE "
+            "model written by bpe_write_model"
+        )
+    if stored.get("norm") != _BPE_NORM_FAMILY:
+        raise ValueError(
+            f"BPE model {table!r} was trained over {stored.get('norm')!r} "
+            f"normalization, this module normalizes as {_BPE_NORM_FAMILY!r} "
+            "— tokenization would silently drift; retrain the model"
+        )
+    if fingerprint is not None and stored.get("fingerprint") != str(fingerprint):
+        raise ValueError(
+            f"BPE model {table!r} was trained on corpus fingerprint "
+            f"{stored.get('fingerprint')!r}, the corpus now fingerprints "
+            f"{fingerprint!r}: the model is stale — retrain it"
+        )
+    merges = spark.table(table).orderBy("rank")
+    n = merges.count()
+    if n != int(stored["n_merges"]):
+        raise ValueError(
+            f"BPE model {table!r} stamps n_merges={stored['n_merges']} but "
+            f"holds {n} rows — partial write or manual edit; rewrite it"
+        )
+    return merges
+
+
+def bpe_register_model(spark, table: str, path: str) -> None:
+    """Re-register a BPE model written by another session from its
+    ``path__meta`` sidecar (table properties die with the session-local
+    catalog).  Idempotent."""
+    from .similarity import _emb_read_sidecar
+
+    stamp = _emb_read_sidecar(spark, path, int_keys=_BPE_INT_KEYS)
+    if not stamp:
+        raise ValueError(
+            f"no BPE-model sidecar at {path}__meta — was this model "
+            "written by bpe_write_model with an explicit path?"
+        )
+    for key in ("norm", "n_merges"):
+        if key not in stamp:
+            raise ValueError(
+                f"BPE-model sidecar at {path}__meta lacks {key!r}; rewrite "
+                "the model with this version's bpe_write_model"
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = path.replace("'", "''")
+    spark.sql(
+        f"CREATE TABLE {table} (rank int, left string, right string, "
+        f"n bigint) USING parquet LOCATION '{loc}'"
+    )
+    props = ", ".join(
+        f"'{_BPE_PROP_PREFIX}{k}'='{v}'" for k, v in sorted(stamp.items())
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES({props})")

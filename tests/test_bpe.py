@@ -381,3 +381,78 @@ def test_vocab_duplicate_merge_products_keep_first_id(spark):
     # base chars a,b,c take ids 0..2; rank-0 product gets id 3 and wins
     assert rows[0]["token_id"] == 3 and rows[0]["kind"] == "merge"
     assert vocab.count() == 4  # a, b, c, abc (duplicate product collapsed)
+
+
+def test_bpe_model_persistence_roundtrip(spark, tmp_path):
+    """bpe_write_model -> bpe_read_model returns the exact merge table
+    (apply over the loaded model == apply over the in-memory one); the
+    stamp guards fire: unstamped tables refused, stale fingerprints
+    refused, normalization-family mismatch refused, row-count/stamp
+    disagreement refused; cross-session re-registration restores use."""
+    import pytest
+
+    from imops_spark.functions import bpe as B
+    from imops_spark.functions.bpe import (
+        bpe_apply_df,
+        bpe_read_model,
+        bpe_register_model,
+        bpe_train_df,
+        bpe_write_model,
+    )
+    from imops_spark.functions.similarity import corpus_fingerprint
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide wider widest") for i in range(6)],
+        "doc_id long, text string",
+    )
+    fp = corpus_fingerprint(docs)
+    merges = bpe_train_df(docs, n_merges=12, min_freq=2)
+    table, path = "bpe_model_test", str(tmp_path / "bpem")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bpe_write_model(merges, table, path=path, fingerprint=fp)
+    try:
+        loaded = bpe_read_model(spark, table, fingerprint=fp)
+        assert [tuple(r) for r in loaded.collect()] == [
+            tuple(r) for r in merges.orderBy("rank").collect()
+        ]
+        a = sorted(map(tuple, bpe_apply_df(docs, merges).collect()))
+        b = sorted(map(tuple, bpe_apply_df(docs, loaded).collect()))
+        assert a == b
+
+        # stale fingerprint
+        with pytest.raises(ValueError, match="stale"):
+            bpe_read_model(
+                spark, table, fingerprint=corpus_fingerprint(docs.limit(3))
+            )
+        # normalization-family mismatch
+        orig = B._BPE_NORM_FAMILY
+        try:
+            B._BPE_NORM_FAMILY = "ws_lower_v2"
+            with pytest.raises(ValueError, match="normaliz"):
+                bpe_read_model(spark, table)
+        finally:
+            B._BPE_NORM_FAMILY = orig
+
+        # cross-session re-registration
+        spark.sql(f"DROP TABLE {table}")
+        bpe_register_model(spark, table, path)
+        again = bpe_read_model(spark, table, fingerprint=fp)
+        assert [tuple(r) for r in again.collect()] == [
+            tuple(r) for r in merges.orderBy("rank").collect()
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # unstamped table refused
+    spark.range(2).selectExpr(
+        "CAST(id AS INT) AS rank", "'a' AS left", "'b' AS right", "id AS n"
+    ).write.saveAsTable("bpe_not_a_model")
+    try:
+        with pytest.raises(ValueError, match="stamp"):
+            bpe_read_model(spark, "bpe_not_a_model")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bpe_not_a_model")
+
+    # missing sidecar
+    with pytest.raises(ValueError, match="sidecar"):
+        bpe_register_model(spark, "bpe_model_none", str(tmp_path / "nowhere"))
