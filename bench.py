@@ -118,7 +118,9 @@ def contention_stats(passes: dict[str, list[float]]) -> dict:
     }
 
 
-def main() -> None:
+def _boot_and_warm():
+    """Session boot + the full warmup protocol, shared by the in-process
+    bench and the per-query isolated subprocesses."""
     import __spark_entry__ as entry
     from imops_spark.session import get_spark
 
@@ -169,7 +171,70 @@ def main() -> None:
     spark.range(n_workers * 10).repartition(n_workers).mapInPandas(
         _warm_py, "id long"
     ).count()
+    return spark, entry
 
+
+_ISOLATE_MARKER = "BENCH_ISOLATE_JSON:"
+
+
+def run_one_query(name: str) -> None:
+    """A single query in a FRESH interpreter + JVM: the --isolate worker.
+    Prints min-of-N passes as a marker line.  Session-JIT luck — which
+    operators ran earlier in the SAME JVM — was the residual cross-round
+    variance after the round-8 GC hygiene (HANDOFF round-8 candidate 1);
+    a per-query process eliminates it by construction, at ~10 s boot per
+    query."""
+    import __spark_entry__ as entry  # noqa: F401
+
+    spark, entry = _boot_and_warm()
+    qs = entry.queries()
+    fn = qs[name]
+    ts = []
+    for _ in range(N_PASSES):
+        entry.clear_signature_cache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        ts.append(round(time.perf_counter() - t0, 3))
+    print(_ISOLATE_MARKER + json.dumps({name: ts}), flush=True)
+    spark.stop()
+
+
+def run_isolated() -> None:
+    """--isolate: every query in its own subprocess.  Cross-ROUND
+    comparable rows (no shared-JVM JIT history), at the cost of ~10 s
+    session boot per query — the trend-line protocol; the default
+    single-process mode remains the cheap per-round reading and measures
+    the realistic shared-session economics."""
+    import subprocess
+
+    only = [a for a in sys.argv[1:] if a.startswith("--queries=")]
+    names = (
+        [q for q in only[0].split("=", 1)[1].split(",")] if only else BENCH_QUERIES
+    )
+    load_before = round(os.getloadavg()[0], 2)
+    passes: dict[str, list[float]] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), f"--one-query={name}"],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        payload = None
+        for line in proc.stdout.splitlines():
+            if line.startswith(_ISOLATE_MARKER):
+                payload = json.loads(line[len(_ISOLATE_MARKER):])
+        if payload is None:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            raise RuntimeError(f"isolated run of {name} produced no result")
+        passes.update(payload)
+    _report(passes, load_before, isolation="process_per_query")
+
+
+def main() -> None:
+    spark, entry = _boot_and_warm()
     qs = entry.queries()
     # Environment fingerprint BEFORE the timed region: a contaminated run
     # (round-5 driver artifact: +25% uniform + two 2-6x outliers that an
@@ -207,6 +272,12 @@ def main() -> None:
             # on the driver.
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.perf_counter() - t0, 3))
+    _report(passes, load_before, isolation="single_process")
+
+
+def _report(
+    passes: dict[str, list[float]], load_before: float, isolation: str
+) -> None:
     load_after = round(os.getloadavg()[0], 2)
 
     timings = {name: min(ts) for name, ts in passes.items()}
@@ -258,7 +329,7 @@ def main() -> None:
                     "passes": N_PASSES,
                     "aggregation": "min_of_passes",
                     "warmup": "tables+codegen+python_workers",
-                    "isolation": "single_process",
+                    "isolation": isolation,
                 },
             }
         )
@@ -266,4 +337,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    one = [a for a in sys.argv[1:] if a.startswith("--one-query=")]
+    if one:
+        run_one_query(one[0].split("=", 1)[1])
+    elif "--isolate" in sys.argv[1:]:
+        run_isolated()
+    else:
+        main()

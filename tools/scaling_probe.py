@@ -127,7 +127,9 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         merge_distinct_sketches,
     )
     from imops_spark.functions.sketch import top_items_df
+    from imops_spark.functions.multimodal import audio_energy_segments_df
     from imops_spark.functions.text import (
+        bm25_phrase_topk_df,
         bm25_topk_df,
         token_entropy_df,
         bpe_token_count_df,
@@ -137,6 +139,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         pii_df,
         remove_boilerplate_lines_df,
         repetition_df,
+        strip_html_df,
         tfidf_df,
         vocab_df,
         winnow_fp_set_df,
@@ -221,6 +224,47 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             # sliding ROWS window (auto dispatches here — all probe sizes
             # exceed the ~1M-char crossover)
             "txt_winnow_set": lambda: winnow_fp_set_df(docs),
+            # round-8c Arrow kernel: hashes computed inside numpy, zero
+            # shuffles — must scale like the corpus scan alone
+            "txt_winnow_arrow": lambda: winnow_fp_set_df(
+                docs, hash_fn="xxhash64"
+            ),
+            # positional postings assembled from the term-filtered
+            # explode; candidates + df broadcast over the phrase terms
+            "txt_bm25_phrase": lambda: bm25_phrase_topk_df(docs, "w11 w42"),
+            # ordered regex/replace step tables: pure scan cost
+            "txt_html": lambda: strip_html_df(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("<html><body><p>"), "text", F.lit("</p></body></html>")
+                    ).alias("text"),
+                )
+            ),
+            # row-local int64 frame energies + island merge per clip
+            "mm_vad": lambda: audio_energy_segments_df(
+                docs.select(
+                    F.col("doc_id").alias("item_id"),
+                    F.lit("audio").alias("modality"),
+                    F.encode(
+                        F.expr(
+                            "substring(text, 1, CAST(floor(length(text)/2)*2 AS INT))"
+                        ),
+                        "utf-8",
+                    ).alias("data"),
+                    F.struct(
+                        F.lit(None).cast("int").alias("width"),
+                        F.lit(None).cast("int").alias("height"),
+                        F.lit(None).cast("int").alias("channels"),
+                        F.lit(16000).alias("sample_rate"),
+                        F.lit(None).cast("int").alias("n_frames"),
+                        F.lit("pcm16").alias("format"),
+                    ).alias("meta"),
+                ),
+                frame_len=8,
+                threshold=5_200_000_000,
+                min_frames=2,
+            ),
             # two-phase prefix sum (in-shard cumsum + broadcast shard
             # offsets): placement must scale like the shard window, never
             # like a global sort
