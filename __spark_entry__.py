@@ -2469,6 +2469,85 @@ def q_txt_classify(spark, sf_dir):
     return classifier_score_df(docs, weights, num_buckets=512, bias=0.1)
 
 
+def q_cur_roc(spark, sf_dir):
+    """Classifier threshold-selection gate (curate.roc_points_df): the
+    txt_classify scores bucketed into 32 integer score bands, descending
+    cumulative tp/fp per band, integer micro-ratio tpr/fpr/precision —
+    the curve a pipeline reads to pick its quality-filter threshold.
+    Labels are a deterministic pseudo-assignment (doc_id % 3 = 0): the
+    gate pins the CURVE MACHINERY (bucketing arithmetic, clamp edges,
+    descending cumulatives, guarded integer-ratio rates), which is
+    label-agnostic.  Scale shape under test: one map-side-combined
+    groupBy(bucket) over the corpus; the window sorts <= 32 rows — a
+    model, not a corpus."""
+    from imops_spark.functions.curate import classifier_score_df, roc_points_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(512).selectExpr(
+        "id AS bucket",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
+        " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
+    )
+    scored = classifier_score_df(docs, weights, num_buckets=512, bias=0.1)
+    labeled = scored.withColumn(
+        "label", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return roc_points_df(labeled, "label", "logit_micro", n_buckets=32)
+
+
+def _cur_roc_sql(classify_sql: str) -> str:
+    """The ROC oracle over the txt_classify oracle's scored relation —
+    the bucket/threshold/rate arithmetic mirrored expression-for-
+    expression (integer DIV rates, double FLOOR bucketing — exact for
+    these magnitudes on both engines, see roc_points_df)."""
+    return f"""
+        WITH scored AS ({classify_sql}),
+        d AS (
+          SELECT logit_micro AS s,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+          FROM scored WHERE logit_micro IS NOT NULL
+        ),
+        bounds AS (
+          SELECT MIN(s) AS lo, MAX(s) AS hi, MAX(s) - MIN(s) + 1 AS width
+          FROM d
+        ),
+        per AS (
+          SELECT CAST(FLOOR(((GREATEST(lo, LEAST(hi, s)) - lo) * 32)
+                            / width) AS INT) AS bucket,
+                 CAST(COUNT(1) AS BIGINT) AS n_rows,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM d CROSS JOIN bounds
+          GROUP BY 1
+        ),
+        cum AS (
+          SELECT bucket, n_rows, n_pos,
+                 CAST(SUM(n_pos) OVER (ORDER BY bucket DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS tp,
+                 CAST(SUM(n_rows) OVER (ORDER BY bucket DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - SUM(n_pos) OVER (ORDER BY bucket DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS fp,
+                 CAST(SUM(n_pos) OVER () AS BIGINT) AS P,
+                 CAST(SUM(n_rows - n_pos) OVER () AS BIGINT) AS N
+          FROM per
+        )
+        SELECT bucket,
+               CAST(lo + (CAST(bucket AS BIGINT) * width) // 32 AS BIGINT)
+                 AS threshold_micro,
+               n_rows, n_pos, tp, fp,
+               CASE WHEN P > 0 THEN CAST((tp * 1000000) // P AS BIGINT) END
+                 AS tpr_micro,
+               CASE WHEN N > 0 THEN CAST((fp * 1000000) // N AS BIGINT) END
+                 AS fpr_micro,
+               CASE WHEN tp + fp > 0
+                    THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END
+                 AS prec_micro
+        FROM cum CROSS JOIN bounds
+    """
+
+
 def q_txt_classify_stream(spark, sf_dir):
     """Ingestion-time classifier scoring (curate.classifier_score_local_df):
     the ZERO-SHUFFLE twin of txt_classify — the weight table densifies into
@@ -4298,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_sentences": q_txt_sentences,
         "txt_bpe_pairs": q_txt_bpe_pairs,
         "txt_classify": q_txt_classify,
+        "cur_roc": q_cur_roc,
         "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
@@ -5223,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # zero-shuffle streamed scoring must equal the batch classifier apply
     oracles["txt_classify_stream"] = oracles["txt_classify"]
+    oracles["cur_roc"] = _cur_roc_sql(oracles["txt_classify"])
     # the append-mode session stream, sentinel-flushed, must equal the full
     # batch session set — same oracle, streaming state-eviction plan
     oracles["evt_session_append"] = oracles["evt_session_native"]

@@ -68,6 +68,7 @@ __all__ = [
     "classifier_train_df",
     "classifier_train_early_stop_df",
     "keep_top_fraction_df",
+    "roc_points_df",
     "training_order_df",
     "pack_sequences_df",
     "pack_sequence_tokens_df",
@@ -751,6 +752,101 @@ def _logit_prob_df(agg: DataFrame, bias_micro: int) -> DataFrame:
         "ROUND(CAST(1 AS DOUBLE) /"
         " (CAST(1 AS DOUBLE) + EXP(CAST(0 AS DOUBLE) - logit_micro / CAST(1000000 AS DOUBLE))), 6)"
         " AS prob",
+    )
+
+
+def roc_points_df(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "logit_micro",
+    n_buckets: int = 64,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Bucketed ROC/precision curve over an INTEGER score column — how a
+    pipeline picks the classifier filter threshold ("keep documents the
+    quality model scores above X") with measured tradeoffs instead of a
+    guess.  One row per non-empty score bucket, descending-threshold
+    cumulative counts: ``(bucket, threshold_micro, n_rows, n_pos, tp,
+    fp, tpr_micro, fpr_micro, prec_micro)`` where ``tp``/``fp`` count
+    rows with ``score >= threshold_micro`` and the rates are integer
+    micro-ratios (``x * 10^6 DIV total`` — exact, order-proof,
+    cross-engine).
+
+    Scale shape: an EXACT ROC needs a global sort by score (every
+    distinct score is a threshold) — a non-starter at 100 TB.  Bucketing
+    the integer score space first makes the curve a MODEL-SIZE object:
+    one map-side-combined ``groupBy(bucket)`` over the corpus (≤
+    ``n_buckets`` output rows), then the cumulative window runs over
+    those ≤ ``n_buckets`` rows on one partition — sorting a model, not a
+    corpus (the ``bpe_vocab_df`` precedent).  ``lo``/``hi`` bound the
+    score space; omitted, ONE 1-row min/max aggregate is collected
+    (bounded driver action, the ``filter_by_quantile_df`` precedent).
+    Scores outside [lo, hi] clamp into the edge buckets.
+
+    ``label_col`` must be 0/1 (ints or booleans).  NULL scores/labels
+    are excluded.  All-positive or all-negative inputs yield NULL
+    fpr/tpr respectively (division guarded on BOTH engines — DuckDB
+    errors on integer division by zero where Spark returns NULL)."""
+    from pyspark.sql.window import Window
+
+    n = int(n_buckets)
+    if n < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    d = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    if lo is None or hi is None:
+        r = d.agg(F.min("__s").alias("lo"), F.max("__s").alias("hi")).first()
+        if r["lo"] is None:
+            raise ValueError("roc_points_df: no scorable rows")
+        lo = int(r["lo"]) if lo is None else int(lo)
+        hi = int(r["hi"]) if hi is None else int(hi)
+    lo, hi = int(lo), int(hi)
+    if hi < lo:
+        raise ValueError(f"hi must be >= lo, got [{lo}, {hi}]")
+    width = hi - lo + 1
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("__s")))
+    per = (
+        d.select(
+            F.floor(((clamped - F.lit(lo)) * F.lit(n)) / F.lit(width))
+            .cast("int")
+            .alias("bucket"),
+            "__y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn("tp", F.sum("n_pos").over(w_cum))
+        .withColumn("fp", (F.sum("n_rows").over(w_cum) - F.col("tp")))
+        .withColumn("__P", F.sum("n_pos").over(w_all))
+        .withColumn("__N", F.sum(F.col("n_rows") - F.col("n_pos")).over(w_all))
+        .selectExpr(
+            "bucket",
+            f"CAST({lo} AS BIGINT) + (CAST(bucket AS BIGINT) * {width}) DIV {n}"
+            " AS threshold_micro",
+            "n_rows",
+            "n_pos",
+            "tp",
+            "fp",
+            "CASE WHEN __P > 0 THEN (tp * 1000000) DIV __P END AS tpr_micro",
+            "CASE WHEN __N > 0 THEN (fp * 1000000) DIV __N END AS fpr_micro",
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000) DIV (tp + fp) END"
+            " AS prec_micro",
+        )
     )
 
 

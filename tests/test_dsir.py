@@ -748,3 +748,92 @@ def test_exploded_path_is_value_identical(spark):
         dsir_exploded_features_df(frame, num_buckets=0)
     with pytest.raises(ValueError, match="k must be"):
         dsir_sample_from_exploded_df(ex, k=0, num_buckets=B)
+
+
+# ---------------------------------------------------------------------------
+# roc_points_df
+# ---------------------------------------------------------------------------
+
+
+def _roc_reference(rows, n, lo=None, hi=None):
+    """Independent python re-derivation of the bucketed ROC."""
+    pts = [(int(s), int(y)) for s, y in rows if s is not None and y is not None]
+    lo = min(s for s, _ in pts) if lo is None else lo
+    hi = max(s for s, _ in pts) if hi is None else hi
+    width = hi - lo + 1
+    per = {}
+    for s, y in pts:
+        b = int(((max(lo, min(hi, s)) - lo) * n) / width)
+        r = per.setdefault(b, [0, 0])
+        r[0] += 1
+        r[1] += y
+    P = sum(v[1] for v in per.values())
+    N = sum(v[0] - v[1] for v in per.values())
+    out, tp, fp = {}, 0, 0
+    for b in sorted(per, reverse=True):
+        n_rows, n_pos = per[b]
+        tp += n_pos
+        fp += n_rows - n_pos
+        out[b] = (
+            lo + (b * width) // n,
+            n_rows,
+            n_pos,
+            tp,
+            fp,
+            (tp * 1_000_000) // P if P else None,
+            (fp * 1_000_000) // N if N else None,
+            (tp * 1_000_000) // (tp + fp) if tp + fp else None,
+        )
+    return out
+
+
+def test_roc_points_differential_vs_python(spark):
+    """roc_points_df == the python re-derivation on random integer
+    scores, including negative scores, clamping under explicit bounds,
+    and NULL score/label exclusion."""
+    import random
+
+    from imops_spark.functions.curate import roc_points_df
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randint(-5_000_000, 5_000_000), rng.randint(0, 1))
+        for i in range(500)
+    ]
+    rows += [(1000, None, 1), (1001, 7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, logit_micro long, label int")
+
+    for kwargs in ({"n_buckets": 16}, {"n_buckets": 8, "lo": -1_000_000, "hi": 1_000_000}):
+        got = {
+            r["bucket"]: (
+                r["threshold_micro"], r["n_rows"], r["n_pos"], r["tp"],
+                r["fp"], r["tpr_micro"], r["fpr_micro"], r["prec_micro"],
+            )
+            for r in roc_points_df(df, "label", "logit_micro", **kwargs).collect()
+        }
+        want = _roc_reference(
+            [(s, y) for _, s, y in rows],
+            kwargs["n_buckets"],
+            kwargs.get("lo"),
+            kwargs.get("hi"),
+        )
+        assert got == want, kwargs
+
+
+def test_roc_points_degenerate_and_guards(spark):
+    from imops_spark.functions.curate import roc_points_df
+
+    import pytest
+
+    allpos = spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(20)], "doc_id long, s long, label int"
+    )
+    rows = roc_points_df(allpos, "label", "s", n_buckets=4).collect()
+    assert all(r["fpr_micro"] is None for r in rows)  # N == 0: guarded NULL
+    assert all(r["tpr_micro"] is not None for r in rows)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        roc_points_df(allpos, "label", "s", n_buckets=1)
+    empty = spark.createDataFrame([], "doc_id long, s long, label int")
+    with pytest.raises(ValueError, match="no scorable"):
+        roc_points_df(empty, "label", "s")
