@@ -1684,6 +1684,21 @@ def _ensure_jsonl(spark, sf_dir) -> str:
     return path
 
 
+def _jsonl_fingerprint_select(df):
+    """The per-row fingerprint projection BOTH source gates apply — one
+    owner, because they share one oracle: a drifted copy in either gate
+    would silently diverge from the other."""
+    return df.select(
+        "doc_id",
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
+            "text_md5"
+        ),
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        "n_chars",
+    )
+
+
 def q_src_jsonl(spark, sf_dir):
     """JSONL source/sink roundtrip gate (sources.jsonl.write_jsonl /
     read_jsonl): the documents table is exported to line-delimited JSON
@@ -1697,21 +1712,8 @@ def q_src_jsonl(spark, sf_dir):
     from imops_spark.sources.jsonl import read_jsonl
 
     path = _ensure_jsonl(spark, sf_dir)
-    back = read_jsonl(
-        spark,
-        path,
-        "doc_id long, text string, lang string, source string, n_chars long",
-        on_corrupt="fail",
-    )
-    return back.select(
-        "doc_id",
-        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
-            "text_md5"
-        ),
-        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
-        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
-        "n_chars",
-    )
+    back = read_jsonl(spark, path, JSONL_DOCS_DDL, on_corrupt="fail")
+    return _jsonl_fingerprint_select(back)
 
 
 def q_src_jsonl_stream(spark, sf_dir):
@@ -1726,15 +1728,7 @@ def q_src_jsonl_stream(spark, sf_dir):
 
     path = _ensure_jsonl(spark, sf_dir)
     stream = stream_jsonl(spark, path, JSONL_DOCS_DDL, max_files_per_trigger=2)
-    out = stream.select(
-        "doc_id",
-        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("<null>")), "utf-8")).alias(
-            "text_md5"
-        ),
-        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
-        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
-        "n_chars",
-    )
+    out = _jsonl_fingerprint_select(stream)
     return run_stream_to_memory(out, "src_jsonl_stream_gate", spark, mode="append")
 
 
@@ -1993,7 +1987,6 @@ def q_emb_text_topk(spark, sf_dir):
             F.expr("size(filter(embedding, x -> x != 0D)) > 0")
         )
         path = f"/tmp/imops_spark_idx/{table}_{os.getpid()}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
         embedding_write_index(
             emb, table, family="hashed_md5", dim=16, path=path
@@ -2534,7 +2527,7 @@ def _cur_roc_sql(classify_sql: str) -> str:
           FROM per
         )
         SELECT bucket,
-               CAST(lo + (CAST(bucket AS BIGINT) * width) // 32 AS BIGINT)
+               CAST(lo + (CAST(bucket AS BIGINT) * width + 31) // 32 AS BIGINT)
                  AS threshold_micro,
                n_rows, n_pos, tp, fp,
                CASE WHEN P > 0 THEN CAST((tp * 1000000) // P AS BIGINT) END
@@ -3204,7 +3197,6 @@ def q_txt_bm25_idx(spark, sf_dir):
     if not spark.catalog.tableExists(table):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         path = f"/tmp/imops_spark_idx/{table}_{os.getpid()}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
         bm25_write_index(docs, table, path=path)
     return bm25_index_topk(spark, table, BM25_QUERY, top_k=20)
@@ -3244,7 +3236,6 @@ def q_txt_bm25_phrase(spark, sf_dir):
     if not spark.catalog.tableExists(table):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         path = f"/tmp/imops_spark_idx/{table}_{os.getpid()}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
         bm25_write_index(docs, table, path=path, positions=True)
     return bm25_phrase_index_topk(spark, table, BM25_PHRASE, top_k=20)

@@ -184,8 +184,6 @@ def run_one_query(name: str) -> None:
     variance after the round-8 GC hygiene (HANDOFF round-8 candidate 1);
     a per-query process eliminates it by construction, at ~10 s boot per
     query."""
-    import __spark_entry__ as entry  # noqa: F401
-
     spark, entry = _boot_and_warm()
     qs = entry.queries()
     fn = qs[name]

@@ -768,10 +768,12 @@ def roc_points_df(
     quality model scores above X") with measured tradeoffs instead of a
     guess.  One row per non-empty score bucket, descending-threshold
     cumulative counts: ``(bucket, threshold_micro, n_rows, n_pos, tp,
-    fp, tpr_micro, fpr_micro, prec_micro)`` where ``tp``/``fp`` count
-    rows with ``score >= threshold_micro`` and the rates are integer
-    micro-ratios (``x * 10^6 DIV total`` — exact, order-proof,
-    cross-engine).
+    fp, tpr_micro, fpr_micro, prec_micro)`` where ``threshold_micro``
+    is the SMALLEST score the bucket contains (the ceiling of its exact
+    lower edge), ``tp``/``fp`` count rows with ``score >=
+    threshold_micro`` (exactly — deploying that filter reproduces the
+    reported rates), and the rates are integer micro-ratios
+    (``x * 10^6 DIV total`` — exact, order-proof, cross-engine).
 
     Scale shape: an EXACT ROC needs a global sort by score (every
     distinct score is a threshold) — a non-starter at 100 TB.  Bucketing
@@ -836,7 +838,14 @@ def roc_points_df(
         .withColumn("__N", F.sum(F.col("n_rows") - F.col("n_pos")).over(w_all))
         .selectExpr(
             "bucket",
-            f"CAST({lo} AS BIGINT) + (CAST(bucket AS BIGINT) * {width}) DIV {n}"
+            # CEILING of the bucket's exact lower edge: the smallest
+            # integer score bucket b can contain is lo + ceil(b*width/n)
+            # (floor((s-lo)*n/width) = b  <=>  s-lo >= ceil(b*width/n)),
+            # so 'score >= threshold_micro' selects exactly the rows
+            # tp/fp count — a floored edge would also admit the top of
+            # bucket b-1 whenever n does not divide width
+            f"CAST({lo} AS BIGINT)"
+            f" + (CAST(bucket AS BIGINT) * {width} + {n - 1}) DIV {n}"
             " AS threshold_micro",
             "n_rows",
             "n_pos",

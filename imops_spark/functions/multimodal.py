@@ -361,10 +361,11 @@ def audio_energy_segments_df(
                 x = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 if not len(x):
                     continue
-                n_frames = -(-len(x) // frame_len)
                 sq = x * x
-                energy = np.zeros(n_frames, dtype=np.int64)
-                np.add.at(energy, np.arange(len(x)) // frame_len, sq)
+                # reduceat over the frame boundaries: vectorized segment
+                # sums (np.add.at is an unbuffered per-element scatter,
+                # ~10x slower on long clips)
+                energy = np.add.reduceat(sq, np.arange(0, len(x), frame_len))
                 act = energy >= thr
                 if not act.any():
                     continue

@@ -454,8 +454,11 @@ def _winnow_selected_arrow_df(
                 out["pos"], out["fp"] = [], []
             else:
                 out["fp"] = []
-            for row in pdf.itertuples(index=False):
-                nt = row.nt
+            # zip over column Series, never itertuples: pandas renames
+            # non-identifier column names ('lang-id' -> '_1') in named
+            # tuples, and quote_carry explicitly admits such names
+            for vals in zip(pdf["nt"], *[pdf[c] for c in out_cols]):
+                nt, keys = vals[0], vals[1:]
                 n_grams = len(nt) - k + 1
                 if nt.isascii() and k < 32:
                     hs = xxh64_sliding(
@@ -484,8 +487,8 @@ def _winnow_selected_arrow_df(
                 else:
                     fps = np.unique(mins)
                     n_out = len(fps)
-                for c in out_cols:
-                    out[c].extend([getattr(row, c)] * n_out)
+                for c, v in zip(out_cols, keys):
+                    out[c].extend([v] * n_out)
                 if positional:
                     out["pos"].extend(pairs[:, 0].astype(np.int32))
                     out["fp"].extend(pairs[:, 1])
@@ -516,15 +519,20 @@ def winnow_fp_set_df(
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document, ``(doc_id, fp)``.
 
-    ``strategy='auto'`` (default) picks by INPUT KIND, not size:
+    ``strategy='auto'`` (default) picks by INPUT KIND and hash family:
 
-    - batch -> ``'window'``, the sized exploded chain
+    - batch + md5 -> ``'window'``, the sized exploded chain
       (:func:`_winnow_selected_window_df`) + a per-doc dedup the doc_id
       partitioning already satisfies (no further exchange).  3-5x faster
-      at scale AND 2-3x faster even on 150k-char corpora measured warm —
-      the size crossover was retired because the local form's interpreted
-      HOF scan is bimodal in mixed-workload JVMs (see
-      ``_WINNOW_LOCAL_MAX_CHARS``).
+      at scale than the old local form — the size crossover was retired
+      because the local form's interpreted HOF scan is bimodal in
+      mixed-workload JVMs (see ``_WINNOW_LOCAL_MAX_CHARS``).
+    - batch + xxhash64 -> ``'arrow'``, the numpy kernel
+      (:func:`_winnow_selected_arrow_df`): gram hashes computed INSIDE
+      the Arrow batch, zero shuffles, no interpreted JVM expressions —
+      5-6x the window form measured (FASTPATH.md round-8c).  Note this
+      path runs numpy/pandas in the executors' Python workers, unlike
+      the pure-JVM window chain.
     - streaming -> ``'local'``: dedup ROW-LOCALLY (``array_distinct``
       over the selected-fp array before the explode): zero shuffles, no
       stateful dedup, streaming-legal (a same-fp-several-positions doc
@@ -532,7 +540,7 @@ def winnow_fp_set_df(
       dropDuplicates/countDistinct are restricted upstream of/inside
       streaming aggregations).
 
-    Both forms are value-identical (equivalence-tested)."""
+    All forms are value-identical per hash family (equivalence-tested)."""
     _check_hash_fn(hash_fn)
     strategy, raw_chars = _winnow_pick_strategy(
         docs, strategy, "winnow_fp_set_df", hash_fn

@@ -46,25 +46,36 @@ def read_jsonl(
     each bad line's raw text (NULL on good rows); ``'drop'`` silently
     discards bad lines — use only when loss accounting happens elsewhere.
     """
-    if on_corrupt not in _MODES:
-        raise ValueError(
-            f"on_corrupt must be one of {sorted(_MODES)}, got {on_corrupt!r}"
-        )
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if on_corrupt == "keep":
-        if _CORRUPT_COL in schema.fieldNames():
-            raise ValueError(
-                f"schema already contains {_CORRUPT_COL!r}; rename the field "
-                "or use on_corrupt='fail'/'drop'"
-            )
-        schema = schema.add(_CORRUPT_COL, T.StringType())
+    schema = _resolve_schema(schema, on_corrupt)
     return (
         spark.read.schema(schema)
         .option("mode", _MODES[on_corrupt])
         .option("columnNameOfCorruptRecord", _CORRUPT_COL)
         .json(path)
     )
+
+
+def _resolve_schema(schema: T.StructType | str, on_corrupt: str) -> T.StructType:
+    """Shared mode validation + keep-mode corrupt-column extension.
+    Always returns a NEW StructType: ``StructType.add`` mutates in place
+    (it returns ``self``), and extending the CALLER's schema object would
+    make its second use raise 'already contains _corrupt_record' and
+    haunt every other read/write with a phantom always-null column."""
+    if on_corrupt not in _MODES:
+        raise ValueError(
+            f"on_corrupt must be one of {sorted(_MODES)}, got {on_corrupt!r}"
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if _CORRUPT_COL in schema.fieldNames():
+        raise ValueError(
+            f"schema already contains {_CORRUPT_COL!r}; rename the field "
+            "or use on_corrupt='fail'/'drop'"
+        )
+    fields = list(schema.fields)
+    if on_corrupt == "keep":
+        fields = fields + [T.StructField(_CORRUPT_COL, T.StringType())]
+    return T.StructType(fields)
 
 
 def stream_jsonl(
@@ -83,25 +94,19 @@ def stream_jsonl(
     Same explicit-schema and malformed-line contract as the batch
     reader; ``max_files_per_trigger`` bounds micro-batch size so one
     giant backlog drop does not become one giant batch."""
-    if on_corrupt not in _MODES:
-        raise ValueError(
-            f"on_corrupt must be one of {sorted(_MODES)}, got {on_corrupt!r}"
-        )
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if on_corrupt == "keep":
-        if _CORRUPT_COL in schema.fieldNames():
-            raise ValueError(
-                f"schema already contains {_CORRUPT_COL!r}; rename the field "
-                "or use on_corrupt='fail'/'drop'"
-            )
-        schema = schema.add(_CORRUPT_COL, T.StringType())
+    schema = _resolve_schema(schema, on_corrupt)
     r = (
         spark.readStream.schema(schema)
         .option("mode", _MODES[on_corrupt])
         .option("columnNameOfCorruptRecord", _CORRUPT_COL)
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if int(max_files_per_trigger) < 1:
+            # a silently-dropped 0 would ingest the whole backlog in one
+            # micro-batch — the exact failure this knob exists to prevent
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return r.json(path)
 
@@ -123,14 +128,7 @@ def corrupt_lines_df(
     bad), and the documented workaround (cache the parsed frame) is
     exactly what a 100 TB audit must not do.  The text scan is
     splittable and projects one column."""
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if _CORRUPT_COL in schema.fieldNames():
-        raise ValueError(
-            f"schema already contains {_CORRUPT_COL!r}; pass the data "
-            "schema without it"
-        )
-    with_corrupt = schema.add(_CORRUPT_COL, T.StringType())
+    with_corrupt = _resolve_schema(schema, "keep")
     lines = spark.read.text(path).select(F.col("value").alias("raw"))
     parsed = F.from_json(
         F.col("raw"),
@@ -151,7 +149,9 @@ def write_jsonl(
     'zstd', ...} — remember gzip parts are not splittable on re-read;
     ``files`` coalesces the output to a fixed part count (small exports),
     otherwise one part per partition."""
-    out = df.coalesce(int(files)) if files else df
+    if files is not None and int(files) < 1:
+        raise ValueError(f"files must be >= 1, got {files}")
+    out = df.coalesce(int(files)) if files is not None else df
     w = out.write.mode(mode)
     if compression:
         w = w.option("compression", compression)

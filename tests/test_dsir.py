@@ -775,7 +775,7 @@ def _roc_reference(rows, n, lo=None, hi=None):
         tp += n_pos
         fp += n_rows - n_pos
         out[b] = (
-            lo + (b * width) // n,
+            lo + (b * width + n - 1) // n,  # ceil: smallest score in bucket
             n_rows,
             n_pos,
             tp,
@@ -837,3 +837,20 @@ def test_roc_points_degenerate_and_guards(spark):
     empty = spark.createDataFrame([], "doc_id long, s long, label int")
     with pytest.raises(ValueError, match="no scorable"):
         roc_points_df(empty, "label", "s")
+
+
+def test_roc_threshold_is_deployable(spark):
+    """The contract pin: deploying the filter `score >= threshold_micro`
+    reproduces tp/fp EXACTLY.  width=10, n=4 — n does not divide width,
+    the case where a floored bucket edge would also admit the top score
+    of the bucket below."""
+    from imops_spark.functions.curate import roc_points_df
+
+    rows = [(i, s, int(s % 2 == 0)) for i, s in enumerate(range(10))]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label int")
+    pts = roc_points_df(df, "label", "s", n_buckets=4, lo=0, hi=9).collect()
+    assert len(pts) == 4
+    for r in pts:
+        t = r["threshold_micro"]
+        assert df.filter(f"s >= {t} AND label = 1").count() == r["tp"], t
+        assert df.filter(f"s >= {t} AND label = 0").count() == r["fp"], t

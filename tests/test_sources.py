@@ -859,3 +859,27 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
     )
     assert "_corrupt_record" in keep.columns
     assert sorted(r["doc_id"] for r in keep.collect() if r["doc_id"] is not None) == [1, 2, 3]
+
+
+def test_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; the readers must copy — a second
+    keep-mode read with the SAME schema object used to raise 'already
+    contains _corrupt_record' (round-8c review catch)."""
+    from pyspark.sql import types as T
+
+    from imops_spark.sources.jsonl import read_jsonl, stream_jsonl
+
+    p = str(tmp_path / "x.jsonl")
+    open(p, "w").write('{"a": 1}\n')
+    s = T.StructType([T.StructField("a", T.LongType())])
+    for _ in range(2):  # second use is the regression
+        assert read_jsonl(spark, p, s, on_corrupt="keep").count() == 1
+        stream_jsonl(spark, p, s, on_corrupt="keep")  # builds without raise
+    assert s.fieldNames() == ["a"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_files_per_trigger"):
+        stream_jsonl(spark, p, s, max_files_per_trigger=0)
+    from imops_spark.sources.jsonl import write_jsonl
+    with _pytest.raises(ValueError, match="files"):
+        write_jsonl(spark.range(1), str(tmp_path / "y"), files=0)

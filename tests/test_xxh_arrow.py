@@ -191,3 +191,21 @@ def test_winnow_arrow_carry_passthrough(spark):
     ).collect()
     assert rows and all(r["lang"] == "en" and r["w"] == 0.5 for r in rows)
     assert set(rows[0].asDict()) == {"doc_id", "lang", "w", "fp"}
+
+
+def test_winnow_arrow_non_identifier_carry(spark):
+    """Carry names that are not python identifiers (quote_carry admits
+    hyphens/dots/spaces) must ride through the Arrow kernel — pandas
+    itertuples would rename them to '_1' (the round-8c review catch);
+    the kernel zips column Series instead."""
+    from imops_spark.functions.text import winnow_fp_set_df
+
+    docs = spark.createDataFrame(
+        [(1, "en-GB", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, `lang-id` string, text string",
+    )
+    rows = winnow_fp_set_df(
+        docs, k=8, window=4, carry=("lang-id",),
+        hash_fn="xxhash64", strategy="arrow",
+    ).collect()
+    assert rows and all(r["lang-id"] == "en-GB" for r in rows)
