@@ -1680,7 +1680,12 @@ def _ensure_jsonl(spark, sf_dir) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/imops_spark_idx/jsonl_{key}_{os.getpid()}"
     if not os.path.exists(path):
-        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite")
+        # a FIXED small file count: the streaming gates ingest 2 files per
+        # micro-batch, so an unbounded one-file-per-partition export (32 at
+        # sf0.1) turns the drain into 16 micro-batches of pure scheduling
+        # overhead — 4 files = 2 batches, still crossing a batch boundary,
+        # which is what the gates exist to exercise
+        write_jsonl(_t(spark, sf_dir, "documents"), path, mode="overwrite", files=4)
     return path
 
 

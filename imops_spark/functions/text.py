@@ -814,15 +814,20 @@ def token_entropy_local_df(docs: DataFrame) -> DataFrame:
     """Zero-shuffle row-local twin of :func:`token_entropy_df` — the
     streaming form (ingestion-time quality scoring: a crawl scores each
     document's entropy as it lands, appends, no state).  Same output, the
-    same micro-nat terms, BIT-IDENTICAL values (differential-tested):
-    per-token counts come from ``size(filter(toks, x -> x = t))`` over
-    the row's own array instead of a corpus aggregation.
+    same micro-nat terms, BIT-IDENTICAL values (differential-tested).
 
-    Cost shape: O(types x tokens) per document in interpreted HOF
-    expressions — the known bimodal-JIT hazard in mixed batch JVMs (the
-    winnowing/simhash lesson), which is WHY the batch entry point uses
-    the exchange form; streams can't aggregate mid-plan, so row-local is
-    the only legal shape there."""
+    Cost shape: per-token counts come from a RUN-LENGTH fold over the
+    SORTED token array — ``array_sort`` is a native codegen'd kernel, and
+    the fold is ONE interpreted pass of O(tokens) cheap struct ops with
+    the ``LN`` term evaluated only at the O(types) run boundaries.  The
+    previous formulation counted each distinct token with its own
+    ``filter`` scan — O(types x tokens) interpreted evals, measured as
+    ~60 s for a 5k-doc sf0.1 drain (1.25M tokens x ~150 types); the RLE
+    fold runs the same corpus in ~2 s.  Still an interpreted HOF (the
+    bimodal-JIT exposure shrinks with the op count but does not vanish —
+    the winnowing/simhash lesson), which is WHY the batch entry point
+    uses the exchange form; streams can't aggregate mid-plan, so
+    row-local is the only legal shape there."""
     with_dl = (
         docs.filter(F.col("text").isNotNull())
         .select(
@@ -833,23 +838,45 @@ def token_entropy_local_df(docs: DataFrame) -> DataFrame:
         )
         .filter(F.size("toks") > 0)
     )
-    term = (
-        "CAST(ROUND((size(filter(toks, x -> x = t)) / CAST(size(toks) AS DOUBLE))"
-        " * LN(size(filter(toks, x -> x = t)) / CAST(size(toks) AS DOUBLE))"
-        " * 1000000.0D) AS BIGINT)"
+    # the SAME per-type micro-nat term expression as the batch form
+    # (int count / double n, LN, *1e6, ROUND, BIGINT) — identical doubles
+    # by construction, which is what keeps the twins bit-identical.
+    # `tk` is the LAMBDA-BOUND token array: every reference below goes
+    # through the binding, so however expensive the upstream text chain
+    # is (cur_ingest feeds this the 17-step HTML strip), it evaluates
+    # ONCE per row — expressed as plain stacked projections instead,
+    # CollapseProject inlines the chain into the fold's per-element
+    # lambda and the document re-strips PER TOKEN (the round-5 CSE-
+    # stops-at-lambda lesson; measured 33 s -> 2 s on the sf0.1 drain)
+    def term(c: str) -> str:
+        return (
+            f"CAST(ROUND(({c} / CAST(size(tk) AS DOUBLE))"
+            f" * LN({c} / CAST(size(tk) AS DOUBLE))"
+            " * 1000000.0D) AS BIGINT)"
+        )
+
+    fold = (
+        "aggregate(array_sort(tk),"
+        " named_struct('p', CAST(NULL AS STRING), 'c', 0, 's', 0L),"
+        " (a, t) -> CASE WHEN a.p IS NOT NULL AND t = a.p"
+        "   THEN named_struct('p', a.p, 'c', a.c + 1, 's', a.s)"
+        "   ELSE named_struct('p', t, 'c', 1,"
+        f"     's', a.s + CASE WHEN a.p IS NULL THEN 0L ELSE {term('a.c')} END)"
+        "   END,"
+        f" a -> a.s + {term('a.c')})"
     )
-    return with_dl.selectExpr(
+    bound = (
+        "transform(array(toks), tk -> named_struct("
+        " 'n_tokens', size(tk),"
+        " 'n_types', size(array_distinct(tk)),"
+        f" 'hm', -({fold})))[0]"
+    )
+    return with_dl.selectExpr("doc_id", f"{bound} AS s").selectExpr(
         "doc_id",
-        "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_types",
-        f"-aggregate(array_distinct(toks), 0L, (acc, t) -> acc + {term})"
-        " AS h_micro",
-    ).selectExpr(
-        "doc_id",
-        "n_tokens",
-        "n_types",
-        "h_micro",
-        "ROUND(h_micro / 1000000.0D, 6) AS h",
+        "s.n_tokens AS n_tokens",
+        "s.n_types AS n_types",
+        "s.hm AS h_micro",
+        "ROUND(s.hm / 1000000.0D, 6) AS h",
     )
 
 
