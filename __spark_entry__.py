@@ -1346,6 +1346,58 @@ def q_dd_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs_df(_minhash_sigs(spark, sf_dir), bands=4, rows_per_band=2)
 
 
+def q_dd_minhash_char(spark, sf_dir):
+    """Char-gram MinHash on the Arrow XXH64 kernel
+    (dedup.minhash_signatures_char_df), end to end: clone the corpus under
+    shifted doc_ids, band the signatures, verify candidates with exact
+    normalized-text equality.  The output is EXACTLY the text-equal pairs —
+    LSH cannot miss an identical normalized text (identical signature ->
+    identical band keys) and the verification removes every non-identical
+    candidate — which is what lets a DuckDB oracle with no xxhash64 check
+    the kernel + banding + join pipeline hash-exactly.  Documents whose
+    normalized text is shorter than k=9 chars produce no signature (the
+    documented contract); the oracle mirrors the exclusion."""
+    from imops_spark.functions.dedup import (
+        lsh_candidate_pairs_df,
+        minhash_signatures_char_df,
+        normalized_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    # persist through the shared signature cache (the _minhash_sigs
+    # economics): the LSH self-join and the two verification joins would
+    # otherwise re-run the Arrow kernel once per subtree — signatures are
+    # model-thin (17 longs/doc), the materialize-once shape every
+    # persisted index here uses
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "char16")
+    sigs = _SIG_CACHE.get(key)
+    if sigs is None:
+        sigs = minhash_signatures_char_df(corpus, num_hashes=16, k=9).persist()
+        _SIG_CACHE[key] = sigs
+    pairs = lsh_candidate_pairs_df(sigs, bands=4, rows_per_band=4)
+    nt = corpus.filter(F.col("text").isNotNull()).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    return (
+        pairs.join(
+            nt.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            nt.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("__nb")),
+            "doc_b",
+        )
+        .filter(F.col("__na") == F.col("__nb"))  # == levenshtein dist 0,
+        # without paying the O(len^2) DP per candidate — equality IS the
+        # exactness being verified; graded edit similarity is dd_editsim
+        .select("doc_a", "doc_b")
+    )
+
+
 def q_dd_jaccard(spark, sf_dir):
     from imops_spark.functions.dedup import ngram_jaccard_df
 
@@ -4334,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "dd_exact": q_dd_exact,
         "dd_minhash": q_dd_minhash,
+        "dd_minhash_char": q_dd_minhash_char,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "dd_lsh_stream": q_dd_lsh_stream,
         "dd_lsh_sjoin": q_dd_lsh_sjoin,
@@ -6129,6 +6182,24 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dd_minhash": _minhash_select(),
+        "dd_minhash_char": f"""
+            -- the char-gram LSH gate reduces to text-equal pairs by
+            -- construction (see q_dd_minhash_char): clone under shifted
+            -- ids, self-join on normalized-text equality; docs shorter
+            -- than k=9 normalized chars produce no signature either side
+            WITH n AS (
+              SELECT doc_id, {_NORM} AS nt FROM documents
+              WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, nt FROM n WHERE length(nt) >= 9
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, nt FROM n
+              WHERE length(nt) >= 9
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM c a JOIN c b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        """,
         "dd_lsh_pairs": _lsh_pairs_sql(),
         "dd_lsh_stream": _lsh_pairs_sql(),
         "dd_lsh_sjoin": _lsh_pairs_sql(),

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "mm_vad",
     "txt_html",
     "cur_ingest",
+    # round-9 additions (totals not comparable to BENCH_r08 and earlier;
+    # the fixed shared subtotals and per-query timings are)
+    "dd_minhash_char",
 ]
 
 

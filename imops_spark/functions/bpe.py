@@ -22,13 +22,14 @@ runs over that compact model:
   sequential loop (see ``_safe_batch`` — symbol-disjointness plus a
   created-pair count bound make up to ``batch_k`` merges per round
   exact, so N merges cost ~N/k jobs instead of N), applies the accepted
-  merges ROW-LOCALLY (chained greedy leftmost folds over the symbol
-  array, bound via ``F.lit`` Columns — never interpolated into SQL
-  text, so symbols containing quotes/backslashes are safe), and
-  ``localCheckpoint``s the words frame once per round — an ITERATIVE
-  DataFrame loop must cut its lineage every round or the
-  self-referential plan recompute compounds (``graph.py``'s measured
-  0.7 s -> 67 s lesson).
+  merges ROW-LOCALLY as chained NATIVE string ``replace``s over a
+  flanked double-space symbol encoding (exactly greedy-leftmost — the
+  proof is in ``_train_distributed``'s docstring; symbols bind via
+  ``F.lit`` Columns, never interpolated into SQL text, so symbols
+  containing quotes/backslashes are safe), and ``localCheckpoint``s the
+  words frame once per round — an ITERATIVE DataFrame loop must cut its
+  lineage every round or the self-referential plan recompute compounds
+  (``graph.py``'s measured 0.7 s -> 67 s lesson).
 
 Both paths are EXACTLY deterministic (ties break on the pair itself) and
 equality-tested against each other and a pure-python reference.  Merge
@@ -149,6 +150,7 @@ def bpe_train_df(
     driver_threshold: int = 2_000_000,
     batch_k: int = 16,
     stats: dict | None = None,
+    top_m: int | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``(rank, left, right, n)``
     — merge ``rank`` (0-based) fused symbols ``left + right`` which
@@ -157,8 +159,14 @@ def bpe_train_df(
     are path-identical and exactly deterministic.  ``batch_k`` caps how
     many merges the distributed path may fold per materialization round
     (the safe-prefix batching — exactness is never traded for it).
-    ``stats``, if given a dict, receives ``{"path", "rounds",
-    "checkpoints"}`` diagnostics for the run."""
+    ``top_m`` sets how many ranked candidate pairs each round collects
+    (default ``max(64, 4 * batch_k)``): a deeper collection lowers the
+    safety floor — candidates are only provably safe while strictly
+    above the last collected count — so widening it raises the ACCEPTED
+    batch size toward ``batch_k`` at the cost of a larger (still
+    driver-trivial) TakeOrderedAndProject; measured curves in
+    SCALING.md.  ``stats``, if given a dict, receives ``{"path",
+    "rounds", "checkpoints", "effective_k"}`` diagnostics for the run."""
     n_merges, min_freq = int(n_merges), int(min_freq)
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -166,6 +174,10 @@ def bpe_train_df(
         raise ValueError(f"min_freq must be >= 1, got {min_freq}")
     if int(batch_k) < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
+    if top_m is not None and int(top_m) < int(batch_k):
+        raise ValueError(
+            f"top_m must be >= batch_k, got top_m={top_m}, batch_k={batch_k}"
+        )
     spark = docs.sparkSession
     wf = word_freq_df(docs)
     # size probe without a count-then-collect double job (the graph_cc
@@ -178,7 +190,7 @@ def bpe_train_df(
             stats.update(path="driver", rounds=0, checkpoints=0)
     else:
         merges = _train_distributed(
-            spark, wf, n_merges, min_freq, int(batch_k), stats
+            spark, wf, n_merges, min_freq, int(batch_k), stats, top_m=top_m
         )
     return spark.createDataFrame(
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
@@ -248,24 +260,6 @@ def _safe_batch(
     return accepted
 
 
-def _fold_merge(col, left: str, right: str):
-    """One greedy-leftmost merge pass over a symbol array Column: acc
-    ending in ``left`` followed by ``right`` fuses; everything else
-    appends.  Symbols bind as ``F.lit`` Columns — NEVER interpolated
-    into SQL text (a learned symbol may contain quotes, backslashes, or
-    anything else the corpus does)."""
-    l, r = F.lit(left), F.lit(right)
-    merged = F.lit(left + right)
-    return F.aggregate(
-        col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
-
-
 def _train_distributed(
     spark,
     wf: DataFrame,
@@ -273,26 +267,57 @@ def _train_distributed(
     min_freq: int,
     batch_k: int = 16,
     stats: dict | None = None,
+    top_m: int | None = None,
 ) -> list:
-    """The above-driver-threshold loop: symbol arrays stay distributed;
+    """The above-driver-threshold loop: symbol state stays distributed;
     each ROUND is one pair aggregation (top-M via TakeOrderedAndProject),
     a driver-side safe-prefix selection (``_safe_batch`` — up to
     ``batch_k`` merges, provably identical to one-at-a-time), and ONE
-    chained row-local fold + ``localCheckpoint`` (lineage cut — the
-    iterative-loop contract).  N merges therefore cost ~N/k jobs and
-    checkpoints, not N of each."""
+    chained row-local merge pass + ``localCheckpoint`` (lineage cut —
+    the iterative-loop contract).  N merges therefore cost ~N/k jobs and
+    checkpoints, not N of each.
+
+    Symbol-array state rides as ONE FLANKED STRING per word — symbols
+    joined by TWO spaces with a single-space flank at each end
+    (``[ab, c]`` = ``" ab  c "``) — because on that encoding Java's
+    native non-overlapping left-to-right ``replace`` IS the
+    greedy-leftmost merge: replacing ``" l  r "`` with ``" lr "``
+    (a) can only match a WHOLE adjacent symbol pair — symbols contain no
+    spaces (whitespace-split words, and merges only concatenate), and
+    the pattern's space flanks occur exactly at symbol boundaries;
+    (b) consumes the matched pair's both flanks and emits them back, so
+    the invariant holds and the NEXT adjacent pair (sharing no flank
+    chars, e.g. ``"a a a a"`` → ``[aa, aa]``) still matches while the
+    OVERLAPPING one (``"a a a"`` → ``[aa, a]``) cannot — exactly the
+    fold's leftmost-wins rule; and (c) a symbol created by the pass is
+    never re-matched within it (the scan resumes after the replacement,
+    and ``l == l+r`` is impossible), matching the fold's
+    only-later-ranks rule.  Property- and path-equality-tested against
+    the interpreted-fold form and the driver loop.  This replaces the
+    previous chained ``F.aggregate`` array fold — an interpreted
+    higher-order expression (the measured bimodal-JIT class) that also
+    rebuilt every row's array per merge; the replace chain is
+    whole-stage-codegen'd string scanning."""
     words = wf.select(
-        F.expr("transform(sequence(1, length(word)), p -> substring(word, p, 1))").alias(
-            "syms"
-        ),
+        F.concat(
+            F.lit(" "),
+            F.expr(
+                "concat_ws('  ', transform(sequence(1, length(word)),"
+                " p -> substring(word, p, 1)))"
+            ),
+            F.lit(" "),
+        ).alias("s"),
         "freq",
     ).localCheckpoint(eager=False)
     merges: list = []
     rounds = checkpoints = 0
-    top_m = max(64, 4 * batch_k)
+    top_m = int(top_m) if top_m is not None else max(64, 4 * batch_k)
     while len(merges) < n_merges:
         top = (
-            words.filter(F.size("syms") >= 2)
+            # >= 2 symbols iff the double-space separator occurs (native
+            # contains — the size(syms) >= 2 filter without building arrays)
+            words.filter(F.contains("s", F.lit("  ")))
+            .select("freq", F.split(F.trim(F.col("s")), "  ").alias("syms"))
             .select(
                 "freq",
                 F.explode(
@@ -322,15 +347,28 @@ def _train_distributed(
         merges.extend(batch)
         if len(merges) >= n_merges:
             break  # done — don't pay a fold + checkpoint nobody reads
-        col = F.col("syms")
+        col = F.col("s")
         for left, right, _n in batch:
-            col = _fold_merge(col, left, right)
-        words = words.select(col.alias("syms"), "freq").localCheckpoint(
+            # symbols bind as literal Columns, never SQL text (a learned
+            # symbol may contain quotes or backslashes)
+            col = F.replace(
+                col,
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            )
+        words = words.select(col.alias("s"), "freq").localCheckpoint(
             eager=False
         )
         checkpoints += 1
     if stats is not None:
-        stats.update(path="distributed", rounds=rounds, checkpoints=checkpoints)
+        stats.update(
+            path="distributed",
+            rounds=rounds,
+            checkpoints=checkpoints,
+            # the achieved batching: merges per pair-count job — the
+            # number SCALING.md's vocab-scale probe tracks vs batch_k
+            effective_k=round(len(merges) / max(rounds, 1), 2),
+        )
     return merges
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "shingles_df",
     "shingle_array_df",
     "minhash_signatures_df",
+    "minhash_signatures_char_df",
     "band_entries_df",
     "lsh_candidate_pairs_df",
     "ngram_jaccard_df",
@@ -226,6 +227,187 @@ def minhash_signatures_df(
             f" v -> substring(v, {off}, 15))), 16, 10) AS BIGINT) AS mh{i}"
         )
     return digs.selectExpr("doc_id", *carry, *cols)
+
+
+def minhash_signatures_char_df(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 9,
+    carry: tuple = (),
+    strategy: str = "auto",
+) -> DataFrame:
+    """Char-gram MinHash signatures ``(doc_id, mh0..mh{H-1})`` — the
+    production fast path of the MinHash family, hashed INSIDE an Arrow
+    kernel.
+
+    Same downstream contract as :func:`minhash_signatures_df` (band with
+    :func:`band_entries_df`, pair with :func:`lsh_candidate_pairs_df`);
+    the shingle unit is a FIXED-WIDTH ``k``-char gram of the normalized
+    text instead of a word k-shingle.  Fixed width is what makes the
+    hashing vectorizable: all ``len - k + 1`` gram hashes come from ONE
+    strided ``xxh64_sliding`` pass (the winnowing kernel's recipe), and
+    each family member ``i`` then costs only the 8-op
+    :func:`~imops_spark.functions.xxh.xxh64_chain_int` mix — hash family
+    member ``i`` is bit-identical to Spark's ``xxhash64(gram, i)``
+    (test-pinned), so the kernel and the JVM expression form are the SAME
+    hash family, not merely equivalent ones.
+
+    Why this exists: the word-shingle ``hash_fn='xxhash64'`` form is
+    ``array_min(transform(...))`` — an interpreted JVM higher-order
+    expression, the class measured BIMODAL in long-lived mixed JVMs
+    (15→88 s pass-to-pass on the winnowing HOF), and the md5 form
+    (the cross-engine oracle hash) pays ~``num_hashes/2`` digests per
+    distinct shingle — the profiled cost driver of ``dd_minhash``'s 0.86
+    deep-probe slope (FASTPATH.md).  Here every per-gram hash is one
+    shared numpy pass + ``num_hashes`` cheap chain mixes, zero
+    interpreted JVM expressions, zero shuffles, streaming-legal
+    (stateless ``mapInPandas``).
+
+    MIN is set-invariant, so no gram dedup is needed (duplicated grams
+    cannot change a minimum) — the kernel mins over ALL sliding windows.
+    Documents whose normalized text is shorter than ``k`` chars produce
+    no signature row (same contract as the winnowing family); NULL text
+    likewise.
+
+    ``strategy``: ``'arrow'`` (the kernel), ``'jvm'`` (the equivalent
+    interpreted-HOF projection — kept as the bit-equality pinning twin
+    and for engines without Python workers), ``'auto'`` = arrow always
+    (batch AND streams — there is no aggregation to make it
+    batch-only).  Signature VALUES differ from the md5 word path; every
+    consumer depends only on hash equality, so LSH banding and near-dup
+    verdicts are hash-family-invariant on duplicate-vs-distinct corpora
+    (path-equivalence tested).  Not DuckDB-reproducible (xxhash64), so
+    the gates stay on the md5 word path.
+    """
+    num_hashes, k = int(num_hashes), int(k)
+    if num_hashes < 1 or k < 1:
+        raise ValueError(
+            f"num_hashes and k must be >= 1, got {num_hashes}, {k}"
+        )
+    if strategy not in ("auto", "arrow", "jvm"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'jvm', got {strategy!r}"
+        )
+    if strategy == "auto":
+        strategy = "arrow"
+    carry = quote_carry(
+        carry,
+        _SHINGLE_RESERVED | {"nt"} | {f"mh{i}" for i in range(num_hashes)},
+    )
+    d = _widen(docs.where(F.col("text").isNotNull())).select(
+        "doc_id", *carry, normalized_text().alias("nt")
+    ).filter(F.length("nt") >= k)
+
+    if strategy == "jvm":
+        cols = [
+            f"array_min(transform(sequence(1, length(nt) - {k - 1}),"
+            f" p -> xxhash64(substring(nt, p, {k}), {i}))) AS mh{i}"
+            for i in range(num_hashes)
+        ]
+        return d.selectExpr("doc_id", *carry, *cols)
+
+    import numpy as np
+    import pandas as pd
+
+    from .xxh import xxh64_bytes, xxh64_chain_int, xxh64_sliding
+
+    carry_names = [c.strip("`") for c in carry]
+    out_cols = ["doc_id", *carry_names]
+    fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+    schema = ", ".join(
+        [f"`{c}` {fields[c]}" for c in out_cols]
+        + [f"mh{i} long" for i in range(num_hashes)]
+    )
+
+    # ~4M windows per numpy pass: bounds every temporary to ~32 MB while
+    # amortizing numpy call overhead across thousands of documents — the
+    # per-document formulation measured 8 s at 10k docs because 16 chains
+    # x ~10 vector ops PER DOC is call-overhead-bound, not compute-bound
+    chunk_windows = 4_000_000
+
+    def _sigs_chunk(bs: list, out_rows: list) -> None:
+        """One concatenated numpy pass over ASCII docs ``bs`` (list of
+        bytes): a single sliding XXH64 over the joined buffer (windows
+        crossing document boundaries are computed and DISCARDED — k-1
+        wasted rows per doc), then per hash-family member one chain mix +
+        one segmented ``minimum.reduceat``."""
+        n_docs = len(bs)
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n_docs)
+        buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        base = xxh64_sliding(buf, k)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        n_win = lens - k + 1
+        if k == 1:
+            offs = starts  # no cross-boundary windows: segments touch
+            take = slice(None)
+        else:
+            # interleave (start, end) so reduceat's odd segments are the
+            # discarded boundary windows; the final end (== len(base)) is
+            # omitted — the last segment runs to the end on its own
+            offs = np.empty(2 * n_docs - 1, dtype=np.int64)
+            offs[0::2] = starts
+            offs[1::2] = (starts + n_win)[:-1]
+            take = slice(None, None, 2)
+        sigs = np.empty((num_hashes, n_docs), dtype=np.int64)
+        for i in range(num_hashes):
+            sigs[i] = np.minimum.reduceat(xxh64_chain_int(base, i), offs)[take]
+        out_rows.append(sigs)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batches type columns wrong — skip
+            nts = pdf["nt"]
+            ascii_ok = (
+                np.fromiter(
+                    (s.isascii() for s in nts), dtype=bool, count=len(nts)
+                )
+                if k < 32
+                else np.zeros(len(nts), dtype=bool)
+            )
+            sig_parts: list = []
+            if ascii_ok.any():
+                bs_all = [nts.iloc[int(j)].encode() for j in np.nonzero(ascii_ok)[0]]
+                lo = 0
+                while lo < len(bs_all):
+                    hi, tot = lo, 0
+                    while hi < len(bs_all) and tot < chunk_windows:
+                        tot += len(bs_all[hi])
+                        hi += 1
+                    _sigs_chunk(bs_all[lo:hi], sig_parts)
+                    lo = hi
+            sigs_ascii = (
+                np.concatenate(sig_parts, axis=1)
+                if sig_parts
+                else np.empty((num_hashes, 0), dtype=np.int64)
+            )
+            # multi-byte grams have varying UTF-8 widths (and k >= 32
+            # leaves the small-input path): scalar XXH64 per gram, same
+            # bits, rare
+            slow_sigs: dict[int, list] = {}
+            for j in np.nonzero(~ascii_ok)[0]:
+                nt = nts.iloc[int(j)]
+                n_grams = len(nt) - k + 1
+                base = np.fromiter(
+                    (xxh64_bytes(nt[p : p + k].encode()) for p in range(n_grams)),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                slow_sigs[int(j)] = [
+                    int(xxh64_chain_int(base, i).min()) for i in range(num_hashes)
+                ]
+            res = pd.DataFrame({c: pdf[c].values for c in out_cols})
+            fast_pos = np.nonzero(ascii_ok)[0]
+            for i in range(num_hashes):
+                col = np.empty(len(pdf), dtype=np.int64)
+                col[fast_pos] = sigs_ascii[i]
+                for j, sv in slow_sigs.items():
+                    col[j] = sv[i]
+                res[f"mh{i}"] = col
+            yield res
+
+    return d.mapInPandas(run, schema=schema)
 
 
 def band_entries_df(
@@ -1066,7 +1248,21 @@ def duplicate_spans_df(
     The island window then shuffles only the matched positions (a
     filtered subset) by doc_id.  ``min_docs > 2`` uses a two-phase
     ``countDistinct(doc_id)`` + semi-join under either strategy (window
-    functions cannot COUNT DISTINCT).  Hash collisions (60- or 64-bit)
+    functions cannot COUNT DISTINCT) — and needs NO heavy-hitter probe,
+    because there is no skew-fragile alternative to dispatch away from:
+    the probe exists solely to choose between the window (which funnels
+    every row of a hot gram into one sort partition) and the agg, and
+    the countDistinct path is already agg-shaped at every stage.
+    Concretely, under a pathologically hot gram: the distinct pre-pass
+    exchanges on ``(h, doc_id)``, so the hot gram's rows SPREAD across
+    reducers by doc_id; the count stage receives one deduped row per
+    (h, doc_id) with a map-side partial count collapsing them to one row
+    per input partition before the ``h`` exchange; and the semi-join
+    back is a shuffle-hash probe whose stream side never buffers — the
+    hot gram's task is a linear scan against a build side bounded by
+    DISTINCT qualifying hashes, the same streamed shape the
+    ``min_docs == 2`` probe deliberately PICKS when it detects skew
+    (skew-fixture-tested at min_docs=3).  Hash collisions (60- or 64-bit)
     can merge unrelated grams — at corpus scale that admits a rare
     false-positive gram into a span, the standard trade of every
     hashed-substring formulation.

@@ -810,24 +810,44 @@ def token_entropy_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_entropy_local_df(docs: DataFrame) -> DataFrame:
+def token_entropy_local_df(docs: DataFrame, strategy: str = "auto") -> DataFrame:
     """Zero-shuffle row-local twin of :func:`token_entropy_df` — the
     streaming form (ingestion-time quality scoring: a crawl scores each
     document's entropy as it lands, appends, no state).  Same output, the
     same micro-nat terms, BIT-IDENTICAL values (differential-tested).
 
-    Cost shape: per-token counts come from a RUN-LENGTH fold over the
+    ``strategy``: ``'arrow'`` (auto's pick, batch and stream) computes
+    the counts + micro-nat terms inside a ``mapInPandas`` kernel — zero
+    interpreted JVM expressions, which removes the bimodal-JIT exposure
+    of the HOF form from the 100 TB ingestion path entirely (the
+    winnowing lesson: an interpreted hash-array ``transform`` measured
+    15→88 s pass-to-pass in a long-lived mixed JVM).  The kernel
+    reproduces Spark's arithmetic exactly: IEEE division and the
+    left-associated ``(p * LN(p)) * 1e6`` product are bit-equal by the
+    IEEE rules, and ``ROUND``'s HALF_UP-on-shortest-decimal-repr
+    semantics are emulated with a vectorized fast path plus a
+    ``decimal``-exact fixup inside the half-ulp boundary band.
+    ``'hof'`` is the pure-JVM-expression form below — kept as the
+    no-Python-workers fallback and the differential pinning twin.
+
+    HOF cost shape: per-token counts come from a RUN-LENGTH fold over the
     SORTED token array — ``array_sort`` is a native codegen'd kernel, and
     the fold is ONE interpreted pass of O(tokens) cheap struct ops with
     the ``LN`` term evaluated only at the O(types) run boundaries.  The
     previous formulation counted each distinct token with its own
     ``filter`` scan — O(types x tokens) interpreted evals, measured as
     ~60 s for a 5k-doc sf0.1 drain (1.25M tokens x ~150 types); the RLE
-    fold runs the same corpus in ~2 s.  Still an interpreted HOF (the
-    bimodal-JIT exposure shrinks with the op count but does not vanish —
-    the winnowing/simhash lesson), which is WHY the batch entry point
-    uses the exchange form; streams can't aggregate mid-plan, so
-    row-local is the only legal shape there."""
+    fold runs the same corpus in ~2 s.  Still an interpreted HOF, which
+    is WHY auto dispatches to the Arrow kernel; streams can't aggregate
+    mid-plan, so the batch exchange form is never legal here."""
+    if strategy not in ("auto", "arrow", "hof"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'hof', got {strategy!r}"
+        )
+    if strategy == "auto":
+        strategy = "arrow"
+    if strategy == "arrow":
+        return _token_entropy_arrow_df(docs)
     with_dl = (
         docs.filter(F.col("text").isNotNull())
         .select(
@@ -878,6 +898,96 @@ def token_entropy_local_df(docs: DataFrame) -> DataFrame:
         "s.hm AS h_micro",
         "ROUND(s.hm / 1000000.0D, 6) AS h",
     )
+
+
+def _round_half_up_micro(x: "np.ndarray") -> "np.ndarray":
+    """Spark's ``ROUND(double)`` (HALF_UP over the double's SHORTEST
+    decimal representation — ``BigDecimal.valueOf``/``Double.toString``
+    semantics), vectorized: ``floor(x + 0.5)`` / ``ceil(x - 0.5)`` is
+    exact except within a half-ulp of a ``.5`` boundary, where the
+    ``x + 0.5`` addition itself can cross an integer; those rare
+    elements are recomputed with ``decimal`` over ``repr(x)`` (Python's
+    ``repr`` is the same shortest-round-trip decimal)."""
+    fast = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    near = np.abs((np.abs(x) % 1.0) - 0.5) < 1e-9
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for j in np.nonzero(near)[0]:
+            fast[j] = int(
+                Decimal(repr(float(x[j]))).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    return fast.astype(np.int64)
+
+
+def _round_half_up_6(v: float) -> float:
+    """Spark's ``ROUND(double, 6)`` for one value — exact, via the same
+    shortest-repr HALF_UP semantics (O(docs) calls, never O(tokens))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _token_entropy_arrow_df(docs: DataFrame) -> DataFrame:
+    """The Arrow kernel behind ``token_entropy_local_df(strategy='arrow')``:
+    tokenization of the ALREADY-NORMALIZED text (Spark computes
+    ``normalized_text`` in the plan; the kernel only splits on the single
+    space the normalization guarantees), per-type counts, and the exact
+    micro-nat term ``ROUND((c/n) * LN(c/n) * 1e6)`` per type — bit-equal
+    to both JVM forms (differential-tested): the division and the
+    left-associated products are IEEE-identical by construction, and the
+    rounding emulates Spark's HALF_UP exactly.  Zero shuffles, zero
+    interpreted JVM expressions, stateless ``mapInPandas`` —
+    streaming-legal, nothing left to deoptimize in a long-lived JVM."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from .dedup import normalized_text
+
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    id_type = dict(d.dtypes)["doc_id"]
+    schema = (
+        f"doc_id {id_type}, n_tokens int, n_types int, h_micro long, h double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, n_tok, n_typ, hms, hs = [], [], [], [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                cnt = Counter(t for t in nt.split(" ") if t)
+                n = sum(cnt.values())
+                if n == 0:
+                    continue
+                cs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+                p = cs / np.float64(n)
+                hm = -int(_round_half_up_micro((p * np.log(p)) * 1e6).sum())
+                ids.append(doc_id)
+                n_tok.append(n)
+                n_typ.append(len(cnt))
+                hms.append(hm)
+                hs.append(_round_half_up_6(hm / 1e6))
+            if not ids:
+                continue  # empty Arrow batches type columns wrong — skip
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": pd.Series(n_tok, dtype="int32"),
+                    "n_types": pd.Series(n_typ, dtype="int32"),
+                    "h_micro": pd.Series(hms, dtype="int64"),
+                    "h": pd.Series(hs, dtype="float64"),
+                }
+            )
+
+    return d.mapInPandas(run, schema=schema)
 
 
 _BM25_PROP_PREFIX = "imops.bm25."

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["xxh64_bytes", "xxh64_sliding", "SPARK_XXH64_SEED"]
+__all__ = [
+    "xxh64_bytes",
+    "xxh64_sliding",
+    "xxh64_chain_int",
+    "SPARK_XXH64_SEED",
+]
 
 SPARK_XXH64_SEED = 42
 
@@ -139,3 +144,33 @@ def xxh64_sliding(
         h *= _uP3
         h ^= h >> np.uint64(32)
     return h.view(np.int64)
+
+
+def xxh64_chain_int(h: np.ndarray, value: int) -> np.ndarray:
+    """The second step of Spark's multi-argument ``xxhash64(s, i)`` with an
+    INT literal ``i``, vectorized over the first step's hashes: each input
+    element (the int64 hash of ``s``) becomes the SEED, and ``value`` is
+    hashed through the 4-byte XXH64 tail (Collet's spec: the <8-byte lane,
+    then the avalanche).  ``xxhash64(s, i) == xxh64_chain_int(xxh64(s), i)``
+    bit-for-bit — test-pinned against ``F.expr("xxhash64(s, i)")``.
+
+    This is what makes a MULTI-HASH family nearly free on top of one
+    sliding-hash pass: the expensive byte-gathering of ``xxh64_sliding``
+    runs once, and each family member ``i`` costs only this 8-op chain.
+    Input may be the int64 view or uint64; output is int64 (Spark BIGINT).
+    """
+    with np.errstate(over="ignore"):
+        s = (
+            h.view(np.uint64)
+            if h.dtype == np.int64
+            else h.astype(np.uint64, copy=False)
+        )
+        out = s + _uP5 + np.uint64(4)
+        out = out ^ np.uint64((int(value) & 0xFFFFFFFF) * _P1 & _M)
+        out = _rotl_v(out, 23) * _uP2 + _uP3
+        out ^= out >> np.uint64(33)
+        out *= _uP2
+        out ^= out >> np.uint64(29)
+        out *= _uP3
+        out ^= out >> np.uint64(32)
+    return out.view(np.int64)

@@ -456,3 +456,45 @@ def test_bpe_model_persistence_roundtrip(spark, tmp_path):
     # missing sidecar
     with pytest.raises(ValueError, match="sidecar"):
         bpe_register_model(spark, "bpe_model_none", str(tmp_path / "nowhere"))
+
+
+def test_replace_encoding_equals_python_fold(spark):
+    """The flanked double-space string ``replace`` (the distributed merge
+    pass since round 9) implements greedy-leftmost EXACTLY: chained
+    replaces == chained ``_merge_word`` over adversarial overlap fixtures
+    (runs of a single symbol, self-pairs, merged-symbol pairs) and random
+    two-letter words."""
+    import random
+
+    from imops_spark.functions.bpe import _merge_word
+
+    rng = random.Random(13)
+    words = {"a", "aa", "aaa", "aaaa", "aaaaa", "ab", "abab", "aabb",
+             "baaab", "bbaabb", "ababa"}
+    words |= {
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    }
+    chain = [("a", "a"), ("a", "b"), ("aa", "a"), ("aa", "ab"), ("b", "aaa")]
+    df = spark.createDataFrame([(w,) for w in sorted(words)], "word string")
+    col = F.concat(
+        F.lit(" "),
+        F.expr(
+            "concat_ws('  ', transform(sequence(1, length(word)),"
+            " p -> substring(word, p, 1)))"
+        ),
+        F.lit(" "),
+    )
+    for l, r in chain:
+        col = F.replace(col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    got = {
+        row["word"]: tuple(row["syms"])
+        for row in df.select(
+            "word", F.split(F.trim(col), "  ").alias("syms")
+        ).collect()
+    }
+    for w in sorted(words):
+        syms = tuple(w)
+        for l, r in chain:
+            syms = _merge_word(syms, l, r)
+        assert got[w] == syms, w

@@ -132,6 +132,7 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         bm25_phrase_topk_df,
         bm25_topk_df,
         token_entropy_df,
+        token_entropy_local_df,
         bpe_token_count_df,
         chunk_documents_df,
         hashed_embedding_df,
@@ -176,6 +177,16 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
         if want("dd_minhash"):
             record(
                 "dd_minhash", timed(lambda: minhash_signatures_df(docs, num_hashes=8))
+            )
+        if want("dd_minhash_char"):
+            from imops_spark.functions.dedup import minhash_signatures_char_df
+
+            # the Arrow char-gram kernel: one sliding XXH64 pass + 8 chain
+            # mixes per doc, zero shuffles — the fast-path twin of the row
+            # above (FASTPATH.md round 9)
+            record(
+                "dd_minhash_char",
+                timed(lambda: minhash_signatures_char_df(docs, num_hashes=8)),
             )
         sigs = None
         if want("dd_lsh_pairs"):
@@ -285,6 +296,9 @@ def probe_one_size(n: int, only: set[str] | None = None) -> dict[str, float]:
             "txt_bm25": lambda: bm25_topk_df(docs, "w11 w42 w123 w999"),
             # one doc_id exchange feeds explode + both aggs
             "txt_entropy": lambda: token_entropy_df(docs),
+            # the zero-shuffle ingest-path twin on the Arrow kernel (auto):
+            # must scale at scan cost with no JIT bimodality
+            "txt_entropy_local": lambda: token_entropy_local_df(docs),
             # FIXED eval side vs growing train: the broadcast-probe report
             # must scale like the train scan alone
             "cur_contam_frac": lambda: contamination_report_df(
