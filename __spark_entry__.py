@@ -1756,6 +1756,53 @@ def _jsonl_fingerprint_select(df):
     )
 
 
+def _ensure_warc(spark, sf_dir) -> str:
+    """Export the documents table as WARC response records once per
+    (sf_dir, pid) — the _ensure_jsonl recipe for the crawl-native
+    container."""
+    import hashlib
+    import os
+
+    from imops_spark.sources.warc import write_warc
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/warc_{key}_{os.getpid()}"
+    if not os.path.exists(path):
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                F.concat(
+                    F.lit("http://example.org/doc/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("target_uri"),
+                F.col("text").alias("payload"),
+            )
+        )
+        write_warc(docs, path, mode="overwrite", files=4)
+    return path
+
+
+def q_src_warc(spark, sf_dir):
+    """WARC source/sink roundtrip gate (sources.warc.write_warc /
+    read_warc): the documents table is exported as spec-shaped WARC
+    response records (Content-Length octet framing, deterministic
+    urn:uuid record ids) and parsed back through the per-file
+    binaryFile + Arrow parser; the oracle re-derives uri, text,
+    octet count, and the record-id construction from the parquet
+    directly — they hash-match iff the container roundtrip is lossless
+    and the framing is byte-exact."""
+    from imops_spark.sources.warc import read_warc
+
+    path = _ensure_warc(spark, sf_dir)
+    return read_warc(spark, path).select(
+        "target_uri",
+        F.decode("payload", "UTF-8").alias("text"),
+        "content_length",
+        "record_id",
+    )
+
+
 def q_src_jsonl(spark, sf_dir):
     """JSONL source/sink roundtrip gate (sources.jsonl.write_jsonl /
     read_jsonl): the documents table is exported to line-delimited JSON
@@ -4346,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_vad": q_mm_vad,
         "mm_tiles": q_mm_tiles,
         "src_jsonl": q_src_jsonl,
+        "src_warc": q_src_warc,
         "src_jsonl_stream": q_src_jsonl_stream,
         "cur_ingest": q_cur_ingest,
         "mm_image_raw": q_mm_image_raw,
@@ -6108,6 +6156,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COALESCE(source, '<null>') AS source,
                    n_chars
             FROM documents
+        """,
+        "src_warc": """
+            -- re-derive the WARC export from the parquet: uri, payload,
+            -- octet-exact Content-Length (strlen = BYTES in DuckDB), and
+            -- the writer's deterministic urn:uuid record id
+            SELECT target_uri, text,
+                   strlen(text) AS content_length,
+                   '<urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+                     || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4)
+                     || '-' || substr(h, 21, 12) || '>' AS record_id
+            FROM (
+              SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                     text,
+                     md5('http://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                         || '|' || text) AS h
+              FROM documents WHERE text IS NOT NULL
+            )
         """,
         "mm_vad": """
             WITH d AS (

@@ -883,3 +883,109 @@ def test_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     from imops_spark.sources.jsonl import write_jsonl
     with _pytest.raises(ValueError, match="files"):
         write_jsonl(spark.range(1), str(tmp_path / "y"), files=0)
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    """write_warc -> read_warc is lossless for UTF-8 text payloads: uri,
+    payload bytes, octet-exact Content-Length, deterministic record ids
+    (re-export byte-identical), multi-byte framing correct."""
+    from imops_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        (1, "http://ex.org/a", "hello world"),
+        (2, "http://ex.org/b", "naïve café 東京 — multi-byte framing"),
+        (3, "http://ex.org/c", "two\nlines and a \r carriage"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, target_uri string, payload string"
+    )
+    p = str(tmp_path / "w")
+    write_warc(docs, p, files=2)
+    back = read_warc(spark, p)
+    got = {
+        r["target_uri"]: (
+            bytes(r["payload"]).decode(),
+            r["content_length"],
+            r["record_id"],
+            r["record_type"],
+        )
+        for r in back.collect()
+    }
+    assert set(got) == {u for _, u, _t in rows}
+    for _, u, t in rows:
+        text, cl, rid, rt = got[u]
+        assert text == t
+        assert cl == len(t.encode())
+        assert rid.startswith("<urn:uuid:") and rid.endswith(">")
+        assert rt == "response"
+    # deterministic re-export
+    p2 = str(tmp_path / "w2")
+    write_warc(docs, p2, files=2)
+    back2 = read_warc(spark, p2)
+    assert sorted(map(tuple, back.drop("warc_file").collect())) == sorted(
+        map(tuple, back2.drop("warc_file").collect())
+    )
+
+
+def test_warc_record_type_filter(spark, tmp_path):
+    """record_types filters case-insensitively inside the parser; None
+    keeps everything."""
+    from imops_spark.sources.warc import read_warc, write_warc
+
+    docs = spark.createDataFrame(
+        [("http://ex.org/a", "x")], "target_uri string, payload string"
+    )
+    p1, p2 = str(tmp_path / "resp"), str(tmp_path / "meta")
+    write_warc(docs, p1, files=1)
+    write_warc(docs, p2, record_type="metadata", files=1)
+    assert read_warc(spark, p1).count() == 1
+    assert read_warc(spark, p2).count() == 0  # default keeps response only
+    assert read_warc(spark, p2, record_types=("METADATA",)).count() == 1
+    assert read_warc(spark, p2, record_types=None).count() == 1
+
+
+def test_warc_corrupt_modes(spark, tmp_path):
+    """A garbage prefix before a valid record: 'fail' raises with file +
+    offset; 'drop' resyncs on the next record head and parses it."""
+    import pytest as _pytest
+
+    from imops_spark.sources.warc import read_warc
+
+    payload = b"ok payload"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Target-URI: http://ex.org/v\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "bad.warc").write_bytes(b"garbage bytes here\r\n" + rec)
+    with _pytest.raises(Exception, match="malformed WARC"):
+        read_warc(spark, str(d)).collect()
+    got = read_warc(spark, str(d), on_corrupt="drop").collect()
+    assert len(got) == 1 and bytes(got[0]["payload"]) == payload
+    # truncated Content-Length (block runs past EOF): fail raises, drop
+    # yields nothing
+    (d / "bad.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    with _pytest.raises(Exception, match="Content-Length"):
+        read_warc(spark, str(d)).collect()
+    assert read_warc(spark, str(d), on_corrupt="drop").count() == 0
+
+
+def test_warc_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from imops_spark.sources.warc import read_warc, write_warc
+
+    with _pytest.raises(ValueError, match="on_corrupt"):
+        read_warc(spark, str(tmp_path), on_corrupt="keep")
+    docs = spark.createDataFrame(
+        [("u", "p")], "target_uri string, payload string"
+    )
+    with _pytest.raises(ValueError, match="files"):
+        write_warc(docs, str(tmp_path / "x"), files=0)
