@@ -776,11 +776,17 @@ def test_testdata_documents_ascii_invariant(spark):
 
 def test_bench_contention_stats_flags_loaded_run():
     """bench.contention_stats: the r5 poisoned-driver episode must flag
-    itself (many queries with wide steady-state spread), an idle-shaped run
-    must not, and pass 1 (codegen compile) must be excluded from the
-    spread so a slow first pass alone never trips the flag."""
+    itself (many wide steady-state spreads AND a busy pre-run load), an
+    idle-shaped run must not, pass 1 (codegen compile) must be excluded
+    from the spread, and — the round-9 rule — wide spreads WITHOUT a busy
+    load stamp must NOT flag (within-JVM JIT/GC mode flips produced 50
+    wide queries on a verified-idle box; only an outside process eating
+    cores is 'contended', and that always shows in the load)."""
+    import os
+
     import bench
 
+    busy_load = (os.cpu_count() or 8) / 4.0  # comfortably past cores/8
     # idle shape: steady passes repeat within noise; one GC-unlucky query
     # (1.6x) is normal and stays under the >=3-query threshold
     idle = {
@@ -789,14 +795,14 @@ def test_bench_contention_stats_flags_loaded_run():
         "q3": [0.4, 0.25, 0.40],  # the one unlucky query
         "q4": [0.8, 0.52, 0.50],
     }
-    s = bench.contention_stats(idle)
+    s = bench.contention_stats(idle, load_before=busy_load)
     assert not s["contended"]
     assert s["n_queries_spread_gt_1p5"] == 1
     # pass-1 exclusion: q1's 3x first pass does not count as spread
     assert s["spread_max_over_min"]["q1"] < 1.1
 
     # contended shape (r5 driver episode): uniform slowdown with several
-    # multi-x steady-state outliers
+    # multi-x steady-state outliers, on a box whose load shows the intruder
     loaded = {
         "q1": [1.2, 0.4, 1.6],
         "q2": [0.9, 0.3, 0.7],
@@ -804,9 +810,15 @@ def test_bench_contention_stats_flags_loaded_run():
         "q4": [0.6, 0.21, 0.22],
         "q5": [1.1, 0.35, 1.0],
     }
-    s = bench.contention_stats(loaded)
+    s = bench.contention_stats(loaded, load_before=busy_load)
     assert s["contended"]
     assert s["n_queries_spread_gt_1p5"] >= 3
+
+    # the SAME spreads with an idle load stamp: JIT-mode flips, not an
+    # outside process — must not frame the box
+    s = bench.contention_stats(loaded, load_before=0.5)
+    assert not s["contended"]
+    assert s["n_queries_spread_gt_1p5"] >= 3  # the diagnostic stays visible
 
     # two-pass fallback: with no steady-state pair, both passes count
     s = bench.contention_stats({"q1": [1.0, 0.2]})
