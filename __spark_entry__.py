@@ -1365,7 +1365,7 @@ def q_dd_minhash_char(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionAll(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
     # persist through the shared signature cache (the _minhash_sigs
     # economics): the LSH self-join and the two verification joins would
@@ -1783,6 +1783,22 @@ def _ensure_warc(spark, sf_dir) -> str:
     return path
 
 
+def _ensure_warc_gz(spark, sf_dir):
+    """Repack the bare WARC export into the CommonCrawl layout (one gzip
+    member per record) once per (sf_dir, pid) — the real crawl input
+    format the reader must handle."""
+    import hashlib
+    import os
+
+    from imops_spark.sources.warc import repack_warc_gz
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/warcgz_{key}_{os.getpid()}"
+    if not os.path.exists(path):
+        repack_warc_gz(spark, _ensure_warc(spark, sf_dir), path)
+    return path
+
+
 def q_src_warc(spark, sf_dir):
     """WARC source/sink roundtrip gate (sources.warc.write_warc /
     read_warc): the documents table is exported as spec-shaped WARC
@@ -1795,6 +1811,26 @@ def q_src_warc(spark, sf_dir):
     from imops_spark.sources.warc import read_warc
 
     path = _ensure_warc(spark, sf_dir)
+    return read_warc(spark, path).select(
+        "target_uri",
+        F.decode("payload", "UTF-8").alias("text"),
+        "content_length",
+        "record_id",
+    )
+
+
+def q_src_warc_gz(spark, sf_dir):
+    """Gzip-member WARC gate (sources.warc.repack_warc_gz / read_warc):
+    the bare WARC export repacked into the CommonCrawl layout — one gzip
+    member per record, the actual format of every production crawl file —
+    and parsed back through the member-stream reader (zlib.decompressobj
+    member loop + carry-buffer record scan, warc.py).  Same projection
+    and parquet-direct oracle as src_warc: a hash-match proves the gzip
+    member framing, per-member decompression, and record parse compose
+    losslessly on real-layout input."""
+    from imops_spark.sources.warc import read_warc
+
+    path = _ensure_warc_gz(spark, sf_dir)
     return read_warc(spark, path).select(
         "target_uri",
         F.decode("payload", "UTF-8").alias("text"),
@@ -4394,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_tiles": q_mm_tiles,
         "src_jsonl": q_src_jsonl,
         "src_warc": q_src_warc,
+        "src_warc_gz": q_src_warc_gz,
         "src_jsonl_stream": q_src_jsonl_stream,
         "cur_ingest": q_cur_ingest,
         "mm_image_raw": q_mm_image_raw,
@@ -5376,6 +5413,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle, postings-read physical plan
     oracles["txt_bm25_idx"] = oracles["txt_bm25"]
     oracles["src_jsonl_stream"] = oracles["src_jsonl"]
+    # the gzip-member (CommonCrawl layout) read must equal the bare-WARC
+    # read — same oracle, per-member decompression physical plan
+    oracles["src_warc_gz"] = oracles["src_warc"]
     # the row-local streaming twin must equal the batch exchange form
     oracles["txt_entropy_stream"] = oracles["txt_entropy"]
     # the streaming data-card drain must equal the batch profile
@@ -6260,7 +6300,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             c AS (
               SELECT doc_id, nt FROM n WHERE length(nt) >= 9
               UNION ALL
-              SELECT doc_id + 100000 AS doc_id, nt FROM n
+              SELECT doc_id + 1000000 AS doc_id, nt FROM n
               WHERE length(nt) >= 9
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -13,10 +13,26 @@ saturate 1000 executors without intra-file splitting.  The reader is a
 driver data, and each task's memory is bounded by one file (cap WARC file
 size at write time, as every crawler does).
 
+Gzip (the production norm): ``read_warc`` auto-detects the gzip magic at
+file start and iterates GZIP MEMBERS with ``zlib.decompressobj`` — the
+actual CommonCrawl layout is one gzip member per record (that is what
+makes the crawl index's byte-offset seeks work), and a whole-file
+single-member ``.warc.gz`` (what any stock gzip of a bare WARC, or this
+module's ``compression='gzip'`` writer, produces) is the degenerate
+one-member case of the same loop.  Records are parsed from a rolling
+carry buffer, so a record split across member boundaries (legal, if
+unusual) still parses; peak memory is one decompressed member plus any
+carried tail, NOT the whole decompressed file, for the member-per-record
+layout.  A corrupt member under ``on_corrupt='drop'`` resyncs to the
+next gzip magic (``1f 8b 08``); under ``'fail'`` it raises with file +
+compressed byte offset — a gzipped file can never silently yield zero
+rows (the failure mode a bare-WARC-only parser has when fed gzip bytes).
+
 Malformed-record policy is explicit, never silent (the JSONL contract):
 ``on_corrupt='fail'`` raises with file + byte offset; ``'drop'`` resyncs
-to the next plausible record head (``\\r\\nWARC/``) and counts nothing —
-use only when loss accounting happens elsewhere.
+to the next plausible record head (``\\r\\nWARC/``, or the next gzip
+member for compressed input) and counts nothing — use only when loss
+accounting happens elsewhere.
 
 The writer emits spec-shaped records (version line, case-sensitive
 canonical header names, Content-Length octet framing, double-CRLF block
@@ -38,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "write_warc"]
+__all__ = ["read_warc", "write_warc", "repack_warc_gz"]
 
 _OUT_SCHEMA = (
     "warc_file string, record_id string, record_type string, "
@@ -47,23 +63,35 @@ _OUT_SCHEMA = (
 )
 
 
-def _parse_warc_bytes(buf: bytes, fname: str, on_corrupt: str):
-    """Yield header-dict + payload tuples from one WARC file's bytes.
-    Content-Length framing per the spec; header names are matched
-    case-insensitively (the spec makes them case-insensitive); header
-    line continuations (obsolete LWS folding) are not supported."""
+_GZIP_MAGIC = b"\x1f\x8b\x08"  # gzip + deflate method, the only method defined
+_GZ_CHUNK = 1 << 18  # 256 KiB decompress feed; bounds per-member over-read
+
+
+def _scan_records(buf: bytes, fname: str, on_corrupt: str, at_eof: bool):
+    """Parse WARC records from ``buf``; return ``(records, tail)`` where
+    ``records`` is a list of (header-dict, payload-bytes) and ``tail`` is
+    the offset of the first unconsumed byte.  Content-Length framing per
+    the spec; header names are matched case-insensitively (the spec makes
+    them case-insensitive); header line continuations (obsolete LWS
+    folding) are not supported.  With ``at_eof=False`` a record whose
+    header block or body extends past the buffer is NOT corrupt — it is
+    left in the tail for the caller to extend (gzip members can split a
+    record); with ``at_eof=True`` it is malformed per ``on_corrupt``."""
+    recs: list = []
     i, n = 0, len(buf)
     while True:
         while i < n and buf[i] in (0x0D, 0x0A):
             i += 1
         if i >= n:
-            return
+            return recs, n
         bad = None
         if not buf.startswith(b"WARC/", i):
             bad = f"expected 'WARC/' version at offset {i}"
         else:
             hdr_end = buf.find(b"\r\n\r\n", i)
             if hdr_end < 0:
+                if not at_eof:
+                    return recs, i
                 bad = f"record at offset {i}: unterminated header block"
             else:
                 head = buf[i:hdr_end].decode("utf-8", errors="replace")
@@ -77,7 +105,11 @@ def _parse_warc_bytes(buf: bytes, fname: str, on_corrupt: str):
                     bad = f"record at offset {i}: missing/bad Content-Length"
                 else:
                     body = hdr_end + 4
-                    if cl < 0 or body + cl > n:
+                    if cl < 0:
+                        bad = f"record at offset {i}: negative Content-Length"
+                    elif body + cl > n:
+                        if not at_eof:
+                            return recs, i
                         bad = (
                             f"record at offset {i}: Content-Length {cl} "
                             "exceeds file"
@@ -87,11 +119,87 @@ def _parse_warc_bytes(buf: bytes, fname: str, on_corrupt: str):
                 raise ValueError(f"malformed WARC in {fname}: {bad}")
             nxt = buf.find(b"\r\nWARC/", i)
             if nxt < 0:
-                return
+                return recs, n
             i = nxt + 2
             continue
-        yield headers, buf[body : body + cl]
+        recs.append((headers, buf[body : body + cl]))
         i = body + cl
+
+
+def _iter_gzip_members(buf: bytes, fname: str, on_corrupt: str):
+    """Yield ``(compressed_offset, decompressed_bytes)`` per gzip member
+    of a member stream (RFC 1952 members are simply concatenated).  Each
+    member is decompressed with its own ``zlib.decompressobj(wbits=31)``
+    fed in 256 KiB slices of a memoryview, so the bytes copied past a
+    member's end (``unused_data``) are bounded per member — the loop is
+    O(file) even for CommonCrawl's ~100k-members-per-file layout.  A
+    member that fails to decompress (bad CRC, truncation, garbage)
+    raises under ``on_corrupt='fail'`` with the compressed offset and
+    resyncs to the next gzip magic under ``'drop'``."""
+    import zlib
+
+    mv = memoryview(buf)
+    i, n = 0, len(buf)
+    while i < n:
+        start = i
+        d = zlib.decompressobj(wbits=31)
+        parts = []
+        pos = i
+        try:
+            while not d.eof:
+                if pos >= n:
+                    raise zlib.error("truncated gzip member")
+                end = min(pos + _GZ_CHUNK, n)
+                parts.append(d.decompress(mv[pos:end]))
+                pos = end
+        except zlib.error as e:
+            if on_corrupt == "fail":
+                raise ValueError(
+                    f"corrupt gzip member in {fname} at "
+                    f"compressed offset {start}: {e}"
+                ) from None
+            nxt = buf.find(_GZIP_MAGIC, start + 1)
+            if nxt < 0:
+                return
+            i = nxt
+            continue
+        pos -= len(d.unused_data)
+        yield start, b"".join(parts)
+        i = pos
+
+
+def _parse_warc_gz(buf: bytes, fname: str, on_corrupt: str):
+    """Yield records from a gzip member stream.  Records normally align
+    with members (CommonCrawl: one record per member) but need not — the
+    unconsumed tail of each member carries into the next, so a record
+    split across members parses, and a whole-file single-member gzip is
+    just the one-member case.  Worst-case carry (garbage that keeps
+    looking like an incomplete record under 'drop') is bounded by the
+    decompressed file size, same as the bare-file parser's buffer."""
+    carry = b""
+    for off, member in _iter_gzip_members(buf, fname, on_corrupt):
+        data = carry + member if carry else member
+        recs, tail = _scan_records(
+            data, f"{fname} (gzip member at {off})", on_corrupt, at_eof=False
+        )
+        yield from recs
+        carry = data[tail:]
+    if carry:
+        recs, _ = _scan_records(
+            carry, f"{fname} (final gzip member)", on_corrupt, at_eof=True
+        )
+        yield from recs
+
+
+def _parse_warc_bytes(buf: bytes, fname: str, on_corrupt: str):
+    """Yield header-dict + payload tuples from one WARC file's bytes,
+    auto-detecting gzip (member stream or single-member) vs bare WARC
+    by the file magic."""
+    if buf[:2] == _GZIP_MAGIC[:2]:
+        yield from _parse_warc_gz(buf, fname, on_corrupt)
+    else:
+        recs, _ = _scan_records(buf, fname, on_corrupt, at_eof=True)
+        yield from recs
 
 
 def read_warc(
@@ -103,7 +211,10 @@ def read_warc(
     """Read WARC records: ``(warc_file, record_id, record_type,
     target_uri, warc_date, content_type, content_length, payload)`` with
     ``payload`` as raw bytes (decode downstream — ``decode(payload,
-    'UTF-8')`` for web text, the multimodal kernels for media).
+    'UTF-8')`` for web text, the multimodal kernels for media).  Bare
+    WARC and ``.warc.gz`` (member-per-record CommonCrawl layout OR
+    whole-file gzip) are auto-detected per file by magic — a directory
+    may mix both.
 
     ``record_types`` filters on ``WARC-Type`` (case-insensitive; the
     default keeps only ``response`` — crawl payloads — and drops the
@@ -169,6 +280,7 @@ def write_warc(
     warc_date: str = "2026-01-01T00:00:00Z",
     mode: str = "error",
     files: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """Write one spec-shaped WARC record per row (see module docstring
     for the text-writer framing contract).  ``payload_col`` must be a
@@ -178,9 +290,18 @@ def write_warc(
     formatted from ``md5(uri || payload)``, so re-exports are
     byte-identical (the snapshot-diff property every artifact here
     keeps).  ``files`` coalesces the part count — WARC tasks are
-    per-file on re-read, so the part count IS the read parallelism."""
+    per-file on re-read, so the part count IS the read parallelism.
+    ``compression='gzip'`` emits each part file as a SINGLE-member
+    ``.warc.gz`` via Spark's text codec (valid, and what stock ``gzip``
+    of a bare WARC produces); for the CommonCrawl member-per-record
+    layout — needed when downstream wants byte-offset record seeks —
+    repack with :func:`repack_warc_gz`.  ``read_warc`` handles both."""
     if files is not None and int(files) < 1:
         raise ValueError(f"files must be >= 1, got {files}")
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"compression must be None or 'gzip', got {compression!r}"
+        )
     uri = F.col(uri_col).cast("string")
     payload = F.col(payload_col).cast("string")
     h = F.md5(F.concat_ws("|", uri, payload))
@@ -219,4 +340,91 @@ def write_warc(
     out = df.select(rec.alias("value"))
     if files is not None:
         out = out.coalesce(int(files))
-    out.write.mode(mode).text(path)
+    writer = out.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def repack_warc_gz(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    on_corrupt: str = "fail",
+    level: int = 6,
+) -> list:
+    """Repack WARC files (bare or gzipped) into the CommonCrawl layout:
+    one ``.warc.gz`` per input file, ONE GZIP MEMBER PER RECORD — the
+    layout whose member boundaries make the crawl index's byte-offset
+    seeks (and this reader's corrupt-member resync) possible.
+
+    Runs as one task per input file: a ``binaryFile`` scan feeds the
+    same record parser ``read_warc`` uses, each record is re-emitted as
+    its own gzip member (payload and framing byte-exact; header names
+    re-serialized in canonical case in parse order — byte-identical for
+    anything this module wrote), and the task writes
+    ``dst_path/<name>.gz`` with plain file IO.  Input basenames must be
+    unique across ``src_path`` (they are for any Spark-written
+    directory).  ``dst_path`` must therefore be TASK-VISIBLE
+    shared storage (local mode, NFS/FUSE mounts, s3fs); on HDFS/S3-API
+    deployments run the same kernel inside ``foreachBatch`` with the
+    object-store client.  Returns the collected manifest
+    ``[(file, n_records, bytes_out), ...]`` — one row per input file,
+    manifest-sized, never record data."""
+    import os
+
+    os.makedirs(dst_path, exist_ok=True)
+
+    def run(batches):
+        import gzip as _gzip
+        import pandas as pd
+
+        os.makedirs(dst_path, exist_ok=True)
+        for pdf in batches:
+            out = {"file": [], "n_records": [], "bytes_out": []}
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(fname.split("://")[-1])
+                if base.endswith(".gz"):
+                    base = base[:-3]
+                dst = os.path.join(dst_path, base + ".gz")
+                n_rec = 0
+                tmp = dst + ".inprogress"
+                with open(tmp, "wb") as fh:
+                    for headers, payload in _parse_warc_bytes(
+                        bytes(content), fname, on_corrupt
+                    ):
+                        head_lines = ["WARC/1.0"]
+                        for k, v in headers.items():
+                            # canonical-case the names we know; pass
+                            # through the rest title-cased per spec style
+                            head_lines.append(
+                                "-".join(
+                                    p.upper() if p in ("warc", "id", "uri")
+                                    else p.capitalize()
+                                    for p in k.split("-")
+                                )
+                                + ": "
+                                + v
+                            )
+                        rec = (
+                            "\r\n".join(head_lines).encode("utf-8")
+                            + b"\r\n\r\n"
+                            + payload
+                            + b"\r\n\r\n"
+                        )
+                        fh.write(_gzip.compress(rec, compresslevel=level))
+                        n_rec += 1
+                os.replace(tmp, dst)
+                out["file"].append(dst)
+                out["n_records"].append(n_rec)
+                out["bytes_out"].append(os.path.getsize(dst))
+            if out["file"]:
+                yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile").load(src_path).select("path", "content")
+    )
+    manifest = files.mapInPandas(
+        run, schema="file string, n_records long, bytes_out long"
+    )
+    return [tuple(r) for r in manifest.collect()]

@@ -989,3 +989,138 @@ def test_warc_guards(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="files"):
         write_warc(docs, str(tmp_path / "x"), files=0)
+
+
+def _mk_warc_record(uri, body: bytes) -> bytes:
+    h = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n"
+        f"WARC-Target-URI: {uri}\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return h + body + b"\r\n\r\n"
+
+
+def test_warc_gz_member_layouts():
+    """The gzip member loop parses all three real-world layouts: one
+    member per record (CommonCrawl), whole-file single member (stock
+    gzip), and records split ACROSS member boundaries (carry buffer)."""
+    import gzip
+
+    from imops_spark.sources.warc import _parse_warc_bytes
+
+    r = [
+        _mk_warc_record("http://a", b"hello world"),
+        _mk_warc_record("http://b", b"second \xff\x00 binary body"),
+        _mk_warc_record("http://c", b"third"),
+    ]
+    want = [b"hello world", b"second \xff\x00 binary body", b"third"]
+
+    per_member = b"".join(gzip.compress(x) for x in r)
+    assert [p for _, p in _parse_warc_bytes(per_member, "f.gz", "fail")] == want
+
+    whole = gzip.compress(b"".join(r))
+    assert [p for _, p in _parse_warc_bytes(whole, "f.gz", "fail")] == want
+
+    blob = b"".join(r)
+    split = (
+        gzip.compress(blob[:20]) + gzip.compress(blob[20:95]) + gzip.compress(blob[95:])
+    )
+    assert [p for _, p in _parse_warc_bytes(split, "f.gz", "fail")] == want
+
+
+def test_warc_gz_corrupt_member_policy():
+    """A corrupt gzip member raises with the compressed offset under
+    'fail' and resyncs to the next gzip magic under 'drop' — a gzipped
+    file can never silently yield zero rows (round-9 advice)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from imops_spark.sources.warc import _parse_warc_bytes
+
+    r1 = _mk_warc_record("http://a", b"hello world")
+    r2 = _mk_warc_record("http://b", b"second body")
+    r3 = _mk_warc_record("http://c", b"third")
+    m2 = bytearray(gzip.compress(r2))
+    m2[12] ^= 0xFF  # corrupt the deflate stream -> zlib error mid-member
+    bad = gzip.compress(r1) + bytes(m2) + gzip.compress(r3)
+    with _pytest.raises(ValueError, match="corrupt gzip member"):
+        list(_parse_warc_bytes(bad, "f.gz", "fail"))
+    got = [p for _, p in _parse_warc_bytes(bad, "f.gz", "drop")]
+    assert got == [b"hello world", b"third"]
+
+    # truncated final member: fail raises, drop keeps the complete prefix
+    trunc = gzip.compress(r1) + gzip.compress(r2)[:-5]
+    with _pytest.raises(ValueError, match="corrupt gzip member"):
+        list(_parse_warc_bytes(trunc, "f.gz", "fail"))
+    assert [p for _, p in _parse_warc_bytes(trunc, "f.gz", "drop")] == [b"hello world"]
+
+    # garbage that STARTS with gzip magic (the round-9 zero-rows trap):
+    # drop resyncs to the first real member instead of returning nothing
+    junk = b"\x1f\x8b\x00junk" + gzip.compress(r1)
+    assert [p for _, p in _parse_warc_bytes(junk, "f.gz", "drop")] == [b"hello world"]
+    with _pytest.raises(ValueError, match="corrupt gzip member"):
+        list(_parse_warc_bytes(junk, "f.gz", "fail"))
+
+
+def test_warc_gz_roundtrip_and_repack(spark, tmp_path):
+    """write_warc(compression='gzip') and repack_warc_gz both read back
+    identical to the bare export; the repacked files are genuinely one
+    gzip member per record (CommonCrawl layout)."""
+    import glob
+    import gzip
+
+    from imops_spark.sources.warc import read_warc, repack_warc_gz, write_warc
+
+    docs = spark.createDataFrame(
+        [(f"http://ex.org/{i}", f"body {i} text " * 3) for i in range(20)],
+        "target_uri string, payload string",
+    )
+    bare, gz, mem = (
+        str(tmp_path / "bare"),
+        str(tmp_path / "gz"),
+        str(tmp_path / "member"),
+    )
+    write_warc(docs, bare, files=2)
+    write_warc(docs, gz, files=2, compression="gzip")
+    mani = repack_warc_gz(spark, bare, mem)
+    assert sum(m[1] for m in mani) == 20
+
+    base = sorted(map(tuple, read_warc(spark, bare).drop("warc_file").collect()))
+    assert len(base) == 20
+    for p in (gz, mem):
+        got = sorted(map(tuple, read_warc(spark, p).drop("warc_file").collect()))
+        assert got == base, p
+
+    # member-per-record: magic count in each repacked file == its records
+    by_file = {m[0]: m[1] for m in mani}
+    for f in glob.glob(mem + "/*.gz"):
+        assert open(f, "rb").read().count(b"\x1f\x8b\x08") == by_file[f]
+    # codec layout: exactly one member per part file
+    for f in glob.glob(gz + "/*.gz"):
+        assert open(f, "rb").read().count(b"\x1f\x8b\x08") == 1
+
+    # mixed directory (bare + gz side by side) auto-detects per file
+    import shutil
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    bare_part = glob.glob(bare + "/part-*")[0]
+    gz_part = glob.glob(mem + "/*.gz")[0]
+    shutil.copy(bare_part, mixed / "a.warc")
+    shutil.copy(gz_part, mixed / "b.warc.gz")
+    exp = gzip.decompress(open(gz_part, "rb").read()).count(
+        b"WARC/1.0"
+    ) + open(bare_part, "rb").read().count(b"WARC/1.0")
+    assert read_warc(spark, str(mixed)).count() == exp > 0
+
+
+def test_warc_write_compression_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from imops_spark.sources.warc import write_warc
+
+    docs = spark.createDataFrame(
+        [("u", "p")], "target_uri string, payload string"
+    )
+    with _pytest.raises(ValueError, match="compression"):
+        write_warc(docs, str(tmp_path / "x"), compression="zstd")
