@@ -2681,6 +2681,52 @@ def _cur_roc_sql(classify_sql: str) -> str:
     """
 
 
+def q_cur_select4(spark, sf_dir):
+    """ROC-threshold-driven selection composition gate
+    (curate.select_by_roc_df): the cur_roc curve is not just reported —
+    it is READ, the most permissive operating point within an
+    fpr <= 0.4 budget is picked (min threshold_micro with fpr_micro <=
+    400000, a bounded 1-row driver action over the <= 32-row curve),
+    and the picked threshold is deployed as the classifier filter.
+    Survivors carry the deployed threshold_micro column, so the oracle
+    hash-checks curve arithmetic, threshold pick, and filter semantics
+    composed end to end — including roc_points_df's ceiling-edge
+    contract that 'score >= threshold' reproduces exactly the tp+fp the
+    curve reported for that point."""
+    from imops_spark.functions.curate import classifier_score_df, select_by_roc_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(512).selectExpr(
+        "id AS bucket",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE)"
+        " / CAST(1000003 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS weight",
+    )
+    scored = classifier_score_df(docs, weights, num_buckets=512, bias=0.1)
+    labeled = scored.withColumn(
+        "label", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return select_by_roc_df(
+        labeled, "label", "logit_micro", n_buckets=32, max_fpr_micro=400000
+    ).select("doc_id", "logit_micro", "threshold_micro")
+
+
+def _cur_select4_sql(classify_sql: str) -> str:
+    """The composition oracle: the cur_roc curve SQL as a subquery, the
+    same min-threshold-within-fpr-budget pick, the same >= filter over
+    the scored relation."""
+    return f"""
+        WITH scored AS ({classify_sql}),
+        curve AS ({_cur_roc_sql(classify_sql)}),
+        pick AS (
+          SELECT MIN(threshold_micro) AS thr FROM curve
+          WHERE fpr_micro <= 400000
+        )
+        SELECT s.doc_id, s.logit_micro, CAST(p.thr AS BIGINT) AS threshold_micro
+        FROM scored s CROSS JOIN pick p
+        WHERE s.logit_micro >= p.thr
+    """
+
+
 def q_txt_classify_stream(spark, sf_dir):
     """Ingestion-time classifier scoring (curate.classifier_score_local_df):
     the ZERO-SHUFFLE twin of txt_classify — the weight table densifies into
@@ -4512,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_pairs": q_txt_bpe_pairs,
         "txt_classify": q_txt_classify,
         "cur_roc": q_cur_roc,
+        "cur_select4": q_cur_select4,
         "txt_classify_stream": q_txt_classify_stream,
         "txt_vocab": q_txt_vocab,
         "cur_mix_temp": q_cur_mix_temp,
@@ -5441,6 +5488,8 @@ def oracle_sql() -> dict[str, str]:
     # zero-shuffle streamed scoring must equal the batch classifier apply
     oracles["txt_classify_stream"] = oracles["txt_classify"]
     oracles["cur_roc"] = _cur_roc_sql(oracles["txt_classify"])
+    # curve -> threshold pick -> deployed filter, composed
+    oracles["cur_select4"] = _cur_select4_sql(oracles["txt_classify"])
     # the append-mode session stream, sentinel-flushed, must equal the full
     # batch session set — same oracle, streaming state-eviction plan
     oracles["evt_session_append"] = oracles["evt_session_native"]

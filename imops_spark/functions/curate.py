@@ -859,6 +859,52 @@ def roc_points_df(
     )
 
 
+def select_by_roc_df(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "logit_micro",
+    n_buckets: int = 64,
+    max_fpr_micro: int = 100000,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Curve -> threshold -> filter, composed: pick the MOST PERMISSIVE
+    operating point on the :func:`roc_points_df` curve whose measured
+    false-positive rate fits the budget (the smallest ``threshold_micro``
+    with ``fpr_micro <= max_fpr_micro`` — descending thresholds only add
+    fp, so this is the max-recall point within budget) and deploy it as
+    the filter ``score >= threshold``.  Because ``threshold_micro`` is
+    the ceiling of its bucket's exact lower edge (roc_points_df's
+    contract), the deployed filter admits EXACTLY the rows whose tp/fp
+    the curve reported for that point — the selection rate you measured
+    is the one you ship.  Survivors keep their columns plus
+    ``threshold_micro`` (the deployed constant, auditable in the output
+    — a data card should record it).
+
+    Scale shape: the curve is a model-size object (<= n_buckets rows),
+    so the threshold pick is a bounded 1-row driver action (the
+    filter_by_quantile_df precedent); the deployed filter is a pure
+    row-local predicate.  The input is scanned twice (curve + filter) —
+    persist ``scored`` upstream when the scoring plan is expensive.
+    Raises if no curve point fits the budget (the top bucket's fpr
+    already exceeds it) or fpr is unmeasurable (no negative labels)."""
+    curve = roc_points_df(scored, label_col, score_col, n_buckets, lo, hi)
+    row = (
+        curve.filter(F.col("fpr_micro") <= int(max_fpr_micro))
+        .agg(F.min("threshold_micro").alias("thr"))
+        .first()
+    )
+    if row is None or row["thr"] is None:
+        raise ValueError(
+            "select_by_roc_df: no curve point has fpr_micro <= "
+            f"{max_fpr_micro} (or no negative labels to measure fpr)"
+        )
+    thr = int(row["thr"])
+    return scored.filter(F.col(score_col) >= thr).withColumn(
+        "threshold_micro", F.lit(thr).cast("long")
+    )
+
+
 def _assert_unique_buckets(weights: DataFrame, val_col: str, what: str) -> DataFrame:
     """Collapse a ``(bucket, <val>)`` table to unique buckets with a LOUD
     runtime guard: duplicate bucket rows raise instead of silently

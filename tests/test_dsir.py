@@ -854,3 +854,56 @@ def test_roc_threshold_is_deployable(spark):
         t = r["threshold_micro"]
         assert df.filter(f"s >= {t} AND label = 1").count() == r["tp"], t
         assert df.filter(f"s >= {t} AND label = 0").count() == r["fp"], t
+
+
+def test_select_by_roc_composes(spark):
+    """select_by_roc_df survivors == exactly the tp+fp of the picked
+    curve point (the most permissive threshold within the fpr budget),
+    every survivor scores >= the deployed threshold, and the deployed
+    threshold is stamped on every row."""
+    import random
+
+    from imops_spark.functions.curate import roc_points_df, select_by_roc_df
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(-2_000_000, 2_000_000), rng.randint(0, 1))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s long, label int")
+    cap = 350_000
+    got = select_by_roc_df(df, "label", "s", n_buckets=16, max_fpr_micro=cap)
+    out = got.collect()
+
+    curve = {
+        r["threshold_micro"]: r
+        for r in roc_points_df(df, "label", "s", n_buckets=16).collect()
+    }
+    eligible = [t for t, r in curve.items() if (r["fpr_micro"] or 0) <= cap
+                and r["fpr_micro"] is not None]
+    thr = min(eligible)
+    assert all(r["threshold_micro"] == thr for r in out)
+    assert all(r["s"] >= thr for r in out)
+    assert len(out) == curve[thr]["tp"] + curve[thr]["fp"]
+
+
+def test_select_by_roc_guards(spark):
+    import pytest
+
+    from imops_spark.functions.curate import select_by_roc_df
+
+    # every bucket's fpr exceeds a zero budget once any negative is
+    # admitted; with all scores equal the single bucket has fpr 10^6
+    allneg = spark.createDataFrame(
+        [(i, 5, 0) for i in range(10)], "doc_id long, s long, label int"
+    )
+    with pytest.raises(ValueError, match="no curve point"):
+        select_by_roc_df(allneg, "label", "s", n_buckets=4, max_fpr_micro=0)
+
+    # no negative labels: fpr unmeasurable everywhere -> raise, never a
+    # silently unfiltered corpus
+    allpos = spark.createDataFrame(
+        [(i, i, 1) for i in range(10)], "doc_id long, s long, label int"
+    )
+    with pytest.raises(ValueError, match="no curve point"):
+        select_by_roc_df(allpos, "label", "s", n_buckets=4)
