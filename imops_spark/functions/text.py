@@ -904,12 +904,18 @@ def _round_half_up_micro(x: "np.ndarray") -> "np.ndarray":
     """Spark's ``ROUND(double)`` (HALF_UP over the double's SHORTEST
     decimal representation — ``BigDecimal.valueOf``/``Double.toString``
     semantics), vectorized: ``floor(x + 0.5)`` / ``ceil(x - 0.5)`` is
-    exact except within a half-ulp of a ``.5`` boundary, where the
+    exact except within a few ulp of a ``.5`` boundary, where the
     ``x + 0.5`` addition itself can cross an integer; those rare
     elements are recomputed with ``decimal`` over ``repr(x)`` (Python's
-    ``repr`` is the same shortest-round-trip decimal)."""
+    ``repr`` is the same shortest-round-trip decimal).  The tie band is
+    MAGNITUDE-AWARE — ``max(1e-9, 4*ulp(x))`` — so the emulation is
+    exact at ANY double magnitude, not just the micro-nat domain
+    (|x| <= ~3.7e5) it was written for: above ~2^52, where every double
+    is an integer and ``x + 0.5`` can round-to-even across it, the band
+    (>= 4 ulp >= 4) routes everything through the exact decimal path."""
     fast = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-    near = np.abs((np.abs(x) % 1.0) - 0.5) < 1e-9
+    ax = np.abs(x)
+    near = np.abs((ax % 1.0) - 0.5) < np.maximum(1e-9, 4.0 * np.spacing(ax))
     if near.any():
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -934,6 +940,26 @@ def _round_half_up_6(v: float) -> float:
     )
 
 
+def _entropy_term_decimal(p: float) -> int:
+    """The tie-band arbiter for one micro-nat term: HALF_UP of
+    ``p * ln(p) * 1e6`` with ``ln`` and the products computed to 40
+    digits over the EXACT binary value of the double ``p`` — numpy-
+    version-independent truth for elements whose double-arithmetic term
+    lands within a few runtime-log-ulps of a ``.5`` boundary."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 40
+        t = Decimal(p) * Decimal(p).ln() * Decimal(1000000)
+        return int(t.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+# half-width of the term tie band: a 1-ulp log error scales to at most
+# ~2e-9 after * p * 1e6 (|ln p| <= ~18 for any nonempty doc, plus two
+# 0.5-ulp products), so 4e-9 covers every runtime's excursion
+_ENTROPY_TIE_BAND = 4e-9
+
+
 def _token_entropy_arrow_df(docs: DataFrame) -> DataFrame:
     """The Arrow kernel behind ``token_entropy_local_df(strategy='arrow')``:
     tokenization of the ALREADY-NORMALIZED text (Spark computes
@@ -944,7 +970,22 @@ def _token_entropy_arrow_df(docs: DataFrame) -> DataFrame:
     left-associated products are IEEE-identical by construction, and the
     rounding emulates Spark's HALF_UP exactly.  Zero shuffles, zero
     interpreted JVM expressions, stateless ``mapInPandas`` —
-    streaming-legal, nothing left to deoptimize in a long-lived JVM."""
+    streaming-legal, nothing left to deoptimize in a long-lived JVM.
+
+    Cross-runtime log assumption, made explicit (round-9 advice): the
+    JVM's ``Math.log`` and numpy's vectorized ``np.log`` are each
+    allowed 1 ulp of error, so their doubles can differ — which only
+    matters when the scaled term lands within ~2e-9 of a ``.5`` rounding
+    boundary.  Terms inside a 4e-9 band around a boundary are therefore
+    re-decided by :func:`_entropy_term_decimal` (40-digit exact ln over
+    the same double ``p``), making the kernel's tie decisions
+    numpy-version- and SIMD-path-independent.  Residual divergence
+    requires the JVM's OWN 1-ulp error to cross a boundary the true
+    value sits within ~2e-9 of — unobserved, untestable by fixture, and
+    platform-stable if it ever occurs.  The boundary-hunt differential
+    test (test_minhash_char_entropy_arrow.py) pins kernel == JVM on
+    adversarial near-tie inputs at every release of numpy this repo
+    moves to."""
     import pandas as pd
 
     from collections import Counter
@@ -969,7 +1010,14 @@ def _token_entropy_arrow_df(docs: DataFrame) -> DataFrame:
                     continue
                 cs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
                 p = cs / np.float64(n)
-                hm = -int(_round_half_up_micro((p * np.log(p)) * 1e6).sum())
+                terms = (p * np.log(p)) * 1e6
+                rounded = _round_half_up_micro(terms)
+                at = np.abs(terms)
+                tie = np.abs((at % 1.0) - 0.5) < _ENTROPY_TIE_BAND
+                if tie.any():
+                    for j in np.nonzero(tie)[0]:
+                        rounded[j] = _entropy_term_decimal(float(p[j]))
+                hm = -int(rounded.sum())
                 ids.append(doc_id)
                 n_tok.append(n)
                 n_typ.append(len(cnt))

@@ -325,3 +325,92 @@ def test_spans_min_docs3_hot_gram_skew_fixture(spark):
                 run = [p] if p is not None else []
     assert got == want
     assert len(got) == 60  # every boilerplate doc has exactly one span
+
+
+def _near_tie_count_pairs(max_n=3000, lo=1e-8, hi=1e-5, limit=25):
+    """Hunt (count, n_tokens) pairs whose micro-nat term
+    |(c/n)*ln(c/n)*1e6| lands within (lo, hi) of a .5 rounding boundary
+    — close enough that a 1-ulp log difference between runtimes WOULD
+    flip the ROUND if the tie-band arbiter were absent or wrong, yet
+    outside the ~2e-9 shell where runtimes can legitimately disagree
+    (untestable by fixture, see _token_entropy_arrow_df)."""
+    found = []
+    for n in range(2, max_n):
+        c = np.arange(1, n, dtype=np.float64)
+        t = np.abs((c / n) * np.log(c / n) * 1e6)
+        d = np.abs((t % 1.0) - 0.5)
+        for ci in np.nonzero((d > lo) & (d < hi))[0]:
+            found.append((float(d[ci]), int(ci + 1), int(n)))
+    found.sort()
+    return [(c, n) for _, c, n in found[:limit]]
+
+
+def test_token_entropy_near_tie_boundary_hunt(spark):
+    """Randomized-construction boundary hunt (round-9 advice): documents
+    engineered so one type's term sits near a .5 boundary must score
+    bit-identically under the Arrow kernel (numpy log + decimal tie
+    arbiter) and the JVM HOF form (Math.log) — the cross-runtime log
+    assumption, pinned by adversarial fixture instead of luck."""
+    from imops_spark.functions.text import token_entropy_local_df
+
+    pairs = _near_tie_count_pairs()
+    assert len(pairs) >= 10, f"hunt found only {len(pairs)} near-tie pairs"
+    rows = []
+    for i, (c, n) in enumerate(pairs):
+        toks = ["tt"] * c + [f"w{j}" for j in range(n - c)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hof = sorted(
+        map(tuple, token_entropy_local_df(docs, strategy="hof").collect())
+    )
+    arrow = sorted(
+        map(tuple, token_entropy_local_df(docs, strategy="arrow").collect())
+    )
+    assert hof == arrow
+
+
+def test_entropy_term_decimal_agrees_off_tie():
+    """The decimal arbiter and the double fast path agree wherever the
+    term is NOT near a boundary — the arbiter changes tie decisions
+    only, never ordinary values."""
+    from imops_spark.functions.text import (
+        _entropy_term_decimal,
+        _round_half_up_micro,
+    )
+
+    rng = np.random.default_rng(7)
+    n = rng.integers(2, 5000, size=300)
+    c = (rng.random(300) * (n - 1)).astype(np.int64) + 1
+    p = c / n.astype(np.float64)
+    terms = (p * np.log(p)) * 1e6
+    off = np.abs((np.abs(terms) % 1.0) - 0.5) > 1e-6
+    fast = _round_half_up_micro(terms)
+    for j in np.nonzero(off)[0]:
+        assert fast[j] == _entropy_term_decimal(float(p[j])), (c[j], n[j])
+
+
+def test_round_half_up_micro_large_magnitudes():
+    """The magnitude-aware tie band keeps the emulation exact beyond the
+    micro-nat domain (round-9 advice): above 2^52 every double is an
+    integer and the naive x+0.5 fast path would round-to-even across
+    odd values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from imops_spark.functions.text import _round_half_up_micro
+
+    vals = [
+        float(2**52 + 1),      # odd integer double: x+0.5 would give x+1
+        float(2**52 + 2),
+        -float(2**52 + 1),
+        float(2**53 - 1),
+        1e15 + 1.0,
+        123456789.5,           # |x| ~1e8: ulp 1.5e-8 > the old fixed 1e-9
+        -123456789.5,
+        999999999.5,
+    ]
+    x = np.array(vals, dtype=np.float64)
+    want = [
+        int(Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for v in vals
+    ]
+    assert _round_half_up_micro(x).tolist() == want
