@@ -25,6 +25,7 @@ import numpy as np
 __all__ = [
     "xxh64_bytes",
     "xxh64_sliding",
+    "xxh64_rows",
     "xxh64_chain_int",
     "SPARK_XXH64_SEED",
 ]
@@ -114,6 +115,32 @@ def xxh64_sliding(
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
     sw = np.lib.stride_tricks.sliding_window_view(np.ascontiguousarray(b), k)
+    return _xxh64_small_rows(sw, seed)
+
+
+def xxh64_rows(mat: np.ndarray, seed: int = SPARK_XXH64_SEED) -> np.ndarray:
+    """XXH64(seed) of each ROW of a 2D uint8 matrix ``(n, width)`` —
+    the gather-then-hash form for VARIABLE-WIDTH grams grouped by byte
+    length (multi-byte text: UTF-8 k-codepoint grams share a byte width
+    within a group even though widths differ across grams).  Same
+    small-input path as :func:`xxh64_sliding` (``width < 32``); int64
+    out, bit-identical to ``xxhash64`` over each row's bytes."""
+    if mat.ndim != 2:
+        raise ValueError(f"xxh64_rows wants a 2D matrix, got ndim={mat.ndim}")
+    if mat.shape[1] >= 32:
+        raise ValueError(
+            f"xxh64_rows is the width < 32 path, got width={mat.shape[1]}"
+        )
+    if mat.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    return _xxh64_small_rows(mat, seed)
+
+
+def _xxh64_small_rows(sw: np.ndarray, seed: int) -> np.ndarray:
+    """Shared small-input (< 32 byte) XXH64 over the rows of a 2D uint8
+    view — the compute body of :func:`xxh64_sliding` (strided windows)
+    and :func:`xxh64_rows` (gathered windows)."""
+    n, k = sw.shape
     with np.errstate(over="ignore"):
         h = np.full(n, np.uint64(seed) + _uP5 + np.uint64(k), dtype=np.uint64)
         off, rem = 0, k

@@ -414,3 +414,74 @@ def test_round_half_up_micro_large_magnitudes():
         for v in vals
     ]
     assert _round_half_up_micro(x).tolist() == want
+
+
+def test_xxh64_rows_matches_scalar():
+    """xxh64_rows (the width-grouped gather kernel behind the multibyte
+    char-gram path) == scalar xxh64_bytes for every width 1..31, plus
+    the guard rails."""
+    from imops_spark.functions.xxh import xxh64_bytes, xxh64_rows
+
+    rng = np.random.default_rng(3)
+    for w in range(1, 32):
+        mat = rng.integers(0, 256, size=(40, w), dtype=np.uint8)
+        got = xxh64_rows(mat)
+        want = [xxh64_bytes(bytes(row)) for row in mat]
+        assert got.tolist() == want, w
+    assert xxh64_rows(np.zeros((0, 5), dtype=np.uint8)).size == 0
+    with pytest.raises(ValueError, match="width < 32"):
+        xxh64_rows(np.zeros((2, 32), dtype=np.uint8))
+    with pytest.raises(ValueError, match="2D"):
+        xxh64_rows(np.zeros(8, dtype=np.uint8))
+
+
+def test_minhash_char_multibyte_equals_jvm_twin(spark):
+    """The vectorized multibyte path (round-9 advice: CJK fixtures) is
+    bit-identical to Spark's xxhash64 HOF form on CJK, Japanese, mixed
+    ASCII+CJK, and astral-plane (4-byte UTF-8) text — at the default k,
+    a small k, and k >= 32 (the all-scalar width branch)."""
+    import random
+
+    from imops_spark.functions.dedup import minhash_signatures_char_df
+
+    rng = random.Random(5)
+    cjk = "的一是不了人我在有他这中大来上国学生会好自己汉字测试语言模型数据"
+    jp = "こんにちは世界テスト日本語のテキストサンプル"
+    emoji = "😀😃😄😁🚀🌍🎉✨"
+    rows = []
+    for i in range(80):
+        kind = i % 5
+        if kind == 0:
+            t = "".join(rng.choice(cjk) for _ in range(rng.randint(9, 120)))
+        elif kind == 1:
+            t = "".join(rng.choice(jp + " abc") for _ in range(rng.randint(9, 80)))
+        elif kind == 2:
+            t = " ".join(
+                rng.choice(["hello", "世界", "data", "测试"])
+                for _ in range(rng.randint(5, 40))
+            )
+        elif kind == 3:
+            t = "".join(rng.choice(emoji + "ab") for _ in range(rng.randint(9, 40)))
+        else:
+            t = "plain ascii text " * rng.randint(1, 5)
+        rows.append((i, t))
+    rows += [(500, None), (501, "短"), (502, "恰好九个字符测试啊")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (9, 4, 33):
+        a = sorted(
+            map(
+                tuple,
+                minhash_signatures_char_df(
+                    docs, num_hashes=8, k=k, strategy="arrow"
+                ).collect(),
+            )
+        )
+        j = sorted(
+            map(
+                tuple,
+                minhash_signatures_char_df(
+                    docs, num_hashes=8, k=k, strategy="jvm"
+                ).collect(),
+            )
+        )
+        assert a == j, f"arrow != jvm at k={k}"
