@@ -151,6 +151,7 @@ def bpe_train_df(
     batch_k: int = 16,
     stats: dict | None = None,
     top_m: int | None = None,
+    mode: str = "exact",
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``(rank, left, right, n)``
     — merge ``rank`` (0-based) fused symbols ``left + right`` which
@@ -166,7 +167,23 @@ def bpe_train_df(
     batch size toward ``batch_k`` at the cost of a larger (still
     driver-trivial) TakeOrderedAndProject; measured curves in
     SCALING.md.  ``stats``, if given a dict, receives ``{"path",
-    "rounds", "checkpoints", "effective_k"}`` diagnostics for the run."""
+    "rounds", "checkpoints", "effective_k"}`` diagnostics for the run.
+
+    ``mode``: ``'exact'`` (default, the gated contract) accepts only the
+    provably-safe prefix per round — identical to the one-at-a-time
+    greedy loop, measured DATA-bound at ~6 merges/round by merge 4k
+    (SCALING.md), so a 30k-merge vocabulary costs ~5k sequential jobs.
+    ``'approx'`` is the opt-in RANK-NOISE contract for production-size
+    vocabularies: each round accepts up to ``batch_k`` top-ranked
+    candidates that are merely SYMBOL-DISJOINT within the round (counts
+    judged at selection time only — no invariance proof), so a merge
+    whose count a batch-mate would have changed can land earlier or
+    later than the exact sequence.  The output is still a valid,
+    deterministic, corpus-derived merge table (the parallel-BPE batching
+    every production tokenizer trainer ships); divergence vs exact is
+    quantified by test and by the SCALING.md probe.  ``mode`` only
+    affects the distributed path — below ``driver_threshold`` training
+    is exact either way."""
     n_merges, min_freq = int(n_merges), int(min_freq)
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -178,6 +195,8 @@ def bpe_train_df(
         raise ValueError(
             f"top_m must be >= batch_k, got top_m={top_m}, batch_k={batch_k}"
         )
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     spark = docs.sparkSession
     wf = word_freq_df(docs)
     # size probe without a count-then-collect double job (the graph_cc
@@ -190,7 +209,14 @@ def bpe_train_df(
             stats.update(path="driver", rounds=0, checkpoints=0)
     else:
         merges = _train_distributed(
-            spark, wf, n_merges, min_freq, int(batch_k), stats, top_m=top_m
+            spark,
+            wf,
+            n_merges,
+            min_freq,
+            int(batch_k),
+            stats,
+            top_m=top_m,
+            mode=mode,
         )
     return spark.createDataFrame(
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
@@ -260,6 +286,41 @@ def _safe_batch(
     return accepted
 
 
+def _approx_batch(
+    rows: list, complete: bool, min_freq: int, batch_k: int
+) -> list:
+    """The rank-noise batch (``mode='approx'``): up to ``batch_k``
+    top-ranked candidates that are SYMBOL-DISJOINT within the round —
+    disjointness keeps the chained replace application well-defined and
+    commutative (no pattern can match text another creates), and it
+    skips candidates touching an accepted merge's symbols (including the
+    CREATED symbol, so a replace can never match occurrences the round
+    itself produces).  Unlike :func:`_safe_batch` there is NO
+    count-invariance proof: accepted counts are selection-time values,
+    and a pair the batch creates or decays may outrank a later
+    batch-mate in the exact sequence — that reordering is the documented
+    noise.  Candidates at or below the collection floor are still
+    rejected (an uncollected pair could outrank them even at selection
+    time), and the global top-1 is always accepted, so every round
+    progresses and approx == exact whenever the exact safe prefix and
+    the disjoint prefix coincide."""
+    floor = None if complete or not rows else rows[-1][2]
+    accepted: list = []
+    touched: set = set()
+    for left, right, n in rows:
+        if n < min_freq:
+            break
+        if accepted and floor is not None and n <= floor:
+            break
+        if left in touched or right in touched:
+            continue  # skip, not break: disjoint candidates below remain fair
+        accepted.append((left, right, n))
+        touched.update((left, right, left + right))
+        if len(accepted) >= batch_k:
+            break
+    return accepted
+
+
 def _train_distributed(
     spark,
     wf: DataFrame,
@@ -268,6 +329,7 @@ def _train_distributed(
     batch_k: int = 16,
     stats: dict | None = None,
     top_m: int | None = None,
+    mode: str = "exact",
 ) -> list:
     """The above-driver-threshold loop: symbol state stays distributed;
     each ROUND is one pair aggregation (top-M via TakeOrderedAndProject),
@@ -336,7 +398,8 @@ def _train_distributed(
         )
         rounds += 1
         rows = [(t["l"], t["r"], int(t["n"])) for t in top]
-        batch = _safe_batch(
+        pick = _safe_batch if mode == "exact" else _approx_batch
+        batch = pick(
             rows,
             complete=len(rows) < top_m,
             min_freq=min_freq,

@@ -1552,12 +1552,45 @@ def classifier_score_df(
     return _logit_prob_df(agg, bias_micro)
 
 
+def _sigmoid_round6_decimal(x: float) -> float:
+    """Tie-band arbiter for ``ROUND(1/(1+EXP(-x)), 6)``: the sigmoid
+    computed to 40 digits over the EXACT binary double ``x`` — the
+    entropy-twin recipe applied to ``exp`` (both runtimes' exp is
+    1-ulp-accurate; a tie decision must not depend on whose ulp)."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 40
+        p = 1 / (1 + (-Decimal(x)).exp())
+        return float(p.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _sigmoid_round6_vec(lm: "object") -> "object":
+    """Vectorized ``ROUND(1/(1+EXP(0 - lm/1e6)), 6)`` over an int64
+    micro-logit array — the numpy twin of :func:`_logit_prob_df`'s prob
+    column.  Elements whose scaled probability lands near a ``.5``
+    boundary at the 6th decimal are re-decided by
+    :func:`_sigmoid_round6_decimal` (the cross-runtime exp band)."""
+    import numpy as np
+
+    x = lm.astype(np.float64) / 1e6
+    p = 1.0 / (1.0 + np.exp(0.0 - x))
+    scaled = p * 1e6
+    out = np.floor(scaled + 0.5) / 1e6
+    near = np.abs((scaled % 1.0) - 0.5) < 1e-6
+    if near.any():
+        for j in np.nonzero(near)[0]:
+            out[j] = _sigmoid_round6_decimal(float(x[j]))
+    return out
+
+
 def classifier_score_local_df(
     docs: DataFrame,
     weights: DataFrame,
     num_buckets: int = 1024,
     bias: float = 0.0,
     salt: int = 50,
+    strategy: str = "auto",
 ) -> DataFrame:
     """ZERO-SHUFFLE, streaming-legal twin of :func:`classifier_score_df`
     (value-identical, differential-tested): the weight table is densified
@@ -1580,10 +1613,27 @@ def classifier_score_local_df(
 
     Featureless documents (no tokens after normalization) are dropped,
     matching the explode semantics of the groupBy twin.
+
+    ``strategy``: ``'arrow'`` (auto's pick — the entropy-twin recipe)
+    scores inside a ``mapInPandas`` kernel: the snapped micro-weight
+    table is collected ONCE at plan build into a dense ``B``-long int64
+    vector (a bounded model-size driver action, the roc/quantile
+    precedent), feature buckets come from C-speed ``hashlib`` md5 behind
+    a per-worker cache, per-doc sums are segmented ``add.reduceat``
+    gathers, the micro-logit is exact integer arithmetic, and the
+    sigmoid's ROUND(·, 6) runs through a cross-runtime exp tie band
+    (:func:`_sigmoid_round6_vec`) — zero interpreted JVM expressions,
+    so the fold below cannot go bimodal in a long-lived mixed JVM.
+    ``'hof'`` is the pure-JVM ``aggregate``-fold form, kept as the
+    no-Python-workers fallback and the differential pinning twin.
     """
     B = int(num_buckets)
     if B <= 0:
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if strategy not in ("auto", "arrow", "hof"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'hof', got {strategy!r}"
+        )
     spark = docs.sparkSession
     bias_micro = round(float(bias) * 1_000_000)
     wm = _assert_unique_buckets(
@@ -1594,6 +1644,8 @@ def classifier_score_local_df(
         "w_micro",
         "classifier_score_local_df",
     )
+    if strategy in ("auto", "arrow"):
+        return _classifier_score_arrow_df(docs, wm, B, bias_micro, int(salt))
     idx = spark.range(B).select(F.col("id").alias("bucket"))
     warr = (
         idx.join(F.broadcast(wm), "bucket", "left")
@@ -1624,6 +1676,94 @@ def classifier_score_local_df(
     )
     return _logit_prob_df(scored, bias_micro)
 
+
+def _classifier_score_arrow_df(
+    docs: DataFrame, wm: DataFrame, B: int, bias_micro: int, salt: int
+) -> DataFrame:
+    """The Arrow kernel behind ``classifier_score_local_df`` — see its
+    docstring for the recipe and the bit-identity argument."""
+    import numpy as np
+
+    from .dedup import normalized_text
+
+    w = np.zeros(B, dtype=np.int64)
+    for r in wm.collect():  # model-size: <= B rows by the unique assert
+        b = int(r["bucket"])
+        if 0 <= b < B:  # out-of-range buckets never join in the hof form
+            w[b] = int(r["w_micro"])
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    id_type = dict(base.dtypes)["doc_id"]
+    schema = (
+        f"doc_id {id_type}, n_feats bigint, logit_micro bigint, prob double"
+    )
+    salt_prefix = f"{salt}|".encode()
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict = {}
+        md5 = hashlib.md5
+
+        def bucket(f: str) -> int:
+            b = cache.get(f)
+            if b is None:
+                # conv(substring(md5(salt|f), 1, 15), 16, 10) % B: the top
+                # 60 bits of the digest == the first 15 hex chars
+                b = (
+                    int.from_bytes(
+                        md5(salt_prefix + f.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                ) % B
+                cache[f] = b
+            return b
+
+        for pdf in batches:
+            ids, counts, bidx_parts = [], [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                toks = [t for t in nt.split(" ") if t]
+                if not toks:
+                    continue
+                feats = toks + [
+                    f"{toks[i - 1]} {toks[i]}" for i in range(1, len(toks))
+                ]
+                ids.append(doc_id)
+                counts.append(len(feats))
+                bidx_parts.append(
+                    np.fromiter(
+                        (bucket(f) for f in feats),
+                        dtype=np.int64,
+                        count=len(feats),
+                    )
+                )
+            if not ids:
+                continue  # empty Arrow batches type columns wrong — skip
+            if len(cache) > 2_000_000:
+                cache.clear()  # bound the per-worker feature cache
+            n = np.asarray(counts, dtype=np.int64)
+            seg = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(n[:-1], out=seg[1:])
+            s = np.add.reduceat(w[np.concatenate(bidx_parts)], seg)
+            # signed round-half-away mean + bias, exact integer arithmetic
+            lm = bias_micro + np.where(
+                s >= 0,
+                (2 * s + n) // (2 * n),
+                -((2 * (-s) + n) // (2 * n)),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_feats": n,
+                    "logit_micro": lm,
+                    "prob": _sigmoid_round6_vec(lm),
+                }
+            )
+
+    return base.mapInPandas(run, schema=schema)
 
 
 def classifier_train_df(

@@ -213,7 +213,7 @@ def winnow_fingerprints_df(
         )
     if strategy == "arrow":
         return _winnow_selected_arrow_df(
-            docs, int(k), int(window), (), positional=True
+            docs, int(k), int(window), (), positional=True, hash_fn=hash_fn
         )
     sel = _winnow_selected_window_df(docs, int(k), int(window), (), hash_fn, raw_chars)
     # same (pos, fp) can win several adjacent windows; the doc_id
@@ -380,51 +380,59 @@ def _winnow_pick_strategy(
             f"{fn}: strategy must be 'auto', 'local', 'window', or "
             f"'arrow', got {strategy!r}"
         )
-    if strategy == "arrow" and hash_fn != "xxhash64":
-        raise ValueError(
-            f"{fn}: strategy='arrow' hashes inside the numpy kernel, which "
-            "implements xxhash64 only — md5 (the cross-engine oracle hash) "
-            "takes the window form; pass hash_fn='xxhash64' or drop the "
-            "strategy override"
-        )
     if docs.isStreaming:
         # aggregation/sort are illegal mid-stream: auto always takes a
         # row-local form, and an EXPLICIT 'window' ask must fail clearly
         # here, not as a deep AnalysisException from the sizing pre-pass.
-        # 'arrow' is stateless mapInPandas — streaming-legal, honored.
+        # 'arrow' is stateless mapInPandas — streaming-legal, and auto's
+        # pick since round 10: the interpreted 'local' HOF is the class
+        # measured bimodal in long-lived JVMs (the entropy-twin lesson),
+        # exactly where a long-running stream lives.  'local' remains the
+        # explicit no-Python-workers fallback.
         if strategy == "window":
             raise ValueError(
                 f"{fn}: strategy='window' sorts and aggregates, which is "
                 "illegal on a streaming DataFrame — use 'local' (or 'auto', "
-                "which picks it for streams)"
+                "which picks the Arrow kernel for streams)"
             )
-        if strategy == "arrow":
-            return "arrow", None
-        return "local", None
+        if strategy == "local":
+            return "local", None
+        return "arrow", None
     if strategy != "auto":
         return strategy, None
-    # batch auto: md5 (the oracle hash) takes the window form; xxhash64
-    # (the production fast path) takes the ARROW kernel — hashes computed
-    # inside numpy, so no interpreted HOF is left to go bimodal and no
-    # 145M-row gram exchange exists at all (measured 5x the window form;
-    # FASTPATH.md round-8c).  raw_chars=None lets the window core run its
-    # own sizing pre-pass.
+    # batch auto: md5 (the oracle hash) keeps the window form — the
+    # md5-arrow kernel measured only ~8% faster at 320k docs (21.8 vs
+    # 23.6 s, within run noise; FASTPATH.md round-10) and the window
+    # chain needs no Python workers, so the pure-JVM form stays the
+    # batch default; xxhash64 (the production fast path) takes the
+    # ARROW kernel — hashes computed inside numpy, so no interpreted
+    # HOF is left to go bimodal and no 145M-row gram exchange exists at
+    # all (measured 5x the window form; FASTPATH.md round-8c).
+    # raw_chars=None lets the window core run its own sizing pre-pass.
     if hash_fn == "xxhash64":
         return "arrow", None
     return "window", None
 
 
 def _winnow_selected_arrow_df(
-    docs: DataFrame, k: int, window: int, carry: tuple, positional: bool
+    docs: DataFrame,
+    k: int,
+    window: int,
+    carry: tuple,
+    positional: bool,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """The Arrow winnowing core (xxhash64 only): normalized text goes to
-    the kernel as STRINGS, every gram hash is computed with vectorized
-    uint64 numpy (``functions.xxh`` — bit-identical to Spark's
-    ``xxhash64``, test-pinned), and the sliding min/argmin runs as one
-    strided numpy pass.  ZERO shuffles, zero interpreted JVM HOFs (the
-    hash-array ``transform`` measured BIMODAL, 15→88 s pass-to-pass, in
-    long-lived JVMs), no 145M-row gram explode (the window form's
-    exchange+sort).  Streaming-legal (stateless mapInPandas).
+    """The Arrow winnowing core: normalized text goes to the kernel as
+    STRINGS, every gram hash is computed inside the Python worker —
+    vectorized uint64 numpy for ``xxhash64`` (``functions.xxh`` —
+    bit-identical to Spark's intrinsic, test-pinned), C-speed ``hashlib``
+    behind a per-worker gram cache for ``md5`` (identical digests by
+    definition: the oracle hash, so the md5-arrow path stays hash-gated)
+    — and the sliding min/argmin runs as one strided numpy pass.  ZERO
+    shuffles, zero interpreted JVM HOFs (the hash-array ``transform``
+    measured BIMODAL, 15→88 s pass-to-pass, in long-lived JVMs), no
+    145M-row gram explode (the window form's exchange+sort).
+    Streaming-legal (stateless mapInPandas).
 
     ``positional=True`` emits dedup'd ``(doc_id, *carry, pos, fp)`` with
     the leftmost tie-break (``argmin`` returns the FIRST minimum — the
@@ -435,6 +443,7 @@ def _winnow_selected_arrow_df(
     from .dedup import normalized_text
     from .xxh import xxh64_bytes, xxh64_sliding
 
+    _check_hash_fn(hash_fn)
     k, window = int(k), int(window)
     d = docs.select("doc_id", *carry, normalized_text().alias("nt")).filter(
         F.length("nt") >= k + window - 1
@@ -448,19 +457,41 @@ def _winnow_selected_arrow_df(
     )
 
     def run(batches):
+        import hashlib
+
+        gram_cache: dict = {}
+        md5 = hashlib.md5
+
+        def md5_gram(g: str) -> int:
+            h = gram_cache.get(g)
+            if h is None:
+                # conv(substring(md5, 1, 15), 16, 10): the top 60 bits
+                # of the digest == the first 15 hex chars
+                h = int.from_bytes(md5(g.encode()).digest()[:8], "big") >> 4
+                gram_cache[g] = h
+            return h
+
         for pdf in batches:
             out = {c: [] for c in out_cols}
             if positional:
                 out["pos"], out["fp"] = [], []
             else:
                 out["fp"] = []
+            if len(gram_cache) > 2_000_000:
+                gram_cache.clear()  # bound the per-worker gram cache
             # zip over column Series, never itertuples: pandas renames
             # non-identifier column names ('lang-id' -> '_1') in named
             # tuples, and quote_carry explicitly admits such names
             for vals in zip(pdf["nt"], *[pdf[c] for c in out_cols]):
                 nt, keys = vals[0], vals[1:]
                 n_grams = len(nt) - k + 1
-                if nt.isascii() and k < 32:
+                if hash_fn == "md5":
+                    hs = np.fromiter(
+                        (md5_gram(nt[p : p + k]) for p in range(n_grams)),
+                        dtype=np.int64,
+                        count=n_grams,
+                    )
+                elif nt.isascii() and k < 32:
                     hs = xxh64_sliding(
                         np.frombuffer(nt.encode(), dtype=np.uint8), k
                     )
@@ -548,7 +579,7 @@ def winnow_fp_set_df(
     if strategy == "arrow":
         qcarry = quote_carry(carry, _WINNOW_RESERVED)
         return _winnow_selected_arrow_df(
-            docs, int(k), int(window), qcarry, positional=False
+            docs, int(k), int(window), qcarry, positional=False, hash_fn=hash_fn
         )
     if strategy == "window":
         qcarry = quote_carry(carry, _WINNOW_RESERVED)
@@ -926,6 +957,27 @@ def _round_half_up_micro(x: "np.ndarray") -> "np.ndarray":
                 )
             )
     return fast.astype(np.int64)
+
+
+def _round_half_up_6_vec(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized Spark ``ROUND(double, 6)``: scale by 1e6, HALF_UP the
+    integer part, divide back — exact except where the SCALED double
+    sits near a ``.5`` boundary (double scaling error or the shortest-
+    decimal-repr semantics could disagree there); those rare elements
+    take :func:`_round_half_up_6` (decimal over ``repr``, the exact
+    form).  The final ``m / 1e6`` division is correctly rounded to the
+    same double the decimal quantize converts to, so fast and exact
+    paths agree bit-for-bit wherever both are valid.  Band is
+    magnitude-aware like :func:`_round_half_up_micro`'s."""
+    scaled = x * 1e6
+    fast = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    out = fast / 1e6
+    a = np.abs(scaled)
+    near = np.abs((a % 1.0) - 0.5) < np.maximum(1e-6, 8.0 * np.spacing(a))
+    if near.any():
+        for j in np.nonzero(near)[0]:
+            out[j] = _round_half_up_6(float(x[j]))
+    return out
 
 
 def _round_half_up_6(v: float) -> float:
@@ -2280,34 +2332,51 @@ def hashed_embedding_df(docs: DataFrame, dim: int = 32) -> DataFrame:
     ).selectExpr("doc_id", f"array({comps}) AS embedding")
 
 
-def hashed_embedding_local_df(docs: DataFrame, dim: int = 32) -> DataFrame:
+def hashed_embedding_local_df(
+    docs: DataFrame, dim: int = 32, strategy: str = "auto"
+) -> DataFrame:
     """ZERO-SHUFFLE, streaming-legal twin of :func:`hashed_embedding_df`
-    (value-identical, differential-tested): the per-bit ±1 vote sums come
-    from the row-local distinct-token hash ARRAY — vote ``b`` is
-    ``2 * size(filter(hs, bit b set)) - size(hs)`` (the ``simhash_df
-    strategy='local'`` recipe kept real-valued) — so every document
-    embeds itself in one projection with no explode, no aggregation, no
+    (value-identical, differential-tested): every document embeds itself
+    in one row-local projection with no explode, no aggregation, no
     exchange.  Append-mode streaming-legal: a crawl can be embedded AS IT
     LANDS, feeding the streaming near-dup / ANN maintenance sinks.
 
-    JIT NOTE (why this is NOT the batch default): row-local higher-order
-    functions evaluate on the interpreted expression path and share call
-    sites across operators — under mixed long-session workloads that goes
-    megamorphic and bimodal (the measured dd_simhash 1 s/15 s hazard).
+    ``strategy``: ``'arrow'`` (auto's pick — the entropy-twin recipe)
+    computes the votes inside a ``mapInPandas`` kernel: md5 token hashes
+    via C-speed ``hashlib`` behind a per-worker cache (tokens repeat
+    zipf-style, so most lookups never hash), per-bit vote sums as ``dim``
+    segmented ``add.reduceat`` passes over the batch-concatenated hash
+    array, and ``ROUND(v / norm, 6)`` through the vectorized HALF_UP
+    emulation (:func:`_round_half_up_6_vec`).  ``sqrt`` and division are
+    IEEE-correctly-rounded in both runtimes, so no log/exp-style
+    cross-runtime band is needed — the twin is bit-identical by
+    construction.  Zero interpreted JVM expressions: nothing left to go
+    bimodal in a long-lived mixed JVM (the measured dd_simhash 1 s/15 s
+    hazard).  ``'hof'`` is the pure-JVM row-local form — vote ``b`` is
+    ``2 * size(filter(hs, bit b set)) - size(hs)`` over the distinct-
+    token hash array — kept as the no-Python-workers fallback and the
+    differential pinning twin.
+
     Batch jobs should keep :func:`hashed_embedding_df`'s whole-stage-
     codegen'd vote aggregation; this twin exists for streams, where
     aggregation after the stateful op is illegal anyway.
 
-    The hash array ``hs`` is materialized as its own projection column
-    and only ever referenced as a top-level HOF argument — safe from the
-    CollapseProject per-lambda re-evaluation trap (project-level CSE
-    covers HOF arguments; lambda-BODY references are the dangerous
-    form)."""
+    In the HOF form the hash array ``hs`` is materialized as its own
+    projection column and only ever referenced as a top-level HOF
+    argument — safe from the CollapseProject per-lambda re-evaluation
+    trap (project-level CSE covers HOF arguments; lambda-BODY references
+    are the dangerous form)."""
     from .dedup import normalized_text
 
     d = int(dim)
     if not 1 <= d <= 60:
         raise ValueError(f"dim must be in 1..60, got {dim}")
+    if strategy not in ("auto", "arrow", "hof"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'hof', got {strategy!r}"
+        )
+    if strategy in ("auto", "arrow"):
+        return _hashed_embedding_arrow_df(docs, d)
     toks = (
         docs.where(F.col("text").isNotNull())
         .select(
@@ -2341,3 +2410,73 @@ def hashed_embedding_local_df(docs: DataFrame, dim: int = 32) -> DataFrame:
         )
         .selectExpr("doc_id", f"array({comps}) AS embedding")
     )
+
+
+def _hashed_embedding_arrow_df(docs: DataFrame, d: int) -> DataFrame:
+    """The Arrow kernel behind ``hashed_embedding_local_df`` — see its
+    docstring for the recipe and the bit-identity argument."""
+    import pandas as pd
+
+    from .dedup import normalized_text
+
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    id_type = dict(base.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, embedding array<double>"
+
+    def run(batches):
+        import hashlib
+
+        cache: dict = {}
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, docs_toks = [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                ts = [t for t in set(nt.split(" ")) if t]
+                if not ts:
+                    continue
+                ids.append(doc_id)
+                docs_toks.append(ts)
+            if not ids:
+                continue  # empty Arrow batches type columns wrong — skip
+            if len(cache) > 2_000_000:
+                cache.clear()  # bound the per-worker vocab cache
+            n_toks = np.fromiter(
+                (len(t) for t in docs_toks), np.int64, count=len(ids)
+            )
+            all_h = np.empty(int(n_toks.sum()), dtype=np.int64)
+            pos = 0
+            for ts in docs_toks:
+                for t in ts:
+                    h = cache.get(t)
+                    if h is None:
+                        # conv(substring(md5, 1, 15), 16, 10): the top 60
+                        # bits of the digest == first 15 hex chars
+                        h = (
+                            int.from_bytes(
+                                md5(b"0|" + t.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        cache[t] = h
+                    all_h[pos] = h
+                    pos += 1
+            seg = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(n_toks[:-1], out=seg[1:])
+            votes = np.empty((d, len(ids)), dtype=np.int64)
+            for b in range(d):
+                votes[b] = (
+                    2 * np.add.reduceat((all_h >> np.int64(b)) & 1, seg)
+                    - n_toks
+                )
+            sq = (votes * votes).sum(axis=0)
+            nrm = np.sqrt(sq.astype(np.float64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                comps = votes.astype(np.float64) / nrm
+            comps[:, sq == 0] = 0.0
+            emb = _round_half_up_6_vec(np.ascontiguousarray(comps.T).reshape(-1))
+            emb = emb.reshape(len(ids), d)
+            yield pd.DataFrame({"doc_id": ids, "embedding": list(emb)})
+
+    return base.mapInPandas(run, schema=schema)

