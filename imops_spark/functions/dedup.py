@@ -784,9 +784,38 @@ def _pair_replicated(emb: DataFrame, group_cols: tuple = ()) -> DataFrame:
     )
 
 
+_COS_SCRATCH: dict = {}  # per-worker GEMM scratch — see _cosine_scratch
+
+
+def _cosine_scratch(kind: str, dtype, n: int):
+    """Per-worker persistent scratch for the block-GEMM kernels: a flat
+    buffer per dtype kind, grown monotonically and viewed per call.
+
+    Why this exists (round-10 root cause of the bench bimodality): a
+    fresh 4k x 4k block allocates ~280 MB of numpy temporaries per call
+    (GEMM result + rounded copy + bool mask), and on this class of box
+    FIRST-TOUCH page faults measured ~90 us/page — 2.9 s to touch a
+    fresh 128 MB buffer vs 15 ms to refill it (kernel zeroing + THP
+    path; reproduced with plain numpy, no Spark).  Whether glibc reused
+    the arena (fast) or had returned the blocks to the OS (slow) flipped
+    pass to pass, which WAS the 'unexplained Arrow-stage slow mode'.
+    Persistent scratch keeps the pages mapped, so every call after the
+    worker's first runs at refill speed.  Peak memory is unchanged —
+    the scratch is never larger than the temporaries it replaces
+    (bounded by the ~4k block cap: ~150 MB)."""
+    import numpy as np
+
+    buf = _COS_SCRATCH.get(kind)
+    if buf is None or buf.size < n:
+        buf = np.empty(n, dtype=dtype)
+        _COS_SCRATCH[kind] = buf
+    return buf[:n]
+
+
 def _cosine_pairs_compute(threshold: float):
     """The per-block-pair Arrow task: one numpy GEMM over the (left, right)
-    sides, rounded cosines thresholded, diagonal blocks deduped to
+    sides — into per-worker scratch (see :func:`_cosine_scratch`) —
+    rounded cosines thresholded, diagonal blocks deduped to
     id_a < id_b."""
     import pandas as pd
 
@@ -808,8 +837,13 @@ def _cosine_pairs_compute(threshold: float):
         rm = np.stack(pdf.loc[~lmask, "vec"].to_numpy())
         ln = lm / np.linalg.norm(lm, axis=1, keepdims=True)
         rn = rm / np.linalg.norm(rm, axis=1, keepdims=True)
-        cos = np.round(ln @ rn.T, 6)
-        ii, jj = np.nonzero(cos >= thr)
+        n_l, n_r = len(lids), len(rids)
+        cos = _cosine_scratch("f8", np.float64, n_l * n_r).reshape(n_l, n_r)
+        np.matmul(ln, rn.T, out=cos)
+        np.round(cos, 6, out=cos)
+        mask = _cosine_scratch("b1", np.bool_, n_l * n_r).reshape(n_l, n_r)
+        np.greater_equal(cos, thr, out=mask)
+        ii, jj = np.nonzero(mask)
         if len(ii) == 0:
             return empty
         ia, ib = lids[ii], rids[jj]
