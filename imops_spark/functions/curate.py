@@ -1705,6 +1705,9 @@ def _classifier_score_arrow_df(
 
         import pandas as pd
 
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
         cache: dict = {}
         md5 = hashlib.md5
 

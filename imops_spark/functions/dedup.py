@@ -426,6 +426,9 @@ def minhash_signatures_char_df(
         out_rows.append(sigs)
 
     def run(batches):
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()  # >32MB chunk temporaries must recycle (_mem)
         for pdf in batches:
             if len(pdf) == 0:
                 continue  # empty Arrow batches type columns wrong — skip
@@ -824,6 +827,9 @@ def _cosine_pairs_compute(threshold: float):
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()  # the stack()/normalize temporaries (_mem)
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )

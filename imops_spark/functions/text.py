@@ -459,6 +459,9 @@ def _winnow_selected_arrow_df(
     def run(batches):
         import hashlib
 
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
         gram_cache: dict = {}
         md5 = hashlib.md5
 
@@ -1053,6 +1056,9 @@ def _token_entropy_arrow_df(docs: DataFrame) -> DataFrame:
     )
 
     def run(batches):
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
         for pdf in batches:
             ids, n_tok, n_typ, hms, hs = [], [], [], [], []
             for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
@@ -2428,6 +2434,9 @@ def _hashed_embedding_arrow_df(docs: DataFrame, d: int) -> DataFrame:
     def run(batches):
         import hashlib
 
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
         cache: dict = {}
         md5 = hashlib.md5
         for pdf in batches:
