@@ -1291,6 +1291,33 @@ def q_tpch_q22(spark, sf_dir):
 # LLM-data-pipeline operators (documents / embeddings / events)
 # ---------------------------------------------------------------------------
 
+def q_dd_paragraphs(spark, sf_dir):
+    """Cross-corpus keep-first paragraph dedup (text.dedup_paragraphs_df):
+    the MassiveText/C4 exact-paragraph rule — every repeated paragraph
+    keeps its globally first (doc_id, pos) occurrence and later copies
+    are removed, across documents and within one.  The testdata has no
+    newlines, so both engines build the same multi-paragraph corpus
+    first: two 80-char text slices + a doc_id%7 shared marker (repeated
+    across ~1/7 of the corpus — heavy dedup pressure) + a short 'end'
+    line below min_chars (never a candidate, survives everywhere).
+    Oracle: ROW_NUMBER over (md5(trimmed line)) ordered (doc_id, pos),
+    keep rn=1, string_agg rebuild — winner identity and reassembly
+    mirrored exactly."""
+    from imops_spark.functions.text import dedup_paragraphs_df
+
+    wrapped = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "concat_ws('\\n', substr(text, 1, 80),"
+            " concat('shared paragraph marker ', CAST(doc_id % 7 AS STRING)),"
+            " substr(text, 81, 80), 'end') AS text",
+        )
+    )
+    return dedup_paragraphs_df(wrapped, min_chars=20)
+
+
 def q_dd_exact(spark, sf_dir):
     from imops_spark.functions.dedup import exact_dup_groups_df
 
@@ -4523,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_1scan": q_tpch_q21_1scan,
         "tpch_q22": q_tpch_q22,
         "dd_exact": q_dd_exact,
+        "dd_paragraphs": q_dd_paragraphs,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_char": q_dd_minhash_char,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -6337,6 +6365,37 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT frame_hash, COUNT(*) AS n_frames, MIN(doc_id) AS keep_item
             FROM f GROUP BY 1
+        """,
+        "dd_paragraphs": """
+            WITH d AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), substr(text, 1, 80),
+                               'shared paragraph marker ' || CAST(doc_id % 7 AS VARCHAR),
+                               substr(text, 81, 80), 'end') AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+            l AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS line,
+                     CASE WHEN length(trim(arr[i])) >= 20
+                          THEN md5(trim(arr[i])) END AS k
+              FROM ls, unnest(generate_series(1, len(arr))) u(i)
+            ),
+            n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY 1),
+            r AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN k IS NULL THEN 1
+                          ELSE ROW_NUMBER() OVER (PARTITION BY k
+                                                  ORDER BY doc_id, pos) END AS rn
+              FROM l
+            ),
+            kept AS (SELECT doc_id, pos, line FROM r WHERE rn = 1)
+            SELECT n.doc_id,
+                   COALESCE(string_agg(kept.line, chr(10) ORDER BY kept.pos), '') AS text,
+                   n.n_lines,
+                   CAST(n.n_lines - COUNT(kept.line) AS BIGINT) AS n_removed
+            FROM n LEFT JOIN kept ON n.doc_id = kept.doc_id
+            GROUP BY n.doc_id, n.n_lines
         """,
         "dd_exact": f"""
             SELECT md5({_NORM}) AS content_hash, COUNT(*) AS n_docs,

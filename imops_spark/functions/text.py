@@ -2185,6 +2185,95 @@ def remove_boilerplate_lines_df(
     ).select("doc_id", "text", "n_lines", "n_removed")
 
 
+def dedup_paragraphs_df(
+    docs: DataFrame,
+    min_chars: int = 20,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Cross-corpus KEEP-FIRST paragraph dedup: every repeated paragraph
+    (trimmed line of >= ``min_chars`` chars) keeps exactly its globally
+    FIRST occurrence — smallest ``(doc_id, pos)`` — and every later
+    occurrence is removed, in other documents or later in the same one.
+    The MassiveText/C4 exact-paragraph rule, and the keep-one sibling of
+    :func:`remove_boilerplate_lines_df` (which deletes ALL copies of a
+    sufficiently-shared line: boilerplate removal wants navigation bars
+    gone everywhere; paragraph dedup wants content kept once).
+
+    Output ``(doc_id, text, n_lines, n_removed)``: surviving lines
+    rejoined in original order and ORIGINAL (untrimmed) form; lines
+    shorter than ``min_chars`` after trimming (headers, separators,
+    whitespace) are never dedup candidates and survive verbatim;
+    NULL-text rows are excluded; a fully-deduped document survives with
+    ``text = ''``.  Winner identity is md5 of the trimmed line (the
+    dd_exact convention).  Batch-only: the global first occurrence is a
+    corpus aggregation no stream can know at append time.
+
+    Plan at 100 TB — one exploded corpus, THREE exchanges, no second
+    scan: (a) the winner table is a map-side-combined
+    ``groupBy(line_key)`` keeping ``min(struct(doc_id, pos))`` — one row
+    per DISTINCT candidate line, corpus-scale, so the keep decision is
+    an equi-JOIN on the line key, never a broadcast; (b) the exploded
+    lines join winners on that key (second exchange; non-candidates and
+    the per-document sentinel carry a NULL key and pass untouched —
+    NULL joins nothing); (c) reassembly is one ``groupBy(doc_id)``
+    (third exchange) over ``(pos, line)`` structs with the sentinel
+    guaranteeing fully-deduped documents a row (the
+    remove_boilerplate_lines_df recipe)."""
+    import re as _re
+
+    if int(min_chars) < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    sep_rx = _re.escape(line_sep)
+    sep_lit = line_sep.replace("\\", "\\\\").replace("'", "\\'")
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", sep_rx).alias("ls"))
+        .select(
+            "doc_id",
+            F.size("ls").alias("n_lines"),
+            F.expr(
+                "explode(concat("
+                " array(named_struct('pos', -1, 'line', CAST(NULL AS STRING))),"
+                " transform(ls, (x, i) -> named_struct('pos', i, 'line', x))"
+                ")) AS e"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.col("e.pos").alias("pos"),
+            F.col("e.line").alias("line"),
+            # candidate key: md5 of the trimmed line, NULL for short/blank
+            # lines and the sentinel — NULL-keyed rows bypass the join
+            F.when(
+                F.length(F.trim("e.line")) >= int(min_chars),
+                F.md5(F.trim("e.line")),
+            ).alias("k"),
+        )
+    )
+    winners = (
+        lines.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    )
+    kept = (
+        lines.join(winners, "k", "left")
+        .filter(
+            F.col("k").isNull()
+            | ((F.col("w.doc_id") == F.col("doc_id")) & (F.col("w.pos") == F.col("pos")))
+        )
+        .drop("k", "w")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.expr(
+            f"concat_ws('{sep_lit}', array_compact(transform("
+            f"array_sort(collect_list(struct(pos, line))), x -> x.line))) AS text"
+        ),
+        F.first("n_lines").cast("long").alias("n_lines"),
+        (F.first("n_lines") - F.count("line")).cast("long").alias("n_removed"),
+    ).select("doc_id", "text", "n_lines", "n_removed")
+
+
 SENTENCE_PATTERN = r"[^.!?]*[.!?]+|[^.!?]+$"
 
 

@@ -439,3 +439,63 @@ def test_hashed_embedding_local_is_streaming_legal(spark, tmp_path):
         for r in hashed_embedding_df(docs, dim=10).collect()
     }
     assert got == want and len(got) == 60
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Cross-corpus keep-first paragraph dedup: the globally first
+    (doc_id, pos) occurrence survives, later copies vanish (across docs
+    AND within one), trimmed-form matching, short lines never candidates,
+    fully-deduped docs survive with text=''."""
+    from imops_spark.functions.text import dedup_paragraphs_df
+
+    P = "this paragraph is long enough to be a candidate"
+    Q = "another sufficiently long paragraph for the test"
+    rows = [
+        (1, f"{P}\nshort\n{Q}"),
+        (2, f"{Q}\n{P}\nunique paragraph only in document two"),
+        (3, f"  {P}  \n{P}"),
+        (4, None),
+        (5, "tiny"),
+        (6, f"{P}"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_df(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_chars=20,
+        ).collect()
+    }
+    assert out[1]["text"] == f"{P}\nshort\n{Q}" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "unique paragraph only in document two"
+    assert out[2]["n_removed"] == 2
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert 4 not in out
+    assert out[5]["text"] == "tiny" and out[5]["n_removed"] == 0
+    assert out[6]["text"] == "" and out[6]["n_lines"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_chars"):
+        dedup_paragraphs_df(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_chars=0,
+        )
+
+
+def test_dedup_paragraphs_vs_boilerplate_contract(spark):
+    """The two siblings differ exactly as documented: boilerplate
+    removal deletes ALL copies of a >=min_docs line; paragraph dedup
+    keeps exactly ONE."""
+    from imops_spark.functions.text import (
+        dedup_paragraphs_df,
+        remove_boilerplate_lines_df,
+    )
+
+    P = "a shared navigation bar line long enough to count"
+    rows = [(i, f"{P}\ncontent line unique to document number {i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines_df(df).collect()}
+    dedup = {r["doc_id"]: r["text"] for r in dedup_paragraphs_df(df).collect()}
+    assert all(P not in t for t in boiler.values())          # gone everywhere
+    assert sum(P in t for t in dedup.values()) == 1          # kept exactly once
+    assert P in dedup[0]                                     # ... the first
