@@ -400,18 +400,16 @@ def _winnow_pick_strategy(
         return "arrow", None
     if strategy != "auto":
         return strategy, None
-    # batch auto: md5 (the oracle hash) keeps the window form — the
-    # md5-arrow kernel measured only ~8% faster at 320k docs (21.8 vs
-    # 23.6 s, within run noise; FASTPATH.md round-10) and the window
-    # chain needs no Python workers, so the pure-JVM form stays the
-    # batch default; xxhash64 (the production fast path) takes the
-    # ARROW kernel — hashes computed inside numpy, so no interpreted
-    # HOF is left to go bimodal and no 145M-row gram exchange exists at
-    # all (measured 5x the window form; FASTPATH.md round-8c).
-    # raw_chars=None lets the window core run its own sizing pre-pass.
-    if hash_fn == "xxhash64":
-        return "arrow", None
-    return "window", None
+    # batch auto: the ARROW kernel for BOTH hash families.  xxhash64
+    # (the production fast path): hashes inside numpy, 5x the window
+    # form (FASTPATH.md round-8c).  md5 (the oracle hash): per-gram
+    # hashlib in the kernel, decided on four sessions' evidence
+    # (FASTPATH.md round-10) — arrow won or tied every run and the gap
+    # GROWS with scale (1.28M docs: 40.7 vs 57.6 s interleaved-idle,
+    # 69.3 vs 93.3 s across sessions) because the window chain's
+    # explode+exchange+sort cost grows faster than the hash cost.
+    # 'window' stays the explicit no-Python-workers strategy.
+    return "arrow", None
 
 
 def _winnow_selected_arrow_df(

@@ -1134,12 +1134,14 @@ def test_winnow_strategies_value_identical_and_dispatch(spark):
     assert len(got) == len({(r["doc_id"], r["fp"]) for r in got})
     assert all(r["src"] == f"s{r['doc_id']}" for r in got)
 
-    # dispatch: batch auto ALWAYS takes the window form (the size
-    # crossover was retired — the local HOF chain is bimodal in mixed
-    # JVMs); no sizing pre-pass runs at dispatch time (the window core
-    # owns it)
+    # dispatch: batch auto takes the ARROW kernel for both hash families
+    # since round 10 (md5 decided on four sessions of A/B — FASTPATH.md);
+    # 'window' and 'local' stay explicit strategies and remain
+    # value-identical (asserted above)
     s, rc = tx._winnow_pick_strategy(docs, "auto", "t")
-    assert s == "window" and rc is None
+    assert s == "arrow" and rc is None
+    s, rc = tx._winnow_pick_strategy(docs, "auto", "t", hash_fn="xxhash64")
+    assert s == "arrow" and rc is None
     with pytest.raises(ValueError, match="strategy"):
         winnow_fp_set_df(docs, strategy="nope")
     with pytest.raises(ValueError, match="strategy"):

@@ -143,18 +143,19 @@ def test_winnow_arrow_plan_and_dispatch(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan
+    # batch auto picks the Arrow kernel for md5 too since round 10
+    # (four sessions of A/B: arrow won or tied, gap grows with scale);
+    # 'window' stays the explicit pure-JVM strategy
     plan_md5 = (
         winnow_fp_set_df(docs, k=8, window=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" in plan_md5
-    # md5 + explicit arrow is legal since round 10 (hashlib digests are
-    # md5 by definition); batch auto still picks the window form for md5
-    plan_md5_arrow = (
-        winnow_fp_set_df(docs, k=8, window=4, strategy="arrow")
+    assert "MapInPandas" in plan_md5 and "Exchange" not in plan_md5
+    plan_md5_window = (
+        winnow_fp_set_df(docs, k=8, window=4, strategy="window")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "MapInPandas" in plan_md5_arrow and "Exchange" not in plan_md5_arrow
+    assert "Window" in plan_md5_window
 
 
 def test_winnow_arrow_streaming(spark, tmp_path):
