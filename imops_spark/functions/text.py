@@ -400,16 +400,21 @@ def _winnow_pick_strategy(
         return "arrow", None
     if strategy != "auto":
         return strategy, None
-    # batch auto: the ARROW kernel for BOTH hash families.  xxhash64
-    # (the production fast path): hashes inside numpy, 5x the window
-    # form (FASTPATH.md round-8c).  md5 (the oracle hash): per-gram
-    # hashlib in the kernel, decided on four sessions' evidence
-    # (FASTPATH.md round-10) — arrow won or tied every run and the gap
-    # GROWS with scale (1.28M docs: 40.7 vs 57.6 s interleaved-idle,
-    # 69.3 vs 93.3 s across sessions) because the window chain's
-    # explode+exchange+sort cost grows faster than the hash cost.
-    # 'window' stays the explicit no-Python-workers strategy.
-    return "arrow", None
+    # batch auto: xxhash64 (the production fast path) takes the ARROW
+    # kernel — hashes inside numpy, 5x the window form, no interpreted
+    # HOF left to go bimodal (FASTPATH.md round-8c).  md5 (the oracle
+    # hash) keeps the WINDOW form: standalone the kernel wins at scale
+    # (1.3-1.8x at 1.28M docs, gap growing — FASTPATH.md round-10), but
+    # COMPOSED plans evaluate the winnow subtree inside joins where the
+    # mapInPandas boundary breaks the JVM pipeline (cur_select3 measured
+    # 9.5 s arrow vs 5.4 s window at sf0.1), and md5's whole reason to
+    # exist is oracle/composition-scale work — production corpora hash
+    # xxhash64.  'arrow' stays an explicit md5 strategy for standalone
+    # large-corpus use; raw_chars=None lets the window core run its own
+    # sizing pre-pass.
+    if hash_fn == "xxhash64":
+        return "arrow", None
+    return "window", None
 
 
 def _winnow_selected_arrow_df(

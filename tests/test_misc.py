@@ -1134,12 +1134,11 @@ def test_winnow_strategies_value_identical_and_dispatch(spark):
     assert len(got) == len({(r["doc_id"], r["fp"]) for r in got})
     assert all(r["src"] == f"s{r['doc_id']}" for r in got)
 
-    # dispatch: batch auto takes the ARROW kernel for both hash families
-    # since round 10 (md5 decided on four sessions of A/B — FASTPATH.md);
-    # 'window' and 'local' stay explicit strategies and remain
-    # value-identical (asserted above)
+    # dispatch: batch auto keeps the window form for md5 (the arrow
+    # kernel wins standalone at scale but loses inside composed joins —
+    # FASTPATH.md round-10 addendum) and the arrow kernel for xxhash64
     s, rc = tx._winnow_pick_strategy(docs, "auto", "t")
-    assert s == "arrow" and rc is None
+    assert s == "window" and rc is None
     s, rc = tx._winnow_pick_strategy(docs, "auto", "t", hash_fn="xxhash64")
     assert s == "arrow" and rc is None
     with pytest.raises(ValueError, match="strategy"):

@@ -131,8 +131,9 @@ def test_winnow_arrow_equivalence(spark):
 
 def test_winnow_arrow_plan_and_dispatch(spark):
     """The arrow plan is shuffle-free mapInPandas; auto picks arrow for
-    xxhash64 batch, window for md5 batch; arrow+md5 raises; arrow on a
-    stream is honored (stateless mapInPandas is streaming-legal)."""
+    xxhash64 batch, window for md5 batch; explicit arrow+md5 is legal;
+    arrow on a stream is honored (stateless mapInPandas is
+    streaming-legal)."""
     from imops_spark.functions.text import winnow_fp_set_df
 
     docs = spark.range(50).selectExpr(
@@ -143,19 +144,19 @@ def test_winnow_arrow_plan_and_dispatch(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan
-    # batch auto picks the Arrow kernel for md5 too since round 10
-    # (four sessions of A/B: arrow won or tied, gap grows with scale);
-    # 'window' stays the explicit pure-JVM strategy
+    # batch auto keeps the window form for md5 (the kernel wins
+    # standalone at 1.28M but loses inside composed joins — FASTPATH.md
+    # round-10 addendum); explicit arrow stays legal for md5
     plan_md5 = (
         winnow_fp_set_df(docs, k=8, window=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "MapInPandas" in plan_md5 and "Exchange" not in plan_md5
-    plan_md5_window = (
-        winnow_fp_set_df(docs, k=8, window=4, strategy="window")
+    assert "Window" in plan_md5
+    plan_md5_arrow = (
+        winnow_fp_set_df(docs, k=8, window=4, strategy="arrow")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" in plan_md5_window
+    assert "MapInPandas" in plan_md5_arrow and "Exchange" not in plan_md5_arrow
 
 
 def test_winnow_arrow_streaming(spark, tmp_path):
