@@ -1866,6 +1866,231 @@ def q_src_warc_gz(spark, sf_dir):
     )
 
 
+def _ensure_warc_http(spark, sf_dir) -> str:
+    """Build the HTTP-response WARC fixture once per (sf_dir, pid): each
+    document's text wrapped in the shared synthetic page (the txt_html /
+    cur_ingest wrap — one owner), framed as a full HTTP/1.1 response and
+    coded by ``doc_id % 4``: plain / Content-Encoding gzip / chunked
+    transfer / chunked-over-gzip — the four framings real CommonCrawl
+    response records arrive in.  Written as member-per-record .warc.gz
+    (the crawl layout), one file per task via TaskContext partition id;
+    the directory is renamed into place only after every part lands, so
+    a died build can never be half-read."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/warchttp_{key}_{os.getpid()}"
+    if os.path.exists(path):
+        return path
+    build = path + ".build"
+    os.makedirs(build, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    head, mid, tail = HTML_WRAP_HEAD, HTML_WRAP_MID, HTML_WRAP_TAIL
+
+    def run(batches):
+        import gzip as _g
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        dst = os.path.join(build, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(dst + ".tmp", "wb") as fh:
+            for pdf in batches:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    page = head + text[:24] + mid + text + tail
+                    body = page.encode("utf-8")
+                    v = int(doc_id) % 4
+                    hdrs = ["Content-Type: text/html; charset=utf-8"]
+                    if v in (1, 3):
+                        body = _g.compress(body)
+                        hdrs.append("Content-Encoding: gzip")
+                    if v in (2, 3):
+                        parts = [
+                            format(len(body[i : i + 64]), "x").encode()
+                            + b"\r\n"
+                            + body[i : i + 64]
+                            + b"\r\n"
+                            for i in range(0, len(body), 64)
+                        ]
+                        body = b"".join(parts) + b"0\r\n\r\n"
+                        hdrs.append("Transfer-Encoding: chunked")
+                    msg = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        + "\r\n".join(hdrs).encode()
+                        + b"\r\n\r\n"
+                        + body
+                    )
+                    wh = (
+                        f"WARC/1.0\r\nWARC-Type: response\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{doc_id}>\r\n"
+                        f"WARC-Target-URI: http://example.org/doc/{doc_id}\r\n"
+                        f"Content-Type: application/http; msgtype=response\r\n"
+                        f"Content-Length: {len(msg)}\r\n\r\n"
+                    ).encode()
+                    fh.write(_g.compress(wh + msg + b"\r\n\r\n"))
+                    n += 1
+        if n:
+            os.replace(dst + ".tmp", dst)
+        else:
+            os.remove(dst + ".tmp")
+            return
+        yield pd.DataFrame({"file": [dst], "n": [n]})
+
+    docs.repartition(4).mapInPandas(run, schema="file string, n long").collect()
+    os.replace(build, path)
+    return path
+
+
+# the non-UTF-8 charset fixture rows: (wire-name-or-None, codec canonical
+# name, body prefix) by doc_id % 4 — v3 declares NOTHING in the header and
+# is detected from its HTML meta tag (the HTML5 prescan path)
+_CHARSET_FIXTURE = [
+    ("ISO-8859-1", "iso8859-1", "café £5 ±æøß doc "),
+    ("windows-1251", "cp1251", "Привет мир доклад "),
+    ("Shift_JIS", "shift_jis", "こんにちは世界 文書 "),
+    (None, "cp1251", '<meta charset="windows-1251"><p>Документ '),
+]
+
+
+def _ensure_warc_charset(spark, sf_dir) -> str:
+    """Charset-decode fixture: synthesized bodies (by construction
+    encodable) in latin-1 / windows-1251 / shift-jis, declared in the
+    Content-Type header for variants 0-2 and ONLY in an HTML meta tag
+    for variant 3 — the byte-decode coverage txt_utf8 (a string-function
+    gate) can't give."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/imops_spark_idx/warccs_{key}_{os.getpid()}"
+    if os.path.exists(path):
+        return path
+    build = path + ".build"
+    os.makedirs(build, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    fixture = _CHARSET_FIXTURE
+
+    def run(batches):
+        import gzip as _g
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        dst = os.path.join(build, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(dst + ".tmp", "wb") as fh:
+            for pdf in batches:
+                for doc_id in pdf["doc_id"]:
+                    v = int(doc_id) % 4
+                    wire, codec, prefix = fixture[v]
+                    text = prefix + str(doc_id) + ("</p>" if v == 3 else "")
+                    body = text.encode(codec)
+                    ct = "text/html" + (
+                        f"; charset={wire}" if wire is not None else ""
+                    )
+                    msg = (
+                        f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n"
+                    ).encode() + body
+                    wh = (
+                        f"WARC/1.0\r\nWARC-Type: response\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{doc_id}>\r\n"
+                        f"WARC-Target-URI: http://example.org/doc/{doc_id}\r\n"
+                        f"Content-Type: application/http; msgtype=response\r\n"
+                        f"Content-Length: {len(msg)}\r\n\r\n"
+                    ).encode()
+                    fh.write(_g.compress(wh + msg + b"\r\n\r\n"))
+                    n += 1
+        if n:
+            os.replace(dst + ".tmp", dst)
+        else:
+            os.remove(dst + ".tmp")
+            return
+        yield pd.DataFrame({"file": [dst], "n": [n]})
+
+    docs.repartition(4).mapInPandas(run, schema="file string, n long").collect()
+    os.replace(build, path)
+    return path
+
+
+def q_src_warc_http(spark, sf_dir):
+    """HTTP payload extraction gate (sources.warc.read_warc(http=True)):
+    repacked response records with real HTTP framing — status line,
+    headers, gzip Content-Encoding, chunked transfer coding, and both
+    combined, by doc_id % 4 — parsed inside the per-file Arrow task.
+    The oracle re-derives status/media-type/charset/coding headers and
+    the exact page text from the parquet: a hash-match proves the
+    framing split, both coding reversals, the header map, and the decode
+    are lossless on every variant."""
+    from imops_spark.sources.warc import read_warc
+
+    path = _ensure_warc_http(spark, sf_dir)
+    return read_warc(spark, path, http=True).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "http_status",
+        "http_content_type",
+        "charset",
+        F.col("http_headers")["content-encoding"].alias("content_encoding"),
+        F.col("http_headers")["transfer-encoding"].alias("transfer_encoding"),
+        "text",
+        "http_error",
+    )
+
+
+def q_src_warc_charset(spark, sf_dir):
+    """Charset byte-decode gate (read_warc(http=True) charset
+    resolution): latin-1 / windows-1251 / shift-jis bodies declared in
+    the Content-Type header, plus a variant declared ONLY by an HTML
+    meta tag (the HTML5 prescan path).  The oracle states the expected
+    canonical codec name and the expected decoded string per variant —
+    a hash-match proves the bytes→text decode itself, which every
+    downstream dedup/quality semantic depends on (txt_utf8 only gates
+    string-function agreement on already-decoded text)."""
+    from imops_spark.sources.warc import read_warc
+
+    path = _ensure_warc_charset(spark, sf_dir)
+    return read_warc(spark, path, http=True).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "charset",
+        "text",
+        "http_error",
+    )
+
+
+def q_cur_ingest2(spark, sf_dir):
+    """The CRAWL-ingestion composition gate: read_warc(http=True) over
+    the HTTP fixture (gzip members -> WARC framing -> HTTP split ->
+    coding reversal -> charset decode, all in one Arrow task) ->
+    strip_html_df -> token_entropy_local_df -> entropy floor: the
+    pipeline a real CommonCrawl run starts with, end to end, zero
+    shuffles.  Same oracle as cur_ingest — the fixture wraps the same
+    page around the same text, so the two ingestion legs (JSONL stream,
+    WARC+HTTP batch) must land on identical scored survivors."""
+    from imops_spark.functions.text import strip_html_df, token_entropy_local_df
+    from imops_spark.sources.warc import read_warc
+
+    path = _ensure_warc_http(spark, sf_dir)
+    pages = read_warc(spark, path, http=True).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    cleaned = strip_html_df(pages).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    return token_entropy_local_df(cleaned).filter(F.col("h_micro") >= 2_500_000)
+
+
 def q_src_jsonl(spark, sf_dir):
     """JSONL source/sink roundtrip gate (sources.jsonl.write_jsonl /
     read_jsonl): the documents table is exported to line-delimited JSON
@@ -3540,6 +3765,52 @@ def _txt_html_sql() -> str:
     """
 
 
+def _src_warc_http_sql() -> str:
+    """The HTTP extraction gate relationally: the oracle re-states the
+    fixture's contract from the parquet — status 200, text/html, utf-8,
+    the coding headers implied by doc_id % 4, and the exact wrapped page
+    text (one owner: the same HTML_WRAP_* constants build the fixture)."""
+    html = (
+        f"{_sql_str(HTML_WRAP_HEAD)} || substr(text, 1, 24) || "
+        f"{_sql_str(HTML_WRAP_MID)} || text || {_sql_str(HTML_WRAP_TAIL)}"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(200 AS INT) AS http_status,
+               'text/html' AS http_content_type,
+               'utf-8' AS charset,
+               CASE WHEN doc_id % 4 IN (1, 3) THEN 'gzip' END
+                 AS content_encoding,
+               CASE WHEN doc_id % 4 IN (2, 3) THEN 'chunked' END
+                 AS transfer_encoding,
+               {html} AS text,
+               CAST(NULL AS VARCHAR) AS http_error
+        FROM documents WHERE text IS NOT NULL
+    """
+
+
+def _src_warc_charset_sql() -> str:
+    """The charset-decode gate relationally: expected canonical codec
+    name and expected decoded string per variant, generated from the
+    SAME _CHARSET_FIXTURE table that built the bytes — one owner."""
+    cs = " ".join(
+        f"WHEN {v} THEN {_sql_str(codec)}"
+        for v, (_, codec, _p) in enumerate(_CHARSET_FIXTURE)
+    )
+    tx = " ".join(
+        f"WHEN {v} THEN {_sql_str(prefix)} || CAST(doc_id AS VARCHAR)"
+        + (f" || {_sql_str('</p>')}" if v == 3 else "")
+        for v, (_, _c, prefix) in enumerate(_CHARSET_FIXTURE)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % 4 {cs} END AS charset,
+               CASE doc_id % 4 {tx} END AS text,
+               CAST(NULL AS VARCHAR) AS http_error
+        FROM documents WHERE text IS NOT NULL
+    """
+
+
 def _cur_ingest_sql() -> str:
     """The ingestion composition relationally: the shared HTML step
     tables inlined as the entropy tokenizer's input, entropy floor as an
@@ -4511,8 +4782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_jsonl": q_src_jsonl,
         "src_warc": q_src_warc,
         "src_warc_gz": q_src_warc_gz,
+        "src_warc_http": q_src_warc_http,
+        "src_warc_charset": q_src_warc_charset,
         "src_jsonl_stream": q_src_jsonl_stream,
         "cur_ingest": q_cur_ingest,
+        "cur_ingest2": q_cur_ingest2,
         "mm_image_raw": q_mm_image_raw,
         "mm_imresize": q_mm_imresize,
         "graph_cc": q_graph_cc,
@@ -5498,6 +5772,11 @@ def oracle_sql() -> dict[str, str]:
     # the gzip-member (CommonCrawl layout) read must equal the bare-WARC
     # read — same oracle, per-member decompression physical plan
     oracles["src_warc_gz"] = oracles["src_warc"]
+    # the WARC+HTTP batch ingestion leg must land on the same scored
+    # survivors as the JSONL streaming leg — same oracle, entirely
+    # different plumbing (gzip members -> HTTP split -> decode vs
+    # file-stream JSON parse)
+    oracles["cur_ingest2"] = oracles["cur_ingest"]
     # the row-local streaming twin must equal the batch exchange form
     oracles["txt_entropy_stream"] = oracles["txt_entropy"]
     # the streaming data-card drain must equal the batch profile
@@ -7674,6 +7953,8 @@ def _oracle_sql_literals() -> dict[str, str]:
         "txt_bm25_phrase": _bm25_phrase_sql(),
         "txt_html": _txt_html_sql(),
         "cur_ingest": _cur_ingest_sql(),
+        "src_warc_http": _src_warc_http_sql(),
+        "src_warc_charset": _src_warc_charset_sql(),
         "evt_topk_stream": """
             SELECT user_id, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events

@@ -14,10 +14,32 @@ showed it as a SUPER-LINEAR scale curve (160k CJK docs 2.4 s ->
 ``ensure_malloc_tuning()`` raises M_MMAP_THRESHOLD (and the trim
 threshold) so large numpy temporaries live on the reusable brk heap:
 the first batch faults once, every later batch recycles the same
-pages.  Cost: worker RSS holds at its per-batch peak instead of
-dipping between batches — the same bound the explicit-scratch fix has,
-applied allocator-wide.  Called once per process from each heavy
-kernel; a no-op off glibc or when IMOPS_SPARK_NO_MALLOC_TUNING is set.
+pages.
+
+DEPLOYMENT IMPLICATIONS (process-wide and permanent per Python
+worker — this also changes allocator behavior for user UDF code
+sharing the worker):
+
+- Worker RSS holds at its per-batch PEAK instead of dipping between
+  batches (the same bound the explicit-scratch GEMM fix has, applied
+  allocator-wide).  Size ``spark.executor.pyspark.memory`` with that
+  headroom: peak-batch working set x concurrent Python workers per
+  executor, NOT the between-batch trough.
+- The brk heap only shrinks from the top, so workloads that mix large
+  allocation SIZES can fragment and hold RSS somewhat above the
+  stated peak.  The threshold is therefore sized to just cover the
+  library's own scratch (~150 MB per-batch peaks): 256 MiB by
+  default, NOT "as high as possible".  Truly huge one-off
+  allocations (> threshold) still go to mmap and are returned to the
+  OS as before.
+- The default is calibrated on THIS box (~90 us/page fault).  On a
+  real cluster re-derive it with ``tools/mem_probe.py`` (measures the
+  box's fault cost and the RSS/throughput tradeoff per candidate
+  threshold) before copying the setting blindly.
+
+Escape hatches: ``IMOPS_SPARK_NO_MALLOC_TUNING=1`` disables entirely;
+``IMOPS_SPARK_MALLOC_MMAP_MB=<n>`` overrides the threshold (both read
+once per worker process).  No-op off glibc.
 """
 
 from __future__ import annotations
@@ -30,6 +52,7 @@ _done = False
 
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
+_DEFAULT_MB = 256  # covers the library's ~150 MB per-batch scratch peaks
 
 
 def ensure_malloc_tuning() -> None:
@@ -40,10 +63,16 @@ def ensure_malloc_tuning() -> None:
     if os.environ.get("IMOPS_SPARK_NO_MALLOC_TUNING"):
         return
     try:
+        mb = int(os.environ.get("IMOPS_SPARK_MALLOC_MMAP_MB", _DEFAULT_MB))
+    except ValueError:
+        mb = _DEFAULT_MB
+    if mb <= 0:
+        return
+    try:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6")
-        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 29)
-        libc.mallopt(_M_TRIM_THRESHOLD, 1 << 29)
+        libc.mallopt(_M_MMAP_THRESHOLD, mb << 20)
+        libc.mallopt(_M_TRIM_THRESHOLD, mb << 20)
     except Exception:
         pass  # non-glibc platform: the kernels are correct, just slower

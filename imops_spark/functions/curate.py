@@ -421,12 +421,12 @@ def contamination_pairs_df(
     count is one groupBy: the whole scan is join + one aggregation.
     Returns ``(train_id, eval_id, n_shared)``.
     """
-    from .text import winnow_fp_set_df
+    from .text import _winnow_strategy, winnow_fp_set_df
 
-    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, train_docs)).select(
         F.col("doc_id").alias("train_id"), "fp"
     )
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs)).select(
         F.col("doc_id").alias("eval_id"), "fp"
     )
     return (
@@ -469,12 +469,12 @@ def contamination_pairs_bloom_df(
     default 2^20 bits / 5 hashes a ~60k-fp holdout probes at fpr ~2e-3.
     """
     from .bloom import bloom_build, bloom_filter_df
-    from .text import winnow_fp_set_df
+    from .text import _winnow_strategy, winnow_fp_set_df
 
-    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, train_docs)).select(
         F.col("doc_id").alias("train_id"), "fp"
     )
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs)).select(
         F.col("doc_id").alias("eval_id"), "fp"
     )
     bloom = bloom_build(ef, "fp", num_bits=num_bits, num_hashes=num_hashes)
@@ -541,7 +541,7 @@ def contamination_report_df(
     :func:`contamination_pairs_bloom_df` recipe) and fall back to the
     equi-join.
     """
-    from .text import winnow_fp_set_df
+    from .text import _winnow_strategy, winnow_fp_set_df
 
     # the eval fp frame feeds BOTH the probe set and the report tail —
     # localCheckpoint it so the eval winnowing chain executes once (two
@@ -549,11 +549,11 @@ def contamination_report_df(
     # contract, and a local checkpoint dies with the DataFrame instead of
     # leaving a cacheManager entry behind — the cur_select2 recipe)
     ef = (
-        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn)
+        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs))
         .select(F.col("doc_id").alias("eval_id"), "fp")
         .localCheckpoint(eager=False)
     )
-    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, train_docs)).select(
         "fp"
     )
     ef_fps = ef.select("fp").dropDuplicates()
@@ -867,6 +867,7 @@ def select_by_roc_df(
     max_fpr_micro: int = 100000,
     lo: int | None = None,
     hi: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Curve -> threshold -> filter, composed: pick the MOST PERMISSIVE
     operating point on the :func:`roc_points_df` curve whose measured
@@ -884,10 +885,22 @@ def select_by_roc_df(
     Scale shape: the curve is a model-size object (<= n_buckets rows),
     so the threshold pick is a bounded 1-row driver action (the
     filter_by_quantile_df precedent); the deployed filter is a pure
-    row-local predicate.  The input is scanned twice (curve + filter) —
-    persist ``scored`` upstream when the scoring plan is expensive.
+    row-local predicate.  The input is scanned twice (curve + filter),
+    so by default it is persisted HERE (MEMORY_AND_DISK, skipped when
+    already cached): if the upstream plan is non-deterministic
+    (sampling, changing source files), an unpersisted second scan could
+    ship a threshold whose measured curve came from different rows —
+    breaking the exactness contract above.  Pass ``persist=False`` only
+    when the input is deterministic AND too large to cache (then the
+    contract holds because both scans see the same rows anyway).
     Raises if no curve point fits the budget (the top bucket's fpr
     already exceeds it) or fpr is unmeasurable (no negative labels)."""
+    from pyspark import StorageLevel
+
+    # storageLevel asks the CacheManager about the PLAN (catches a cache
+    # made through another DataFrame reference, unlike the is_cached flag)
+    if persist and scored.storageLevel == StorageLevel.NONE:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     curve = roc_points_df(scored, label_col, score_col, n_buckets, lo, hi)
     row = (
         curve.filter(F.col("fpr_micro") <= int(max_fpr_micro))
@@ -1618,7 +1631,16 @@ def classifier_score_local_df(
     scores inside a ``mapInPandas`` kernel: the snapped micro-weight
     table is collected ONCE at plan build into a dense ``B``-long int64
     vector (a bounded model-size driver action, the roc/quantile
-    precedent), feature buckets come from C-speed ``hashlib`` md5 behind
+    precedent).  EAGER-SNAPSHOT SEMANTICS, unlike the lazy ``hof``
+    twin: calling this function runs a model-size Spark job immediately
+    (duplicate-bucket asserts fire at BUILD time, not first execution),
+    and the weight vector is frozen at that moment — if the weights
+    table's underlying data changes before the returned plan executes,
+    the arrow path scores with the build-time snapshot while ``hof``
+    would re-read.  For apply-time scoring that frozen snapshot is what
+    you want (a deployed model must not drift mid-job); re-call the
+    function to pick up retrained weights.  Feature buckets come from
+    C-speed ``hashlib`` md5 behind
     a per-worker cache, per-doc sums are segmented ``add.reduceat``
     gathers, the micro-logit is exact integer arithmetic, and the
     sigmoid's ROUND(·, 6) runs through a cross-runtime exp tie band

@@ -369,6 +369,24 @@ def _winnow_selected_window_df(
     )
 
 
+def _winnow_strategy(hash_fn: str, docs: DataFrame) -> str:
+    """The strategy a COMPOSING operator (one that joins on the
+    fingerprints) should pin at its winnow call site — the other half of
+    the leaf-only dispatch rule in :func:`_winnow_pick_strategy`: md5's
+    kernel loses composed (the mapInPandas boundary breaks the JVM
+    pipeline around the downstream join — cur_select3 measured 9.5 s
+    arrow vs 5.4 s window at sf0.1), while xxhash64's kernel is 5x the
+    window chain and keeps winning through the boundary (FASTPATH.md
+    round-8c), so only BATCH md5 pins the pure-JVM window form.  A
+    streaming ``docs`` stays on auto — the window chain sorts and
+    aggregates, which is illegal mid-stream, and auto picks the
+    streaming-legal arrow kernel (contamination_pairs_stream delegates
+    a streaming train side through the batch composition)."""
+    if hash_fn == "md5" and not docs.isStreaming:
+        return "window"
+    return "auto"
+
+
 def _winnow_pick_strategy(
     docs: DataFrame, strategy: str, fn: str, hash_fn: str = "md5"
 ):
@@ -400,21 +418,21 @@ def _winnow_pick_strategy(
         return "arrow", None
     if strategy != "auto":
         return strategy, None
-    # batch auto: xxhash64 (the production fast path) takes the ARROW
-    # kernel — hashes inside numpy, 5x the window form, no interpreted
-    # HOF left to go bimodal (FASTPATH.md round-8c).  md5 (the oracle
-    # hash) keeps the WINDOW form: standalone the kernel wins at scale
-    # (1.3-1.8x at 1.28M docs, gap growing — FASTPATH.md round-10), but
-    # COMPOSED plans evaluate the winnow subtree inside joins where the
-    # mapInPandas boundary breaks the JVM pipeline (cur_select3 measured
-    # 9.5 s arrow vs 5.4 s window at sf0.1), and md5's whole reason to
-    # exist is oracle/composition-scale work — production corpora hash
-    # xxhash64.  'arrow' stays an explicit md5 strategy for standalone
-    # large-corpus use; raw_chars=None lets the window core run its own
-    # sizing pre-pass.
-    if hash_fn == "xxhash64":
-        return "arrow", None
-    return "window", None
+    # batch auto: the ARROW kernel for BOTH hash families — the
+    # leaf-only dispatch rule (round-11).  Standalone, arrow won or tied
+    # every measured session and the gap grows with scale (md5 at 1.28M:
+    # 40.7-69.3 s arrow vs 57.6-93.3 s window; xxhash64 5x — FASTPATH.md
+    # rounds 8c/10/11).  The one place window wins is COMPOSITION: when
+    # the winnow subtree feeds a join, the mapInPandas boundary breaks
+    # the JVM pipeline (cur_select3 measured 9.5 s arrow vs 5.4 s window
+    # at sf0.1) — but whether the OUTPUT will feed a join is unknowable
+    # here at plan-build time, and the party that DOES know is the
+    # composing operator.  So the rule is: auto assumes a leaf; every
+    # in-library composition that joins on the fingerprints pins
+    # strategy='window' explicitly at its call site (curate.py
+    # contamination family, streaming/curate.py), and user-built
+    # compositions should do the same.
+    return "arrow", None
 
 
 def _winnow_selected_arrow_df(
@@ -556,26 +574,29 @@ def winnow_fp_set_df(
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document, ``(doc_id, fp)``.
 
-    ``strategy='auto'`` (default) picks by INPUT KIND and hash family:
+    ``strategy='auto'`` (default) picks by INPUT KIND, assuming the
+    output is a LEAF (consumed directly, not joined on):
 
-    - batch + md5 -> ``'window'``, the sized exploded chain
-      (:func:`_winnow_selected_window_df`) + a per-doc dedup the doc_id
-      partitioning already satisfies (no further exchange).  3-5x faster
-      at scale than the old local form — the size crossover was retired
-      because the local form's interpreted HOF scan is bimodal in
-      mixed-workload JVMs (see ``_WINNOW_LOCAL_MAX_CHARS``).
-    - batch + xxhash64 -> ``'arrow'``, the numpy kernel
+    - batch -> ``'arrow'``, the numpy kernel
       (:func:`_winnow_selected_arrow_df`): gram hashes computed INSIDE
       the Arrow batch, zero shuffles, no interpreted JVM expressions —
-      5-6x the window form measured (FASTPATH.md round-8c).  Note this
-      path runs numpy/pandas in the executors' Python workers, unlike
-      the pure-JVM window chain.
-    - streaming -> ``'local'``: dedup ROW-LOCALLY (``array_distinct``
-      over the selected-fp array before the explode): zero shuffles, no
-      stateful dedup, streaming-legal (a same-fp-several-positions doc
-      would otherwise double-count pairs, and stateful
-      dropDuplicates/countDistinct are restricted upstream of/inside
-      streaming aggregations).
+      5-6x the window form for xxhash64 (FASTPATH.md round-8c), 1.3-1.8x
+      and growing with scale for md5 (round-10/11).  Note this path runs
+      numpy/pandas in the executors' Python workers, unlike the pure-JVM
+      window chain.
+    - streaming -> ``'arrow'`` too (stateless mapInPandas is
+      streaming-legal; the interpreted 'local' HOF is the
+      bimodal-in-long-lived-JVMs class).
+
+    COMPOSING callers — operators that JOIN on the fingerprints — should
+    pin ``strategy=_winnow_strategy(hash_fn)`` instead of auto: for md5
+    the mapInPandas boundary breaks the JVM pipeline around the join
+    (cur_select3 measured 9.5 s arrow vs 5.4 s window at sf0.1), so md5
+    compositions take ``'window'``, the sized exploded chain
+    (:func:`_winnow_selected_window_df`) + a per-doc dedup the doc_id
+    partitioning already satisfies.  The in-library contamination family
+    does this; ``'local'`` (row-local ``array_distinct`` HOF) remains
+    the explicit no-Python-workers fallback.
 
     All forms are value-identical per hash family (equivalence-tested)."""
     _check_hash_fn(hash_fn)

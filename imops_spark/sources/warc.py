@@ -51,17 +51,17 @@ parquet conversion per arriving file, then ``sources.jsonl.stream_jsonl``
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "write_warc", "repack_warc_gz"]
-
-_OUT_SCHEMA = (
-    "warc_file string, record_id string, record_type string, "
-    "target_uri string, warc_date string, content_type string, "
-    "content_length long, payload binary"
-)
-
+__all__ = [
+    "read_warc",
+    "write_warc",
+    "repack_warc_gz",
+    "parse_http_payload",
+    "parse_http_df",
+]
 
 _GZIP_MAGIC = b"\x1f\x8b\x08"  # gzip + deflate method, the only method defined
 _GZ_CHUNK = 1 << 18  # 256 KiB decompress feed; bounds per-member over-read
@@ -119,6 +119,12 @@ def _scan_records(buf: bytes, fname: str, on_corrupt: str, at_eof: bool):
                 raise ValueError(f"malformed WARC in {fname}: {bad}")
             nxt = buf.find(b"\r\nWARC/", i)
             if nxt < 0:
+                if not at_eof:
+                    # keep a bounded suffix (one marker-length minus one)
+                    # in the tail: a valid record head split across the
+                    # NEXT member boundary after a corrupt region would
+                    # otherwise be discarded with the corrupt bytes
+                    return recs, max(i, n - (len(b"\r\nWARC/") - 1))
                 return recs, n
             i = nxt + 2
             continue
@@ -202,11 +208,290 @@ def _parse_warc_bytes(buf: bytes, fname: str, on_corrupt: str):
         yield from recs
 
 
+# --------------------------------------------------------------------------
+# HTTP payload extraction.  A real crawl `response` record's payload is an
+# HTTP/1.x message — status line, headers, CRLF CRLF, body — with the body
+# possibly Content-Encoding-compressed and/or chunked-transfer-encoded, in
+# a charset that is frequently NOT UTF-8.  Nothing upstream of the text
+# pipeline may assume bytes are prose: these kernels split the framing,
+# reverse the codings, detect the charset, and decode — all row-local,
+# inside the same per-file Arrow task that parsed the WARC framing, so the
+# raw bytes never cross an exchange.  No counterpart in /root/reference
+# (it has no network/ingest code); framing per RFC 7230, charset prescan
+# per the HTML5 meta-prescan convention (first 1024 bytes).
+# --------------------------------------------------------------------------
+
+_META_PRESCAN = 1024  # HTML5 charset prescan window
+
+
+def _split_http_head(buf: bytes):
+    """Split an HTTP message into (status, header-pairs, body, error).
+    Headers decode as latin-1 (lossless byte map — header VALUES may
+    carry any bytes; RFC 7230 says treat them as opaque octets).  Names
+    are lowercased; obsolete line folding (leading SP/HTAB) joins onto
+    the previous value.  Tolerates bare-LF framing (seen in old crawls)."""
+    if not buf.startswith(b"HTTP/"):
+        return None, [], buf, "not-http"
+    sep, seplen = buf.find(b"\r\n\r\n"), 4
+    lf = buf.find(b"\n\n")
+    if sep < 0 or (0 <= lf < sep):
+        if lf >= 0:
+            sep, seplen = lf, 2
+        elif sep < 0:
+            return None, [], b"", "unterminated-http-headers"
+    head = buf[:sep].decode("latin-1")
+    lines = head.split("\r\n") if "\r\n" in head else head.split("\n")
+    parts = lines[0].split(None, 2)
+    status, err = None, None
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            err = "bad-status-line"
+    else:
+        err = "bad-status-line"
+    headers: list = []
+    for ln in lines[1:]:
+        if ln[:1] in (" ", "\t") and headers:  # obs-fold continuation
+            headers[-1] = (headers[-1][0], headers[-1][1] + " " + ln.strip())
+            continue
+        k, _, v = ln.partition(":")
+        headers.append((k.strip().lower(), v.strip()))
+    return status, headers, buf[sep + seplen :], err
+
+
+def _dechunk(body: bytes):
+    """Reverse chunked transfer coding: hex-size lines frame each chunk;
+    a 0-size chunk terminates (trailers ignored).  Truncated input keeps
+    the bytes already assembled and reports the error — crawl payloads
+    are routinely cut mid-body (WARC-Truncated) and partial text is
+    worth more than none."""
+    out: list = []
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            return b"".join(out), "truncated-chunked"
+        tok = body[i:j].split(b";")[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return b"".join(out), "bad-chunk-size"
+        i = j + 2
+        if size == 0:
+            return b"".join(out), None
+        if i + size > n:
+            out.append(body[i:])
+            return b"".join(out), "truncated-chunked"
+        out.append(body[i : i + size])
+        i += size + 2  # skip the chunk's own CRLF
+
+
+def _decode_coding(body: bytes, coding: str):
+    """Reverse one content coding.  gzip/x-gzip/deflate via zlib —
+    deflate tries zlib-wrapped first, then raw (the historic IE bug
+    means both occur in the wild).  Truncated streams yield the bytes
+    decoded so far plus an error tag.  Unknown codings (br, zstd — no
+    codecs in this container) return ``(None, tag)``: mojibake from
+    decoding compressed bytes as text is worse than a NULL."""
+    import zlib
+
+    if coding in ("identity", ""):
+        return body, None
+    if coding in ("gzip", "x-gzip", "deflate"):
+        wbits = 31 if coding != "deflate" else 15
+        for wb in ((wbits,) if coding != "deflate" else (15, -15)):
+            d = zlib.decompressobj(wbits=wb)
+            try:
+                out = d.decompress(body) + d.flush()
+            except zlib.error:
+                continue
+            if not d.eof:
+                return out, f"truncated-{coding}"
+            return out, None
+        return None, f"undecodable-{coding}"
+    return None, f"unknown-content-encoding:{coding}"
+
+
+_CHARSET_RE = None  # compiled lazily per worker
+
+
+def _detect_charset(body: bytes, declared: str | None, default: str):
+    """Charset resolution: BOM > Content-Type param > HTML meta prescan
+    (first 1024 bytes) > ``default``.  Returns ``(codec-canonical-name,
+    error-or-None)``; an unknown declared name falls through to the next
+    source with a tag, never raises — decode policy downstream is always
+    errors='replace' (crawl bytes are dirty by construction)."""
+    import codecs
+    import re
+
+    global _CHARSET_RE
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", None
+    if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        return "utf-16", None
+    err = None
+    if declared:
+        try:
+            return codecs.lookup(declared).name, None
+        except LookupError:
+            err = f"unknown-charset:{declared}"
+    if _CHARSET_RE is None:
+        _CHARSET_RE = re.compile(
+            rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?([A-Za-z0-9_#-]{1,40})",
+            re.IGNORECASE,
+        )
+    m = _CHARSET_RE.search(body[:_META_PRESCAN])
+    if m:
+        try:
+            return codecs.lookup(m.group(1).decode("latin-1")).name, err
+        except LookupError:
+            tag = f"unknown-charset:{m.group(1).decode('latin-1')}"
+            err = f"{err};{tag}" if err else tag
+    return codecs.lookup(default).name, err
+
+
+def _charset_param(content_type: str | None):
+    """Pull ``charset=`` out of a Content-Type value; quotes stripped."""
+    if not content_type:
+        return None, None
+    media, _, rest = content_type.partition(";")
+    for p in rest.split(";"):
+        k, _, v = p.partition("=")
+        if k.strip().lower() == "charset":
+            return media.strip().lower(), v.strip().strip("\"'") or None
+    return media.strip().lower(), None
+
+
+def parse_http_payload(
+    buf: bytes, default_charset: str = "utf-8", is_http: bool = True
+):
+    """Parse one HTTP response payload into a plain dict: ``status``
+    (int|None), ``headers`` (dict, names lowercased, duplicates
+    comma-joined per RFC 7230 §3.2.2), ``content_type`` (media type,
+    lowercased, params stripped), ``charset`` (codec canonical name
+    actually used), ``text`` (decoded body; None when the bytes are
+    undecodable, e.g. an unknown content coding), ``error``
+    (semicolon-joined tags, None when clean).
+
+    Coding order is the receiver's: de-chunk (transfer coding) first,
+    then reverse content codings right-to-left.  With ``is_http=False``
+    the buffer is treated as a bare body (WET-style records): framing
+    fields are None and the bytes go straight to charset detection.
+    Pure Python, deterministic, no IO — safe inside any Arrow task."""
+    errors: list = []
+    if is_http and buf.startswith(b"HTTP/"):
+        status, pairs, body, err = _split_http_head(buf)
+        if err:
+            errors.append(err)
+        hdrs: dict = {}
+        for k, v in pairs:
+            hdrs[k] = f"{hdrs[k]}, {v}" if k in hdrs else v
+        te = [
+            t.strip().lower()
+            for t in hdrs.get("transfer-encoding", "").split(",")
+            if t.strip()
+        ]
+        if "chunked" in te:
+            body, err = _dechunk(body)
+            if err:
+                errors.append(err)
+            te = [t for t in te if t != "chunked"]
+        codings = te + [
+            c.strip().lower()
+            for c in hdrs.get("content-encoding", "").split(",")
+            if c.strip()
+        ]
+        for coding in reversed(codings):
+            body, err = _decode_coding(body, coding)
+            if err:
+                errors.append(err)
+            if body is None:
+                break
+        media, declared = _charset_param(hdrs.get("content-type"))
+    else:
+        status, hdrs, body = None, None, buf
+        media, declared = None, None
+        if is_http:
+            errors.append("not-http")
+    if body is None:
+        charset, text = None, None
+    else:
+        charset, err = _detect_charset(body, declared, default_charset)
+        if err:
+            errors.append(err)
+        text = body.decode(charset, errors="replace")
+    return {
+        "status": status,
+        "headers": hdrs,
+        "content_type": media,
+        "charset": charset,
+        "text": text,
+        "error": ";".join(errors) if errors else None,
+    }
+
+
+def parse_http_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str | None = "content_type",
+    default_charset: str = "utf-8",
+    out_col: str = "http",
+) -> DataFrame:
+    """HTTP extraction over a payload column already in a DataFrame
+    (e.g. WARC records landed in parquet): adds ``out_col`` as a struct
+    ``(status int, headers map<string,string>, content_type string,
+    charset string, text string, error string)``.  A row parses as HTTP
+    iff its WARC ``content_type_col`` says ``application/http`` OR the
+    bytes start with ``HTTP/``; anything else (WET text, warcinfo) goes
+    straight to charset detection as a bare body.  Row-local Arrow
+    pandas_udf — zero shuffle, composes into any plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = (
+        "status int, headers map<string,string>, content_type string, "
+        "charset string, text string, error string"
+    )
+
+    @pandas_udf(schema)
+    def run(payload: pd.Series, wct: pd.Series) -> pd.DataFrame:
+        rows = []
+        for buf, ct in zip(payload, wct):
+            if buf is None:
+                rows.append(
+                    {
+                        "status": None,
+                        "headers": None,
+                        "content_type": None,
+                        "charset": None,
+                        "text": None,
+                        "error": None,
+                    }
+                )
+                continue
+            b = bytes(buf)
+            is_http = bool(
+                (ct or "").lower().startswith("application/http")
+                or b.startswith(b"HTTP/")
+            )
+            rows.append(parse_http_payload(b, default_charset, is_http))
+        return pd.DataFrame(rows)
+
+    wct = (
+        F.col(content_type_col)
+        if content_type_col is not None
+        else F.lit(None).cast("string")
+    )
+    return df.withColumn(out_col, run(F.col(payload_col), wct))
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple | None = ("response",),
     on_corrupt: str = "fail",
+    http: bool = False,
+    keep_payload: bool | None = None,
 ) -> DataFrame:
     """Read WARC records: ``(warc_file, record_id, record_type,
     target_uri, warc_date, content_type, content_length, payload)`` with
@@ -220,7 +505,19 @@ def read_warc(
     default keeps only ``response`` — crawl payloads — and drops the
     request/metadata/warcinfo bookkeeping records); ``None`` keeps all.
     The filter runs INSIDE the parser task, so bookkeeping records never
-    become Arrow rows at all."""
+    become Arrow rows at all.
+
+    ``http=True`` additionally splits each payload's HTTP framing INSIDE
+    the same task (see :func:`parse_http_payload`): columns
+    ``http_status``, ``http_headers`` (map, names lowercased),
+    ``http_content_type``, ``charset``, ``text`` (body de-chunked,
+    de-compressed, charset-decoded) and ``http_error`` are appended.
+    Payloads whose WARC Content-Type is not ``application/http`` and do
+    not start with ``HTTP/`` (WET-style text records) skip the framing
+    split and go straight to charset detection.  ``keep_payload``
+    controls whether the raw bytes column survives — default False when
+    ``http=True`` (text is what downstream wants; shipping bytes AND
+    text would double the Arrow traffic), True otherwise."""
     if on_corrupt not in ("fail", "drop"):
         raise ValueError(
             f"on_corrupt must be 'fail' or 'drop', got {on_corrupt!r}"
@@ -230,21 +527,43 @@ def read_warc(
         if record_types is None
         else {str(t).lower() for t in record_types}
     )
+    if keep_payload is None:
+        keep_payload = not http
+    cols = [
+        "warc_file",
+        "record_id",
+        "record_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content_length",
+    ]
+    schema = "warc_file string, record_id string, record_type string, " \
+        "target_uri string, warc_date string, content_type string, " \
+        "content_length long"
+    if keep_payload:
+        cols.append("payload")
+        schema += ", payload binary"
+    if http:
+        cols += [
+            "http_status",
+            "http_headers",
+            "http_content_type",
+            "charset",
+            "text",
+            "http_error",
+        ]
+        schema += (
+            ", http_status int, http_headers map<string,string>, "
+            "http_content_type string, charset string, text string, "
+            "http_error string"
+        )
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            out: dict[str, list] = {
-                "warc_file": [],
-                "record_id": [],
-                "record_type": [],
-                "target_uri": [],
-                "warc_date": [],
-                "content_type": [],
-                "content_length": [],
-                "payload": [],
-            }
+            out: dict[str, list] = {c: [] for c in cols}
             for fname, content in zip(pdf["path"], pdf["content"]):
                 for headers, payload in _parse_warc_bytes(
                     bytes(content), fname, on_corrupt
@@ -252,14 +571,28 @@ def read_warc(
                     rtype = headers.get("warc-type", "")
                     if want is not None and rtype.lower() not in want:
                         continue
+                    wct = headers.get("content-type")
                     out["warc_file"].append(fname)
                     out["record_id"].append(headers.get("warc-record-id", ""))
                     out["record_type"].append(rtype)
                     out["target_uri"].append(headers.get("warc-target-uri"))
                     out["warc_date"].append(headers.get("warc-date"))
-                    out["content_type"].append(headers.get("content-type"))
+                    out["content_type"].append(wct)
                     out["content_length"].append(len(payload))
-                    out["payload"].append(payload)
+                    if keep_payload:
+                        out["payload"].append(payload)
+                    if http:
+                        is_http = bool(
+                            (wct or "").lower().startswith("application/http")
+                            or payload.startswith(b"HTTP/")
+                        )
+                        h = parse_http_payload(payload, is_http=is_http)
+                        out["http_status"].append(h["status"])
+                        out["http_headers"].append(h["headers"])
+                        out["http_content_type"].append(h["content_type"])
+                        out["charset"].append(h["charset"])
+                        out["text"].append(h["text"])
+                        out["http_error"].append(h["error"])
             if not out["warc_file"]:
                 continue  # empty Arrow batches type columns wrong — skip
             yield pd.DataFrame(out)
@@ -267,7 +600,7 @@ def read_warc(
     # drop the binaryFile metadata columns BEFORE the parser: `content` is
     # the whole file, and pruning after mapInPandas would still ship it
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(run, schema=_OUT_SCHEMA)
+    return files.mapInPandas(run, schema=schema)
 
 
 def write_warc(

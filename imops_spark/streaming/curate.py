@@ -92,13 +92,13 @@ def start_contamination_hits_maintenance(
     """
     from pyspark.sql import functions as F
 
-    from ..functions.text import winnow_fp_set_df
+    from ..functions.text import _winnow_strategy, winnow_fp_set_df
 
     # checkpoint the eval fp set once at start(): every micro-batch probes
     # it, and without the checkpoint each batch would re-run the whole eval
     # winnowing chain (bounded frame, lives as long as the query closure)
     ef_fps = (
-        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn)
+        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs))
         .select("fp")
         .dropDuplicates()
         .localCheckpoint(eager=False)
@@ -106,7 +106,8 @@ def start_contamination_hits_maintenance(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         tf = winnow_fp_set_df(
-            batch_df, k=k, window=window, hash_fn=hash_fn
+            batch_df, k=k, window=window, hash_fn=hash_fn,
+            strategy=_winnow_strategy(hash_fn, batch_df),
         ).select("fp")
         hits = tf.join(F.broadcast(ef_fps), "fp", "left_semi").dropDuplicates()
         hits.write.mode("append").parquet(path)
@@ -138,7 +139,7 @@ def contamination_report_from_hits(
     from pyspark.sql import functions as F
 
     from ..functions.curate import _contamination_report_tail
-    from ..functions.text import winnow_fp_set_df
+    from ..functions.text import _winnow_strategy, winnow_fp_set_df
 
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -147,7 +148,7 @@ def contamination_report_from_hits(
         hit_fps = spark.read.parquet(path).dropDuplicates()
     else:
         hit_fps = spark.createDataFrame([], "fp long")
-    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn).select(
+    ef = winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs)).select(
         F.col("doc_id").alias("eval_id"), "fp"
     )
     return _contamination_report_tail(ef, hit_fps)

@@ -2,6 +2,7 @@
 
 import numpy as np
 from numpy.testing import assert_array_equal
+from pyspark.sql import functions as F
 
 from imops_spark.sources.parquet import (
     read_blobs,
@@ -1124,3 +1125,271 @@ def test_warc_write_compression_guard(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="compression"):
         write_warc(docs, str(tmp_path / "x"), compression="zstd")
+
+
+# ---------------------------------------------------------------------------
+# HTTP payload extraction (sources.warc.parse_http_payload / parse_http_df /
+# read_warc(http=True)) — the layer between "reads CommonCrawl bytes" and
+# "usable on CommonCrawl": real response records carry HTTP framing, coded
+# bodies, and non-UTF-8 charsets.
+# ---------------------------------------------------------------------------
+
+
+def _http_msg(body: bytes, hdrs, status=b"HTTP/1.1 200 OK") -> bytes:
+    head = status + b"\r\n"
+    for k, v in hdrs:
+        head += k.encode() + b": " + (v.encode() if isinstance(v, str) else v)
+        head += b"\r\n"
+    return head + b"\r\n" + body
+
+
+def _chunked(body: bytes, size=7) -> bytes:
+    out = b""
+    for i in range(0, len(body), size):
+        c = body[i : i + size]
+        out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
+    return out + b"0\r\n\r\n"
+
+
+def test_http_kernel_framing_and_codings():
+    import gzip
+    import zlib
+
+    from imops_spark.sources.warc import parse_http_payload
+
+    body = "héllo wörld".encode()
+    # plain + duplicate headers comma-join (RFC 7230 3.2.2) + obs-fold
+    r = parse_http_payload(
+        _http_msg(
+            body,
+            [
+                ("Content-Type", "text/html; charset=UTF-8"),
+                ("X-A", "1"),
+                ("X-A", "2"),
+                ("X-Fold", "a\r\n  b"),
+            ],
+        )
+    )
+    assert (r["status"], r["content_type"], r["charset"]) == (
+        200,
+        "text/html",
+        "utf-8",
+    )
+    assert r["text"] == "héllo wörld" and r["error"] is None
+    assert r["headers"]["x-a"] == "1, 2" and r["headers"]["x-fold"] == "a b"
+
+    # gzip, deflate (zlib-wrapped AND raw — the IE-bug pair), chunked,
+    # chunked+gzip all reverse losslessly
+    gz = gzip.compress(body)
+    for payload, hdrs in [
+        (gz, [("Content-Encoding", "gzip"), ("Content-Type", "text/html; charset=utf-8")]),
+        (zlib.compress(body), [("Content-Encoding", "deflate"), ("Content-Type", "text/html; charset=utf-8")]),
+        (
+            (lambda c: c.compress(body) + c.flush())(
+                zlib.compressobj(wbits=-15)
+            ),
+            [("Content-Encoding", "deflate"), ("Content-Type", "text/html; charset=utf-8")],
+        ),
+        (_chunked(body), [("Transfer-Encoding", "chunked"), ("Content-Type", "text/html; charset=utf-8")]),
+        (
+            _chunked(gz),
+            [
+                ("Transfer-Encoding", "chunked"),
+                ("Content-Encoding", "gzip"),
+                ("Content-Type", "text/html; charset=utf-8"),
+            ],
+        ),
+    ]:
+        r = parse_http_payload(_http_msg(payload, hdrs))
+        assert (r["text"], r["error"]) == ("héllo wörld", None), hdrs
+
+    # bare-LF framing (old crawls)
+    r = parse_http_payload(b"HTTP/1.0 404 Not Found\nContent-Type: text/plain\n\nnope")
+    assert (r["status"], r["text"], r["error"]) == (404, "nope", None)
+
+
+def test_http_kernel_charsets():
+    from imops_spark.sources.warc import parse_http_payload
+
+    # declared charset in Content-Type
+    r = parse_http_payload(
+        _http_msg(
+            "Привет мир".encode("cp1251"),
+            [("Content-Type", "text/html; charset=windows-1251")],
+        )
+    )
+    assert (r["charset"], r["text"]) == ("cp1251", "Привет мир")
+
+    # meta prescan when the header has no charset (both meta forms)
+    sj = '<meta charset="shift_jis"><p>こんにちは</p>'.encode("shift_jis")
+    r = parse_http_payload(_http_msg(sj, [("Content-Type", "text/html")]))
+    assert r["charset"] == "shift_jis" and "こんにちは" in r["text"]
+    l1 = (
+        '<meta http-equiv="Content-Type" content="text/html; '
+        'charset=iso-8859-1"><p>café £5</p>'
+    ).encode("latin-1")
+    r = parse_http_payload(_http_msg(l1, [("Content-Type", "text/html")]))
+    assert r["charset"] == "iso8859-1" and "café £5" in r["text"]
+
+    # header charset BEATS meta; BOM beats both
+    both = '<meta charset="shift_jis">abc'.encode("latin-1")
+    r = parse_http_payload(
+        _http_msg(both, [("Content-Type", "text/html; charset=latin-1")])
+    )
+    assert r["charset"] == "iso8859-1"
+    r = parse_http_payload(
+        _http_msg(b"\xef\xbb\xbfabc", [("Content-Type", "text/html; charset=latin-1")])
+    )
+    assert r["charset"] == "utf-8-sig" and r["text"] == "abc"
+
+    # unknown declared charset: tagged, falls through to default+replace
+    r = parse_http_payload(
+        _http_msg(b"hello \xff", [("Content-Type", "text/plain; charset=bogus-x")])
+    )
+    assert r["charset"] == "utf-8" and r["text"] == "hello �"
+    assert "unknown-charset:bogus-x" in r["error"]
+
+
+def test_http_kernel_damage_policy():
+    import gzip
+
+    from imops_spark.sources.warc import parse_http_payload
+
+    # truncated gzip (the WARC-Truncated case): partial text + tag
+    full = gzip.compress(bytes(range(256)) * 20 + b"tail marker")
+    r = parse_http_payload(
+        _http_msg(
+            full[: len(full) // 2],
+            [("Content-Encoding", "gzip"), ("Content-Type", "text/plain; charset=latin-1")],
+        )
+    )
+    assert r["text"] and "tail marker" not in r["text"]
+    assert "truncated-gzip" in r["error"]
+
+    # truncated chunked: keeps assembled bytes + tag
+    r = parse_http_payload(
+        _http_msg(
+            b"5\r\nhello\r\n9\r\nwor",
+            [("Transfer-Encoding", "chunked"), ("Content-Type", "text/plain; charset=utf-8")],
+        )
+    )
+    assert r["text"].startswith("hello") and "truncated-chunked" in r["error"]
+
+    # unknown content coding (br/zstd — no codec here): NULL text, never
+    # mojibake from decoding compressed bytes as prose
+    r = parse_http_payload(
+        _http_msg(b"\x8b\x01\x80compressed", [("Content-Encoding", "br")])
+    )
+    assert r["text"] is None and "unknown-content-encoding:br" in r["error"]
+
+    # undecodable gzip (magic but garbage): NULL text + tag
+    r = parse_http_payload(
+        _http_msg(b"\x1f\x8b\x08 garbage", [("Content-Encoding", "gzip")])
+    )
+    assert r["text"] is None and "undecodable-gzip" in r["error"]
+
+    # bad status line; not-http bytes
+    r = parse_http_payload(b"HTTP/9\r\n\r\nx")
+    assert r["status"] is None and "bad-status-line" in r["error"]
+    r = parse_http_payload(b"plain bytes", is_http=True)
+    assert r["status"] is None and r["error"] == "not-http"
+    r = parse_http_payload("bare ünicode".encode(), is_http=False)
+    assert r["text"] == "bare ünicode" and r["error"] is None
+
+
+def test_read_warc_http_and_parse_http_df(spark, tmp_path):
+    """read_warc(http=True) splits HTTP framing inside the parser task
+    (payload dropped by default, kept on request); parse_http_df applies
+    the identical kernel to payloads already in a DataFrame — the two
+    routes agree row for row, and non-HTTP records (WET text) decode as
+    bare bodies."""
+    import gzip
+
+    from imops_spark.sources.warc import parse_http_df, read_warc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    msgs = [
+        (
+            "http://a",
+            _http_msg("héllo Ā".encode(), [("Content-Type", "text/html; charset=utf-8")]),
+            "application/http; msgtype=response",
+        ),
+        (
+            "http://b",
+            _http_msg(
+                gzip.compress("привет".encode("cp1251")),
+                [
+                    ("Content-Type", "text/html; charset=windows-1251"),
+                    ("Content-Encoding", "gzip"),
+                ],
+            ),
+            "application/http; msgtype=response",
+        ),
+        ("http://c", "WET text é".encode(), "text/plain"),
+    ]
+    with open(d / "f.warc.gz", "wb") as fh:
+        for uri, payload, ctype in msgs:
+            fh.write(gzip.compress(_mk_warc_record_ct(uri, payload, ctype)))
+
+    got = {
+        r["target_uri"]: r
+        for r in read_warc(spark, str(d), http=True).collect()
+    }
+    assert "payload" not in read_warc(spark, str(d), http=True).columns
+    assert got["http://a"]["text"] == "héllo Ā"
+    assert got["http://a"]["http_status"] == 200
+    assert got["http://b"]["text"] == "привет"
+    assert got["http://b"]["charset"] == "cp1251"
+    assert got["http://b"]["http_headers"]["content-encoding"] == "gzip"
+    assert got["http://c"]["text"] == "WET text é"
+    assert got["http://c"]["http_status"] is None
+
+    withp = read_warc(spark, str(d), http=True, keep_payload=True)
+    assert "payload" in withp.columns and withp.count() == 3
+
+    two = parse_http_df(read_warc(spark, str(d))).select(
+        "target_uri",
+        F.col("http.status").alias("http_status"),
+        F.col("http.charset").alias("charset"),
+        F.col("http.text").alias("text"),
+        F.col("http.error").alias("http_error"),
+    )
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(
+        map(
+            tuple,
+            read_warc(spark, str(d), http=True)
+            .select("target_uri", "http_status", "charset", "text", "http_error")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def _mk_warc_record_ct(uri, body: bytes, ctype: str) -> bytes:
+    h = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n"
+        f"WARC-Target-URI: {uri}\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return h + body + b"\r\n\r\n"
+
+
+def test_warc_gz_drop_keeps_split_head_after_corruption():
+    """ADVICE r10: in gzip drop mode, a corrupt region used to swallow a
+    valid record whose '\\r\\nWARC/' resync marker spans the next member
+    boundary — the scan now carries a bounded marker-length tail."""
+    import gzip
+
+    from imops_spark.sources.warc import _parse_warc_bytes
+
+    rec = _mk_warc_record("http://ok", b"survivor body")
+    # member 1: garbage that ends with the FIRST half of the marker;
+    # member 2: the rest of the record.  Only drop-mode resync can save it.
+    m1 = b"corrupt garbage with no marker" + b"\r\nWA"
+    m2 = rec[4:]
+    assert rec[:4] == b"WARC"  # the split puts 'RC/...' at member-2 start
+    buf = gzip.compress(m1) + gzip.compress(m2)
+    got = [p for _, p in _parse_warc_bytes(buf, "f.gz", "drop")]
+    assert got == [b"survivor body"]

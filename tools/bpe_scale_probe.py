@@ -70,7 +70,48 @@ def synth_word_freq(spark, n_ids: int):
     )
 
 
-def run_one(n_ids: int, n_merges: int, batch_k: int, top_m: int) -> None:
+def _weighted_tokens(words_freqs: list, ranked: list) -> int:
+    """Frequency-weighted token count of the corpus encoded with the
+    merge table — the compression yardstick (SCALING.md round-10: merge
+    SET overlap misleads; tokens-per-corpus is what a tokenizer buys).
+    Encode = repeatedly merge the lowest-RANK adjacent pair present
+    (leftmost-non-overlapping pass) — equivalent to the rank-order
+    replace chain, because a merge can only create pairs learned in
+    LATER rounds and never creates an old-old adjacency."""
+    rank = {(l, r): i for i, (l, r) in enumerate(ranked)}
+    total = 0
+    for word, freq in words_freqs:
+        syms = list(word)
+        while len(syms) > 1:
+            best = bi = None
+            for i in range(len(syms) - 1):
+                k = rank.get((syms[i], syms[i + 1]))
+                if k is not None and (best is None or k < best):
+                    best, bi = k, i
+            if best is None:
+                break
+            l, r = ranked[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms) * freq
+    return total
+
+
+def run_one(
+    n_ids: int,
+    n_merges: int,
+    batch_k: int,
+    top_m: int,
+    mode: str = "exact",
+    encode_depths: tuple = (),
+) -> None:
     from imops_spark.functions.bpe import _train_distributed
     from imops_spark.session import get_spark
 
@@ -82,9 +123,17 @@ def run_one(n_ids: int, n_merges: int, batch_k: int, top_m: int) -> None:
     t0 = time.perf_counter()
     merges = _train_distributed(
         spark, wf, n_merges, min_freq=2, batch_k=batch_k, stats=stats,
-        top_m=top_m,
+        top_m=top_m, mode=mode,
     )
     wall = round(time.perf_counter() - t0, 1)
+    enc: dict = {}
+    if encode_depths:
+        words_freqs = [(r["word"], int(r["freq"])) for r in wf.collect()]
+        base = sum(len(w) * f for w, f in words_freqs)
+        enc["char_tokens"] = base
+        for d in encode_depths:
+            ranked = [(l, r) for l, r, _n in merges[: int(d)]]
+            enc[f"tokens_at_{d}"] = _weighted_tokens(words_freqs, ranked)
     print(
         _MARKER
         + json.dumps(
@@ -95,9 +144,11 @@ def run_one(n_ids: int, n_merges: int, batch_k: int, top_m: int) -> None:
                 "n_merges_done": len(merges),
                 "batch_k": batch_k,
                 "top_m": top_m,
+                "mode": mode,
                 "wall_sec": wall,
                 "sec_per_merge": round(wall / max(len(merges), 1), 3),
                 **stats,
+                **enc,
             }
         ),
         flush=True,
@@ -109,10 +160,14 @@ def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     n_ids = int(args.get("--n-ids", 6_000_000))
     n_merges = int(args.get("--n-merges", 4096))
+    mode = args.get("--mode", "exact")
+    depths = tuple(
+        int(d) for d in args.get("--encode-depths", "").split(",") if d
+    )
     grid = args.get("--grid", "16:64,64:512,128:1024")
     if "--one" in args:
         bk, tm = map(int, args["--one"].split(":"))
-        run_one(n_ids, n_merges, bk, tm)
+        run_one(n_ids, n_merges, bk, tm, mode=mode, encode_depths=depths)
         return
     for cell in grid.split(","):
         proc = subprocess.run(
@@ -122,6 +177,8 @@ def main() -> None:
                 f"--one={cell}",
                 f"--n-ids={n_ids}",
                 f"--n-merges={n_merges}",
+                f"--mode={mode}",
+                f"--encode-depths={args.get('--encode-depths', '')}",
             ],
             capture_output=True,
             text=True,
