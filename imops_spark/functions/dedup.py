@@ -321,13 +321,12 @@ def minhash_signatures_char_df(
 
     from .xxh import xxh64_bytes, xxh64_chain_int, xxh64_rows, xxh64_sliding
 
-    carry_names = [c.strip("`") for c in carry]
+    carry_names = [c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry]
     out_cols = ["doc_id", *carry_names]
     fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
-    schema = ", ".join(
-        [f"`{c}` {fields[c]}" for c in out_cols]
-        + [f"mh{i} long" for i in range(num_hashes)]
-    )
+    out_fields = [(c, fields[c]) for c in out_cols] + [
+        (f"mh{i}", "long") for i in range(num_hashes)
+    ]
 
     # ~4M windows per numpy pass: bounds every temporary to ~32 MB while
     # amortizing numpy call overhead across thousands of documents — the
@@ -485,7 +484,9 @@ def minhash_signatures_char_df(
                 res[f"mh{i}"] = col
             yield res
 
-    return d.mapInPandas(run, schema=schema)
+    from ..utils import map_in_pandas_renamed
+
+    return map_in_pandas_renamed(d, run, out_fields)
 
 
 def band_entries_df(

@@ -470,11 +470,10 @@ def _winnow_selected_arrow_df(
         F.length("nt") >= k + window - 1
     )
     fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
-    carry_names = [c.strip("`") for c in carry]
+    carry_names = [c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry]
     out_cols = ["doc_id", *carry_names]
-    schema = ", ".join(
-        [f"`{c}` {fields[c]}" for c in out_cols]
-        + (["pos int", "fp long"] if positional else ["fp long"])
+    out_fields = [(c, fields[c]) for c in out_cols] + (
+        [("pos", "int"), ("fp", "long")] if positional else [("fp", "long")]
     )
 
     def run(batches):
@@ -551,7 +550,9 @@ def _winnow_selected_arrow_df(
                     out["fp"].extend(fps)
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(run, schema=schema)
+    from ..utils import map_in_pandas_renamed
+
+    return map_in_pandas_renamed(d, run, out_fields)
 
 
 def winnow_fingerprints_arrow_df(

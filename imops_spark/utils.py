@@ -48,6 +48,51 @@ def quote_carry(carry, reserved: frozenset) -> tuple:
         out.append("`" + name.replace("`", "``") + "`")
     return tuple(out)
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def map_in_pandas_renamed(df: DataFrame, run, out_fields: list) -> DataFrame:
+    """``mapInPandas`` that tolerates arbitrary column names.
+
+    PySpark's ``mapInPandas`` resolves every INPUT column through
+    ``df[name]`` (``sql/pandas/map_ops.py``), which parses dots as
+    struct-field paths and rejects names like ``event-time.col`` that
+    ``quote_carry`` explicitly admits as passthroughs.  Non-identifier
+    names are therefore routed through ``__mip{i}`` placeholders on both
+    sides of the boundary: the Spark input renames to placeholders, the
+    kernel still sees (and emits) the ORIGINAL names via a pandas-side
+    rename, and the output renames back — ``withColumnsRenamed`` matches
+    names literally, so no quoting hazard survives.  ``__``-prefixed
+    carry names are reserved upstream, so placeholders cannot collide.
+
+    ``out_fields`` is the output schema as ``[(name, ddl_type), ...]``;
+    when every involved name is a plain identifier this is exactly
+    ``df.mapInPandas(run, schema)`` — zero overhead on the common path.
+    """
+    bad = sorted(
+        {c for c in df.columns if not _IDENT_RE.match(c)}
+        | {n for n, _ in out_fields if not _IDENT_RE.match(n)}
+    )
+    if not bad:
+        schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+        return df.mapInPandas(run, schema=schema)
+    sub = {c: f"__mip{i}" for i, c in enumerate(bad)}
+    inv = {v: k for k, v in sub.items()}
+
+    def wrapped(batches):
+        def original_names():
+            for pdf in batches:
+                yield pdf.rename(columns=inv)
+
+        for res in run(original_names()):
+            yield res.rename(columns=sub)
+
+    schema = ", ".join(f"`{sub.get(n, n)}` {t}" for n, t in out_fields)
+    out = df.withColumnsRenamed(sub).mapInPandas(wrapped, schema=schema)
+    back = {sub[n]: n for n, _ in out_fields if n in sub}
+    return out.withColumnsRenamed(back) if back else out
+
+
 _GLOBAL_NUM_THREADS: list[int | None] = [None]
 
 

@@ -108,6 +108,39 @@ def test_band_entries_carry_awkward_name(spark):
     assert out.filter(F.col(f"`{AWKWARD}`") == "x").count() == out.count() > 0
 
 
+def test_minhash_char_arrow_carry_awkward_name(spark):
+    # the Arrow kernel crosses mapInPandas, whose internal df[name]
+    # parses dots as struct paths — pins the map_in_pandas_renamed route
+    from imops_spark.functions.dedup import minhash_signatures_char_df
+
+    docs = _docs(spark, extra=[(AWKWARD, F.col("doc_id") * 10)])
+    out = minhash_signatures_char_df(
+        docs, num_hashes=4, k=3, carry=(AWKWARD,), strategy="arrow"
+    )
+    rows = {r["doc_id"]: r[AWKWARD] for r in out.collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    plain = minhash_signatures_char_df(
+        docs.select("doc_id", "text"), num_hashes=4, k=3, strategy="jvm"
+    )
+    assert sorted(map(tuple, out.drop(AWKWARD).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_winnow_arrow_vs_window_carry_awkward_name(spark):
+    from imops_spark.functions.text import winnow_fp_set_df
+
+    docs = _docs(spark, extra=[(AWKWARD, F.col("doc_id") + 7)])
+    out = winnow_fp_set_df(
+        docs, carry=(AWKWARD,), hash_fn="xxhash64", strategy="arrow"
+    )
+    assert set(out.columns) == {"doc_id", AWKWARD, "fp"}
+    win = winnow_fp_set_df(
+        docs, carry=(AWKWARD,), hash_fn="xxhash64", strategy="window"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, win.collect()))
+
+
 def test_winnow_carry_awkward_name(spark):
     from imops_spark.functions.text import (
         winnow_fingerprints_local_df,

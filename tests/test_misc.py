@@ -1134,13 +1134,16 @@ def test_winnow_strategies_value_identical_and_dispatch(spark):
     assert len(got) == len({(r["doc_id"], r["fp"]) for r in got})
     assert all(r["src"] == f"s{r['doc_id']}" for r in got)
 
-    # dispatch: batch auto keeps the window form for md5 (the arrow
-    # kernel wins standalone at scale but loses inside composed joins —
-    # FASTPATH.md round-10 addendum) and the arrow kernel for xxhash64
+    # dispatch (the round-11 leaf-only rule): batch auto assumes a LEAF
+    # and picks the arrow kernel for BOTH hash families; composing
+    # operators that join on the fingerprints pin md5 back to the
+    # pure-JVM window form via _winnow_strategy at their call sites
     s, rc = tx._winnow_pick_strategy(docs, "auto", "t")
-    assert s == "window" and rc is None
+    assert s == "arrow" and rc is None
     s, rc = tx._winnow_pick_strategy(docs, "auto", "t", hash_fn="xxhash64")
     assert s == "arrow" and rc is None
+    assert tx._winnow_strategy("md5", docs) == "window"
+    assert tx._winnow_strategy("xxhash64", docs) == "auto"
     with pytest.raises(ValueError, match="strategy"):
         winnow_fp_set_df(docs, strategy="nope")
     with pytest.raises(ValueError, match="strategy"):

@@ -1385,11 +1385,68 @@ def test_warc_gz_drop_keeps_split_head_after_corruption():
     from imops_spark.sources.warc import _parse_warc_bytes
 
     rec = _mk_warc_record("http://ok", b"survivor body")
-    # member 1: garbage that ends with the FIRST half of the marker;
-    # member 2: the rest of the record.  Only drop-mode resync can save it.
-    m1 = b"corrupt garbage with no marker" + b"\r\nWA"
-    m2 = rec[4:]
-    assert rec[:4] == b"WARC"  # the split puts 'RC/...' at member-2 start
+    # member 1: garbage that ends with the FIRST half of the marker
+    # ('\r\n' + the record's first two bytes); member 2: the rest of the
+    # record from 'RC/...'.  Only the carried drop-mode tail can save it.
+    m1 = b"corrupt garbage with no marker" + b"\r\n" + rec[:2]
+    m2 = rec[2:]
+    assert rec[:4] == b"WARC" and m2[:3] == b"RC/"
     buf = gzip.compress(m1) + gzip.compress(m2)
     got = [p for _, p in _parse_warc_bytes(buf, "f.gz", "drop")]
     assert got == [b"survivor body"]
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """stream_warc drains a .warc.gz landing zone (availableNow, one file
+    per micro-batch) to exactly the batch read_warc rows — records, and
+    with http=True the full framing/coding/charset columns, crossing
+    micro-batch boundaries."""
+    import gzip
+
+    from imops_spark.sources.warc import read_warc, stream_warc
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    # two files so the 1-file trigger makes the drain span micro-batches
+    for fi in range(2):
+        with open(d / f"crawl-{fi}.warc.gz", "wb") as fh:
+            for i in range(3):
+                body = _http_msg(
+                    f"page {fi}-{i} é".encode(),
+                    [("Content-Type", "text/html; charset=utf-8")],
+                )
+                fh.write(
+                    gzip.compress(
+                        _mk_warc_record_ct(
+                            f"http://ex.org/{fi}/{i}",
+                            body,
+                            "application/http; msgtype=response",
+                        )
+                    )
+                )
+
+    s = stream_warc(spark, str(d), http=True, max_files_per_trigger=1)
+    assert s.isStreaming
+    got = run_stream_to_memory(s, "warc_stream_t", spark, mode="append")
+    cols = ["target_uri", "http_status", "charset", "text", "http_error"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(
+        map(tuple, read_warc(spark, str(d), http=True).select(*cols).collect())
+    )
+    assert a == b and len(a) == 6
+    assert {r[1] for r in a} == {200}
+
+    # raw-record streaming (no http split) matches the batch reader too
+    s2 = stream_warc(spark, str(d), max_files_per_trigger=1)
+    got2 = run_stream_to_memory(s2, "warc_stream_t2", spark, mode="append")
+    a2 = sorted(map(tuple, got2.drop("warc_file").collect()))
+    b2 = sorted(
+        map(tuple, read_warc(spark, str(d)).drop("warc_file").collect())
+    )
+    assert a2 == b2 and len(a2) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_files_per_trigger"):
+        stream_warc(spark, str(d), max_files_per_trigger=0)

@@ -130,10 +130,10 @@ def test_winnow_arrow_equivalence(spark):
 
 
 def test_winnow_arrow_plan_and_dispatch(spark):
-    """The arrow plan is shuffle-free mapInPandas; auto picks arrow for
-    xxhash64 batch, window for md5 batch; explicit arrow+md5 is legal;
-    arrow on a stream is honored (stateless mapInPandas is
-    streaming-legal)."""
+    """The arrow plan is shuffle-free mapInPandas; batch auto picks the
+    arrow kernel for both hash families (leaf-only rule); explicit
+    strategy='window' still builds the pure-JVM window chain; arrow on a
+    stream is honored (stateless mapInPandas is streaming-legal)."""
     from imops_spark.functions.text import winnow_fp_set_df
 
     docs = spark.range(50).selectExpr(
@@ -144,14 +144,19 @@ def test_winnow_arrow_plan_and_dispatch(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan
-    # batch auto keeps the window form for md5 (the kernel wins
-    # standalone at 1.28M but loses inside composed joins — FASTPATH.md
-    # round-10 addendum); explicit arrow stays legal for md5
+    # batch auto assumes a LEAF and takes the arrow kernel for md5 too
+    # (round-11 leaf-only rule); composing operators pin the window form
+    # via _winnow_strategy, and explicit strategy='window' still builds it
     plan_md5 = (
         winnow_fp_set_df(docs, k=8, window=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" in plan_md5
+    assert "MapInPandas" in plan_md5 and "Exchange" not in plan_md5
+    plan_md5_window = (
+        winnow_fp_set_df(docs, k=8, window=4, strategy="window")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan_md5_window
     plan_md5_arrow = (
         winnow_fp_set_df(docs, k=8, window=4, strategy="arrow")
         ._jdf.queryExecution().executedPlan().toString()
