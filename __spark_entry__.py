@@ -2068,6 +2068,32 @@ def q_src_warc_charset(spark, sf_dir):
     )
 
 
+def q_src_warc_stream(spark, sf_dir):
+    """Streaming WARC gate (sources.warc.stream_warc): the SAME repacked
+    HTTP-response fixture as src_warc_http consumed as a binaryFile
+    file-source STREAM (two files per micro-batch, so the drain crosses
+    batch boundaries) with the full HTTP split — framing, codings,
+    charset decode — running inside the stateless per-file Arrow task,
+    drained to memory.  Same projection and oracle as src_warc_http: a
+    hash-match proves the landing-zone streaming leg is value-identical
+    to the batch reader on every coding variant."""
+    from imops_spark.sources.warc import stream_warc
+    from imops_spark.streaming.events import run_stream_to_memory
+
+    path = _ensure_warc_http(spark, sf_dir)
+    s = stream_warc(spark, path, http=True, max_files_per_trigger=2).select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "http_status",
+        "http_content_type",
+        "charset",
+        F.col("http_headers")["content-encoding"].alias("content_encoding"),
+        F.col("http_headers")["transfer-encoding"].alias("transfer_encoding"),
+        "text",
+        "http_error",
+    )
+    return run_stream_to_memory(s, "src_warc_stream_gate", spark, mode="append")
+
+
 def q_cur_ingest2(spark, sf_dir):
     """The CRAWL-ingestion composition gate: read_warc(http=True) over
     the HTTP fixture (gzip members -> WARC framing -> HTTP split ->
@@ -4784,6 +4810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_warc_gz": q_src_warc_gz,
         "src_warc_http": q_src_warc_http,
         "src_warc_charset": q_src_warc_charset,
+        "src_warc_stream": q_src_warc_stream,
         "src_jsonl_stream": q_src_jsonl_stream,
         "cur_ingest": q_cur_ingest,
         "cur_ingest2": q_cur_ingest2,
@@ -5772,6 +5799,9 @@ def oracle_sql() -> dict[str, str]:
     # the gzip-member (CommonCrawl layout) read must equal the bare-WARC
     # read — same oracle, per-member decompression physical plan
     oracles["src_warc_gz"] = oracles["src_warc"]
+    # the binaryFile-stream drain must equal the batch HTTP reader —
+    # same oracle, micro-batch (availableNow) physical plan
+    oracles["src_warc_stream"] = oracles["src_warc_http"]
     # the WARC+HTTP batch ingestion leg must land on the same scored
     # survivors as the JSONL streaming leg — same oracle, entirely
     # different plumbing (gzip members -> HTTP split -> decode vs

@@ -43,10 +43,13 @@ The text writer appends one ``\\n`` per row after the record's own
 ``\\r\\n\\r\\n``; the reader (and any whitespace-lenient parser) skips
 inter-record whitespace, and the Content-Length framing is unaffected.
 
-Streaming: deliberately absent.  Spark's file stream source does not
-support ``binaryFile``; the landing-zone recipe is batch WARC -> JSONL/
-parquet conversion per arriving file, then ``sources.jsonl.stream_jsonl``
-(gated `src_jsonl_stream`) for the streaming leg.
+Streaming: :func:`stream_warc` — ``binaryFile`` is a plain file-based
+format, so it streams like any other file source (explicit fixed schema
+required), and the per-file parse task is stateless, so the batch plan
+runs unchanged as a micro-batch plan.  A fetcher drops ``.warc.gz``
+files into a landing directory; the stream picks each file up exactly
+once (file-source checkpointing) and feeds the row-local operator
+family directly — no intermediate JSONL/parquet conversion hop needed.
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_warc",
+    "stream_warc",
     "write_warc",
     "repack_warc_gz",
     "parse_http_payload",
@@ -485,39 +489,19 @@ def parse_http_df(
     return df.withColumn(out_col, run(F.col(payload_col), wct))
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: tuple | None = ("response",),
-    on_corrupt: str = "fail",
-    http: bool = False,
-    keep_payload: bool | None = None,
+def _warc_records_df(
+    files: DataFrame,
+    record_types: tuple | None,
+    on_corrupt: str,
+    http: bool,
+    keep_payload: bool | None,
 ) -> DataFrame:
-    """Read WARC records: ``(warc_file, record_id, record_type,
-    target_uri, warc_date, content_type, content_length, payload)`` with
-    ``payload`` as raw bytes (decode downstream — ``decode(payload,
-    'UTF-8')`` for web text, the multimodal kernels for media).  Bare
-    WARC and ``.warc.gz`` (member-per-record CommonCrawl layout OR
-    whole-file gzip) are auto-detected per file by magic — a directory
-    may mix both.
-
-    ``record_types`` filters on ``WARC-Type`` (case-insensitive; the
-    default keeps only ``response`` — crawl payloads — and drops the
-    request/metadata/warcinfo bookkeeping records); ``None`` keeps all.
-    The filter runs INSIDE the parser task, so bookkeeping records never
-    become Arrow rows at all.
-
-    ``http=True`` additionally splits each payload's HTTP framing INSIDE
-    the same task (see :func:`parse_http_payload`): columns
-    ``http_status``, ``http_headers`` (map, names lowercased),
-    ``http_content_type``, ``charset``, ``text`` (body de-chunked,
-    de-compressed, charset-decoded) and ``http_error`` are appended.
-    Payloads whose WARC Content-Type is not ``application/http`` and do
-    not start with ``HTTP/`` (WET-style text records) skip the framing
-    split and go straight to charset detection.  ``keep_payload``
-    controls whether the raw bytes column survives — default False when
-    ``http=True`` (text is what downstream wants; shipping bytes AND
-    text would double the Arrow traffic), True otherwise."""
+    """The shared parser plan behind :func:`read_warc` and
+    :func:`stream_warc`: ``files`` is a ``(path string, content binary)``
+    relation — batch or streaming — and every record of every file
+    materializes inside the per-file ``mapInPandas`` task.  The task is
+    stateless (each file parses independently, no cross-batch state), so
+    the identical plan is legal on a file-source stream."""
     if on_corrupt not in ("fail", "drop"):
         raise ValueError(
             f"on_corrupt must be 'fail' or 'drop', got {on_corrupt!r}"
@@ -597,10 +581,93 @@ def read_warc(
                 continue  # empty Arrow batches type columns wrong — skip
             yield pd.DataFrame(out)
 
+    return files.mapInPandas(run, schema=schema)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple | None = ("response",),
+    on_corrupt: str = "fail",
+    http: bool = False,
+    keep_payload: bool | None = None,
+) -> DataFrame:
+    """Read WARC records: ``(warc_file, record_id, record_type,
+    target_uri, warc_date, content_type, content_length, payload)`` with
+    ``payload`` as raw bytes (decode downstream — ``decode(payload,
+    'UTF-8')`` for web text, the multimodal kernels for media).  Bare
+    WARC and ``.warc.gz`` (member-per-record CommonCrawl layout OR
+    whole-file gzip) are auto-detected per file by magic — a directory
+    may mix both.
+
+    ``record_types`` filters on ``WARC-Type`` (case-insensitive; the
+    default keeps only ``response`` — crawl payloads — and drops the
+    request/metadata/warcinfo bookkeeping records); ``None`` keeps all.
+    The filter runs INSIDE the parser task, so bookkeeping records never
+    become Arrow rows at all.
+
+    ``http=True`` additionally splits each payload's HTTP framing INSIDE
+    the same task (see :func:`parse_http_payload`): columns
+    ``http_status``, ``http_headers`` (map, names lowercased),
+    ``http_content_type``, ``charset``, ``text`` (body de-chunked,
+    de-compressed, charset-decoded) and ``http_error`` are appended.
+    Payloads whose WARC Content-Type is not ``application/http`` and do
+    not start with ``HTTP/`` (WET-style text records) skip the framing
+    split and go straight to charset detection.  ``keep_payload``
+    controls whether the raw bytes column survives — default False when
+    ``http=True`` (text is what downstream wants; shipping bytes AND
+    text would double the Arrow traffic), True otherwise."""
     # drop the binaryFile metadata columns BEFORE the parser: `content` is
     # the whole file, and pruning after mapInPandas would still ship it
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(run, schema=schema)
+    return _warc_records_df(files, record_types, on_corrupt, http, keep_payload)
+
+
+# binaryFile's schema is FIXED by the format; file-source streams require
+# it stated explicitly (there is no batch-side inference pass at stream
+# planning time)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple | None = ("response",),
+    on_corrupt: str = "fail",
+    http: bool = False,
+    keep_payload: bool | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_warc` — the crawl
+    landing-zone shape: a fetcher drops ``.warc.gz`` files into ``path``
+    and the stream picks each file up exactly once (file-source
+    checkpointing), parsing records — and, with ``http=True``, HTTP
+    framing / content codings / charsets — inside the same stateless
+    per-file Arrow task as the batch reader, so every row-local
+    downstream operator (strip_html, quality scores, fingerprints,
+    hashed embeddings) composes unchanged on the stream.
+
+    ``binaryFile`` is a plain file-based format, so it streams like any
+    other file source; its schema is fixed and must be stated explicitly
+    (``_BINARYFILE_SCHEMA``).  ``max_files_per_trigger`` bounds
+    micro-batch size the way ``stream_jsonl`` does — and since WARC
+    parse tasks are per-file, it is also the micro-batch's maximum
+    parallelism: size it to at least the executor core count once the
+    backlog allows.  Same ``record_types`` / ``on_corrupt`` /
+    ``keep_payload`` contract as the batch reader."""
+    r = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        if int(max_files_per_trigger) < 1:
+            # a silently-dropped 0 would ingest the whole backlog in one
+            # micro-batch — the exact failure this knob exists to prevent
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = r.load(path).select("path", "content")
+    return _warc_records_df(files, record_types, on_corrupt, http, keep_payload)
 
 
 def write_warc(

@@ -111,6 +111,7 @@ def run_one(
     top_m: int,
     mode: str = "exact",
     encode_depths: tuple = (),
+    encode_sample: int = 0,
 ) -> None:
     from imops_spark.functions.bpe import _train_distributed
     from imops_spark.session import get_spark
@@ -128,7 +129,17 @@ def run_one(
     wall = round(time.perf_counter() - t0, 1)
     enc: dict = {}
     if encode_depths:
-        words_freqs = [(r["word"], int(r["freq"])) for r in wf.collect()]
+        words_freqs = sorted(
+            (r["word"], int(r["freq"])) for r in wf.collect()
+        )
+        if encode_sample and len(words_freqs) > encode_sample:
+            # the driver-side encoder is O(words x passes): cap it with a
+            # DETERMINISTIC stride sample (sorted order, same words in
+            # every cell), so cross-cell token counts stay comparable —
+            # deltas are sample-based, absolute counts are of the sample
+            stride = max(1, len(words_freqs) // int(encode_sample))
+            words_freqs = words_freqs[::stride]
+            enc["encode_sample_words"] = len(words_freqs)
         base = sum(len(w) * f for w, f in words_freqs)
         enc["char_tokens"] = base
         for d in encode_depths:
@@ -165,9 +176,13 @@ def main() -> None:
         int(d) for d in args.get("--encode-depths", "").split(",") if d
     )
     grid = args.get("--grid", "16:64,64:512,128:1024")
+    sample = int(args.get("--encode-sample", 0))
     if "--one" in args:
         bk, tm = map(int, args["--one"].split(":"))
-        run_one(n_ids, n_merges, bk, tm, mode=mode, encode_depths=depths)
+        run_one(
+            n_ids, n_merges, bk, tm, mode=mode, encode_depths=depths,
+            encode_sample=sample,
+        )
         return
     for cell in grid.split(","):
         proc = subprocess.run(
@@ -179,6 +194,7 @@ def main() -> None:
                 f"--n-merges={n_merges}",
                 f"--mode={mode}",
                 f"--encode-depths={args.get('--encode-depths', '')}",
+                f"--encode-sample={sample}",
             ],
             capture_output=True,
             text=True,

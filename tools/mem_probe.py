@@ -31,6 +31,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _CHILD = "__mem_probe_child__"
 
 
