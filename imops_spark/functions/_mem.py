@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["ensure_malloc_tuning"]
+__all__ = ["ensure_malloc_tuning", "touch_pages"]
 
 _done = False
 
@@ -76,3 +76,39 @@ def ensure_malloc_tuning() -> None:
         libc.mallopt(_M_TRIM_THRESHOLD, mb << 20)
     except Exception:
         pass  # non-glibc platform: the kernels are correct, just slower
+
+
+def touch_pages(arr, threads: int = 8) -> None:
+    """Fault a fresh numpy buffer's pages IN PARALLEL before first use.
+
+    Round-11 finding: on memory-overcommitted hosts (free page
+    reporting) a page's FIRST touch costs host-provisioning latency —
+    measured ~1.05 ms/page single-threaded (~3.5 MB/s) but ~53 MB/s
+    with many faulting threads, because the provisioning parallelizes
+    even though each fault serializes its own thread.  A worker's first
+    GEMM into a fresh ~36 MB scratch buffer therefore stalled ~5-10 s
+    (event log: stage run time >> task CPU time); zero-filling the
+    buffer from ``threads`` Python threads first (numpy's copy loops
+    release the GIL) pays the same pages at the parallel rate.  No-op
+    cost on already-provisioned memory: one memset of the buffer."""
+    try:
+        import threading
+
+        import numpy as np
+
+        flat = arr.reshape(-1).view(np.uint8)
+        n = flat.size
+        if n < (8 << 20) or threads <= 1:  # small buffers: plain memset
+            flat[:] = 0
+            return
+        step = -(-n // threads)
+        ts = [
+            threading.Thread(target=flat[i : i + step].fill, args=(0,))
+            for i in range(0, n, step)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    except Exception:
+        pass  # touching is an optimization only — never fail the kernel

@@ -811,7 +811,14 @@ def _cosine_scratch(kind: str, dtype, n: int):
 
     buf = _COS_SCRATCH.get(kind)
     if buf is None or buf.size < n:
+        from ._mem import touch_pages
+
         buf = np.empty(n, dtype=dtype)
+        # parallel first-touch: a cold worker otherwise faults the fresh
+        # buffer one page at a time INSIDE the GEMM (round-11 event-log
+        # finding: 5-10 s single-task stalls at ~1 ms/page on
+        # overcommitted hosts; threads fault ~15x faster)
+        touch_pages(buf)
         _COS_SCRATCH[kind] = buf
     return buf[:n]
 

