@@ -74,6 +74,26 @@ def get_spark(
     )
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # Preloading worker daemon (imops_spark/daemon.py): Spark culls idle
+    # Python workers after a HARDCODED minute (PythonWorkerFactory.
+    # IDLE_WORKER_TIMEOUT_NS), so every Python-stage lull >60 s empties
+    # the pool and each respawned worker re-pays interpreter boot + the
+    # numpy/pandas/pyarrow import chain + first-touch page faults — a
+    # measured 2-4 s per-query penalty on overcommitted hosts.  The
+    # custom daemon imports the stack once pre-fork; workers inherit it
+    # copy-on-write.  PYTHONPATH rides along via executorEnv (merged, not
+    # replaced, by PythonWorkerFactory) so a fresh daemon interpreter can
+    # import this package no matter the JVM's cwd.  Disable with
+    # IMOPS_SPARK_DAEMON_PRELOAD=0.
+    if os.environ.get("IMOPS_SPARK_DAEMON_PRELOAD", "1") != "0":
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        py_path = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.python.daemon.module", "imops_spark.daemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_root + (os.pathsep + py_path if py_path else ""),
+        )
     for k, v in (extra_conf or {}).items():
         if k == "spark.driver.extraJavaOptions":
             continue  # merged into java_opts above

@@ -1305,3 +1305,29 @@ def test_winnow_explicit_window_on_stream_raises(spark, tmp_path):
     # auto on a stream builds the row-local plan without touching an action
     df = winnow_fp_set_df(stream)
     assert df.isStreaming
+
+
+def test_daemon_preload_wiring(spark):
+    """get_spark wires the preloading worker daemon (the counter to
+    Spark's hardcoded 1-minute idle-worker cull) plus the package root on
+    the worker PYTHONPATH so a fresh daemon interpreter can import it."""
+    import os
+
+    import imops_spark
+
+    assert (
+        spark.conf.get("spark.python.daemon.module") == "imops_spark.daemon"
+    )
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(imops_spark.__file__))
+    )
+    assert spark.conf.get("spark.executorEnv.PYTHONPATH").startswith(pkg_root)
+
+
+def test_daemon_module_is_passthrough_importable():
+    """The daemon module must import cleanly and expose pyspark.daemon's
+    manager unchanged (its stdout protocol is what the JVM reads)."""
+    import imops_spark.daemon as d
+    from pyspark.daemon import manager
+
+    assert d.manager is manager
