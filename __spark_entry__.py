@@ -175,9 +175,16 @@ def q_zoom_1d(spark, sf_dir):
     """zoom order=1 (#1): linear resample of the daily-order-count series to
     64 points — the gather-join + lerp pattern on a 1-D signal."""
     o = _t(spark, sf_dir, "orders")
+    # days is a BOUNDED aggregate (one row per distinct order date) that
+    # feeds THREE plan branches: meta (n_old), lo, and hi.  Projection
+    # pruning makes the branches canonically different, so without the
+    # (lazy) localCheckpoint each branch re-plans the full orders scan +
+    # groupBy — the round-11 before-plan carried 3 parquet scans for one
+    # tiny series.  Checkpointed: one scan, three reuses.
     days = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").cast("double").alias("v"))
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("day")
     series = days.select(

@@ -390,7 +390,14 @@ def filter_by_quantile_df(
         F.round(F.expr(f"percentile({col}, {float(hi)!r}D)"), round_to).alias(
             "__qhi"
         ),
-    )
+    # The 1-row threshold frame is localCheckpoint-ed (lazily) because a
+    # COMPOSING caller that reuses the filtered output in several plan
+    # branches would otherwise re-plan this subtree — scan + percentile
+    # aggregation — once PER BRANCH (round-11 plan audit: cur_select3
+    # carried FOUR copies of it, four full corpus scans for two numbers).
+    # Lazy, so a single-use caller pays exactly the old plan; the
+    # checkpoint dies with the DataFrame (no cacheManager entry).
+    ).localCheckpoint(eager=False)
     return (
         df.crossJoin(F.broadcast(q))
         .filter((F.col(col) >= F.col("__qlo")) & (F.col(col) <= F.col("__qhi")))
@@ -541,19 +548,30 @@ def contamination_report_df(
     :func:`contamination_pairs_bloom_df` recipe) and fall back to the
     equi-join.
     """
-    from .text import _winnow_strategy, winnow_fp_set_df
+    from .text import winnow_fp_set_df
 
+    # Strategy note: this composition does NOT pin strategy='window' (the
+    # _winnow_strategy rule the pairs/decontaminate family follows),
+    # because the report's train side feeds a BROADCAST left-semi probe —
+    # there is no exchange+sort downstream for the mapInPandas boundary
+    # to break, so the leaf economics apply and the Arrow kernel wins
+    # (round-11 controlled A/B on cur_contam_frac: 3.24-3.47 s arrow vs
+    # 4.33-4.95 s window steady-state, 5.4 vs 14.9 s cold).  The
+    # pairs/decontaminate shape (fps into an equi-join + groupBy) keeps
+    # the window pin — same A/B, cur_select3: 7.1-7.6 s window vs
+    # 10.8-12.1 s arrow.
+    #
     # the eval fp frame feeds BOTH the probe set and the report tail —
     # localCheckpoint it so the eval winnowing chain executes once (two
     # plan branches would re-run it; the frame is small by the asymmetric
     # contract, and a local checkpoint dies with the DataFrame instead of
     # leaving a cacheManager entry behind — the cur_select2 recipe)
     ef = (
-        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, eval_docs))
+        winnow_fp_set_df(eval_docs, k=k, window=window, hash_fn=hash_fn)
         .select(F.col("doc_id").alias("eval_id"), "fp")
         .localCheckpoint(eager=False)
     )
-    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn, strategy=_winnow_strategy(hash_fn, train_docs)).select(
+    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
         "fp"
     )
     ef_fps = ef.select("fp").dropDuplicates()

@@ -728,15 +728,6 @@ def bm25_topk_df(
     Documents with NULL text score nothing but are excluded from
     ``n_docs``/``avgdl`` too (mirror any oracle with ``WHERE text IS NOT
     NULL``)."""
-    import re as _re
-
-    terms = sorted(
-        {
-            t
-            for t in _re.sub(r"\s+", " ", query.strip().lower()).split(" ")
-            if t
-        }
-    )
     terms = _bm25_terms(query, "bm25_topk_df")
     consts = bm25_constants(k1, b)
     with_dl = _bm25_doc_tokens(docs)
@@ -744,11 +735,25 @@ def bm25_topk_df(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("tot_len"),
     )
+    # tf feeds TWO consumers in the tail (dfreq and the scoring join) and
+    # its subtree here is the full corpus scan + explode — the term
+    # filter sits AFTER the Generate, so each consumer re-plans a corpus
+    # pass (the round-11 txt_bm25 before-plan carried 3 parquet scans /
+    # 2 Generates).  Column pruning makes the two aggregate subtrees
+    # canonically different, so Spark's ReuseExchange never fires.  The
+    # lazy localCheckpoint materializes only the term-filtered tf frame —
+    # bounded by the query terms' postings, tiny next to the corpus —
+    # and both consumers reuse it: one scan + one explode.  The
+    # checkpoint lives HERE, not in the shared tail: the index probe's tf
+    # rides a token-BUCKETED scan whose clustering makes dfreq
+    # exchange-free, and a checkpoint there would erase the bucketing and
+    # ADD an exchange (measured: txt_bm25_idx 3->4 exchanges).
     tf = (
         with_dl.select("doc_id", "dl", F.explode("toks").alias("token"))
         .filter(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     return _bm25_score_tail(tf, stats, consts, top_k)
 
@@ -1380,7 +1385,9 @@ def bm25_phrase_topk_df(
             F.sort_array(F.collect_list("pos")).alias("pos"),
         )
     )
-    return _bm25_phrase_tail(pos, stats, toks, consts, top_k)
+    return _bm25_phrase_tail(
+        pos, stats, toks, consts, top_k, checkpoint_cand=True
+    )
 
 
 def bm25_phrase_index_topk(
@@ -1432,7 +1439,12 @@ def bm25_phrase_index_topk(
 
 
 def _bm25_phrase_tail(
-    pos_postings: DataFrame, stats: DataFrame, toks: list, consts: dict, top_k: int
+    pos_postings: DataFrame,
+    stats: DataFrame,
+    toks: list,
+    consts: dict,
+    top_k: int,
+    checkpoint_cand: bool = False,
 ):
     """The shared phrase-BM25 tail: per-doc term→positions map assembly,
     row-local positional-intersection phrase count, candidate-set
@@ -1443,13 +1455,20 @@ def _bm25_phrase_tail(
     ``pos_postings`` is ``(doc_id, token, dl, pos array<int>)`` already
     filtered to the phrase's distinct terms, positions sorted 0-based.
 
-    The candidate subtree is planned twice (once for the rows, once for
-    the 1-row df broadcast) — the same accepted shape as the sibling
-    ``_bm25_score_tail``'s tf-join-dfreq: both sides of the replan sit
-    ABOVE the term filter, so the duplicated work is bounded by the
-    phrase terms' postings, never a second corpus scan; a single-pass
-    alternative (global window count over candidates) would funnel every
-    candidate through one partition — strictly worse at scale."""
+    The candidate frame feeds TWO consumers (the scored rows and the
+    1-row df broadcast).  For the INLINE operator its subtree is the full
+    corpus scan + posexplode — the term filter sits after the Generate —
+    so an unshared plan re-runs a corpus pass per consumer (round-11
+    txt_bm25_phrase inline before-plan: 2 parquet scans); the inline
+    caller therefore passes ``checkpoint_cand=True`` and ``cand`` (the
+    phrase-matching candidate set, tiny next to the corpus) is lazily
+    localCheckpoint-ed so both consumers reuse one materialization.  The
+    INDEX probe passes False: its replan is bounded by the bucket-pruned
+    phrase-term postings, and a checkpoint would hide the bucketed scan
+    (``SelectedBucketsCount``) from the executed plan — the pruning
+    contract the probe's test pins.  (The single-pass alternative — a
+    global window count over candidates — would funnel every candidate
+    through one partition; worse at scale.)"""
     from pyspark.sql.window import Window
 
     n_distinct = len(set(toks))
@@ -1482,6 +1501,8 @@ def _bm25_phrase_tail(
     cand = per_doc.select(
         "doc_id", "dl", tf_col.cast("long").alias("phrase_tf")
     ).filter(F.col("phrase_tf") > 0)
+    if checkpoint_cand:
+        cand = cand.localCheckpoint(eager=False)
     dfp = cand.agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("tot_len") / F.col("n_docs")
     idf = F.log(
@@ -1664,7 +1685,19 @@ def ngram_lm_df(
 
     big = _bigrams(docs)
     train_big = big if train_docs is None else _bigrams(train_docs)
-    c2 = train_big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 is the MODEL table (one row per distinct train bigram — bounded
+    # by vocabulary^2, not corpus size) and feeds THREE consumers: c1, V,
+    # and the scoring join.  Without the (lazy) localCheckpoint each
+    # consumer re-plans the full train explode + count — the round-11
+    # plan audit showed the corpus gram Generate FOUR times in txt_lm's
+    # plan (train x3 + scoring).  Checkpointed, the explode runs once per
+    # side; lazy, so nothing executes at build time, and the blocks die
+    # with the DataFrame.
+    c2 = (
+        train_big.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     v = c2.agg(F.countDistinct("cur").alias("v"))
     scored = (
