@@ -729,6 +729,63 @@ def _row_count_estimate(df: DataFrame) -> int:
     return df.count()
 
 
+def _text_chars_estimate(df: DataFrame, col: str = "text") -> int | None:
+    """Upper-bound estimate of ``sum(length(col))`` WITHOUT a Spark job
+    when the frame is parquet-file-backed: sum the ``col`` column chunks'
+    ``total_uncompressed_size`` from the file footers (pure driver-side
+    metadata reads — the :func:`_row_count_estimate` recipe applied to the
+    gram-exchange sizing pre-pass, which otherwise pays a full
+    text-column scan+aggregate job per operator call).
+
+    Why the footer number is the safe direction: for PLAIN-encoded
+    BYTE_ARRAY pages the uncompressed size is the value bytes plus a
+    4-byte length prefix per value, and UTF-8 bytes >= characters — both
+    overestimates, and the estimate ignores any filters above the scan
+    (pre-filter totals), a further overestimate.  Oversizing costs a few
+    extra sub-full tasks; UNDERsizing causes the superlinear map+reduce
+    spill the sizing discipline exists to prevent.  The one hazard is
+    dictionary encoding (a page of exact-duplicate values stores each
+    distinct value once), so when any chunk carries a dictionary page the
+    total is doubled as headroom — a corpus would need >2x page-local
+    exact-duplicate text repetition to undersize, and parquet writers
+    fall back to PLAIN precisely when text values do not repeat.
+
+    Returns ``None`` (caller pays the aggregation job) for non-file
+    frames, non-parquet files, or a missing/unreadable ``col``.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        any_dict = False
+        for f in files:
+            path = f.removeprefix("file://").removeprefix("file:")
+            md = pq.ParquetFile(path).metadata
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == col
+                ),
+                None,
+            )
+            if idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(idx)
+                any_dict = any_dict or cc.has_dictionary_page
+                total += cc.total_uncompressed_size
+        return total * 2 if any_dict else total
+    except Exception:
+        return None
+
+
 def embedding_near_dup_df(
     embeddings: DataFrame,
     threshold: float = 0.98,
@@ -1408,13 +1465,17 @@ def duplicate_spans_df(
         raise ValueError(
             f"strategy must be 'agg', 'window', or 'auto', got {strategy!r}"
         )
-    # Size the gram exchange BEFORE building it: sum(length(text)) is a
-    # cheap columnar pre-pass (no regex, no explode) and upper-bounds the
-    # gram count (normalization only shrinks text).  ~3M (doc_id, pos, h)
+    # Size the gram exchange BEFORE building it: the footer-stats estimate
+    # (:func:`_text_chars_estimate` — driver-side metadata only, zero
+    # executor work) upper-bounds the gram count (normalization only
+    # shrinks text), falling back to the sum(length(text)) columnar
+    # aggregation job for non-parquet frames.  ~3M (doc_id, pos, h)
     # unsafe rows ~= 100 MB per task keeps every task of both exchange
     # sides inside its execution-memory share — the profiled alternative
     # is map- AND reduce-side spill, and the spill is superlinear.
-    raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
+    raw_chars = _text_chars_estimate(docs)
+    if raw_chars is None:
+        raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
     default_parts = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )

@@ -336,8 +336,20 @@ def _winnow_selected_window_df(
     d = docs.select("doc_id", *carry, norm.alias("nt")).filter(
         F.length("nt") >= k + window - 1
     )
-    if raw_chars is None:  # the auto dispatch hands its pre-pass down
-        raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
+    if raw_chars is None:
+        # Exchange-sizing pre-pass: the parquet-footer estimate first
+        # (driver-side metadata, no Spark job — every window-pinned
+        # composition call site used to pay a full text-column
+        # scan+aggregate job HERE, invisible in the query plan; the
+        # contamination family pays it twice, once per side), falling
+        # back to the columnar sum job for non-file frames.  Overestimate
+        # by construction — the safe direction for spill-guard sizing
+        # (see _text_chars_estimate).
+        from .dedup import _text_chars_estimate
+
+        raw_chars = _text_chars_estimate(docs)
+        if raw_chars is None:
+            raw_chars = docs.select(F.sum(F.length("text"))).first()[0] or 0
     default_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n_parts = max(default_parts, -(-int(raw_chars) // _GRAM_ROWS_PER_TASK))
     if n_parts >= 2 * d.rdd.getNumPartitions():

@@ -263,6 +263,53 @@ def test_row_count_estimate_footer_vs_job(spark):
     assert _row_count_estimate(filtered) == true_n  # pre-filter footer count
 
 
+def test_text_chars_estimate_footer_upper_bound(spark):
+    """_text_chars_estimate: parquet-backed docs estimate from the text
+    column chunks' footer sizes — an UPPER bound on sum(length(text))
+    (the exchange-sizing contract: oversizing costs small tasks,
+    undersizing spills) and not absurdly loose on plain-encoded text;
+    non-file frames and missing columns return None (caller pays the
+    aggregation job)."""
+    from imops_spark.functions.dedup import _text_chars_estimate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    true_chars = docs.selectExpr("sum(length(text))").first()[0]
+    est = _text_chars_estimate(docs)
+    assert est is not None
+    assert est >= true_chars
+    assert est <= 4 * true_chars
+
+    local = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    assert _text_chars_estimate(local) is None
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert _text_chars_estimate(emb) is None
+
+
+def test_gram_sizing_prepass_launches_no_job(spark):
+    """Building the window-form winnow and the spans operator over a
+    parquet-backed frame must not launch a Spark job for the raw_chars
+    sizing pre-pass (the footer path replaced a full text-column
+    scan+aggregate per call): build the frames (no action) inside a job
+    group and assert the group stays empty."""
+    from imops_spark.functions.dedup import duplicate_spans_df
+    from imops_spark.functions.text import winnow_fp_set_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("gram_sizing_probe", "build-only probe")
+    try:
+        winnow_fp_set_df(docs, strategy="window")
+        duplicate_spans_df(docs, k=20, min_docs=2)
+        ids = sc.statusTracker().getJobIdsForGroup("gram_sizing_probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(ids) == []
+
+
 def test_embedding_near_dup_no_count_job(spark):
     """Auto block sizing must not launch a Spark count job for a
     parquet-backed embeddings frame (the footer path): assert via the
