@@ -2512,7 +2512,20 @@ def q_cur_select3(spark, sf_dir):
         .filter(F.col("h_micro") >= 2_500_000)
         .select("doc_id")
     )
-    k2 = k1.join(ent_keep, "doc_id", "left_semi")
+    # k2 (the post-entropy survivor slice) feeds TWO consumers inside
+    # decontaminate_df — the winnow train side and the final anti-join —
+    # and its subtree is the most expensive in the query (quantile-filter
+    # scan + the entropy tokenize/explode/aggregate semi-join), so each
+    # consumer re-planned all of it.  The lazy localCheckpoint runs that
+    # subtree once; measured A/B (alternating, noop sink, idle box):
+    # sf0.1 min 4.33 s vs 4.99 s, and 23.2 vs 27.3 s on a 20x-scaled
+    # corpus (value-identity checked at both scales).  Checkpointing k1
+    # as well was measured and REJECTED (the entropy aggregate then runs
+    # twice over the checkpoint and the extra corpus-scale
+    # materialization buys nothing: 32.5 vs 27.3 s at 20x).
+    k2 = k1.join(ent_keep, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     train = k2.filter(F.col("doc_id") % 5 != 0)
     holdout = docs.filter(F.col("doc_id") % 5 == 0)
     clean = decontaminate_df(train, holdout, min_shared=30)
