@@ -604,20 +604,123 @@ def ngram_jaccard_df(docs: DataFrame, pairs: DataFrame, k: int = 3) -> DataFrame
     )
 
 
+def _simhash_arrow_df(docs: DataFrame, bits: int) -> DataFrame:
+    """The zero-shuffle Arrow kernel behind ``simhash_df(strategy='arrow')``:
+    a SimHash signature is a function of ONE document's own distinct-token
+    set, so the whole computation is row-local — the 'agg' form's _widen
+    repartition + explode + 33-column aggregate exist only to give the
+    per-(doc, token) vote counting a relational shape, and the repartition
+    moves the full document text through an exchange.
+
+    Exact parity with the 'agg' arithmetic (differential-tested):
+
+    - tokens: ``nt.split(' ')`` over the plan-computed normalized text —
+      after ``normalized_text()`` every whitespace run is a single ASCII
+      space, so Java ``split('\\s+', -1)`` and Python's explicit-separator
+      split produce identical lists (including the leading/trailing-empty
+      cases: trim() strips spaces only, so a leading tab normalizes to a
+      leading space and both engines emit a leading '' token);
+      ``array_distinct`` = Python set (vote sums are order-free);
+    - hash: top 60 bits of ``md5('0|' + token)`` — the
+      ``conv(substring(md5, 1, 15), 16, 10)`` recipe, behind a per-task
+      token cache (the corpus vocabulary repeats across documents: one
+      digest per distinct token per task, not per occurrence);
+    - votes: ``bits`` vectorized shift-mask-``add.reduceat`` passes over
+      the batch's flat token-hash array (temporaries bounded to the flat
+      array size — no n_tokens x bits bit-matrix); bit b of the signature
+      is set when ``2 * ones > n_distinct_tokens``, exact integers.
+
+    Plan shape at 100 TB: ZERO shuffles — one corpus scan feeding a
+    stateless ``mapInPandas``; parallelism comes from the scan split
+    (at scale a corpus is many files), not a repartition of the text.
+    Streaming-legal, though the streaming default stays 'local' (pure-JVM
+    projection — no Python stage per micro-batch).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= int(bits) <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    d = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    id_type = dict(d.dtypes)["doc_id"]
+    pows = (np.int64(1) << np.arange(bits, dtype=np.int64)).reshape(-1, 1)
+
+    def run(batches):
+        import hashlib
+
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
+        md5 = hashlib.md5
+        cache: dict = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                # conv(substring(md5, 1, 15), 16, 10): the top 60 bits of
+                # the digest == the first 15 hex chars (winnow-kernel recipe)
+                h = int.from_bytes(md5(("0|" + t).encode()).digest()[:8], "big") >> 4
+                cache[t] = h
+            return h
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            if len(cache) > 2_000_000:
+                cache.clear()  # bound the per-worker token cache
+            # set == array_distinct here: the vote sum is order-invariant
+            tok_sets = [set(nt.split(" ")) for nt in pdf["nt"]]
+            lens = np.fromiter(
+                (len(s) for s in tok_sets), dtype=np.int64, count=n_rows
+            )
+            total = int(lens.sum())  # >= n_rows: split() never returns []
+            flat = np.fromiter(
+                (tok_hash(t) for s in tok_sets for t in s),
+                dtype=np.uint64,
+                count=total,
+            )
+            starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            votes = np.empty((bits, n_rows), dtype=np.int64)
+            tmp = np.empty(total, dtype=np.uint64)
+            for b in range(bits):
+                np.right_shift(flat, np.uint64(b), out=tmp)
+                np.bitwise_and(tmp, np.uint64(1), out=tmp)
+                votes[b] = np.add.reduceat(tmp, starts)
+            sigs = ((votes * 2 > lens[None, :]) * pows).sum(axis=0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
+    return d.mapInPandas(run, schema=f"doc_id {id_type}, simhash long")
+
+
 def simhash_df(
     docs: DataFrame, bits: int = 32, strategy: str | None = None
 ) -> DataFrame:
     """SimHash signature per document: ``(doc_id, simhash)``.  Bit b of the
     signature is set when ones out-vote zeros among the distinct tokens'
-    hash bits (2*ones > n).  Two value-identical strategies:
+    hash bits (2*ones > n).  Three value-identical strategies:
 
-    - ``'agg'`` (batch default): explode distinct tokens, one md5 hash
+    - ``'arrow'`` (batch default since round 11): ZERO shuffles — one
+      stateless ``mapInPandas`` kernel over the plan-computed normalized
+      text; token md5s come from a per-task cache (the corpus vocabulary
+      repeats across documents, so each distinct token is digested once
+      per task instead of once per (doc, token) occurrence — the same
+      economics as the winnowing kernel's gram cache) and the bit votes
+      are one vectorized numpy ``reduceat`` per batch.  Replaces the
+      'agg' form's full-text _widen exchange + explode + 33-column
+      aggregate (measured A/B below in git history / FASTPATH.md).
+    - ``'agg'``: explode distinct tokens, one md5 hash
       column, ``groupBy(doc_id)`` with ``bits`` conditional-sum vote
       counters, signature assembled from the votes.  Every stage is
       WHOLE-STAGE-CODEGEN (hash aggregate with long buffers) — immune to
-      the interpreted-HOF JIT pathology below — at the cost of ONE small
-      exchange (one row per doc of ``bits`` longs; tokens combine
-      map-side because a document's tokens never span partitions).
+      the interpreted-HOF JIT pathology below — at the cost of ONE
+      exchange (the pre-explode _widen repartition moves the raw text
+      when the scan under-partitions; the post-explode aggregation then
+      combines map-side and needs no second shuffle).  Kept as the
+      no-Python-workers fallback and the differential pinning twin.
     - ``'local'`` (streaming default): ZERO shuffles — the vote fold runs
       row-locally in one ``aggregate`` pass over the hash array (zip_with
       against each hash's bit vector).  No aggregation operator anywhere,
@@ -629,8 +732,9 @@ def simhash_df(
       clean, bimodal per execution).  That JIT-profile hazard is why
       'local' is no longer the batch default.
 
-    ``strategy=None`` picks 'local' for streaming inputs (a pre-join
-    groupBy is illegal there) and 'agg' otherwise.
+    ``strategy=None`` picks 'local' for streaming inputs (kept: its
+    pure-JVM projection composes under further stateful operators without
+    a Python stage per micro-batch) and 'arrow' otherwise.
 
     The 'local' fold keeps the lambda-bound struct form: expressed as
     stacked projections, CollapseProject inlines ``n = size(tok)`` into
@@ -638,9 +742,13 @@ def simhash_df(
     the winnow_fp_array_df optimizer trap.
     """
     if strategy is None:
-        strategy = "local" if docs.isStreaming else "agg"
-    if strategy not in ("agg", "local"):
-        raise ValueError(f"strategy must be 'agg' or 'local', got {strategy!r}")
+        strategy = "local" if docs.isStreaming else "arrow"
+    if strategy not in ("agg", "local", "arrow"):
+        raise ValueError(
+            f"strategy must be 'agg', 'local', or 'arrow', got {strategy!r}"
+        )
+    if strategy == "arrow":
+        return _simhash_arrow_df(docs, int(bits))
     # scan-level guard: NULL-text docs produced no rows on the old explode
     # path, and a size(null) comparison would silently emit sig=0 instead
     toks = _widen(docs.where(F.col("text").isNotNull())).select(

@@ -203,28 +203,48 @@ def test_spans_xxhash64_fast_path_identical(spark):
 
 
 def test_simhash_strategies_identical(spark):
-    """simhash_df 'agg' (codegen groupBy votes — the JIT-robust batch
-    default) and 'local' (zero-shuffle HOF fold — the streaming default)
-    must produce bit-identical signatures; unknown strategies raise."""
+    """simhash_df 'arrow' (zero-shuffle mapInPandas kernel — the batch
+    default since round 11), 'agg' (codegen groupBy votes — the
+    no-Python-workers fallback) and 'local' (zero-shuffle HOF fold — the
+    streaming default) must produce bit-identical signatures; unknown
+    strategies raise.  The fixture exercises the tokenization edges the
+    kernel's Python split must reproduce: empty text (split -> ['']),
+    leading tab (trim strips spaces only, so it normalizes to a leading
+    space -> leading '' token), trailing whitespace (trailing '' token),
+    NBSP inside a token (Java \\s does not match \\u00a0 — not a
+    separator in either engine), CJK, and a single-token doc."""
     from imops_spark.functions.dedup import simhash_df
 
     rows = [(i, "tok%d alpha beta gamma delta tok%d" % (i % 7, (i * 3) % 5))
-            for i in range(60)] + [(99, ""), (100, None)]
+            for i in range(60)] + [
+        (99, ""), (100, None), (101, "\tindent kept"), (102, "trailing\n"),
+        (103, "nb\u00a0sp alpha"), (104, "日本語 テスト"),
+        (105, "one"),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = {r["doc_id"]: r["simhash"] for r in simhash_df(df, strategy="agg").collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash_df(df, strategy="local").collect()}
-    assert a == b and len(a) == 61  # null text dropped, empty kept
+    c = {r["doc_id"]: r["simhash"] for r in simhash_df(df, strategy="arrow").collect()}
+    assert a == b == c and len(a) == 66  # null text dropped, empty kept
     with pytest.raises(ValueError):
         simhash_df(df, strategy="nope")
-    # batch default is the codegen'd agg path (one exchange);
-    # the local path stays exchange-free (streaming-legal)
-    agg_plan = simhash_df(df)._jdf.queryExecution().executedPlan().toString()
+    # batch default is the zero-shuffle Arrow kernel; 'agg' keeps its one
+    # exchange (the _widen text repartition); the local path stays
+    # exchange-free (streaming-legal)
+    def_plan = simhash_df(df)._jdf.queryExecution().executedPlan().toString()
+    agg_plan = (
+        simhash_df(df, strategy="agg")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     loc_plan = (
         simhash_df(df, strategy="local")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
+    assert "Exchange" not in def_plan and "MapInPandas" in def_plan
     assert "Exchange" in agg_plan
     assert "Exchange" not in loc_plan
 
