@@ -4,11 +4,16 @@ embedding-cosine near-dup.
 Design for 100 TB:
 - exact dedup is a hash groupBy (md5 of normalized text) — one shuffle, AQE
   handles skew on pathological duplicate clusters;
-- MinHash signatures are computed per document with ZERO shuffles (the
-  shingle set is a row-local array; each hash's minimum is ``array_min`` over
-  a ``transform``), then LSH banding turns the O(n^2) pair problem into an
-  equi-join on band keys — the shuffle is keyed by band hash, so candidate
-  generation scales linearly with corpus size;
+- MinHash signatures are computed per document with ZERO extra shuffles
+  (batch-md5 default: the round-11 ``md5v`` Arrow kernel — vectorized
+  single-block MD5 over substring-derived shingle spans; JVM twin: the
+  shingle set as a row-local array, each hash's minimum an ``array_min``
+  over a ``transform``), then LSH banding turns the O(n^2) pair problem
+  into an equi-join on band keys — the shuffle is keyed by band hash, so
+  candidate generation scales linearly with corpus size.  Operators that
+  feed the signatures straight into that band join pin the JVM form
+  (``_sig_composed_strategy``: the kernel loses composed once the join
+  is sort-merge — FASTPATH.md round-11 session 3);
 - SimHash packs a 32-bit signature from token-hash bit votes — pure column
   arithmetic;
 - verification (Jaccard on shingle sets) only runs on LSH candidates.
@@ -151,12 +156,185 @@ def _md5_hash_col(col, salt: int, part: int = 0):
     ).cast("long")
 
 
+def _minhash_arrow_df(
+    docs: DataFrame, num_hashes: int, k: int, carry: tuple
+) -> DataFrame:
+    """The Arrow kernel behind ``minhash_signatures_df(strategy='arrow')``:
+    the md5 half-signature family computed as vectorized single-block MD5
+    (``functions/md5v.py``) instead of a codegen'd per-shingle expression
+    chain.
+
+    Exact parity with the JVM form (differential- and gate-tested):
+
+    - tokens: ``nt.split(' ')`` over the plan-computed normalized text —
+      the established simhash-kernel parity argument (normalization makes
+      every ASCII-whitespace run one space, so Java ``split('\\s+', -1)``
+      == Python split-on-space, empties included);
+    - shingles: after normalization a word k-shingle (``concat_ws(' ',
+      slice(t, i+1, k))``) is a contiguous SUBSTRING of ``nt`` — the
+      kernel never builds shingle strings, it derives (start, len) byte
+      spans from the space positions of the batch's concatenated UTF-8
+      buffer (one ``data == 0x20`` mask).  Docs with fewer than k tokens
+      produce exactly one shingle (the whole ``nt``), matching
+      ``sequence(0, greatest(size(t) - k, 0))``;
+    - hashes: hash i = top 60 bits of half ``i % 2`` of
+      ``md5('{i//2}|' + shingle)`` — computed for ALL shingles of a chunk
+      at once by :func:`~imops_spark.functions.md5v.md5_words_rows` (64
+      vectorized uint32 rounds over packed single blocks; ~5.5x a
+      per-message hashlib loop, measured).  The salted message is packed
+      ONCE per chunk with a salt-prefix gap and re-hashed per salt by
+      rewriting two prefix bytes.  Messages over 55 bytes (3-word
+      shingles of very long words) exceed one MD5 block and fall back to
+      per-row ``hashlib`` — same bits;
+    - minima: ``np.minimum.reduceat`` over per-doc shingle segments.  No
+      ``array_distinct`` is needed: MIN over a multiset equals MIN over
+      its set, so in-doc duplicate shingles cost only a few spare hash
+      lanes (the JVM form dedups first because each duplicate would
+      otherwise pay a full md5 expression chain).
+
+    Plan shape at 100 TB: identical to the JVM form (the conditional
+    ``_widen`` repartition stays — hashing is the CPU-dense stage it
+    parallelizes when a scan under-partitions, and it is a no-op at
+    scale) with the ``transform``/``array_min`` projection replaced by
+    one stateless ``mapInPandas``.  Streaming-legal, though ``'auto'``
+    keeps streams on the JVM form (no Python stage per micro-batch —
+    the simhash precedent).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_salts = (num_hashes + 1) // 2
+    sh = _widen(docs.where(F.col("text").isNotNull())).select(
+        "doc_id", *carry, normalized_text().alias("nt")
+    )
+    carry_names = [
+        c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry
+    ]
+    out_cols = ["doc_id", *carry_names]
+    fields = {f.name: f.dataType.simpleString() for f in sh.schema.fields}
+    out_fields = [(c, fields[c]) for c in out_cols] + [
+        (f"mh{i}", "long") for i in range(num_hashes)
+    ]
+    # salts grouped by decimal width: one pack per width, prefix rewritten
+    # per salt ("{s}|" -> 2 bytes for s < 10, 3 for s < 100, ...)
+    by_plen: dict = {}
+    for s in range(n_salts):
+        by_plen.setdefault(len(str(s)) + 1, []).append(s)
+    # ~256k shingles per hash chunk bounds the packed block matrix to
+    # ~16 MB and the pack's gather-index triple to ~24 MB: on hosts that
+    # reclaim guest memory aggressively (the round-11 box pathology,
+    # ~1 ms/page re-fault) the chunk working set is the kernel's fault
+    # surface, and per-worker steady state must stay small enough for the
+    # malloc-tuned brk heap to keep every page warm across chunks/batches
+    chunk_shingles = 262_144
+
+    def run(batches):
+        import hashlib
+
+        from ._mem import ensure_malloc_tuning
+        from .md5v import be64_top60, md5_words_rows, pack_rows_single_block
+
+        ensure_malloc_tuning()
+        md5 = hashlib.md5
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue  # empty Arrow batches type columns wrong — skip
+            enc = [s.encode() for s in pdf["nt"]]
+            doc_len = np.fromiter(map(len, enc), dtype=np.int64, count=n_docs)
+            doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=doc_off[1:])
+            data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            spaces = np.nonzero(data == 0x20)[0]
+            # tokens: doc d owns spaces in [doc_off[d], doc_off[d+1]) and
+            # has n[d] = (count of them) + 1 tokens
+            n = np.diff(np.searchsorted(spaces, doc_off)) + 1
+            tok_base = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(n[:-1], out=tok_base[1:])
+            total_tok = int(tok_base[-1] + n[-1])
+            first = np.zeros(total_tok, dtype=bool)
+            first[tok_base] = True
+            ts = np.empty(total_tok, dtype=np.int64)  # token start offsets
+            ts[tok_base] = doc_off[:-1]
+            ts[~first] = spaces + 1
+            last = np.zeros(total_tok, dtype=bool)
+            last[tok_base + n - 1] = True
+            te = np.empty(total_tok, dtype=np.int64)  # token end offsets
+            te[last] = doc_off[1:]
+            te[~last] = spaces
+            # shingle i of doc d spans tokens [i, min(i + k - 1, n - 1)]
+            m = np.maximum(n - k, 0) + 1
+            sh_base = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(m[:-1], out=sh_base[1:])
+            total_sh = int(sh_base[-1] + m[-1])
+            sh_doc = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+            i_in = np.arange(total_sh, dtype=np.int64) - np.repeat(sh_base, m)
+            sh_start = ts[tok_base[sh_doc] + i_in]
+            sh_len = (
+                te[tok_base[sh_doc] + np.minimum(i_in + k - 1, n[sh_doc] - 1)]
+                - sh_start
+            )
+            sigs = np.empty((num_hashes, n_docs), dtype=np.uint64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = int(
+                    np.searchsorted(
+                        sh_base, sh_base[d0] + chunk_shingles, side="right"
+                    )
+                )
+                d1 = max(d1, d0 + 1)
+                lo_s, hi_s = int(sh_base[d0]), (
+                    int(sh_base[d1]) if d1 < n_docs else total_sh
+                )
+                seg = sh_base[d0:d1] - lo_s
+                # chunk-relative int32 offsets: the pack's gather indices
+                # are its dominant allocation (md5v docstring)
+                off0 = int(doc_off[d0])
+                cdata = data[off0:]
+                c_start = (sh_start[lo_s:hi_s] - off0).astype(np.int32)
+                c_len = sh_len[lo_s:hi_s].astype(np.int32)
+                for plen, salts in by_plen.items():
+                    cap = 55 - plen
+                    long_pos = np.nonzero(c_len > cap)[0]
+                    W = pack_rows_single_block(
+                        cdata, c_start, np.minimum(c_len, np.int32(cap)), plen
+                    )
+                    Bv = W.view(np.uint8).reshape(-1, 64)
+                    for s in salts:
+                        pre = f"{s}|".encode()
+                        Bv[:, :plen] = np.frombuffer(pre, dtype=np.uint8)
+                        w0, w1, w2, w3 = md5_words_rows(W)
+                        lo = be64_top60(w0, w1)
+                        hi = be64_top60(w2, w3) if 2 * s + 1 < num_hashes else None
+                        for j in long_pos:  # rare: shingle > 53 bytes
+                            b = int(c_start[j])
+                            dg = md5(
+                                pre + cdata[b : b + int(c_len[j])].tobytes()
+                            ).digest()
+                            lo[j] = int.from_bytes(dg[:8], "big") >> 4
+                            if hi is not None:
+                                hi[j] = int.from_bytes(dg[8:16], "big") >> 4
+                        sigs[2 * s, d0:d1] = np.minimum.reduceat(lo, seg)
+                        if hi is not None:
+                            sigs[2 * s + 1, d0:d1] = np.minimum.reduceat(hi, seg)
+                d0 = d1
+            res = pd.DataFrame({c: pdf[c].values for c in out_cols})
+            for i in range(num_hashes):
+                res[f"mh{i}"] = sigs[i].view(np.int64)
+            yield res
+
+    from ..utils import map_in_pandas_renamed
+
+    return map_in_pandas_renamed(sh, run, out_fields)
+
+
 def minhash_signatures_df(
     docs: DataFrame,
     num_hashes: int = 16,
     k: int = 3,
     carry: tuple = (),
     hash_fn: str = "md5",
+    strategy: str = "auto",
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, mh0..mh{H-1})``.
 
@@ -182,9 +360,38 @@ def minhash_signatures_df(
     tested).  Per-shingle hash cost drops from ~num_hashes/2 md5 digests
     to num_hashes xxhash64 evals (~6x cheaper each); see FASTPATH.md
     for the measured end-to-end row.  Not DuckDB-reproducible, so the
-    oracles stay on md5."""
+    oracles stay on md5.
+
+    ``strategy`` (md5 family only): ``'arrow'`` — the round-11 kernel
+    (:func:`_minhash_arrow_df`): vectorized single-block MD5 over
+    substring-derived shingle spans, bit-identical to this JVM form
+    (differential- and gate-pinned); ``'jvm'`` — the
+    ``array_min``/``transform`` expression form below (kept as the
+    no-Python-workers fallback and the parity twin); ``'auto'`` — arrow
+    for md5 batch frames, jvm for streams (no Python stage per
+    micro-batch — the simhash-default precedent) and for
+    ``hash_fn='xxhash64'`` (the seeded-intrinsic projection is already
+    one cheap JVM hash per (shingle, i); the char kernel covers the
+    vectorized-xxh64 niche)."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    if strategy not in ("auto", "arrow", "jvm"):
+        raise ValueError(
+            f"strategy must be 'auto', 'arrow', or 'jvm', got {strategy!r}"
+        )
+    if strategy == "arrow" and hash_fn != "md5":
+        raise ValueError("strategy='arrow' implements the md5 family only")
+    num_hashes, k = int(num_hashes), int(k)
+    if num_hashes < 1 or k < 1:
+        raise ValueError(f"num_hashes and k must be >= 1, got {num_hashes}, {k}")
+    if strategy == "auto":
+        strategy = "jvm" if (docs.isStreaming or hash_fn != "md5") else "arrow"
+    if strategy == "arrow":
+        arrow_carry = quote_carry(
+            carry,
+            _SHINGLE_RESERVED | {"nt"} | {f"mh{i}" for i in range(num_hashes)},
+        )
+        return _minhash_arrow_df(docs, num_hashes, k, arrow_carry)
     # NULL-text docs produced no shingle rows on the old explode path; the
     # equivalent guard here must be a SCAN-level predicate (text IS NOT NULL)
     # — a post-hoc size(shingles) > 0 filter would be pushed below the widen
@@ -1244,6 +1451,26 @@ def semdedup_df(
     )
 
 
+def _sig_composed_strategy(hash_fn: str, docs: DataFrame) -> str:
+    """The strategy a COMPOSING operator (one whose plan feeds the
+    signatures into the band explode + band-key exchange/join) should pin
+    at its ``minhash_signatures_df`` call site — the other half of the
+    leaf-only dispatch rule, same shape as ``text._winnow_strategy``:
+    the md5 Arrow kernel wins the signature LEAF ~2x at every size
+    (interleaved A/B, FASTPATH.md round-11), and wins composed while the
+    band self-join still BROADCASTS (320k docs: 14.4 vs 28.0 s), but
+    LOSES composed once the join becomes sort-merge (1.28M docs: 74.1 vs
+    55.1 s median — the mapInPandas boundary feeding an exchange+sort is
+    the round-10 md5-winnow pathology).  At 100 TB the self-join is
+    always SMJ, so composing operators pin the JVM expression form; the
+    leaf (anything that persists or row-locally consumes the signature
+    table, i.e. the gate/bench shape) keeps the kernel.  Streams stay on
+    auto (which already picks jvm for them)."""
+    if hash_fn == "md5" and not docs.isStreaming:
+        return "jvm"
+    return "auto"
+
+
 def drop_near_duplicates_df(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -1264,7 +1491,10 @@ def drop_near_duplicates_df(
     """
     from ..operators.graph import connected_components_df
 
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
+    sigs = minhash_signatures_df(
+        docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn,
+        strategy=_sig_composed_strategy(hash_fn, docs),  # leaf-only arrow rule
+    )
     pairs = lsh_candidate_pairs_df(sigs, bands=bands, rows_per_band=rows_per_band)
     edges = (
         ngram_jaccard_df(docs, pairs)
@@ -1351,7 +1581,10 @@ def lsh_write_index(
                 f"LSH index {table!r} was built with {stored}; appending with "
                 f"{asked} would corrupt the index (band keys cannot align)"
             )
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
+    sigs = minhash_signatures_df(
+        docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn,
+        strategy=_sig_composed_strategy(hash_fn, docs),  # leaf-only arrow rule
+    )
     entries = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         "doc_id", _bucket_key_col()
     )
@@ -1422,7 +1655,10 @@ def lsh_query_index(
     idx = spark.table(table).select(
         F.col("doc_id").alias("index_doc_id"), "bucket_key"
     )
-    sigs = minhash_signatures_df(docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn)
+    sigs = minhash_signatures_df(
+        docs, num_hashes=num_hashes, k=k, hash_fn=hash_fn,
+        strategy=_sig_composed_strategy(hash_fn, docs),  # leaf-only arrow rule
+    )
     probe = band_entries_df(sigs, bands=bands, rows_per_band=rows_per_band).select(
         F.col("doc_id").alias("probe_doc_id"), _bucket_key_col()
     )
