@@ -347,6 +347,18 @@ def _report(
                 # both sides.
                 "load_1m_before": load_before,
                 "load_1m_after": load_after,
+                # the session's core count (master local[N]) — $SPARK_GRAFT_CPUS
+                # is honored by imops_spark.session.get_spark; printed so a
+                # cross-core-count comparison can verify both runs used the
+                # intended N.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+                # At sf0.1 every row is 0.1-4 s with min-of-passes: session,
+                # stage-scheduling and Python-boundary FIXED cost dominates,
+                # so 8-vs-32-core ratios on THIS data read ~1 regardless of
+                # plan parallelism.  Core scaling is evidenced at sizes where
+                # data work dominates: tools/core_scaling_probe.py (320k-row
+                # fixtures, fresh JVM per run) — results in SCALING.md.
+                "scaling_note": "fixed_cost_floor_at_this_sf;see_SCALING.md",
                 **contention,
                 "protocol": {
                     # from the data, not the env: isolated workers floor

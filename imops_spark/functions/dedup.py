@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..utils import quote_carry
+from ..utils import quote_carry, unquote_carry
 
 __all__ = [
     "normalized_text",
@@ -156,6 +156,9 @@ def _md5_hash_col(col, salt: int, part: int = 0):
     ).cast("long")
 
 
+_MINHASH_CHUNK_SHINGLES = 262_144
+
+
 def _minhash_arrow_df(
     docs: DataFrame, num_hashes: int, k: int, carry: tuple
 ) -> DataFrame:
@@ -207,9 +210,7 @@ def _minhash_arrow_df(
     sh = _widen(docs.where(F.col("text").isNotNull())).select(
         "doc_id", *carry, normalized_text().alias("nt")
     )
-    carry_names = [
-        c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry
-    ]
+    carry_names = unquote_carry(carry)
     out_cols = ["doc_id", *carry_names]
     fields = {f.name: f.dataType.simpleString() for f in sh.schema.fields}
     out_fields = [(c, fields[c]) for c in out_cols] + [
@@ -226,7 +227,9 @@ def _minhash_arrow_df(
     # ~1 ms/page re-fault) the chunk working set is the kernel's fault
     # surface, and per-worker steady state must stay small enough for the
     # malloc-tuned brk heap to keep every page warm across chunks/batches
-    chunk_shingles = 262_144
+    # (module-level so the oversized-single-document sub-chunk path is
+    # testable at a small size)
+    chunk_shingles = _MINHASH_CHUNK_SHINGLES
 
     def run(batches):
         import hashlib
@@ -275,29 +278,20 @@ def _minhash_arrow_df(
                 - sh_start
             )
             sigs = np.empty((num_hashes, n_docs), dtype=np.uint64)
-            d0 = 0
-            while d0 < n_docs:
-                d1 = int(
-                    np.searchsorted(
-                        sh_base, sh_base[d0] + chunk_shingles, side="right"
-                    )
-                )
-                d1 = max(d1, d0 + 1)
-                lo_s, hi_s = int(sh_base[d0]), (
-                    int(sh_base[d1]) if d1 < n_docs else total_sh
-                )
-                seg = sh_base[d0:d1] - lo_s
-                # chunk-relative int32 offsets: the pack's gather indices
-                # are its dominant allocation (md5v docstring)
-                off0 = int(doc_off[d0])
-                cdata = data[off0:]
-                c_start = (sh_start[lo_s:hi_s] - off0).astype(np.int32)
-                c_len = sh_len[lo_s:hi_s].astype(np.int32)
+
+            def chunk_mins(cdata, c_start, c_len, seg):
+                """Per-salt single-block hashing + segmented minima over one
+                chunk of shingle (start, len) spans relative to ``cdata``;
+                returns the ``(num_hashes, len(seg))`` minima.  Offsets stay
+                int64 here — :func:`pack_rows_single_block` downcasts its
+                gather indices to int32 only when the chunk's byte span
+                provably fits (the ADVICE round-11 overflow guard)."""
+                out = np.empty((num_hashes, len(seg)), dtype=np.uint64)
                 for plen, salts in by_plen.items():
                     cap = 55 - plen
                     long_pos = np.nonzero(c_len > cap)[0]
                     W = pack_rows_single_block(
-                        cdata, c_start, np.minimum(c_len, np.int32(cap)), plen
+                        cdata, c_start, np.minimum(c_len, cap), plen
                     )
                     Bv = W.view(np.uint8).reshape(-1, 64)
                     for s in salts:
@@ -314,9 +308,57 @@ def _minhash_arrow_df(
                             lo[j] = int.from_bytes(dg[:8], "big") >> 4
                             if hi is not None:
                                 hi[j] = int.from_bytes(dg[8:16], "big") >> 4
-                        sigs[2 * s, d0:d1] = np.minimum.reduceat(lo, seg)
+                        out[2 * s] = np.minimum.reduceat(lo, seg)
                         if hi is not None:
-                            sigs[2 * s + 1, d0:d1] = np.minimum.reduceat(hi, seg)
+                            out[2 * s + 1] = np.minimum.reduceat(hi, seg)
+                return out
+
+            d0 = 0
+            while d0 < n_docs:
+                d1 = int(
+                    np.searchsorted(
+                        sh_base, sh_base[d0] + chunk_shingles, side="right"
+                    )
+                )
+                d1 = max(d1, d0 + 1)
+                lo_s, hi_s = int(sh_base[d0]), (
+                    int(sh_base[d1]) if d1 < n_docs else total_sh
+                )
+                if d1 == d0 + 1 and hi_s - lo_s > chunk_shingles:
+                    # one document owning more shingles than a whole chunk
+                    # (tens of millions of tokens): hash its shingle range
+                    # in sub-chunks and fold with np.minimum — MIN is
+                    # associative — so the pack's gather indices and the
+                    # per-batch temporaries stay bounded instead of wrapping
+                    # int32 / spiking multi-GB (ADVICE round-11).
+                    acc = np.full(
+                        num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64
+                    )
+                    one_seg = np.zeros(1, dtype=np.int64)
+                    for s0 in range(lo_s, hi_s, chunk_shingles):
+                        s1 = min(s0 + chunk_shingles, hi_s)
+                        off0 = int(sh_start[s0])
+                        part = chunk_mins(
+                            data[off0:],
+                            sh_start[s0:s1] - off0,
+                            sh_len[s0:s1],
+                            one_seg,
+                        )
+                        np.minimum(acc, part[:, 0], out=acc)
+                    sigs[:, d0] = acc
+                    d0 = d1
+                    continue
+                seg = sh_base[d0:d1] - lo_s
+                # chunk-relative offsets: the pack downcasts its per-byte
+                # gather indices to int32 when safe (its dominant allocation,
+                # md5v docstring)
+                off0 = int(doc_off[d0])
+                sigs[:, d0:d1] = chunk_mins(
+                    data[off0:],
+                    sh_start[lo_s:hi_s] - off0,
+                    sh_len[lo_s:hi_s],
+                    seg,
+                )
                 d0 = d1
             res = pd.DataFrame({c: pdf[c].values for c in out_cols})
             for i in range(num_hashes):
@@ -528,7 +570,7 @@ def minhash_signatures_char_df(
 
     from .xxh import xxh64_bytes, xxh64_chain_int, xxh64_rows, xxh64_sliding
 
-    carry_names = [c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry]
+    carry_names = unquote_carry(carry)
     out_cols = ["doc_id", *carry_names]
     fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
     out_fields = [(c, fields[c]) for c in out_cols] + [

@@ -51,6 +51,10 @@ _G = [
     (3 * i + 5) % 16 if i < 48 else (7 * i) % 16
     for i in range(64)
 ]
+# gather indices stay int32 below this bound (module-level so the int64
+# fallback is testable without multi-GB fixtures)
+_INT32_SAFE = 2**31
+
 _A0 = np.uint32(0x67452301)
 _B0 = np.uint32(0xEFCDAB89)
 _C0 = np.uint32(0x98BADCFE)
@@ -138,32 +142,44 @@ def pack_rows_single_block(
     byte matrix (shared memory — prefix writes through the byte view are
     seen by the word view).
 
-    ``starts``/``lens`` must fit int32 (callers pass CHUNK-relative
-    offsets; one Arrow string batch is capped at 2 GiB, so a chunk's
-    byte span always fits) — the gather-index triple built here is the
-    pack's dominant allocation, and int32 halves it.  On hosts that
-    reclaim idle guest pages (the round-11 box pathology) every byte of
-    steady-state working set is a potential ~1 ms re-fault, so the index
-    arithmetic stays as small as the data allows.
+    The gather-index triple built here is the pack's dominant
+    allocation; it is int32 (halving it) whenever the chunk's total
+    message bytes AND its highest source offset provably fit — the
+    common case, since callers pass CHUNK-relative offsets and an Arrow
+    string batch caps one column at 2 GiB.  A chunk that exceeds either
+    bound (one pathological multi-GB document whose shingle spans sum
+    past 2**31) falls back to int64 indices instead of silently
+    wrapping them into wrong gather offsets (ADVICE round-11).  On
+    hosts that reclaim idle guest pages (the round-11 box pathology)
+    every byte of steady-state working set is a potential ~1 ms
+    re-fault, so the index arithmetic stays as small as the data
+    allows.
     """
     if sys.byteorder != "little":  # pragma: no cover - x86/aarch64 only
         raise RuntimeError("pack_rows_single_block requires a little-endian host")
     n = len(lens)
-    lens32 = lens.astype(np.int32, copy=False)
+    lens64 = lens.astype(np.int64, copy=False)
     B = np.zeros((n, 64), dtype=np.uint8)
     if n:
-        total = int(lens32.sum())
+        total = int(lens64.sum())
+        max_src = int(starts.max()) + int(lens64.max())
+        idx_t = (
+            np.int32
+            if total < _INT32_SAFE and max_src < _INT32_SAFE
+            else np.int64
+        )
         if total:
-            rows = np.repeat(np.arange(n, dtype=np.int32), lens32)
-            cum = np.zeros(n, dtype=np.int32)
-            np.cumsum(lens32[:-1], out=cum[1:])
-            within = np.arange(total, dtype=np.int32) - np.repeat(cum, lens32)
+            lens_i = lens64.astype(idx_t, copy=False)
+            rows = np.repeat(np.arange(n, dtype=idx_t), lens_i)
+            cum = np.zeros(n, dtype=idx_t)
+            np.cumsum(lens_i[:-1], out=cum[1:])
+            within = np.arange(total, dtype=idx_t) - np.repeat(cum, lens_i)
             B[rows, prefix_len + within] = data[
-                np.repeat(starts.astype(np.int32, copy=False), lens32) + within
+                np.repeat(starts.astype(idx_t, copy=False), lens_i) + within
             ]
-        B[np.arange(n, dtype=np.int32), prefix_len + lens32] = 0x80
+        B[np.arange(n, dtype=np.int64), prefix_len + lens64] = 0x80
     W = B.view(np.uint32).reshape(n, 16)
-    W[:, 14] = (lens32.astype(np.uint32) + np.uint32(prefix_len)) * np.uint32(8)
+    W[:, 14] = (lens64.astype(np.uint32) + np.uint32(prefix_len)) * np.uint32(8)
     return W
 
 

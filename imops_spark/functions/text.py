@@ -14,7 +14,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import quote_carry
+from ..utils import quote_carry, unquote_carry
 from .dedup import normalized_text
 
 # internal aliases of the winnowing pipelines — carry columns may not shadow
@@ -482,7 +482,7 @@ def _winnow_selected_arrow_df(
         F.length("nt") >= k + window - 1
     )
     fields = {f.name: f.dataType.simpleString() for f in d.schema.fields}
-    carry_names = [c.replace("``", "\x00").strip("`").replace("\x00", "`") for c in carry]
+    carry_names = unquote_carry(carry)
     out_cols = ["doc_id", *carry_names]
     out_fields = [(c, fields[c]) for c in out_cols] + (
         [("pos", "int"), ("fp", "long")] if positional else [("fp", "long")]

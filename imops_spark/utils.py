@@ -23,6 +23,7 @@ __all__ = [
     "broadcast_axis",
     "build_slices",
     "quote_carry",
+    "unquote_carry",
 ]
 
 
@@ -47,6 +48,18 @@ def quote_carry(carry, reserved: frozenset) -> tuple:
             )
         out.append("`" + name.replace("`", "``") + "`")
     return tuple(out)
+
+
+def unquote_carry(quoted) -> list:
+    """Exact inverse of :func:`quote_carry`: drop the one added backtick
+    pair and unescape doubled backticks.  The previous ad-hoc idiom
+    (``replace('``','\\x00').strip('`').replace back``) mangled names that
+    BEGIN with a literal backtick — ``'`x'`` quotes to ``'```x`'`` and
+    round-tripped to ``'``x'``, a loud KeyError at plan-build time in the
+    Arrow kernels' field lookup.  Every ``quote_carry`` output starts and
+    ends with exactly the added quote characters, so slicing them off is
+    always correct."""
+    return [c[1:-1].replace("``", "`") for c in quoted]
 
 _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 

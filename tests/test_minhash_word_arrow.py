@@ -137,6 +137,94 @@ def test_minhash_strategy_dispatch(spark, tmp_path):
     assert "MapInPandas" not in stream_plan
 
 
+def test_pack_int64_fallback_bit_identical(monkeypatch):
+    """When a chunk's byte span crosses the int32-safety bound the pack
+    must fall back to int64 gather indices, not silently wrap (ADVICE
+    round-11).  The bound is monkeypatched tiny so the fallback path runs
+    on an ordinary fixture; digests must stay bit-identical to hashlib."""
+    from imops_spark.functions import md5v
+
+    rng = np.random.default_rng(7)
+    msgs = [bytes(rng.integers(0, 256, size=int(n)).tolist()) for n in range(40)]
+    data = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.zeros(len(msgs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    monkeypatch.setattr(md5v, "_INT32_SAFE", 16)  # force the int64 path
+    W = md5v.pack_rows_single_block(data, starts, lens, prefix_len=2)
+    Bv = W.view(np.uint8).reshape(-1, 64)
+    pre = b"3|"
+    Bv[:, 0], Bv[:, 1] = pre[0], pre[1]
+    w0, w1, w2, w3 = md5v.md5_words_rows(W)
+    for i, m in enumerate(msgs):
+        ref = hashlib.md5(pre + m).digest()
+        got = w0[i].tobytes() + w1[i].tobytes() + w2[i].tobytes() + w3[i].tobytes()
+        assert got == ref, (i, len(m))
+
+
+def test_minhash_oversized_single_doc_subchunks(spark, monkeypatch):
+    """A document owning more shingles than one hash chunk takes the
+    sub-chunk + np.minimum fold path (the ADVICE round-11 overflow/spike
+    guard); signatures must equal the JVM form's.  The chunk size is
+    monkeypatched far below the fixture's shingle counts so the path runs
+    on a small corpus."""
+    from imops_spark.functions import dedup
+
+    monkeypatch.setattr(dedup, "_MINHASH_CHUNK_SHINGLES", 8)
+    rows = [
+        (1, " ".join(f"tok{i % 37}" for i in range(200))),  # 198 shingles >> 8
+        (2, "small doc here"),
+        (3, ("x" * 70 + " ") * 60),  # >55-byte fallback shingles, oversized
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    jvm = sorted(
+        map(
+            tuple,
+            dedup.minhash_signatures_df(
+                docs, num_hashes=6, k=3, strategy="jvm"
+            ).collect(),
+        )
+    )
+    arw = sorted(
+        map(
+            tuple,
+            dedup.minhash_signatures_df(
+                docs, num_hashes=6, k=3, strategy="arrow"
+            ).collect(),
+        )
+    )
+    assert arw == jvm and len(arw) == len(rows)
+
+
+def test_unquote_carry_inverts_hostile_names():
+    """unquote_carry must be the exact inverse of quote_carry, including
+    names that BEGIN with a literal backtick (the previous strip-based
+    idiom mangled those — ADVICE round-11)."""
+    from imops_spark.utils import quote_carry, unquote_carry
+
+    names = ["plain", "dotted.name", "`x", "x`", "`", "``", "a`b", "event-time.col"]
+    assert unquote_carry(quote_carry(names, frozenset())) == names
+
+
+def test_minhash_arrow_leading_backtick_carry(spark):
+    """End-to-end regression for the carry-name round-trip: a carry column
+    whose name begins with a backtick used to KeyError at plan-build time
+    in the Arrow kernel's field lookup."""
+    from imops_spark.functions.dedup import minhash_signatures_df
+
+    docs = spark.createDataFrame(
+        EDGE_ROWS[:2], "doc_id int, text string"
+    ).withColumn("`tick", F.col("doc_id") * 7)
+    kw = dict(num_hashes=4, k=3, carry=("`tick",))
+    jvm = sorted(
+        map(tuple, minhash_signatures_df(docs, strategy="jvm", **kw).collect())
+    )
+    arw = sorted(
+        map(tuple, minhash_signatures_df(docs, strategy="arrow", **kw).collect())
+    )
+    assert arw == jvm and len(arw) == 2
+
+
 def test_minhash_composing_operators_pin_jvm(spark):
     """The leaf-only rule's other half: an operator whose ONE plan feeds
     signatures into the band exchange/join must pin the JVM form (the
