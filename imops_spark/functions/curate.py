@@ -548,18 +548,24 @@ def contamination_report_df(
     :func:`contamination_pairs_bloom_df` recipe) and fall back to the
     equi-join.
     """
-    from .text import winnow_fp_set_df
+    from .text import _winnow_strategy, winnow_fp_set_df
 
-    # Strategy note: this composition does NOT pin strategy='window' (the
-    # _winnow_strategy rule the pairs/decontaminate family follows),
-    # because the report's train side feeds a BROADCAST left-semi probe —
-    # there is no exchange+sort downstream for the mapInPandas boundary
-    # to break, so the leaf economics apply and the Arrow kernel wins
-    # (round-11 controlled A/B on cur_contam_frac: 3.24-3.47 s arrow vs
-    # 4.33-4.95 s window steady-state, 5.4 vs 14.9 s cold).  The
-    # pairs/decontaminate shape (fps into an equi-join + groupBy) keeps
-    # the window pin — same A/B, cur_select3: 7.1-7.6 s window vs
-    # 10.8-12.1 s arrow.
+    # Strategy note: the train side PINS the composed-md5 window form
+    # (the _winnow_strategy rule the pairs/decontaminate family follows).
+    # Round 11 routed it to the Arrow kernel on a controlled A/B
+    # (3.24-3.47 s arrow vs 4.33-4.95 s window steady on that session's
+    # box) with an explicit revert trigger if the next round's box read
+    # differently — and it did: the round-12 idle-box alternating A/B
+    # (6 passes, strategies alternating EVERY pass, run twice) read
+    # window 2.2-4.4 s vs arrow 4.7-11.1 s, window winning every paired
+    # pass.  The two sessions disagree because the win is allocator/
+    # page-fault-regime-shaped, not plan-shaped (the plan itself is
+    # strictly smaller under arrow: 5 vs 7 Exchanges) — on a box where
+    # Python-worker pages stay warm the kernel wins, on one where the
+    # host reclaims them the JVM window chain wins.  The pin follows the
+    # measured box; both forms are hash-gate-identical (value-identity
+    # asserted inside both A/B sessions), so flipping back is this one
+    # argument either way.  FASTPATH.md round-12 has both datasets.
     #
     # the eval fp frame feeds BOTH the probe set and the report tail —
     # localCheckpoint it so the eval winnowing chain executes once (two
@@ -571,9 +577,13 @@ def contamination_report_df(
         .select(F.col("doc_id").alias("eval_id"), "fp")
         .localCheckpoint(eager=False)
     )
-    tf = winnow_fp_set_df(train_docs, k=k, window=window, hash_fn=hash_fn).select(
-        "fp"
-    )
+    tf = winnow_fp_set_df(
+        train_docs,
+        k=k,
+        window=window,
+        hash_fn=hash_fn,
+        strategy=_winnow_strategy(hash_fn, train_docs),
+    ).select("fp")
     ef_fps = ef.select("fp").dropDuplicates()
     # train fps that hit the eval set: row-local probe, result bounded by
     # |eval fps| — the only train-side work is the scan itself

@@ -10,6 +10,8 @@ validates them (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1622,6 +1624,7 @@ def ngram_lm_df(
     docs: DataFrame,
     train_docs: DataFrame | None = None,
     add_k: float = 1.0,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Bigram language-model cross-entropy per document — the relational
     core of the CCNet-style "LM perplexity" quality filter (Wenzek et al.
@@ -1662,10 +1665,43 @@ def ngram_lm_df(
     real scale train on a ``hash_sample_df`` slice so the count tables
     AQE-broadcast, exactly as CCNet trains its LM on a Wikipedia-sized
     sample rather than the corpus being scored.
+
+    ``strategy``: ``'agg'`` — the explode + model-join + groupBy scoring
+    above; ``'arrow'`` — the round-12 scoring kernel
+    (:func:`_lm_score_arrow_df`): the per-bigram micro-nat scores are
+    precomputed ON THE MODEL TABLE by the SAME JVM ``LN`` expression
+    (vocab-bounded rows, never per occurrence), collected, and the
+    corpus is scored by a zero-shuffle ``mapInPandas`` doing pure
+    integer dictionary lookups — no float is ever computed in Python,
+    so ``arrow == agg`` bit-for-bit by construction; ``'auto'`` — arrow
+    when the TRAIN side is a file-backed frame whose parquet-footer
+    char estimate (:func:`~.dedup._text_chars_estimate`, pre-filter, an
+    overestimate — the safe direction) fits the collect budget
+    (``IMOPS_SPARK_LM_COLLECT_CHARS``, default 64 MiB: worst-case
+    ~11M distinct bigrams, the practical bound on what a driver should
+    hold + broadcast), else agg.  At 100 TB a self-trained model is
+    corpus-scale and auto stays on agg; the CCNet regime (sample-trained
+    model, huge scored corpus) dispatches to arrow and removes the
+    per-occurrence explode + joins + doc aggregation entirely.
     """
     a = float(add_k)
     if a <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
+    if strategy not in ("auto", "agg", "arrow"):
+        raise ValueError(
+            f"strategy must be 'auto', 'agg', or 'arrow', got {strategy!r}"
+        )
+    if strategy == "auto":
+        strategy = "agg"
+        train_side = train_docs if train_docs is not None else docs
+        if not docs.isStreaming and not train_side.isStreaming:
+            from .dedup import _text_chars_estimate
+
+            est = _text_chars_estimate(train_side)
+            if est is not None and est <= int(
+                os.environ.get("IMOPS_SPARK_LM_COLLECT_CHARS", str(64 * 1024**2))
+            ):
+                strategy = "arrow"
 
     def _bigrams(d: DataFrame) -> DataFrame:
         # `toks` is re-bound as the outer lambda's variable `t` so element
@@ -1695,8 +1731,6 @@ def ngram_lm_df(
             .select("doc_id", "g.prev", "g.cur")
         )
 
-    big = _bigrams(docs)
-    train_big = big if train_docs is None else _bigrams(train_docs)
     # c2 is the MODEL table (one row per distinct train bigram — bounded
     # by vocabulary^2, not corpus size) and feeds THREE consumers: c1, V,
     # and the scoring join.  Without the (lazy) localCheckpoint each
@@ -1705,6 +1739,21 @@ def ngram_lm_df(
     # plan (train x3 + scoring).  Checkpointed, the explode runs once per
     # side; lazy, so nothing executes at build time, and the blocks die
     # with the DataFrame.
+    train_big = _bigrams(train_docs) if train_docs is not None else None
+    if strategy == "arrow":
+        if train_big is None:
+            train_big = _bigrams(docs)
+        c2 = (
+            train_big.groupBy("prev", "cur")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .localCheckpoint(eager=False)
+        )
+        c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+        v = c2.agg(F.countDistinct("cur").alias("v"))
+        return _lm_tail(_lm_score_arrow_df(docs, c2, c1, v, a))
+    big = _bigrams(docs)
+    if train_big is None:
+        train_big = big
     c2 = (
         train_big.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -1728,8 +1777,14 @@ def ngram_lm_df(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lpm").alias("lp_micro_sum"),
     )
-    # exact integer round-half-up of |sum|/n micro-nats (tie-proof; see
-    # docstring) — lp_micro_sum <= 0 always since every P <= 1
+    return _lm_tail(per_doc)
+
+
+def _lm_tail(per_doc: DataFrame) -> DataFrame:
+    """Shared xent/ppl projection over ``(doc_id, n_bigrams,
+    lp_micro_sum)`` — one owner for the tie-proof integer arithmetic (see
+    :func:`ngram_lm_df`); ``lp_micro_sum <= 0`` always since every
+    ``P <= 1``."""
     xent = F.expr(
         "CAST(((-lp_micro_sum) * 2 + n_bigrams) DIV (2 * n_bigrams)"
         " AS DOUBLE) / 1000000.0"
@@ -1741,6 +1796,110 @@ def ngram_lm_df(
         xent.alias("xent"),
         F.round(F.exp(xent), 4).alias("ppl"),
     )
+
+
+def _lm_score_arrow_df(docs: DataFrame, c2, c1, v, a: float) -> DataFrame:
+    """The Arrow scoring kernel behind ``ngram_lm_df(strategy='arrow')``:
+    returns ``(doc_id, n_bigrams, lp_micro_sum)`` with ZERO scoring-side
+    shuffles.
+
+    Exact parity with the agg form by construction — the kernel never
+    computes a float:
+
+    - the per-bigram micro-nat scores are precomputed on the MODEL
+      table by the SAME JVM expression the agg form applies per
+      occurrence (``CAST(ROUND(LN((c2 + a) / (c1 + a*v)) * 1e6) AS
+      BIGINT)``), for all three backoff cases: seen bigram (``lpm2``),
+      seen context/unseen bigram (``lpm1`` — ``c2`` coalesces to 0, and
+      ``0 + a == a`` exactly in IEEE), unseen context (``lpm0``).  The
+      model rows are vocab-bounded, so this costs one digest per
+      DISTINCT bigram, never per occurrence;
+    - tokens: ``nt.split(' ')`` minus empties over the plan-computed
+      normalized text — bit-parity with ``array_remove(split(norm, ' '),
+      '')`` (the minhash-kernel tokenization argument: normalization
+      collapses every whitespace run to one space);
+    - the per-document sum is exact integer addition of the looked-up
+      micro-nat scores — associative, so Python's arbitrary-precision
+      sum equals Spark's int64 partial-agg sum on any non-degenerate
+      model (scores are ~1e7-scale negatives; an int64 sum cannot wrap
+      below ~1e11 bigrams per document).
+
+    The model dictionaries are collected once at plan-build time (two
+    bounded jobs over the checkpointed ``c2``) and shipped via a Spark
+    broadcast — each Python worker unpickles them once and keeps them
+    across its tasks.  The 'auto' dispatch only routes here when the
+    train side's footer-estimated chars fit the collect budget; at
+    100 TB score-with-sampled-model (the CCNet regime) that is the
+    design point, and the removed work is the per-occurrence bigram
+    explode, two model joins, and the corpus-wide doc aggregation.
+    """
+    import pandas as pd
+
+    from .dedup import _widen, normalized_text
+
+    lp2 = (
+        f"CAST(ROUND(LN((c2 + {a!r}) / (c1 + {a!r} * v))"
+        " * 1000000) AS BIGINT)"
+    )
+    lp1 = (
+        f"CAST(ROUND(LN((0 + {a!r}) / (c1 + {a!r} * v))"
+        " * 1000000) AS BIGINT)"
+    )
+    lp0 = (
+        f"CAST(ROUND(LN((0 + {a!r}) / (0 + {a!r} * v))"
+        " * 1000000) AS BIGINT)"
+    )
+    m = (
+        c2.join(c1, ["prev"])
+        .crossJoin(F.broadcast(v))
+        .selectExpr("prev", "cur", f"{lp2} AS lpm2", f"{lp1} AS lpm1")
+        .toPandas()
+    )
+    lpm0 = int(v.selectExpr(f"{lp0} AS lpm0").collect()[0][0])
+    d2: dict = {}
+    d1: dict = {}
+    for p, c, l2, l1 in zip(
+        m["prev"].tolist(), m["cur"].tolist(), m["lpm2"].tolist(), m["lpm1"].tolist()
+    ):
+        d2[(p, c)] = l2
+        d1[p] = l1
+    bc = docs.sparkSession.sparkContext.broadcast((d2, d1, lpm0))
+
+    d = _widen(docs.filter(F.col("text").isNotNull())).select(
+        "doc_id", normalized_text().alias("nt")
+    )
+    id_type = dict(d.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, n_bigrams long, lp_micro_sum long"
+
+    def run(batches):
+        from ._mem import ensure_malloc_tuning
+
+        ensure_malloc_tuning()
+        g2, g1, l0 = bc.value
+        get2, get1 = g2.get, g1.get
+        for pdf in batches:
+            ids, ns, sums = [], [], []
+            for doc_id, nt in zip(pdf["doc_id"], pdf["nt"]):
+                toks = [t for t in nt.split(" ") if t]
+                if not toks:
+                    continue  # zero-token docs are not scored (agg parity)
+                s = 0
+                prev = "<s>"
+                for cur in toks:
+                    v2 = get2((prev, cur))
+                    if v2 is None:
+                        v2 = get1(prev, l0)
+                    s += v2
+                    prev = cur
+                ids.append(doc_id)
+                ns.append(len(toks))
+                sums.append(s)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_bigrams": ns, "lp_micro_sum": sums}
+                )
+
+    return d.mapInPandas(run, schema=schema)
 
 
 def fingerprint_df(docs: DataFrame, prefix: int = 64) -> DataFrame:

@@ -102,9 +102,46 @@ def test_add_k_validation(spark):
 
 
 def test_no_python_in_plan(spark):
+    """auto on a non-file frame (no footer estimate) keeps the pure-JVM
+    agg form — no Python evaluation node of any kind."""
     docs = spark.createDataFrame(ROWS, "doc_id long, text string")
     plan = ngram_lm_df(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_arrow_strategy_matches_agg_and_reference(spark):
+    """strategy='arrow' (integer-lookup scoring kernel) must equal both the
+    agg form and the Python reference tuple-for-tuple — self-trained and
+    off-corpus (the lpm1/lpm0 backoff rows)."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = _collect(ngram_lm_df(docs, strategy="arrow"))
+    assert got == _reference(ROWS, ROWS)
+    assert got == _collect(ngram_lm_df(docs, strategy="agg"))
+
+    score_rows = [(100, "the cat sat"), (101, "entirely unseen tokens here")]
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got2 = _collect(ngram_lm_df(score, train_docs=docs, strategy="arrow"))
+    assert got2 == _reference(score_rows, ROWS)
+
+
+def test_strategy_dispatch(spark, tmp_path):
+    """auto -> arrow for a small file-backed train side (footer estimate
+    under the collect budget), agg for non-file frames; bad strategy
+    raises."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(ROWS, "doc_id long, text string").write.parquet(src)
+    fdocs = spark.read.parquet(src)
+    plan = ngram_lm_df(fdocs)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan
+    got = _collect(ngram_lm_df(fdocs))
+    exp = _reference(ROWS, ROWS)
+    # parquet round-trip preserves rows; compare as dicts
+    assert got == exp
+    with _pytest.raises(ValueError, match="strategy"):
+        ngram_lm_df(fdocs, strategy="bogus")
 
 
 def test_repetitive_doc_scores_lower_xent(spark):
