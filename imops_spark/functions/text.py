@@ -2606,13 +2606,24 @@ def dedup_paragraphs_df(
     scan: (a) the winner table is a map-side-combined
     ``groupBy(line_key)`` keeping ``min(struct(doc_id, pos))`` — one row
     per DISTINCT candidate line, corpus-scale, so the keep decision is
-    an equi-JOIN on the line key, never a broadcast; (b) the exploded
-    lines join winners on that key (second exchange; non-candidates and
-    the per-document sentinel carry a NULL key and pass untouched —
-    NULL joins nothing); (c) reassembly is one ``groupBy(doc_id)``
-    (third exchange) over ``(pos, line)`` structs with the sentinel
-    guaranteeing fully-deduped documents a row (the
-    remove_boilerplate_lines_df recipe)."""
+    an equi-JOIN, never a broadcast; (b) the exploded lines join winners
+    (second exchange; non-candidates and the per-document sentinel carry
+    a NULL key and pass untouched — NULL joins nothing); (c) reassembly
+    is one ``groupBy(doc_id)`` (third exchange) over ``(pos, line)``
+    structs with the sentinel guaranteeing fully-deduped documents a row
+    (the remove_boilerplate_lines_df recipe).
+
+    Skew (round 12): the keep join's equi-key is ``(k, doc_id, pos)`` —
+    UNIQUE on the lines side — not ``k`` alone.  A row keeps iff it IS
+    its line's winner, so joining on all three columns is equivalent to
+    the join-on-``k``-then-filter form (the winners side flattens
+    ``min(struct)`` into join columns; same bytes shuffled), but a viral
+    paragraph with 10M copies hashes those copies across ALL partitions
+    instead of one planet-hot ``k`` partition.  The map-side partial agg
+    already protects exchange (a); this removes the only hot-key
+    exchange without relying on AQE's skew-join split (which covers the
+    shape, but splits AFTER a 256 MB partition materializes —
+    ``tools/skew_probe.py`` measures both; SCALING.md round-12)."""
     import re as _re
 
     if int(min_chars) < 1:
@@ -2649,14 +2660,28 @@ def dedup_paragraphs_df(
         lines.filter(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        # flatten to fresh-named join columns: the 3-column equi-key is
+        # unique on both sides, so no single key value can own a shuffle
+        # partition (the skew note above); fresh aliases also keep the
+        # self-join lineage unambiguous
+        .select(
+            F.col("k").alias("__wk"),
+            F.col("w.doc_id").alias("__wd"),
+            F.col("w.pos").alias("__wp"),
+        )
     )
     kept = (
-        lines.join(winners, "k", "left")
-        .filter(
-            F.col("k").isNull()
-            | ((F.col("w.doc_id") == F.col("doc_id")) & (F.col("w.pos") == F.col("pos")))
+        lines.join(
+            winners,
+            on=[
+                F.col("k") == F.col("__wk"),
+                F.col("doc_id") == F.col("__wd"),
+                F.col("pos") == F.col("__wp"),
+            ],
+            how="left",
         )
-        .drop("k", "w")
+        .filter(F.col("k").isNull() | F.col("__wk").isNotNull())
+        .drop("k", "__wk", "__wd", "__wp")
     )
     return kept.groupBy("doc_id").agg(
         F.expr(

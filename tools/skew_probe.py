@@ -1,14 +1,15 @@
 """Skew probe for dedup_paragraphs_df's lines->winners join.
 
-A viral paragraph (one line shared by millions of documents) makes the
-join key ``k`` planet-hot: every copy of the line hashes to one shuffle
-partition of the lines->winners equi-join.  The operator deliberately
-does NOT pre-mitigate (a salted build side would multiply the
-corpus-scale winners table; pre-aggregating per (k, doc_id) cannot
-shrink the 1-copy-per-doc viral case) — it relies on AQE's skew-join
-split, which handles exactly this shape: the winners side is 1 row per
-key, so replicating it under a split of the hot lines partition is
-free.  This probe measures that reliance:
+A viral paragraph (one line shared by millions of documents) used to
+make the join key ``k`` planet-hot: every copy of the line hashed to
+one shuffle partition of the lines->winners equi-join, and the operator
+relied on AQE's skew-join split.  Since round 12 the keep join's
+equi-key is ``(k, doc_id, pos)`` — unique on both sides (a row keeps
+iff it IS its line's winner) — so a 10M-copy key spreads across ALL
+partitions by construction and neither arm of this probe should show a
+straggler or need ``skew=true``.  The probe remains the regression
+evidence for that property (and measured the old shape before the
+change; SCALING.md round-12):
 
     python tools/skew_probe.py [--n-docs 2000000] [--copies auto]
 
