@@ -989,12 +989,197 @@ def _dsir_features(d: DataFrame, by_doc: bool = False) -> DataFrame:
     )
 
 
+def _dsir_score_arrow_df(docs: DataFrame, model: DataFrame, B: int, salt: int) -> DataFrame:
+    """The Arrow scoring kernel behind ``dsir_logweights_df(
+    strategy='arrow')``: ``(doc_id, n_feats, logw_micro)`` with ZERO
+    scoring-side shuffles.
+
+    Exact parity with the agg form by construction:
+
+    - the per-bucket micro-nat log-ratios (``lrm``) come from the SAME
+      ``dsir_model_df`` table the agg form broadcast-joins — the kernel
+      collects its ``<= B`` rows into a dense int64 array (missing
+      buckets 0, matching ``F.sum``'s NULL-skip; the raw stream IS the
+      scored corpus in this operator, so every scored bucket exists in
+      the model anyway) and does pure integer gathers + segment sums;
+    - features: unigrams + adjacent-pair bigrams of the normalized
+      whitespace tokens.  After normalization both are contiguous BYTE
+      SPANS of ``nt`` (a bigram is the substring from its first token's
+      start to its second token's end — exactly one space between
+      them), so the kernel derives spans from one ``data == 0x20`` mask
+      and never builds feature strings — the word-shingle MinHash
+      kernel's recipe;
+    - hashes: the 60-bit md5 bucket hash (``conv(substring(md5('{salt}|'
+      + feat), 1, 15), 16, 10) % B``) computed by the vectorized
+      single-block MD5 (:mod:`.md5v`); features over one MD5 block
+      (rare: very long words, space-free CJK documents whose single
+      token is the whole text) fall back to per-row ``hashlib`` — same
+      bits;
+    - sums are ``np.add.reduceat`` over per-doc segments in int64 —
+      exact, and un-overflowable (|lrm| < 2.4e7; a document would need
+      ~4e11 features to approach int64).
+
+    One document owning more features than a hash chunk is processed in
+    sub-ranges folded by addition (sums split associatively — the
+    minhash sub-chunk guard, same bound on the pack's fault surface).
+
+    Plan at 100 TB: one pushed scan (+ the conditional ``_widen``) into
+    a stateless ``mapInPandas`` — the agg form's by-doc repartition
+    exchange, feature Generate, broadcast join and two-level doc
+    aggregation all disappear from the scoring side."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _MINHASH_CHUNK_SHINGLES, _widen, normalized_text
+
+    mp = model.select("bucket", "lrm").toPandas()
+    arr = np.zeros(int(B), dtype=np.int64)
+    arr[mp["bucket"].to_numpy(dtype=np.int64)] = mp["lrm"].to_numpy(dtype=np.int64)
+    bc = docs.sparkSession.sparkContext.broadcast(arr)
+    pre = f"{int(salt)}|".encode()
+    plen = len(pre)
+    cap = 55 - plen
+    BB = np.uint64(int(B))
+    chunk_feats = _MINHASH_CHUNK_SHINGLES
+
+    # zero-token docs produce no features and are absent (agg parity);
+    # normalized text is empty iff the doc has zero tokens, so the guard
+    # is a scan predicate and every kernel row yields >= 1 feature
+    d = _widen(docs.where(F.col("text").isNotNull())).select(
+        "doc_id", normalized_text().alias("nt")
+    ).filter(F.length("nt") > 0)
+    id_type = dict(d.dtypes)["doc_id"]
+    schema = f"doc_id {id_type}, n_feats long, logw_micro long"
+
+    def run(batches):
+        import hashlib
+
+        from ._mem import ensure_malloc_tuning
+        from .md5v import be64_top60, md5_words_rows, pack_rows_single_block
+
+        ensure_malloc_tuning()
+        w = bc.value
+        md5 = hashlib.md5
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            enc = [s.encode() for s in pdf["nt"]]
+            doc_len = np.fromiter(map(len, enc), dtype=np.int64, count=n_docs)
+            doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=doc_off[1:])
+            data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            spaces = np.nonzero(data == 0x20)[0]
+            n = np.diff(np.searchsorted(spaces, doc_off)) + 1
+            tok_base = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(n[:-1], out=tok_base[1:])
+            total_tok = int(tok_base[-1] + n[-1])
+            first = np.zeros(total_tok, dtype=bool)
+            first[tok_base] = True
+            ts = np.empty(total_tok, dtype=np.int64)
+            ts[tok_base] = doc_off[:-1]
+            ts[~first] = spaces + 1
+            last = np.zeros(total_tok, dtype=bool)
+            last[tok_base + n - 1] = True
+            te = np.empty(total_tok, dtype=np.int64)
+            te[last] = doc_off[1:]
+            te[~last] = spaces
+            # feature layout per doc: n unigrams then n-1 bigrams —
+            # contiguous per-doc segments so reduceat sums per document
+            m = 2 * n - 1
+            f_base = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(m[:-1], out=f_base[1:])
+            total_f = int(f_base[-1] + m[-1])
+            tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+            within = np.arange(total_tok, dtype=np.int64) - tok_base[tok_doc]
+            f_start = np.empty(total_f, dtype=np.int64)
+            f_len = np.empty(total_f, dtype=np.int64)
+            uni_pos = f_base[tok_doc] + within
+            f_start[uni_pos] = ts
+            f_len[uni_pos] = te - ts
+            bi = within < (n[tok_doc] - 1)  # token starts a bigram
+            bi_ix = np.nonzero(bi)[0]
+            bi_pos = f_base[tok_doc[bi_ix]] + n[tok_doc[bi_ix]] + within[bi_ix]
+            f_start[bi_pos] = ts[bi_ix]
+            f_len[bi_pos] = te[bi_ix + 1] - ts[bi_ix]
+
+            def chunk_sums(cdata, c_start, c_len, seg):
+                """md5-bucket hash + per-segment lrm sums over one chunk
+                of feature spans relative to ``cdata``."""
+                long_pos = np.nonzero(c_len > cap)[0]
+                W = pack_rows_single_block(
+                    cdata, c_start, np.minimum(c_len, cap), plen
+                )
+                Bv = W.view(np.uint8).reshape(-1, 64)
+                Bv[:, :plen] = np.frombuffer(pre, dtype=np.uint8)
+                w0, w1, _, _ = md5_words_rows(W)
+                h = be64_top60(w0, w1)
+                for j in long_pos:  # rare: feature > cap bytes
+                    b0 = int(c_start[j])
+                    dg = md5(
+                        pre + cdata[b0 : b0 + int(c_len[j])].tobytes()
+                    ).digest()
+                    h[j] = int.from_bytes(dg[:8], "big") >> 4
+                return np.add.reduceat(w[(h % BB).astype(np.int64)], seg)
+
+            sums = np.empty(n_docs, dtype=np.int64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = int(
+                    np.searchsorted(f_base, f_base[d0] + chunk_feats, side="right")
+                )
+                d1 = max(d1, d0 + 1)
+                lo_f, hi_f = int(f_base[d0]), (
+                    int(f_base[d1]) if d1 < n_docs else total_f
+                )
+                if d1 == d0 + 1 and hi_f - lo_f > chunk_feats:
+                    # one oversized document: sub-ranges fold by addition.
+                    # Spans are NOT monotone within a doc (bigrams restart
+                    # at its first token), so the relative base must be the
+                    # DOC offset — the pack's int64 fallback guards the
+                    # extreme where the doc itself spans past 2**31.
+                    acc = np.int64(0)
+                    one_seg = np.zeros(1, dtype=np.int64)
+                    off0 = int(doc_off[d0])
+                    cdata = data[off0:]
+                    for s0 in range(lo_f, hi_f, chunk_feats):
+                        s1 = min(s0 + chunk_feats, hi_f)
+                        acc += chunk_sums(
+                            cdata,
+                            f_start[s0:s1] - off0,
+                            f_len[s0:s1],
+                            one_seg,
+                        )[0]
+                    sums[d0] = acc
+                    d0 = d1
+                    continue
+                seg = f_base[d0:d1] - lo_f
+                off0 = int(doc_off[d0])
+                sums[d0:d1] = chunk_sums(
+                    data[off0:],
+                    f_start[lo_f:hi_f] - off0,
+                    f_len[lo_f:hi_f],
+                    seg,
+                )
+                d0 = d1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_feats": m,
+                    "logw_micro": sums,
+                }
+            )
+
+    return d.mapInPandas(run, schema=schema)
+
+
 def dsir_logweights_df(
     docs: DataFrame,
     target_docs: DataFrame,
     num_buckets: int = 1024,
     add_k: float = 1.0,
     salt: int = 50,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-document DSIR importance log-weights: score every document in
     ``docs`` by how much more likely its hashed-n-gram features are under
@@ -1036,11 +1221,30 @@ def dsir_logweights_df(
     self-trained ``text.ngram_lm_df``; at real scale fit the raw model on
     a ``hash_sample_df`` slice instead and the model branch shrinks to a
     sample scan.
+
+    ``strategy``: ``'agg'`` — the explode + broadcast-join + doc
+    aggregation scoring above; ``'arrow'`` — the round-12 kernel
+    (:func:`_dsir_score_arrow_df`: vectorized single-block md5 bucket
+    hashing over byte spans + integer gathers from the collected
+    ``<= B``-row model, zero scoring-side shuffles, exact parity by
+    construction); ``'auto'`` — arrow for batch frames (the model is
+    bucket-bounded, so the collect is always cheap — unlike the LM
+    kernel there is no size dispatch to make), agg for streams (no
+    Python stage per micro-batch; the streaming twin is
+    ``dsir_score_local_df``).
     """
     B = int(num_buckets)
+    if strategy not in ("auto", "agg", "arrow"):
+        raise ValueError(
+            f"strategy must be 'auto', 'agg', or 'arrow', got {strategy!r}"
+        )
+    if strategy == "auto":
+        strategy = "agg" if docs.isStreaming else "arrow"
     model = dsir_model_df(
         docs, target_docs, num_buckets=num_buckets, add_k=add_k, salt=salt
     )
+    if strategy == "arrow":
+        return _dsir_score_arrow_df(docs, model, B, salt)
     return (
         _dsir_bucketed(docs, B, salt, by_doc=True)
         .join(F.broadcast(model.select("bucket", "lrm")), "bucket", "left")

@@ -148,11 +148,22 @@ def test_validation_and_plan(spark):
     with pytest.raises(ValueError, match="k must be positive"):
         dsir_sample_df(docs, tgt, k=0)
 
-    w = dsir_logweights_df(docs, tgt, num_buckets=128)
+    with pytest.raises(ValueError, match="strategy"):
+        dsir_logweights_df(docs, tgt, strategy="bogus")
+
+    # agg form: model tables broadcast; the corpus side never sort-merge
+    # joins
+    w = dsir_logweights_df(docs, tgt, num_buckets=128, strategy="agg")
     plan = w._jdf.queryExecution().executedPlan().toString()
-    # model tables broadcast; the corpus side never sort-merge joins
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    # auto = arrow for batch frames: the scoring side is one stateless
+    # mapInPandas — no join, no exchange of the feature stream at all
+    wa = dsir_logweights_df(docs, tgt, num_buckets=128)
+    aplan = wa._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in aplan
+    assert "SortMergeJoin" not in aplan and "BroadcastHashJoin" not in aplan
     s = dsir_sample_df(docs, tgt, k=3, num_buckets=128)
     splan = s._jdf.queryExecution().executedPlan().toString()
     # global top-k must be per-partition heaps + driver merge, not a sort
@@ -907,3 +918,40 @@ def test_select_by_roc_guards(spark):
     )
     with pytest.raises(ValueError, match="no curve point"):
         select_by_roc_df(allpos, "label", "s", n_buckets=4)
+
+
+def test_arrow_matches_agg_on_edge_shapes(spark, monkeypatch):
+    """strategy='arrow' == strategy='agg' tuple-for-tuple on hostile
+    shapes: single-token docs (no bigrams), a space-free CJK doc whose one
+    feature is the whole text (the hashlib >1-block fallback), very long
+    words, unicode spaces inside tokens, and an oversized doc forcing the
+    sub-chunk addition fold (chunk size monkeypatched tiny)."""
+    from imops_spark.functions import dedup
+
+    monkeypatch.setattr(dedup, "_MINHASH_CHUNK_SHINGLES", 16)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "single"),
+        (3, None),
+        (4, ""),
+        (5, "日本語のテキストに空白はありません"),  # one giant token -> fallback
+        (6, "a" * 80 + " " + "b" * 80),  # >52-byte unigrams AND bigram
+        (7, " nbsp　inside token here"),
+        (8, " ".join(f"tok{i % 11}" for i in range(120))),  # >> 16 features
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    agg = sorted(
+        map(
+            tuple,
+            dsir_logweights_df(docs, tgt, num_buckets=64, strategy="agg").collect(),
+        )
+    )
+    arw = sorted(
+        map(
+            tuple,
+            dsir_logweights_df(docs, tgt, num_buckets=64, strategy="arrow").collect(),
+        )
+    )
+    assert arw == agg
+    assert len(arw) == 6  # NULL and whitespace-only docs absent
